@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (CDC current-state
+materialization) at sf0.001; ``queries()`` maps every implemented operator
+to a (spark, sf_dir) callable; ``oracle_sql()`` gives each one's DuckDB
+twin. See SURVEY.md §2 for the operator inventory and
+``etl_spark/workload.py`` for implementations.
 """
 
 from __future__ import annotations
@@ -13,26 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_spark import workload
+from etl_spark.oracles import ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW current-state materialization of the sim CDC stream."""
+    return workload.cdc_current_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_current_state": workload.cdc_current_state,
+        "cdc_changelog": workload.cdc_changelog,
+        "cdc_tx_metrics": workload.cdc_tx_metrics,
+        "cdc_toast_lww": workload.cdc_toast_lww,
+        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
+        "cdc_schema_asof": workload.cdc_schema_asof,
+        "cdc_truncate_reset": workload.cdc_truncate_reset,
+        "cdc_pk_change": workload.cdc_pk_change,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: ORACLES[name] for name in queries() if name in ORACLES}

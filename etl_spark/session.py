@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets multi-executor clusters reading ~100 TB; locally it runs
+``local[N]``. All knobs that matter for both are centralized here so tests,
+bench, and the driver entrypoint share one tuned configuration:
+
+- AQE on (runtime coalescing, skew-join splitting) — at cluster scale the
+  static shuffle-partition count is always wrong for some stage.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE coalescing makes the initial number a ceiling, not a
+  commitment.
+- Arrow enabled for every pandas interchange (the only Python-side hot paths
+  we allow are Arrow-vectorized).
+- Session timezone pinned UTC: the reference normalizes timestamptz to UTC
+  (crates/etl/src/data/cell.rs:49) and the DuckDB oracle is UTC-naive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "etl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``cpus`` controls both local parallelism and the shuffle-partition
+    default. On a real cluster, pass ``master`` via spark-submit and these
+    configs still apply.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark has no
+        # native type for; read as long and convert via ts_from_nanos()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    # Only force local master when no master is configured externally
+    # (spark-submit on a cluster sets one).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONF_DIR" not in os.environ:
+        builder = builder.master(f"local[{n}]")
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

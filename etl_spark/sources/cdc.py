@@ -1,0 +1,99 @@
+"""Change-stream readers: batch + Structured Streaming envelope sources.
+
+The reference's WAL streaming source (SURVEY §2.1 S3: pgoutput frames →
+typed events, crates/etl/src/postgres/stream/replication_message.rs) maps
+to a Structured Streaming source over an append-only change log. This
+module provides:
+
+- :func:`read_changes` / :func:`stream_changes` — batch and streaming
+  readers over envelope parquet/JSON directories (checkpoint directory =
+  replication slot, SURVEY S4);
+- :func:`envelope_from_events` — the deterministic sim-harness derivation
+  of a CDC envelope from the driver's ``events`` table, used by tests,
+  bench, and the correctness gate (its DuckDB-SQL mirror lives in
+  ``__spark_entry__.oracle_sql``).
+
+Per-table routing (P3 ``should_apply_changes``, apply.rs:2626-2639) and
+event-type filtering (P4, apply.rs:2113-2125) are plain ``filter`` calls —
+Catalyst pushes both into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.envelope import GENERIC_ENVELOPE, ROW_OPS, with_sequence
+
+
+def ts_from_nanos(col):
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
+    convert to TimestampNTZ at micro precision."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / 1000).cast("long")).cast("timestamp_ntz")
+
+
+def read_changes(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    """Batch-read an envelope directory; optionally route one table (P3)."""
+    df = spark.read.schema(GENERIC_ENVELOPE).parquet(path)
+    df = with_sequence(df)
+    if table:
+        df = df.filter(F.col("table") == table)
+    return df
+
+
+def stream_changes(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    """Streaming envelope source. The checkpoint dir (set on the writer)
+    plays the replication slot's role: offsets = progress, deleting it =
+    slot invalidation → full re-sync (SURVEY S4)."""
+    df = spark.readStream.schema(GENERIC_ENVELOPE).parquet(path)
+    df = with_sequence(df)
+    if table:
+        df = df.filter(F.col("table") == table)
+    return df
+
+
+def filter_supported(df: DataFrame) -> DataFrame:
+    """Drop unsupported event kinds (P4: Origin/Type/unknown logical
+    messages are dropped with warnings, apply.rs:2113-2125)."""
+    return df.filter(F.col("op").isin(*ROW_OPS, "TRUNCATE", "RELATION", "BEGIN", "COMMIT"))
+
+
+# ---------------------------------------------------------------------------
+# Sim harness: deterministic envelope from the driver's `events` table
+# ---------------------------------------------------------------------------
+
+#: event_type → CDC op for the sim derivation. signup creates the user row,
+#: error deletes it, activity events update it.
+OP_MAPPING_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'INSERT' WHEN 'error' THEN 'DELETE' "
+    "ELSE 'UPDATE' END"
+)
+
+#: Events per simulated transaction.
+TX_SIZE = 10
+
+
+def envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic CDC envelope from ``events.parquet``.
+
+    Shape: each block of :data:`TX_SIZE` consecutive ``event_id``s is one
+    transaction (``commit_lsn`` = block index, ``tx_ordinal`` = offset);
+    the replica identity is ``user_id``; payload columns are ``value`` and
+    ``props``. ``event_seq`` then restores exactly the source's
+    ``event_id`` order, so every downstream materialization is
+    deterministic and oracle-checkable.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    env = ev.select(
+        F.expr(OP_MAPPING_SQL).alias("op"),
+        F.lit("public.users").alias("table"),
+        (F.col("event_id").cast("long") / TX_SIZE).cast("long").alias("commit_lsn"),
+        F.col("event_id").cast("long").alias("start_lsn"),
+        (F.col("event_id") % TX_SIZE).cast("long").alias("tx_ordinal"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.col("props"),
+        F.col("ts"),
+    )
+    return with_sequence(env)

@@ -1,0 +1,180 @@
+"""Driver-facing workload: named queries over the testdata tables.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; each has a
+DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` computing the same result
+(same column names — the correctness gate hash-compares values after
+sorting columns by name). The CDC queries run on the deterministic envelope
+derived from ``events.parquet`` (:func:`etl_spark.sources.cdc.envelope_from_events`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.envelope import event_seq, event_seq_hex
+from etl_spark.operators import materialize
+from etl_spark.operators.asof import asof_lookup_literal
+from etl_spark.sources.cdc import envelope_from_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC core (reference parity)
+# ---------------------------------------------------------------------------
+
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state (LWW) materialization of the sim CDC stream.
+
+    Reference semantics: ReplacingMergeTree current view
+    (clickhouse/core.rs:94-110) / BigQuery CDC upsert
+    (bigquery/core.rs:1409-1478). One shuffle on the replica identity.
+    """
+    env = envelope_from_events(spark, sf_dir)
+    cur = materialize.current_state(env, keys=["pk"])
+    return cur.select("pk", "op", "commit_lsn", "tx_ordinal", "value", "props")
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only changelog with destination sequence metadata.
+
+    Mirrors the Iceberg/ClickHouse changelog shape (iceberg/core.rs:27-70)
+    and the hex `_CHANGE_SEQUENCE_NUMBER` rendering (event.rs:353-375).
+    Pure projection — no shuffle.
+    """
+    env = envelope_from_events(spark, sf_dir)
+    out = materialize.changelog(env)
+    return out.select(
+        F.col("start_lsn"),
+        F.col("table"),
+        F.col("cdc_operation"),
+        F.col("event_seq").cast("string").alias("seq_dec"),
+        event_seq_hex().alias("seq_hex"),
+    )
+
+
+def cdc_tx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction event metrics (reference A4, apply.rs:2323-2332)."""
+    env = envelope_from_events(spark, sf_dir)
+    return env.groupBy("commit_lsn").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("op") == "INSERT", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_deletes"),
+        F.min("tx_ordinal").alias("first_ordinal"),
+        F.max("tx_ordinal").alias("last_ordinal"),
+    )
+
+
+def cdc_toast_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOAST partial-update resolution then LWW current state.
+
+    Sim rule: UPDATEs whose ``start_lsn % 3 == 0`` arrive without the
+    ``value`` column (UnchangedToast). Resolution fills it from the latest
+    prior image of the same key (codec/event.rs:594-680 semantics as a
+    per-key ordered window, SURVEY J1).
+    """
+    env = envelope_from_events(spark, sf_dir)
+    masked = env.withColumn(
+        "value",
+        F.when((F.col("op") == "UPDATE") & (F.col("start_lsn") % 3 == 0), F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    resolved = materialize.resolve_toast(masked, keys=["pk"], value_cols=["value"])
+    cur = materialize.current_state(resolved, keys=["pk"])
+    return cur.select("pk", "op", "start_lsn", "value")
+
+
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot→stream handoff: initial copy + overlapping change stream.
+
+    The snapshot (customer, taken at LSN 0) unions with post-snapshot
+    UPDATE events re-keyed to customers; LWW dedup by sequence resolves the
+    overlap — the reference's SyncWait/Catchup correctness argument
+    (SURVEY T6): overlap is harmless because the merge is keyed by
+    ``event_seq``.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).cast("long").alias("commit_lsn"),
+        F.lit(0).cast("long").alias("tx_ordinal"),
+        F.lit("INSERT").alias("op"),
+    )
+    env = envelope_from_events(spark, sf_dir)
+    updates = (
+        env.filter(F.col("op") == "UPDATE")
+        .withColumn("c_custkey", F.col("pk") + 1)
+        .join(cust.select("c_custkey"), "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            F.col("value").alias("acctbal"),
+            "commit_lsn",
+            "tx_ordinal",
+            "op",
+        )
+    )
+    merged = snap.unionByName(updates)
+    merged = merged.withColumn(
+        "event_seq", event_seq("commit_lsn", "tx_ordinal")
+    )
+    cur = materialize.current_state(merged, keys=["c_custkey"])
+    return cur.select("c_custkey", "acctbal", "commit_lsn", "tx_ordinal")
+
+
+def cdc_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time schema-version resolution (store/schema/base.rs:20-34):
+    largest ``snapshot_lsn <= commit_lsn``.
+
+    The registry (from ``nation``) is driver-side tiny, so the lookup
+    compiles to a CASE chain inside the scan — zero shuffle at any scale
+    (:func:`etl_spark.operators.asof.asof_lookup_literal`).
+    """
+    nation = _t(spark, sf_dir, "nation")
+    versions = [
+        (int(r["n_nationkey"]) * 100, r["n_name"]) for r in nation.collect()
+    ]
+    env = envelope_from_events(spark, sf_dir)
+    looked = asof_lookup_literal(env, versions, left_ts="commit_lsn")
+    return looked.select("start_lsn", "commit_lsn", "snapshot_lsn", "schema_version")
+
+
+def cdc_truncate_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-aware current state (SURVEY T8): rows at or before the last
+    TRUNCATE of their table are discarded before materialization.
+
+    Sim rule: events with ``start_lsn % 500 == 250`` are TRUNCATEs.
+    """
+    env = envelope_from_events(spark, sf_dir)
+    env = env.withColumn(
+        "op", F.when(F.col("start_lsn") % 500 == 250, F.lit("TRUNCATE")).otherwise(F.col("op"))
+    )
+    alive = materialize.apply_truncates(env)
+    rows = alive.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    cur = materialize.current_state(rows, keys=["pk"])
+    return cur.select("pk", "op", "start_lsn", "value")
+
+
+def cdc_pk_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-changing updates expand to DELETE(old)+UPSERT(new), old-first
+    (bigquery/core.rs:1421-1478; ordinal tiebreaker :1391-1407).
+
+    Sim rule: UPDATEs with ``start_lsn % 7 == 0`` moved the row from key
+    ``pk - 1`` (old image) to ``pk``.
+    """
+    env = envelope_from_events(spark, sf_dir)
+    env = env.withColumn(
+        "before_pk",
+        F.when(
+            (F.col("op") == "UPDATE") & (F.col("start_lsn") % 7 == 0), F.col("pk") - 1
+        ).otherwise(F.col("pk")),
+    )
+    expanded = materialize.expand_pk_change(env, keys=["pk"], before_prefix="before_")
+    cur = materialize.current_state(
+        expanded, keys=["pk"], tie_breakers=["sub_ordinal"]
+    )
+    return cur.select("pk", "op", "start_lsn", "sub_ordinal", "value")
