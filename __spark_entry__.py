@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark import workload
+from etl_spark import workload, workload_text
 from etl_spark.oracles import ORACLES
 
 
@@ -32,6 +32,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_asof": workload.cdc_schema_asof,
         "cdc_truncate_reset": workload.cdc_truncate_reset,
         "cdc_pk_change": workload.cdc_pk_change,
+        # training-data pipeline operators
+        "dedup_exact": workload_text.dedup_exact,
+        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
+        "dedup_simhash": workload_text.dedup_simhash,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        "text_langid": workload_text.text_langid,
+        "text_quality": workload_text.text_quality,
+        "text_tokens": workload_text.text_tokens,
+        "text_fingerprint": workload_text.text_fingerprint,
+        "ann_cosine_topk": workload_text.ann_cosine_topk,
+        "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
+        "embed_near_dup": workload_text.embed_near_dup,
     }
 
 

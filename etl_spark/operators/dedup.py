@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five strategies, cheapest first:
+
+1. :func:`exact_duplicates` — hash-groupBy on a content fingerprint. One
+   shuffle on the hash; map-side partial aggregation makes the reduce side
+   proportional to the number of distinct documents, not rows.
+2. :func:`minhash_lsh` — shingle → MinHash signature → banded LSH →
+   bucket self-join → exact Jaccard verify on candidates only. The classic
+   near-dup pipeline (Broder '97 resemblance sketches; LSH banding per
+   Mining of Massive Datasets ch.3). Never computes the O(n²) pairset:
+   the only join is on (band, band_hash) buckets.
+3. :func:`simhash` + :func:`simhash_candidates` — Charikar '02 random
+   hyperplane sketch; near-dups = small Hamming distance. Candidate
+   generation via the pigeonhole byte-block trick (distance ≤ k ⟹ some
+   block of the fingerprint is equal) so the join is equi, not theta.
+4. :func:`ngram_jaccard` — exact n-gram Jaccard for a given candidate
+   pair set (the verify stage, reusable standalone).
+5. embedding near-dup — cosine over an embedding column; see
+   :mod:`etl_spark.operators.similarity`.
+
+All hashing is md5-based (deterministic, engine-portable — the DuckDB
+oracle mirrors every stage bit-for-bit). Production tuning notes are on
+each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.operators.text import tokens
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Exact-duplicate groups by content hash.
+
+    Returns one row per fingerprint: ``(fingerprint, n_docs, min_doc_id,
+    max_doc_id)``. Keep-first policy = keep ``min_doc_id``. Single shuffle
+    on the hash — at 100 TB this is the cheapest full-corpus dedup and the
+    standard first pass before any near-dup method.
+    """
+    c = F.col(text_col)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")) if normalized else F.md5(c)
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: ``(id, shingle)``.
+
+    Word shingles (not char) keep the row explosion bounded by token count.
+    The explode happens in the scan stage — no shuffle until the consumer
+    aggregates.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idxs = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(F.array())
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: ``(id, seed, minhash)``.
+
+    Hash family: ``md5(seed || ':' || shingle)`` — the min over a doc's
+    shingle set of each seeded hash estimates resemblance (Broder '97).
+    Shape: explode × seeds then groupBy(id, seed) min() — ONE shuffle,
+    with map-side combine collapsing each partition to ≤ num_hashes rows
+    per doc before the exchange.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(F.col(id_col), seeds, F.col("shingle")).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_buckets(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature: ``(id, band, band_hash)``.
+
+    band_hash = md5 of the band's minhashes joined in seed order. Two docs
+    collide in a band iff that slice of their signatures is identical —
+    P[collide] = s^rows per band for similarity s (MMDS ch.3 S-curve).
+    """
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs from LSH buckets: ``(id_a, id_b)``,
+    ``id_a < id_b``.
+
+    Self-equi-join on (band, band_hash) — the whole point of LSH: the join
+    key is the bucket, so cost scales with bucket occupancy, not n². Skewed
+    buckets (boilerplate docs) are exactly what AQE skew-join splitting
+    handles; for pathological cases cap bucket size upstream.
+    """
+    a = buckets.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = buckets.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: ``(id_a, id_b, inter, union_, jaccard)``.
+
+    Joins each side's distinct shingle set (collected once) onto the pairs
+    and computes |A∩B| / |A∪B| with JVM array intrinsics. Candidates are
+    LSH output — tiny relative to the corpus — so the two joins broadcast
+    in the common case.
+    """
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    j = (
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter"),
+        union.alias("union_"),
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup detection: shingle → MinHash → LSH → verify.
+
+    Returns verified pairs ``(id_a, id_b, jaccard)`` with
+    ``jaccard >= threshold``. Shuffle census: signatures (1), bands (1),
+    bucket join (1), verify joins (2 small) — constant number of shuffles
+    regardless of corpus size; nothing is ever O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    buckets = lsh_buckets(sig, id_col, bands, rows_per_band)
+    pairs = candidate_pairs(buckets, id_col)
+    verified = ngram_jaccard(pairs, sh, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 8 md5 hex digits; portable to the SQL oracle
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document: ``(id, simhash)``.
+
+    Charikar '02: each distinct token votes ±1 per bit position (bit j of
+    md5(token)); the fingerprint sets bit j iff the vote sum is positive.
+    Implementation is explode(tokens) × explode(bits) → groupBy(id, bit)
+    vote-sum → groupBy(id) bit-assemble: two shuffles, both with map-side
+    combine. Bits come from md5 hex digits via arithmetic (no bigint
+    conversion) so the oracle can mirror it.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = tok.select(
+        F.col(id_col),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # hex digit holding this bit, then extract with div/mod arithmetic
+    # (identical expression runs in the DuckDB oracle)
+    bitval = F.expr(
+        "((instr('0123456789abcdef', substring(h, (bit div 4) + 1, 1)) - 1)"
+        " div cast(pow(2, bit % 4) as int)) % 2"
+    )
+    votes = bits.withColumn("v", F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)))
+    sums = votes.groupBy(id_col, "bit").agg(F.sum("v").alias("s"))
+    fp = sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+    return fp
+
+
+def simhash_candidates(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole: split the 32-bit fingerprint into 4 bytes; distance ≤ 3 ⟹
+    at least one byte is identical, so candidates come from 4 equi-joins
+    (unioned) instead of a cross join — the standard scalable SimHash
+    lookup (Manku et al. '07, detecting near-duplicates for web crawling).
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn("blk_val", F.expr("shiftright(simhash, blk * 8) & 255"))
+    a = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

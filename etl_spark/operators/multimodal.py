@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+Design (task spec): media travels as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``. The image/audio
+libraries are NOT in this container, so the actual byte decoding is
+stubbed: ``decode_stub='fake'`` produces deterministic fake features (so
+the distributed plumbing — schema, batch shape, partition behavior — is
+real and tested), ``decode_stub='raise'`` raises NotImplementedError the
+way the real kernel would surface a missing codec.
+
+Scale notes: media rows are large and skewed — the module exposes
+``repartition_by_bytes`` so a stage's input partitions target a byte
+budget (the reference's batch-budget idea, batch_budget.rs:22-70, applied
+to partition planning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried beside every media blob.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|jpeg|wav|mp4...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real image/audio feature extractor:
+    byte-histogram moments. Replaces the codec call, keeps the data flow
+    honest (bytes in → fixed-dim float vector out)."""
+    if payload is None:
+        return None
+    buckets = [0] * dim
+    for i, b in enumerate(payload):
+        buckets[b % dim] += 1
+    total = max(len(payload), 1)
+    return [round(c / total, 6) for c in buckets]
+
+
+def extract_features(
+    media: DataFrame, decode_stub: str = "fake", batch_dim: int = 8
+) -> DataFrame:
+    """Decode + feature-extract media blobs via ``mapInPandas``.
+
+    Real deployments swap ``_fake_features`` for PIL/librosa/ffmpeg calls —
+    the Spark-side contract (Arrow batches of binary in, fixed-dim vectors
+    out, schema declared up front) is exactly what a production kernel
+    needs. ``decode_stub='raise'`` marks the unimplemented codec path.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "media codecs (PIL/librosa/ffmpeg) not available in this "
+                    "container; use decode_stub='fake' for plumbing tests"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else None),
+                    "content_hash": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest() if p is not None else None
+                    ),
+                    "features": payloads.map(lambda p: _fake_features(p, batch_dim)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan video frame sampling: one output row per (media_id, frame_ts).
+
+    The frame *extraction* is a stubbed codec call; the *plan* — exploding
+    each video into its sample timestamps, which is what drives downstream
+    partitioning — is real DataFrame algebra.
+    """
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media.filter(F.col("meta.media_type") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        .select("media_id", "frame_idx", "frame_ts_ms")
+    )
+
+
+def repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024, avg_row_bytes: int | None = None
+) -> DataFrame:
+    """Repartition a media table so each partition holds roughly
+    ``target_partition_bytes`` of payload — the batch-budget idea
+    (batch_budget.rs:22-70) applied to partition planning.
+
+    Uses sampled average row size when not provided. One count + one
+    shuffle; worth it before an expensive decode stage.
+    """
+    if avg_row_bytes is None:
+        sample = media.select(F.avg(F.length("payload")).alias("b")).collect()[0]["b"] or 1024
+        avg_row_bytes = int(sample)
+    n_rows = media.count()
+    parts = max(1, int(n_rows * avg_row_bytes / target_partition_bytes))
+    return media.repartition(parts)

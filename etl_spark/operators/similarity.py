@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a production ANN stack would have:
+
+- :func:`cosine_topk` — exact brute-force top-k. The baseline and the
+  verify oracle for everything approximate. Cross join is explicit and the
+  small side (the query set) is broadcast: cost = |queries| × |corpus| dot
+  products, all inside codegen via ``F.aggregate``/``zip_with`` — no Python.
+- :func:`ivf_topk` — IVF-style approximate search: k-means-ish coarse
+  centroids (here: per-label mean vectors, deterministic), probe the
+  ``nprobe`` nearest cells, exact search inside probed cells only. At
+  100 TB the corpus is hash-partitioned by cell id so a probe touches only
+  matching partitions; the centroid table is broadcast.
+
+Embedding near-duplicate detection = :func:`cosine_pairs` with a high
+threshold (the embedding-cosine variant of the dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns — pure Column
+    algebra (F.zip_with/F.aggregate), runs JVM-side.
+
+    Inputs are widened to double BEFORE any product: fp32 intermediate
+    products lose ~1e-7 per term, which both hurts ranking quality and
+    breaks bit-parity with the (double-precision) oracle.
+    """
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: ``(query_id, vec_id, sim, rank)``.
+
+    The query side is broadcast (small by contract); ranking is the
+    standard top-k window with a deterministic ``vec_id`` tiebreak. The
+    corpus is scanned once, never shuffled — the only exchange is the
+    per-query rank, keyed by query_id (|queries| partitions).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: ``(id_a, id_b, sim)`` with
+    ``sim >= threshold``.
+
+    Without ``block_col`` this is an explicit O(n²/2) self-join — correct
+    but only for small/medium corpora (the oracle path). With ``block_col``
+    (e.g. an IVF cell or LSH bucket) the join is equi on the block — the
+    scalable path, same contract as :func:`ivf_topk` cells.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    joined = a.join(b, ["__blk"]) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids``: (cell_id, centroid array<double>) — broadcast; the
+    argmax over cells happens inside one codegen stage per corpus row.
+    Persist the result partitioned by cell for repeated queries.
+    """
+    cents = centroids.select(
+        F.col(cell_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "__csim", cosine(F.col(vec_col), F.col("__cvec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*corpus.columns[:1]).orderBy(F.col("__csim").desc(), F.col("__cid").asc())
+    # partition key = the corpus id column (first column by convention)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cvec", "__csim")
+        .withColumnRenamed("__cid", cell_col)
+    )
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "cell_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` closest cells per query,
+    exact-search only those cells.
+
+    Recall/latency knob = nprobe (as in FAISS IVF). The probed-cell join is
+    equi on ``cell_col``; with the corpus bucketed by cell this reads only
+    matching buckets — the 100 TB-shaped plan.
+    """
+    cents = centroids.select(
+        F.col(cell_col), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    from pyspark.sql import Window
+
+    probe_w = Window.partitionBy(query_id_col).orderBy(F.col("__psim").desc(), F.col(cell_col).asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__psim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, cell_col, "__qvec")
+    )
+    scored = corpus_with_cells.join(F.broadcast(probes), [cell_col]).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -166,3 +166,206 @@ ranked AS (
 )
 SELECT pk, op, start_lsn, sub_ordinal, value FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity oracles
+# ---------------------------------------------------------------------------
+
+TOKS_CTE = r"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+)
+"""
+
+SHINGLE_CTE = r"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END)) AS shingle
+  FROM tok
+)
+"""
+
+ORACLES["dedup_exact"] = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS union_
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(inter / greatest(union_, 1), 6) AS jaccard
+FROM verified WHERE inter / greatest(union_, 1) >= 0.3
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a WHERE EXISTS (SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 1)
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+SELECT p.id_a, p.id_b,
+       len(list_intersect(sa.s, sb.s)) AS inter,
+       len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS union_,
+       round(len(list_intersect(sa.s, sb.s)) /
+             greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6) AS jaccard
+FROM pairs p JOIN ss sa ON sa.doc_id = p.id_a JOIN ss sb ON sb.doc_id = p.id_b
+"""
+
+SIMHASH_CTE = f"""
+{TOKS_CTE},
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
+th AS (SELECT doc_id, md5(tok) AS h FROM tokd),
+bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM th),
+votes AS (
+  SELECT doc_id, bit,
+         CASE WHEN ((instr('0123456789abcdef', substring(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                    // CAST(pow(2, bit % 4) AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM bits
+),
+sums AS (SELECT doc_id, bit, sum(v) AS s FROM votes GROUP BY doc_id, bit),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH {SIMHASH_CTE}
+SELECT doc_id, simhash FROM fp
+"""
+
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH {SIMHASH_CTE},
+blocks AS (
+  SELECT doc_id, simhash, unnest(range(0, 4)) AS blk FROM fp
+),
+blocks2 AS (
+  SELECT doc_id, simhash, blk, (simhash >> CAST(blk * 8 AS INT)) & 255 AS blk_val FROM blocks
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks2 a JOIN blocks2 b USING (blk, blk_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+def _langid_scores_sql() -> str:
+    from etl_spark.operators.text import LANG_PROFILES
+    parts = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) / greatest(len(toks), 1) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+ORACLES["text_langid"] = f"""
+WITH {TOKS_CTE},
+scored AS (SELECT doc_id, {_langid_scores_sql()} FROM tok),
+best AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS b FROM scored)
+SELECT doc_id,
+       CASE WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
+            WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr' END AS lang_pred,
+       round(s_de, 6) AS score_de, round(s_en, 6) AS score_en,
+       round(s_es, 6) AS score_es, round(s_fr, 6) AS score_fr
+FROM best
+"""
+
+ORACLES["text_quality"] = r"""
+WITH tok AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) / greatest(len(toks), 1) AS mean_word_len,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+           / greatest(len(toks), 1) AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.3, 6) AS quality
+FROM feat
+"""
+
+ORACLES["text_tokens"] = r"""
+WITH tok AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_pieces,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+FROM tok
+"""
+
+ORACLES["text_fingerprint"] = r"""
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm
+FROM documents
+"""
+
+ORACLES["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_reduce(list_transform(list_zip(e.ev, q.qv), x -> x[1] * x[2]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(e.ev, v -> v * v), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(q.qv, v -> v * v), (x, y) -> x + y))) AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["embed_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(a.ev, v -> v * v), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(b.ev, v -> v * v), (x, y) -> x + y))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.35
+"""

@@ -1,0 +1,140 @@
+"""Training-data pipeline queries: dedup / similarity / text analysis.
+
+Each callable is (spark, sf_dir) → DataFrame, with its DuckDB oracle twin
+in :mod:`etl_spark.oracles`. Similarity values are rounded in outputs so
+the hash compare is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.operators import dedup, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by normalized content hash — one shuffle."""
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 3-shingles → 16 MinHashes → 4 LSH bands → exact
+    Jaccard verify ≥ 0.3."""
+    out = dedup.minhash_lsh(
+        _docs(spark, sf_dir), k=3, num_hashes=16, bands=4, threshold=0.3
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a deterministic candidate set (adjacent
+    doc_ids) — the verify operator standalone."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    sh = dedup.shingles(docs, k=3)
+    out = dedup.ngram_jaccard(pairs, sh)
+    return out.select("id_a", "id_b", "inter", "union_", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints per document."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via the byte-block pigeonhole
+    join."""
+    fp = dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash_candidates(fp, max_hamming=3)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID + per-language scores."""
+    out = text.lang_id(_docs(spark, sf_dir))
+    cols = ["doc_id", "lang_pred"] + [f"score_{code}" for code in sorted(text.LANG_PROFILES)]
+    sel = [F.col("doc_id"), F.col("lang_pred")] + [
+        F.round(f"score_{code}", 6).alias(f"score_{code}") for code in sorted(text.LANG_PROFILES)
+    ]
+    return out.select(*sel)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + combined score per document."""
+    out = text.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish piece count + chars/4 estimate."""
+    return text.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces", "n_tokens_est"
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized md5 fingerprints per document."""
+    return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_exact", "fp_norm")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (cells = label groups, centroids = cell means,
+    nprobe=2). Rows-only check — approximate results have no SQL oracle
+    contract, but determinism is still exact given the data."""
+    emb = _emb(spark, sf_dir)
+    # centroids = per-label component means: posexplode → groupBy(label,pos)
+    # avg → re-assemble ordered array (all map-side-combinable aggregations)
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("embedding")
+        )
+        .withColumnRenamed("label", "cell_id")
+    )
+    corpus = emb.withColumn("cell_id", F.col("label"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(corpus, centroids, queries, k=5, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35, exact self-join
+    — the oracle path; blocked variant used at scale)."""
+    out = similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

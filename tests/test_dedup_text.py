@@ -1,0 +1,113 @@
+"""Unit tests for dedup / text / similarity operators on hand-built docs
+with known duplicate structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+        (4, "completely different content about database engines"),
+        (5, "THE  QUICK  BROWN  FOX  JUMPS  OVER  THE  LAZY  DOG"),  # norm dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = {r.fingerprint: r for r in dedup.exact_duplicates(docs).collect()}
+    sizes = sorted(g.n_docs for g in groups.values())
+    assert sizes == [1, 1, 3]  # {1,2,5} normalized-identical
+    big = next(g for g in groups.values() if g.n_docs == 3)
+    assert (big.min_doc_id, big.max_doc_id) == (1, 5)
+
+
+def test_exact_duplicates_strict(spark, docs):
+    groups = dedup.exact_duplicates(docs, normalized=False).collect()
+    sizes = sorted(g.n_docs for g in groups)
+    assert sizes == [1, 1, 1, 2]  # only {1,2} byte-identical
+
+
+def test_shingles(spark, docs):
+    sh = dedup.shingles(docs.filter("doc_id = 1"), k=3).collect()
+    got = {r.shingle for r in sh}
+    assert "the quick brown" in got and "the lazy dog" in got
+    assert len(got) == 7  # 9 tokens → 7 shingles, all distinct
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh(docs, num_hashes=16, bands=8, threshold=0.2)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0       # identical
+    assert (1, 3) in got and 0.2 < got[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in got)               # unrelated doc never pairs
+
+
+def test_simhash_properties(spark, docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fp[1] == fp[2]           # identical text → identical fingerprint
+    assert 0 <= fp[1] < 2**32
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    ham14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham13 < ham14            # near dup closer than unrelated
+
+
+def test_simhash_candidates(spark, docs):
+    fp = dedup.simhash(docs)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedup.simhash_candidates(fp, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "el gato y la casa de los perros que")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(1, "the quick fox. and a dog!")], "doc_id long, text string")
+    q = text.quality_score(df).collect()[0]
+    assert q.n_tokens == 6
+    assert 0 < q.quality <= 1
+    t = text.token_counts(df).collect()[0]
+    assert t.n_ws_tokens == 6
+    assert t.n_tokens_est == 7  # ceil(25/4)
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = [(r.vec_id, r.rank) for r in
+           similarity.cosine_topk(emb, q, k=3).orderBy("rank").collect()]
+    assert got == [(0, 1), (1, 2), (2, 3)]  # self, near, orthogonal; opposite excluded
+
+
+def test_ivf_assign_and_topk(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id int, embedding array<float>"
+    )
+    assigned = similarity.assign_cells(emb, cents)
+    cells = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assert cells == {0: 0, 1: 0, 2: 1, 3: 1}
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(assigned, cents, q, k=2, nprobe=1)
+    got = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert got == [0, 1]  # probed only cell 0
