@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark import workload, workload_text
+from etl_spark import workload, workload_relational, workload_text
 from etl_spark.oracles import ORACLES
 
 
@@ -45,6 +45,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": workload_text.ann_cosine_topk,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
         "embed_near_dup": workload_text.embed_near_dup,
+        # relational analytics (host-engine capabilities over the same data)
+        "q1_pricing_summary": workload_relational.q1_pricing_summary,
+        "q3_shipping_priority": workload_relational.q3_shipping_priority,
+        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
+        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
+        "sessionize_events": workload_relational.sessionize_events,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        # codec layer end-to-end (SURVEY §2.8)
+        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
+        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
     }
 
 

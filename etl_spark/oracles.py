@@ -369,3 +369,145 @@ scored AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.35
 """
+
+# ---------------------------------------------------------------------------
+# Relational / decode oracles
+# ---------------------------------------------------------------------------
+
+_D = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+ORACLES["q1_pricing_summary"] = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+         sum({_D}) AS sum_disc_price,
+         sum({_D} * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1998-09-03'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum_qty AS DOUBLE) AS sum_qty,
+       CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+       CAST(sum_disc_price AS DOUBLE) AS sum_disc_price,
+       CAST(sum_charge AS DOUBLE) AS sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
+       count_order
+FROM agg
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+WITH base AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, sum({_D}) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2, 3
+  ORDER BY revenue DESC, l_orderkey ASC
+  LIMIT 10
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       CAST(revenue AS DOUBLE) AS revenue
+FROM base
+"""
+
+ORACLES["q5_local_supplier_volume"] = f"""
+SELECT n.n_name, CAST(sum({_D}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders o ON l_orderkey = o.o_orderkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n.n_name
+"""
+
+ORACLES["q6_revenue_forecast"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+ORACLES["topk_orders_per_customer"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["sessionize_events"] = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+  FROM s
+),
+s3 AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM s2
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event,
+       (epoch_ns(max(ts)) - epoch_ns(min(ts))) // 1000000000 AS duration_sec
+FROM s3 GROUP BY user_id, session_idx
+"""
+
+ORACLES["events_hourly_rollup"] = """
+SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["pg_decode_roundtrip"] = r"""
+WITH src AS (SELECT * FROM lineitem WHERE l_linenumber = 1),
+rendered AS (
+  SELECT l_orderkey, l_quantity, l_linenumber, l_suppkey,
+         CASE WHEN l_orderkey % 2 = 0 THEN 't' ELSE 'f' END AS bool_txt,
+         CAST(l_partkey AS VARCHAR) AS int_txt,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS num_txt,
+         printf('%016x', l_partkey) AS bytea_hex
+  FROM src
+)
+SELECT l_orderkey,
+       bool_txt = 't' AS v_bool,
+       CAST(int_txt AS BIGINT) AS v_int,
+       l_quantity AS v_float,
+       CAST(CAST(num_txt AS DECIMAL(38,9)) AS DOUBLE) AS v_num,
+       lower(bytea_hex) AS v_bytea_hex,
+       CAST((l_linenumber % 24) AS BIGINT) * 3600000000 + 1800000000
+         + CAST((l_suppkey % 60) AS BIGINT) * 1000000 + 500000 AS v_time_micros
+FROM rendered
+"""
+
+ORACLES["pg_array_roundtrip"] = """
+SELECT l_orderkey,
+       CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_partkey AS VARCHAR) || ',NULL' AS arr_canonical,
+       CAST(3 AS INT) AS arr_len
+FROM lineitem WHERE l_linenumber = 1
+"""

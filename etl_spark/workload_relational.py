@@ -1,0 +1,243 @@
+"""Relational analytics queries over the TPC-H-ish testdata.
+
+The reference has no relational operators ("available for free in Spark",
+SURVEY §2.3/2.4) — these queries demonstrate that the engine's host gives
+joins/aggregations/windows/sorts with Catalyst doing pushdown, pruning,
+broadcast selection and AQE. Numeric policy for oracle parity: aggregate in
+DECIMAL(12,2)-derived types (exact, engine-portable), averages as
+double-of-decimal divisions; dates compared as formatted strings; epoch
+seconds for time bucketing (testdata timestamps arrive as nanos longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _nanos(date_str: str) -> int:
+    """Epoch nanos of a UTC date literal — comparing the raw long keeps the
+    filter pushdown-eligible at the parquet scan (no per-row conversion)."""
+    import datetime
+
+    d = datetime.datetime.fromisoformat(date_str).replace(tzinfo=datetime.timezone.utc)
+    return int(d.timestamp()) * NANOS_PER_SEC
+
+
+def _ts(date_str: str):
+    """TIMESTAMP_NTZ literal for lineitem/orders date columns (millis
+    parquet → TIMESTAMP_NTZ in Spark; events.ts is nanos → long)."""
+    return F.lit(date_str).cast("timestamp_ntz")
+
+
+def _dec(col, p: int = 12, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    Filter compares the raw nanos long → parquet row-group pruning applies.
+    Decimal aggregation is exact (sum order irrelevant) so the oracle hash
+    matches bit-for-bit.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") < _ts("1998-09-03"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    # decimal aggregation is exact, so the final cast to double is
+    # deterministic — and doubles hash identically across engines, while
+    # decimal scale rendering does not
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    orderkey — the partitioning a 100 TB layout would bucket on.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1995-03-15"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, revenue per nation.
+
+    region/nation/supplier/customer broadcast; the fact-side join
+    (orders⋈lineitem) carries the shuffle. The c_nationkey = s_nationkey
+    constraint is the classic join-graph cycle Catalyst handles without
+    help.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1994-01-01")) & (F.col("o_orderdate") < _ts("1995-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+    return out
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + multi-predicate filter + single agg.
+    Every predicate is pushdown-eligible (raw column vs literal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= _ts("1994-01-01"))
+        & (F.col("l_shipdate") < _ts("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    return out
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price — the canonical ranking
+    window; WindowGroupLimit prunes map-side before the shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions per user —
+    lag + cumulative sum over a per-user ordered window (single shuffle on
+    user_id). Output: per-session aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * NANOS_PER_SEC
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev_ts").isNull() | ((F.col("ts") - F.col("prev_ts")) > gap_ns), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.expr("(max(ts) - min(ts)) div 1000000000").alias("duration_sec"),
+    )
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog rollup: per-hour per-type counts and value sums
+    (what the windowed-agg stage of a streaming pipeline computes)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("ts div 1000000000 div 3600 * 3600")  # integer div: nanos exceed double precision
+    return (
+        ev.withColumn("hour_epoch", hour)
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def pg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec layer end-to-end: render PG wire text from typed columns, then
+    decode through the production codec (SURVEY §2.8 F1-F13 subset).
+    Output = decoded typed values, hash-compared against the oracle doing
+    the identical render→parse round trip."""
+    from etl_spark import codec
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    rendered = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("t")).otherwise(F.lit("f")).alias("bool_txt"),
+        F.col("l_partkey").cast("string").alias("int_txt"),
+        F.col("l_quantity").cast("string").alias("float_txt"),
+        F.col("l_extendedprice").cast("decimal(18,6)").cast("string").alias("num_txt"),
+        F.concat(F.lit("\\x"), F.format_string("%016x", "l_partkey")).alias("bytea_txt"),
+        F.format_string("%02d:30:%02d.5", F.col("l_linenumber") % 24, F.col("l_suppkey") % 60).alias("time_txt"),
+    )
+    decoded = rendered.select(
+        "l_orderkey",
+        codec.pg_bool("bool_txt").alias("v_bool"),
+        codec.pg_int8("int_txt").alias("v_int"),
+        codec.pg_float8("float_txt").alias("v_float"),
+        codec.pg_numeric("num_txt").getField("value").cast("double").alias("v_num"),
+        F.lower(F.hex(codec.pg_bytea("bytea_txt"))).alias("v_bytea_hex"),
+        codec.pg_time("time_txt").alias("v_time_micros"),
+    )
+    return decoded
+
+
+def pg_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG 1-D array-literal parse (codec F9) over generated literals,
+    output in canonical element-joined form."""
+    from etl_spark import codec
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    lit = F.concat(
+        F.lit("{"), F.col("l_orderkey").cast("string"), F.lit(","),
+        F.col("l_partkey").cast("string"), F.lit(",NULL}"),
+    )
+    arr = codec.pg_array_simple(lit, "int8")
+    canon = F.concat_ws(",", F.transform(arr, lambda x: F.coalesce(x.cast("string"), F.lit("NULL"))))
+    return li.select("l_orderkey", canon.alias("arr_canonical"), F.size(arr).alias("arr_len"))
