@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Protocol follows BASELINE.md: the copy analog is snapshot-load throughput
+(rows/s) into the current-state table; the streaming analog is change-event
+apply throughput (events/s) through decode → dedup/merge. Each query is
+materialized via the noop sink (all columns computed, nothing written, no
+driver collect bottleneck). Spark config is recorded alongside the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_spark.session import get_spark  # noqa: E402
+
+#: Headline set: CDC core + relational + training-data ops (one per family).
+HEADLINE = [
+    "cdc_current_state",
+    "cdc_changelog",
+    "cdc_toast_lww",
+    "cdc_snapshot_handoff",
+    "cdc_pk_change",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "topk_orders_per_customer",
+    "sessionize_events",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "ann_cosine_topk",
+    "embed_near_dup",
+]
+
+
+def materialize(df) -> None:
+    """Force full computation of every output column without collecting."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("etl-spark-bench", cpus=cpus)
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen path outside the timed region.
+    materialize(queries["cdc_current_state"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Throughput analogs (BASELINE.md protocol)
+    ev_count = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    events_per_sec = (
+        round(ev_count / timings["cdc_current_state"], 1)
+        if timings.get("cdc_current_state") else None
+    )
+    snap_rows = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    copy_rows_per_sec = (
+        round((snap_rows + ev_count) / timings["cdc_snapshot_handoff"], 1)
+        if timings.get("cdc_snapshot_handoff") else None
+    )
+
+    result = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events_per_second": events_per_sec,
+        "copy_rows_per_second": copy_rows_per_sec,
+        "conf": {
+            "cpus": cpus,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
@@ -98,10 +99,77 @@ def cosine_pairs(
                   *([F.col(block_col).alias("__blk")] if block_col else []))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   *([F.col(block_col).alias("__blk")] if block_col else []))
-    joined = a.join(b, ["__blk"]) if block_col else a.crossJoin(b)
+    if block_col:
+        joined = a.join(b, ["__blk"])
+    else:
+        # stream side spread across the cluster, build side broadcast —
+        # parallel BroadcastNestedLoopJoin instead of a cartesian shuffle
+        n = df.sparkSession.sparkContext.defaultParallelism
+        joined = a.repartition(n).crossJoin(F.broadcast(b))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_pairs_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    prune_margin: float = 1e-6,
+) -> DataFrame:
+    """Near-dup pairs via blocked-GEMM candidate pruning + exact verify.
+
+    Two-stage, mirroring the minhash→verify shape:
+
+    1. **Prune** (Arrow/numpy): the corpus matrix is broadcast (unit-
+       normalized float64); ``mapInPandas`` computes each partition-block ×
+       matrix product with BLAS and keeps pairs with
+       ``sim >= threshold - prune_margin``. ~1000× the throughput of
+       per-pair expression evaluation; the margin covers BLAS-vs-fold
+       float discrepancy (≈1e-13) with 7 orders of magnitude to spare.
+    2. **Verify** (JVM): exact left-fold cosine on the surviving pairs —
+       bit-identical to the brute-force/oracle formula, so downstream
+       consumers see exactly the :func:`cosine_pairs` contract.
+
+    At 100 TB the broadcast side becomes an outer loop over corpus blocks
+    (or an IVF cell restriction) — the per-block kernel is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    cut = threshold - prune_margin
+
+    def prune(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        index_of = {v: i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            idx = pdf[id_col].map(index_of).to_numpy()
+            block = all_mat[idx]                      # rows of this partition
+            sims = block @ all_mat.T                  # BLAS
+            for r, my_id in enumerate(pdf[id_col].to_numpy()):
+                hits = np.nonzero((sims[r] >= cut) & (all_ids > my_id))[0]
+                if len(hits):
+                    yield pd.DataFrame({"id_a": my_id, "id_b": all_ids[hits]})
+
+    n = spark.sparkContext.defaultParallelism
+    cands = df.select(id_col).repartition(n).mapInPandas(prune, schema="id_a long, id_b long")
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    joined = (
+        cands.join(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"), "id_a")
+        .join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"), "id_b")
+    )
+    return (
+        joined.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

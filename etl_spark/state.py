@@ -1,0 +1,191 @@
+"""Per-table lifecycle state machine + durable control store.
+
+Mirrors the reference's ``TableState`` machine
+(crates/etl/src/replication/state/lifecycle.rs:22-99):
+
+    Init → DataSync → FinishedCopy → SyncWait{lsn} → Catchup{lsn}
+         → SyncDone{lsn} → Ready,  plus Errored{reason, retry_policy}
+
+``SyncWait``/``Catchup`` are memory-only; the rest are durable
+(lifecycle.rs:215-229). Restart semantics (lifecycle.rs:241-255): only
+``SyncDone``/``Ready`` keep destination data — earlier states re-copy from
+a fresh snapshot.
+
+The durable store is a JSON-file control table (one dir per pipeline) with
+the reference's **monotonic flush-LSN upsert** contract
+(store/state/base.rs:81-89): progress may only advance. On a cluster this
+would be a Delta/JDBC table; the storage is behind ``ControlStore`` so that
+swap is one class.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class TableState(str, Enum):
+    INIT = "Init"
+    DATA_SYNC = "DataSync"
+    FINISHED_COPY = "FinishedCopy"
+    SYNC_WAIT = "SyncWait"      # memory-only
+    CATCHUP = "Catchup"          # memory-only
+    SYNC_DONE = "SyncDone"
+    READY = "Ready"
+    ERRORED = "Errored"
+
+
+#: States persisted to the store (lifecycle.rs:215-229).
+DURABLE_STATES = {
+    TableState.INIT,
+    TableState.DATA_SYNC,
+    TableState.FINISHED_COPY,
+    TableState.SYNC_DONE,
+    TableState.READY,
+    TableState.ERRORED,
+}
+
+#: States that keep destination data across a restart (lifecycle.rs:241-255).
+KEEPS_DATA_ON_RESTART = {TableState.SYNC_DONE, TableState.READY}
+
+#: Legal transitions (lifecycle.rs:22-99). Errored is reachable from
+#: anywhere; retry resets to Init.
+TRANSITIONS: dict[TableState, set[TableState]] = {
+    TableState.INIT: {TableState.DATA_SYNC, TableState.ERRORED},
+    TableState.DATA_SYNC: {TableState.FINISHED_COPY, TableState.ERRORED},
+    TableState.FINISHED_COPY: {TableState.SYNC_WAIT, TableState.SYNC_DONE, TableState.ERRORED},
+    TableState.SYNC_WAIT: {TableState.CATCHUP, TableState.ERRORED},
+    TableState.CATCHUP: {TableState.SYNC_DONE, TableState.ERRORED},
+    TableState.SYNC_DONE: {TableState.READY, TableState.ERRORED},
+    TableState.READY: {TableState.ERRORED},
+    TableState.ERRORED: {TableState.INIT},
+}
+
+
+class RetryPolicy(str, Enum):
+    """error_policy.rs: NoRetry / ManualRetry / TimedRetry."""
+
+    NO_RETRY = "NoRetry"
+    MANUAL_RETRY = "ManualRetry"
+    TIMED_RETRY = "TimedRetry"
+
+
+@dataclass
+class TableEntry:
+    table: str
+    state: TableState = TableState.INIT
+    lsn: int = 0                      # state-qualifying LSN (SyncDone{lsn})
+    error: str | None = None
+    retry_policy: RetryPolicy | None = None
+
+
+class IllegalTransition(Exception):
+    pass
+
+
+@dataclass
+class ControlStore:
+    """Durable pipeline control state: table lifecycle + flush progress.
+
+    File layout: ``{root}/control.json`` rewritten atomically (write temp +
+    rename) — the single-writer driver-side pattern; executors never touch
+    it.
+    """
+
+    root: str
+    tables: dict[str, TableEntry] = field(default_factory=dict)
+    flush_lsn: int = 0
+
+    def __post_init__(self):
+        os.makedirs(self.root, exist_ok=True)
+        self._load()
+
+    # -- persistence -------------------------------------------------------
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.root, "control.json")
+
+    def _load(self) -> None:
+        if not os.path.exists(self._path):
+            return
+        with open(self._path) as f:
+            raw = json.load(f)
+        self.flush_lsn = raw.get("flush_lsn", 0)
+        self.tables = {
+            t["table"]: TableEntry(
+                table=t["table"],
+                state=TableState(t["state"]),
+                lsn=t.get("lsn", 0),
+                error=t.get("error"),
+                retry_policy=RetryPolicy(t["retry_policy"]) if t.get("retry_policy") else None,
+            )
+            for t in raw.get("tables", [])
+        }
+
+    def _save(self) -> None:
+        payload = {
+            "flush_lsn": self.flush_lsn,
+            "tables": [
+                {
+                    "table": e.table,
+                    "state": e.state.value,
+                    "lsn": e.lsn,
+                    "error": e.error,
+                    "retry_policy": e.retry_policy.value if e.retry_policy else None,
+                }
+                for e in self.tables.values()
+                if e.state in DURABLE_STATES
+            ],
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._path)
+
+    # -- lifecycle ---------------------------------------------------------
+    def get(self, table: str) -> TableEntry:
+        if table not in self.tables:
+            self.tables[table] = TableEntry(table=table)
+        return self.tables[table]
+
+    def transition(self, table: str, to: TableState, lsn: int | None = None,
+                   error: str | None = None,
+                   retry_policy: RetryPolicy | None = None) -> TableEntry:
+        e = self.get(table)
+        if to not in TRANSITIONS[e.state] and to != e.state:
+            raise IllegalTransition(f"{e.table}: {e.state.value} → {to.value}")
+        e.state = to
+        if lsn is not None:
+            e.lsn = lsn
+        e.error = error
+        e.retry_policy = retry_policy
+        self._save()
+        return e
+
+    def restart_reset(self) -> list[str]:
+        """Apply restart semantics: tables not yet SyncDone/Ready fall back
+        to Init and must re-copy (lifecycle.rs:241-255). Returns the reset
+        table names."""
+        reset = []
+        for e in self.tables.values():
+            if e.state not in KEEPS_DATA_ON_RESTART and e.state != TableState.ERRORED:
+                e.state = TableState.INIT
+                e.lsn = 0
+                reset.append(e.table)
+            elif e.state in (TableState.SYNC_WAIT, TableState.CATCHUP):
+                # memory-only states can't appear after a load, but guard
+                e.state = TableState.INIT
+                reset.append(e.table)
+        self._save()
+        return reset
+
+    # -- progress ----------------------------------------------------------
+    def advance_flush_lsn(self, lsn: int) -> int:
+        """Monotonic upsert (store/state/base.rs:81-89): never regresses."""
+        if lsn > self.flush_lsn:
+            self.flush_lsn = lsn
+            self._save()
+        return self.flush_lsn

@@ -1,0 +1,215 @@
+"""Pipeline orchestrator: snapshot backfill → change stream → sinks.
+
+The reference's ``Pipeline::start()`` (crates/etl/src/pipeline.rs:142-234)
+re-expressed on Structured Streaming:
+
+1. hydrate control state; apply restart semantics (tables not yet
+   SyncDone/Ready re-copy from a fresh snapshot — lifecycle.rs:241-255);
+2. per-table backfill: ``drop_table_for_copy`` + snapshot read + sink
+   write, walking Init → DataSync → FinishedCopy (SURVEY §3.3);
+3. record the snapshot LSN and mark SyncDone — the stream's LWW merge by
+   ``event_seq`` makes snapshot/stream overlap harmless (SURVEY T6), which
+   is what lets us skip the reference's SyncWait/Catchup pause protocol
+   (that exists because its destinations apply events in arrival order);
+4. start the change stream with ``foreachBatch``: per-table routing (P3),
+   truncate splitting (T8), TOAST-partial NULL marking (J1), idempotent
+   sink write, then durable progress advance (T4: flush LSN only moves
+   after the sink confirms — foreachBatch is synchronous so completion IS
+   the Durable signal) and SyncDone→Ready transitions;
+5. the stream checkpoint directory is the replication slot (S4): deleting
+   it = slot invalidation = full re-sync.
+
+Per-table errors quarantine the table (Errored + retry policy, T10)
+without stopping the pipeline — other tables keep flowing.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.envelope import ROW_OPS, with_sequence
+from etl_spark.sources.cdc import stream_changes
+from etl_spark.state import ControlStore, RetryPolicy, TableState
+from etl_spark.streaming.sinks import Sink
+
+
+@dataclass
+class TableConfig:
+    """Per-table pipeline config: where the snapshot lives, the replica
+    identity, and the typed payload schema (the replication mask, P1 —
+    only the listed columns decode; everything else in the JSON is
+    dropped, exactly like an unpublished column)."""
+
+    name: str
+    snapshot_path: str | None
+    keys: list[str]
+    payload_schema: str | None = None  # e.g. "pk long, name string"
+    row_filter: str | None = None      # publication WHERE (P2)
+
+    def value_cols(self) -> list[str]:
+        if not self.payload_schema:
+            return []
+        names = [f.split()[0] for f in self.payload_schema.split(",")]
+        return [n for n in names if n not in self.keys]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        tables: list[TableConfig],
+        sink: Sink,
+        work_dir: str,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.tables = {t.name: t for t in tables}
+        self.sink = sink
+        self.work_dir = work_dir
+        self.control = ControlStore(os.path.join(work_dir, "control"))
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.query = None
+
+    # ------------------------------------------------------------------
+    def backfill(self) -> None:
+        """Initial copies for every table not yet streaming (SURVEY §3.3)."""
+        self.control.restart_reset()
+        for cfg in self.tables.values():
+            entry = self.control.get(cfg.name)
+            if entry.state in (TableState.SYNC_DONE, TableState.READY):
+                continue
+            if entry.state == TableState.ERRORED:
+                continue  # quarantined; manual/timed retry resets to Init
+            try:
+                self.control.transition(cfg.name, TableState.DATA_SYNC)
+                if cfg.snapshot_path:
+                    self.sink.truncate(cfg.name)  # drop_table_for_copy
+                    df = self.spark.read.parquet(cfg.snapshot_path)
+                    if cfg.row_filter:
+                        df = df.filter(F.expr(cfg.row_filter))
+                    self.sink.write_snapshot(cfg.name, df)
+                self.control.transition(cfg.name, TableState.FINISHED_COPY)
+                # snapshot LSN 0 = "before all events" for the sim source;
+                # a real source records the exported snapshot's LSN here
+                self.control.transition(cfg.name, TableState.SYNC_DONE, lsn=0)
+            except Exception as exc:  # quarantine, don't kill the pipeline
+                self.control.transition(
+                    cfg.name, TableState.ERRORED,
+                    error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
+                )
+
+    # ------------------------------------------------------------------
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — the reference's apply loop for one
+        micro-batch (SURVEY §3.2 steps 3-6)."""
+        batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
+        batch = batch.persist()
+        try:
+            max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
+            for name, _cfg in self.tables.items():
+                entry = self.control.get(name)
+                if entry.state == TableState.ERRORED:
+                    continue  # P3: quarantined tables drop their events
+                t_rows = batch.filter(F.col("table") == name)
+                try:
+                    self._apply_table_batch(name, t_rows, batch_id)
+                    if entry.state == TableState.SYNC_DONE:
+                        self.control.transition(name, TableState.READY)
+                except Exception as exc:
+                    self.control.transition(
+                        name, TableState.ERRORED,
+                        error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
+                    )
+            # durable progress: sink writes above completed synchronously
+            if max_lsn_row["m"] is not None:
+                self.control.advance_flush_lsn(int(max_lsn_row["m"]))
+        finally:
+            batch.unpersist()
+
+    def _decode(self, cfg: TableConfig, rows: DataFrame) -> DataFrame:
+        """Typed decode of the generic envelope (F11 analog): parse the
+        JSON row images against the table's payload schema.
+
+        - keys come from ``after`` for INSERT/UPDATE and from ``before``
+          for DELETE (key-only old image, table_row.rs:193-198);
+        - TOAST partials (non-empty ``missing_cols``): with a FULL before
+          image the missing value columns resolve from it
+          (codec/event.rs:594-680); without one the row is rejected,
+          mirroring the reference's partial-row rejection
+          (bigquery/core.rs:1480-1495).
+        """
+        if not cfg.payload_schema:
+            return rows
+        after = F.from_json("after", cfg.payload_schema)
+        before = F.from_json("before", cfg.payload_schema)
+        dec = rows.withColumn("__a", after).withColumn("__b", before)
+        missing = F.coalesce(F.col("missing_cols"), F.array())
+        resolvable = (F.size(missing) == 0) | (F.col("before_kind") == "FULL")
+        dec = dec.filter(resolvable | ~F.col("op").isin(*ROW_OPS))
+        names = [f.split()[0] for f in cfg.payload_schema.split(",")]
+        proj = [F.col("op"), F.col("commit_lsn"), F.col("tx_ordinal"), F.col("event_seq")]
+        for i, n in enumerate(names):
+            src = F.when(F.col("op") == "DELETE", F.col(f"__b.{n}")).otherwise(
+                F.when(
+                    F.array_contains(missing, F.lit(i)), F.col(f"__b.{n}")
+                ).otherwise(F.col(f"__a.{n}"))
+            )
+            proj.append(src.alias(n))
+        return dec.select(*proj)
+
+    def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int) -> None:
+        cfg = self.tables[name]
+        # truncate splitting (T8): events ≤ the last TRUNCATE are dead;
+        # the sink resets before the survivors apply
+        truncs = t_rows.filter(F.col("op") == "TRUNCATE").agg(
+            F.max("event_seq").alias("m")
+        ).collect()[0]
+        if truncs["m"] is not None:
+            self.sink.truncate(name)
+            t_rows = t_rows.filter(
+                (F.col("event_seq") > truncs["m"]) | ~F.col("op").isin(*ROW_OPS)
+            )
+        rows = t_rows.filter(F.col("op").isin(*ROW_OPS))
+        if rows.isEmpty():
+            return
+        self.sink.write_changes(name, self._decode(cfg, rows), batch_id)
+
+    # ------------------------------------------------------------------
+    def start(self, available_now: bool = True):
+        """Backfill, then start the stream. ``available_now=True`` drains
+        what exists and stops (test/batch mode); False runs continuously."""
+        self.backfill()
+        stream = stream_changes(self.spark, self.source_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("etl_spark_pipeline")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="2 seconds")
+        self.query = writer.start()
+        return self.query
+
+    def run_until_drained(self) -> None:
+        """Start in availableNow mode and block until every pending file is
+        processed — the deterministic test/batch entry point."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    def status(self) -> dict:
+        """Control-plane status surface (SURVEY §2.12's
+        GET /pipelines/{id}/status, minus the REST)."""
+        return {
+            "flush_lsn": self.control.flush_lsn,
+            "tables": {
+                e.table: {"state": e.state.value, "lsn": e.lsn, "error": e.error}
+                for e in self.control.tables.values()
+            },
+        }

@@ -14,7 +14,14 @@ from etl_spark.operators import dedup, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small single-file tables arrive as ONE partition — per-row-heavy
+    # operators (hashing, O(n²) verifies) would run on one core; spread to
+    # the cluster width first (cheap: the table is tiny, the work is not).
+    # NOTE: join-role-sensitive spreading (e.g. keep the broadcast side
+    # un-repartitioned) happens inside the operators themselves.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +141,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35, exact self-join
-    — the oracle path; blocked variant used at scale)."""
-    out = similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35) via GEMM
+    candidate pruning + exact verify — identical results to the brute
+    force/oracle formula, BLAS-speed candidate generation."""
+    out = similarity.cosine_pairs_fast(_emb(spark, sf_dir), threshold=0.35)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

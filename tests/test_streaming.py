@@ -1,0 +1,203 @@
+"""End-to-end Structured Streaming pipeline tests (FIXTURES.md §3
+scenarios: snapshot+stream overlap, replay idempotence, truncate
+mid-stream, TOAST partials, per-table quarantine, restart recovery)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+
+from etl_spark.envelope import GENERIC_ENVELOPE
+from etl_spark.state import TableState
+from etl_spark.streaming.pipeline import Pipeline, TableConfig
+from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+PAYLOAD = "pk long, val string"
+
+
+def ev(op, table, commit, ordinal, after=None, before=None, before_kind=None,
+       missing=None):
+    return Row(
+        op=op, table=table, commit_lsn=commit, start_lsn=commit,
+        tx_ordinal=ordinal,
+        after=json.dumps(after) if after else None,
+        before=json.dumps(before) if before else None,
+        before_kind=before_kind, missing_cols=missing, schema_snapshot_lsn=None,
+    )
+
+
+def write_events(spark, path, rows, name):
+    """Append one batch file to the flat change-log directory (the shape a
+    WAL shipper produces: one file per flush, no nesting)."""
+    staging = os.path.join(path, f".__stage_{name}")
+    df = spark.createDataFrame(rows, schema=GENERIC_ENVELOPE)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(staging)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    source = str(tmp_path / "source")
+    snap = str(tmp_path / "snap")
+    os.makedirs(source, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], PAYLOAD
+    ).write.mode("overwrite").parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    return {
+        "source": source,
+        "snap": snap,
+        "work": str(tmp_path / "work"),
+        "sink": sink,
+    }
+
+
+def make_pipeline(spark, env, extra_tables=()):
+    cfg = TableConfig(name="users", snapshot_path=env["snap"], keys=["pk"],
+                      payload_schema=PAYLOAD)
+    return Pipeline(spark, env["source"], [cfg, *extra_tables], env["sink"], env["work"])
+
+
+def current(env):
+    return {r.pk: r.val for r in env["sink"].read("users").select("pk", "val").collect()}
+
+
+def test_snapshot_then_stream(spark, env):
+    """Snapshot + post-snapshot changes → merged current state; pipeline
+    reaches Ready; flush LSN advances to the last commit (T4/T6)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 10, 0, after={"pk": 4, "val": "d"}),
+        ev("UPDATE", "users", 11, 0, after={"pk": 2, "val": "b2"}),
+        ev("DELETE", "users", 12, 0, before={"pk": 3}, before_kind="KEY"),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    st = p.status()
+    assert st["tables"]["users"]["state"] == "Ready"
+    assert st["flush_lsn"] == 12
+    assert current(env) == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_replay_is_idempotent(spark, env):
+    """Checkpoint wiped (slot invalidation) → events replay; final state
+    unchanged (T7: at-least-once + LWW merge)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 20, 0, after={"pk": 4, "val": "x"}),
+        ev("UPDATE", "users", 21, 0, after={"pk": 1, "val": "a2"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    first = current(env)
+
+    shutil.rmtree(p.checkpoint_dir)
+    p2 = make_pipeline(spark, env)
+    p2.run_until_drained()
+    assert current(env) == first == {1: "a2", 2: "b", 3: "c", 4: "x"}
+
+
+def test_truncate_mid_stream(spark, env):
+    """Rows at or before a TRUNCATE die, including snapshot rows; rows
+    after it survive (T8)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 30, 0, after={"pk": 5, "val": "pre"}),
+        ev("TRUNCATE", "users", 31, 0),
+        ev("INSERT", "users", 32, 0, after={"pk": 6, "val": "post"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    assert current(env) == {6: "post"}
+
+
+def test_toast_partial_resolution(spark, env):
+    """UPDATE with missing col + FULL before image resolves from the old
+    row (J1); with KEY-only image the partial is rejected (the reference's
+    partial-row rejection rule)."""
+    write_events(spark, env["source"], [
+        # val (payload index 1) missing, FULL before carries it
+        ev("UPDATE", "users", 40, 0, after={"pk": 1, "val": None},
+           before={"pk": 1, "val": "a"}, before_kind="FULL", missing=[1]),
+        # partial with KEY-only image → rejected, must NOT clobber pk 2
+        ev("UPDATE", "users", 41, 0, after={"pk": 2, "val": None},
+           before={"pk": 2}, before_kind="KEY", missing=[1]),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    got = current(env)
+    assert got[1] == "a"   # resolved from before image
+    assert got[2] == "b"   # rejected partial left the row alone
+
+
+def test_quarantine_does_not_kill_pipeline(spark, env):
+    """A failing table goes Errored; others keep applying; progress still
+    advances (T10)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 50, 0, after={"pk": 7, "val": "ok"}),
+        ev("INSERT", "ghost", 51, 0, after={"pk": 1, "val": "boom"}),
+    ], "b1")
+    ghost = TableConfig(name="ghost", snapshot_path=None, keys=["pk"],
+                        payload_schema=PAYLOAD)
+    p = make_pipeline(spark, env, extra_tables=[ghost])
+    p.run_until_drained()
+    st = p.status()
+    assert st["tables"]["users"]["state"] == "Ready"
+    assert st["tables"]["ghost"]["state"] == "Errored"
+    assert st["flush_lsn"] == 51
+    assert current(env)[7] == "ok"
+
+
+def test_restart_recovers_and_continues(spark, env):
+    """Process restart with intact checkpoint: only new files process;
+    Ready state and data survive (lifecycle.rs:241-255)."""
+    write_events(spark, env["source"], [ev("INSERT", "users", 60, 0, after={"pk": 8, "val": "one"})], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    assert p.status()["flush_lsn"] == 60
+
+    write_events(spark, env["source"], [ev("UPDATE", "users", 61, 0, after={"pk": 8, "val": "two"})], "b2")
+    p2 = make_pipeline(spark, env)
+    p2.run_until_drained()
+    st = p2.status()
+    assert st["flush_lsn"] == 61
+    assert st["tables"]["users"]["state"] == "Ready"
+    assert current(env)[8] == "two"
+
+
+def test_lifecycle_transitions_enforced(spark, tmp_path):
+    from etl_spark.state import ControlStore, IllegalTransition
+
+    c = ControlStore(str(tmp_path / "ctl"))
+    c.transition("t", TableState.DATA_SYNC)
+    with pytest.raises(IllegalTransition):
+        c.transition("t", TableState.READY)  # must pass through copy states
+    c.transition("t", TableState.FINISHED_COPY)
+    c.transition("t", TableState.SYNC_DONE, lsn=99)
+    c.transition("t", TableState.READY)
+    assert c.restart_reset() == []  # Ready keeps data
+    c.advance_flush_lsn(10)
+    c.advance_flush_lsn(5)
+    assert c.flush_lsn == 10  # monotonic upsert (store/state/base.rs:81-89)
+
+
+def test_schema_registry_asof_and_diff(tmp_path):
+    from etl_spark.schema_registry import ColumnDef, SchemaRegistry, diff_schemas
+
+    reg = SchemaRegistry(str(tmp_path / "reg"))
+    v0 = [ColumnDef("id", "bigint", ordinal=0), ColumnDef("name", "text", ordinal=1)]
+    v1 = [ColumnDef("id", "bigint", ordinal=0), ColumnDef("full_name", "text", ordinal=1),
+          ColumnDef("age", "int", ordinal=2, default="0")]
+    reg.record("t", 0, v0)
+    reg.record("t", 100, v1)
+    reg.record("t", 100, v1)  # idempotent re-delivery
+    assert reg.versions("t") == [0, 100]
+    assert reg.asof("t", 50)[0] == 0     # largest snapshot <= lsn
+    assert reg.asof("t", 100)[0] == 100
+    d = diff_schemas(v0, v1)
+    assert d.renames == [("name", "full_name")]  # ordinal-matched rename
+    assert [c.name for c in d.columns_to_add] == ["age"]
+    assert d.columns_to_remove == []
+    assert reg.prune("t", 100) == 1      # keeps boundary version only
+    assert reg.versions("t") == [100]
