@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark import workload, workload_relational, workload_text
+from etl_spark import workload, workload_mm, workload_relational, workload_text
 from etl_spark.oracles import ORACLES
 
 
@@ -53,6 +53,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        # semi/anti/as-of joins + multi-dim rollup (beyond-reference breadth)
+        "q4_order_priority": workload_relational.q4_order_priority,
+        "q10_returned_items": workload_relational.q10_returned_items,
+        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
+        "q22_dormant_customers": workload_relational.q22_dormant_customers,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        # multimodal plumbing (binary payloads + metadata structs)
+        "mm_features": workload_mm.mm_features,
+        "mm_frame_plan": workload_mm.mm_frame_plan,
         # codec layer end-to-end (SURVEY §2.8)
         "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
         "pg_array_roundtrip": workload_relational.pg_array_roundtrip,

@@ -175,7 +175,11 @@ def minhash_lsh(
     regardless of corpus size; nothing is ever O(n²).
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, k).cache()
+    # no .cache(): the two consumers (signatures, verify) each see the full
+    # declarative plan, so Catalyst prunes/pushes independently and nothing
+    # pins executor memory across calls; shingling is scan-stage-cheap
+    # relative to the seeded-hash explosion it feeds.
+    sh = shingles(df, id_col, text_col, k)
     sig = minhash_signatures(sh, id_col, num_hashes)
     buckets = lsh_buckets(sig, id_col, bands, rows_per_band)
     pairs = candidate_pairs(buckets, id_col)
@@ -244,15 +248,15 @@ def simhash_candidates(
     ).withColumn("blk_val", F.expr("shiftright(simhash, blk * 8) & 255"))
     a = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    pairs = (
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming filter BEFORE distinct: the predicate is join-local (no
+    # shuffle) and prunes the exchange feeding the dedup — at scale the
+    # far-pair majority never leaves the join stage.
+    return (
         a.join(b, ["blk", "blk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", ham)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

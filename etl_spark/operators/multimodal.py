@@ -49,7 +49,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("content_hash", T.StringType(), True),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # double, not float: the fake features are 6-decimal fractions and
+        # float32 storage would perturb them past exact-compare tolerance
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

@@ -161,12 +161,15 @@ def cosine_pairs_fast(
                 if len(hits):
                     yield pd.DataFrame({"id_a": my_id, "id_b": all_ids[hits]})
 
-    n = spark.sparkContext.defaultParallelism
+    # ≥512 rows per prune task: below that, Python-worker spin-up dominates
+    # the GEMM. At cluster scale len(rows)//512 >> parallelism so this is
+    # simply the cluster width.
+    n = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 512))
     cands = df.select(id_col).repartition(n).mapInPandas(prune, schema="id_a long, id_b long")
     vecs = df.select(F.col(id_col), F.col(vec_col))
     joined = (
-        cands.join(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"), "id_a")
-        .join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"), "id_b")
+        cands.join(F.broadcast(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va")), "id_a")
+        .join(F.broadcast(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb")), "id_b")
     )
     return (
         joined.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))

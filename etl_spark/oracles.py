@@ -511,3 +511,131 @@ SELECT l_orderkey,
        CAST(3 AS INT) AS arr_len
 FROM lineitem WHERE l_linenumber = 1
 """
+
+# ---------------------------------------------------------------------------
+# Semi/anti/as-of joins + multi-dim rollup (workload_relational additions)
+# ---------------------------------------------------------------------------
+
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q10_returned_items"] = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q14_type_revenue_share"] = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+       AS economy_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+ORACLES["q18_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["q22_dormant_customers"] = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
+"""
+
+ORACLES["events_rollup_multidim"] = """
+SELECT event_type,
+       CAST((epoch_ns(ts) // 1000000000 // 86400) * 86400 AS DOUBLE) AS day_epoch,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, day_epoch) AS INT) AS gid
+FROM events
+GROUP BY ROLLUP (event_type, day_epoch)
+"""
+
+ORACLES["asof_click_attribution"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CAST(p.purchase_value AS DOUBLE) AS purchase_value,
+       CAST(c.click_event_id AS DOUBLE) AS click_event_id,
+       CAST((epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS DOUBLE) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (workload_mm) — ASCII text ⇒ byte == char, so the
+# byte-histogram features mirror exactly via ord(substr(...))
+# ---------------------------------------------------------------------------
+
+ORACLES["mm_features"] = """
+WITH codes AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) AS INT) AS n_bytes,
+         md5(text) AS content_hash,
+         [ord(substr(text, x, 1)) % 8 for x in range(1, length(text)+1)] AS cs,
+         greatest(length(text), 1) AS total
+  FROM documents
+)
+SELECT media_id, n_bytes, content_hash,
+       -- round_even = Python round() (banker's): ties like 4/512 must agree
+       round_even(len(list_filter(cs, c -> c = 0)) / total, 6) AS f0,
+       round_even(len(list_filter(cs, c -> c = 1)) / total, 6) AS f1,
+       round_even(len(list_filter(cs, c -> c = 2)) / total, 6) AS f2,
+       round_even(len(list_filter(cs, c -> c = 3)) / total, 6) AS f3,
+       round_even(len(list_filter(cs, c -> c = 4)) / total, 6) AS f4,
+       round_even(len(list_filter(cs, c -> c = 5)) / total, 6) AS f5,
+       round_even(len(list_filter(cs, c -> c = 6)) / total, 6) AS f6,
+       round_even(len(list_filter(cs, c -> c = 7)) / total, 6) AS f7
+FROM codes
+"""
+
+ORACLES["mm_frame_plan"] = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         greatest(CAST(n_chars * 10 // 1000 AS INT) - 1, 0) AS max_idx
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(u.frame_idx AS INT) AS frame_idx,
+       CAST(u.frame_idx * 1000 AS BIGINT) AS frame_ts_ms
+FROM vids, unnest(range(0, max_idx + 1)) AS u(frame_idx)
+"""

@@ -50,6 +50,10 @@ def get_spark(
         # native type for; read as long and convert via ts_from_nanos()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long-running sessions accumulate finished-query shuffle/broadcast
+        # state until a full GC lets ContextCleaner reclaim it; the default
+        # periodic GC (30min) is far too lazy for a query-per-minute driver
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     # Only force local master when no master is configured externally

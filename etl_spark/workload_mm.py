@@ -1,0 +1,71 @@
+"""Multimodal workload entries: binary media columns + typed metadata.
+
+The container has no image/audio codecs, so media is synthesized from the
+``documents`` table (text bytes = the opaque payload — the plumbing is the
+point: binary columns, metadata structs, Arrow-batched ``mapInPandas``
+feature extraction, frame-sampling plans). See
+:mod:`etl_spark.operators.multimodal` for the operator layer and the stub
+boundary where PIL/librosa/ffmpeg would slot in.
+
+The documents text is ASCII in this dataset, so byte == char and the
+DuckDB oracle can mirror the byte-histogram features exactly with
+``ord(substr(...))`` list comprehensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.operators import multimodal
+
+#: feature dimension for the fake extractor (bytes → byte-histogram moments)
+FEATURE_DIM = 8
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: documents → (media_id, payload, meta).
+
+    media_type cycles image/audio/video by id; duration = 10 ms per char.
+    Spread to cluster width before the per-row-heavy decode stage (same
+    rationale as workload_text._docs).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        mtype.alias("media_type"),
+        F.lit("raw").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (Arrow-batched mapInPandas):
+    byte count, content hash, and the 8-bucket byte-histogram feature
+    vector (flattened to columns so the oracle hash covers every value)."""
+    feats = multimodal.extract_features(media_table(spark, sf_dir), batch_dim=FEATURE_DIM)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        *[F.col("features").getItem(i).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts) at 1 Hz
+    — the explode that drives downstream decode partitioning."""
+    return multimodal.frame_sample_plan(media_table(spark, sf_dir), every_ms=1000)

@@ -241,3 +241,175 @@ def pg_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = codec.pg_array_simple(lit, "int8")
     canon = F.concat_ws(",", F.transform(arr, lambda x: F.coalesce(x.cast("string"), F.lit("NULL"))))
     return li.select("l_orderkey", canon.alias("arr_canonical"), F.size(arr).alias("arr_len"))
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the reference surface: semi/anti/as-of + multi-dim rollup
+# (SURVEY §2.3 "absent" list — available-for-free in Spark, demonstrated here)
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count per priority.
+
+    The semi join shuffles only the orderkey projection of lineitem —
+    Catalyst prunes the probe side to the join key, so at 100 TB the
+    exchange carries one long column.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")
+    ).select("l_orderkey")
+    out = (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return out
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20.
+
+    lineitem('R') ⋈ orders shuffles on orderkey; customer/nation broadcast.
+    Deterministic top-k via (revenue desc, custkey asc)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    return out.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "n_name", F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim join —
+    revenue share of ECONOMY-type parts in one shipping month. part is
+    broadcast; the only shuffle is the final single-group agg."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("econ"),
+            F.sum(disc_price).alias("total"),
+        )
+    )
+    return out.select(
+        (F.lit(100.0) * F.col("econ").cast("double") / F.col("total").cast("double")).alias("economy_share_pct")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact-side agg, joined back to the dims.
+
+    The qty-per-order agg happens BEFORE any join (group-then-join): the
+    orders/customer side only ever sees the ~1% of orderkeys that survive
+    the threshold — the aggregate acts as the filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    out = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+    return out
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + anti join.
+
+    Above-average-balance customers with no order since mid-2000. The
+    average is a one-row broadcast (scalar subquery); the anti join probes
+    with only recent orderkeys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= _ts("2000-06-01"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    out = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    )
+    return out
+
+
+def events_rollup_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate: ROLLUP (event_type, day) with grouping
+    id — partial aggregation handles all grouping sets in one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    # double (not long): the rollup rows carry NULL day_epoch, and the
+    # oracle path loses nullable-int typing through pandas — keep both
+    # sides double so the value hashes align
+    day = F.expr("ts div 1000000000 div 86400 * 86400").cast("double")
+    out = (
+        ev.withColumn("day_epoch", day)
+        .rollup("event_type", "day_epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return out
+
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase attributed to the same user's
+    most recent click at-or-before it (union-trick as-of — ONE shuffle on
+    user_id for both sides; see :func:`etl_spark.operators.asof.asof_join`).
+    """
+    from etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _dec("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["click_event_id"], direction="backward",
+    )
+    # join the click ts back for the gap metric (broadcast: clicks ≪ fact)
+    click_ts = clicks.select("click_event_id", F.col("ts").alias("click_ts"))
+    return (
+        out.join(F.broadcast(click_ts), "click_event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.col("purchase_value").cast("double").alias("purchase_value"),
+            # double: purchases with no prior click leave these NULL, and
+            # nullable ints degrade to float through the oracle's pandas hop
+            F.col("click_event_id").cast("double").alias("click_event_id"),
+            F.floor((F.col("ts") - F.col("click_ts")) / F.lit(NANOS_PER_SEC)).cast("double").alias("gap_sec"),
+        )
+    )
