@@ -72,45 +72,49 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: ``(id, seed, minhash)``.
+    """MinHash signature per document, wide: ``(id, h0..h{n-1})``.
 
     Hash family: ``md5(seed || ':' || shingle)`` — the min over a doc's
     shingle set of each seeded hash estimates resemblance (Broder '97).
-    Shape: explode × seeds then groupBy(id, seed) min() — ONE shuffle,
-    with map-side combine collapsing each partition to ≤ num_hashes rows
-    per doc before the exchange.
+    Shape: the ``num_hashes`` seeded hashes are parallel COLUMNS, not an
+    exploded seed dimension — the input never grows, a single groupBy(id)
+    computes all mins, and map-side combine collapses each partition to
+    one row per doc before the only exchange. (The exploded form shuffles
+    ``num_hashes ×`` the shingle count; this shuffles ``1/shingle_count``
+    of it.)
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(F.col(id_col), seeds, F.col("shingle")).withColumn(
-        "h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_buckets(
     sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature: ``(id, band, band_hash)``.
+    """Band the wide signature: ``(id, band, band_hash)``.
 
     band_hash = md5 of the band's minhashes joined in seed order. Two docs
     collide in a band iff that slice of their signatures is identical —
     P[collide] = s^rows per band for similarity s (MMDS ch.3 S-curve).
+    Banding is pure projection over the wide signature row (zero shuffle);
+    the row count only multiplies by ``bands`` here, after the per-doc
+    collapse.
     """
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    wide = sig.select(F.col(id_col), *band_cols)
+    pairs = F.array(
+        *[F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("band_hash")) for b in range(bands)]
     )
+    return wide.select(
+        F.col(id_col), F.explode(pairs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:

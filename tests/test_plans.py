@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the properties that make queries survive 100 TB.
+
+Correctness tests prove the small-SF answer; these prove the PLAN — filters
+reach the parquet scan, projections prune the read schema, small dims
+broadcast, nothing degenerates to a cartesian product, and rank-limits
+prune map-side. A regression here is invisible at sf0.01 and fatal at
+1000 executors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark import workload, workload_mm, workload_relational, workload_text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_shuffles(plan: str) -> int:
+    """Count shuffle-exchange NODES (the detail section lists each node
+    once as '(n) Exchange'; BroadcastExchange is deliberately excluded —
+    broadcasts don't repartition the fact side)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(workload_relational.q6_revenue_forecast(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # every predicate column is pushdown-eligible (raw column vs literal)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_read_schema_pruned(spark):
+    plan = plan_of(workload_relational.q6_revenue_forecast(spark, SF_DIR))
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    # a 16-column scan for a 5-column query is a scale bug
+    assert "l_returnflag" not in schema and "l_partkey" not in schema
+
+
+def test_q1_single_shuffle(spark):
+    plan = plan_of(workload_relational.q1_pricing_summary(spark, SF_DIR))
+    # scan → partial agg → ONE exchange → final agg
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(workload_relational.q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = plan_of(workload_relational.q5_local_supplier_volume(spark, SF_DIR))
+    # region/nation/supplier/customer all broadcast; the only shuffle joins
+    # are on the fact tables
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_has_window_group_limit(spark):
+    plan = plan_of(workload_relational.topk_orders_per_customer(spark, SF_DIR))
+    # rank<=k prunes map-side BEFORE the window shuffle (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q4_semi_join_not_inner(spark):
+    plan = plan_of(workload_relational.q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(workload_relational.q22_dormant_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan  # scalar joins via broadcast
+
+
+def test_minhash_no_cartesian(spark):
+    plan = plan_of(workload_text.dedup_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    plan = plan_of(workload_text.dedup_simhash_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_scan_prunes_unused_columns(spark):
+    plan = plan_of(workload_mm.mm_features(spark, SF_DIR))
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "text" in schema and "n_chars" in schema
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_cdc_current_state_single_shuffle(spark):
+    plan = plan_of(workload.cdc_current_state(spark, SF_DIR))
+    # envelope derivation is per-row; the dedup window is the ONE keyed op
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_asof_single_shuffle_both_sides(spark):
+    plan = plan_of(workload_relational.asof_click_attribution(spark, SF_DIR))
+    # union-trick as-of: both sides union BEFORE the one window shuffle on
+    # user_id; the gap-metric join is broadcast. More exchanges than
+    # [union + final broadcast] means the trick regressed to a sort-merge.
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) == 1, plan
