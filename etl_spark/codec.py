@@ -115,10 +115,15 @@ _TIME_RE = r"^(2[0-3]|[01][0-9]):[0-5][0-9]:[0-5][0-9](\.[0-9]{1,6})?$"
 
 
 def pg_date(col: Column | str) -> Column:
-    """date text → DATE. Rejects (→NULL) ``infinity``, BC dates, year>9999."""
+    """date text → DATE. Rejects (→NULL) ``infinity``, BC dates, year>9999.
+
+    ``try_cast``, not ``to_date``: under ANSI semantics an in-grammar but
+    invalid value (month 99) must reject-not-crash — one poison row cannot
+    be allowed to kill a 100 TB scan (value_roundtrip.rs:14-18 policy).
+    """
     c = _c(col)
-    ok = c.rlike(r"^[0-9]{1,4}-[0-9]{2}-[0-9]{2}$")
-    return F.when(ok, F.to_date(c, "yyyy-MM-dd"))
+    ok = c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    return F.when(ok, c.try_cast("date"))
 
 
 def pg_time(col: Column | str) -> Column:
@@ -152,18 +157,19 @@ def pg_timetz(col: Column | str) -> Column:
 
 
 def pg_timestamp(col: Column | str) -> Column:
-    """timestamp (no tz) → TIMESTAMP_NTZ; rejects ``infinity``/BC/year>9999."""
+    """timestamp (no tz) → TIMESTAMP_NTZ; rejects ``infinity``/BC/year>9999
+    (and any in-grammar invalid value — ``try_cast``, reject-not-crash)."""
     c = _c(col)
-    ok = c.rlike(r"^[0-9]{1,4}-[0-9]{2}-[0-9]{2}[ T][0-9:\.]+$")
-    return F.when(ok, F.to_timestamp_ntz(c))
+    ok = c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9:\.]+$")
+    return F.when(ok, c.try_cast("timestamp_ntz"))
 
 
 def pg_timestamptz(col: Column | str) -> Column:
     """timestamptz → TIMESTAMP normalized to UTC (cell.rs:49: the reference
     normalizes to UTC on decode; session tz is pinned UTC in session.py)."""
     c = _c(col)
-    ok = c.rlike(r"^[0-9]{1,4}-[0-9]{2}-[0-9]{2}[ T]")
-    return F.when(ok, F.to_timestamp(c))
+    ok = c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T]")
+    return F.when(ok, c.try_cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

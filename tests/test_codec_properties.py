@@ -1,0 +1,250 @@
+"""Property-based codec round-trips (reference test layer 3, SURVEY §5).
+
+The reference generates typed values with proptest, renders them to wire
+text via Postgres itself, and decodes with the production codec
+(crates/etl/tests/value_roundtrip.rs:1-18). Here hypothesis generates the
+values, the test renders them the way Postgres renders its text protocol,
+and the production Spark codec must recover them exactly — with the same
+documented reject rules (reject-not-corrupt, value_roundtrip.rs:14-18).
+
+Each hypothesis example carries a BATCH of values through one Spark job so
+shrinkage still works but job-launch overhead doesn't dominate.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import uuid as uuidlib
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_spark import codec
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def decode(spark, texts, fn, out="v"):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r[out] for r in df.select(fn(F.col("t")).alias(out)).collect()]
+
+
+# ---------------------------------------------------------------------------
+# integers / floats (text.rs:40-59)
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=30))
+def test_int8_roundtrip(spark, values):
+    assert decode(spark, [str(v) for v in values], codec.pg_int8) == values
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1), min_size=1, max_size=30))
+def test_int2_roundtrip(spark, values):
+    assert decode(spark, [str(v) for v in values], codec.pg_int2) == values
+
+
+def render_pg_float(v: float) -> str:
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(v)  # shortest round-trip form, like PG extra_float_digits=1
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(allow_subnormal=False), min_size=1, max_size=30))
+def test_float8_roundtrip(spark, values):
+    got = decode(spark, [render_pg_float(v) for v in values], codec.pg_float8)
+    for g, v in zip(got, values):
+        assert (g != g and v != v) or g == v
+
+
+# ---------------------------------------------------------------------------
+# numeric (numeric.rs; struct{value, special, text} contract)
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.decimals(
+            allow_nan=False, allow_infinity=False, places=6,
+            min_value=Decimal("-1e20"), max_value=Decimal("1e20"),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_numeric_value_roundtrip(spark, values):
+    import decimal
+
+    texts = [str(v) for v in values]
+    rows = decode(spark, texts, codec.pg_numeric, out="v")
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50  # quantize at DECIMAL(38,9) width needs > default 28
+        for r, v, t in zip(rows, values, texts):
+            assert r["special"] is None
+            assert r["text"] == t  # lossless side-channel
+            assert r["value"] == v.quantize(Decimal("1.000000000"))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from(["NaN", "Infinity", "-Infinity", "+Infinity", "nan", "infinity"]), min_size=1, max_size=10))
+def test_numeric_specials(spark, values):
+    rows = decode(spark, values, codec.pg_numeric, out="v")
+    for r, t in zip(rows, values):
+        assert r["value"] is None
+        assert r["special"] == t.upper().lstrip("+")
+        assert r["text"] == t
+
+
+# ---------------------------------------------------------------------------
+# bytea (codec/hex.rs)
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.binary(max_size=64), min_size=1, max_size=30))
+def test_bytea_roundtrip(spark, values):
+    texts = ["\\x" + v.hex() for v in values]
+    got = decode(spark, texts, codec.pg_bytea)
+    assert [bytes(g) for g in got] == values
+
+
+# ---------------------------------------------------------------------------
+# temporal (codec/time.rs; rejects per value_roundtrip.rs:14-18)
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.dates(), min_size=1, max_size=30))
+def test_date_roundtrip(spark, values):
+    got = decode(spark, [v.isoformat() for v in values], codec.pg_date)
+    assert got == values
+
+
+def test_date_rejects(spark):
+    bad = ["infinity", "-infinity", "0001-01-01 BC", "10000-01-01"]
+    assert decode(spark, bad, codec.pg_date) == [None] * len(bad)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.times(), min_size=1, max_size=30))
+def test_time_roundtrip(spark, values):
+    texts = [v.strftime("%H:%M:%S.%f") for v in values]
+    got = decode(spark, texts, codec.pg_time)
+    want = [(v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond for v in values]
+    assert got == want
+
+
+def test_time_rejects_2400(spark):
+    assert decode(spark, ["24:00:00"], codec.pg_time) == [None]
+
+
+def render_pg_timestamp(v: datetime.datetime) -> str:
+    # PG renders 4-digit zero-padded years; strftime("%Y") does not (<1000)
+    return f"{v.year:04d}-" + v.strftime("%m-%d %H:%M:%S.%f")
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.datetimes(min_value=datetime.datetime(1, 1, 1), max_value=datetime.datetime(9999, 12, 31, 23, 59, 59)), min_size=1, max_size=30))
+def test_timestamp_roundtrip(spark, values):
+    got = decode(spark, [render_pg_timestamp(v) for v in values], codec.pg_timestamp)
+    assert got == values
+
+
+def test_timestamp_rejects_invalid_in_grammar(spark):
+    # month 99 passes the shape regex but must reject-not-crash (try_cast)
+    bad = ["2020-99-99 00:00:00", "999-01-01 00:00:00"]
+    assert decode(spark, bad, codec.pg_timestamp) == [None, None]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.times(),
+            st.integers(min_value=-15, max_value=15),  # offset hours
+            st.sampled_from([0, 30]),                  # offset minutes
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_timetz_roundtrip(spark, values):
+    texts, want = [], []
+    for t, oh, om in values:
+        sign = "-" if oh < 0 else "+"
+        texts.append(f"{t.strftime('%H:%M:%S.%f')}{sign}{abs(oh):02d}:{om:02d}")
+        micros = (t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond
+        offs = (abs(oh) * 3600 + om * 60) * (-1 if oh < 0 else 1)
+        want.append((micros, offs))
+    got = decode(spark, texts, codec.pg_timetz)
+    assert [(g["micros"], g["offset_secs"]) for g in got] == want
+
+
+# ---------------------------------------------------------------------------
+# uuid (text.rs:117-125)
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.uuids(), min_size=1, max_size=30), st.booleans())
+def test_uuid_normalizes_case(spark, values, upper):
+    texts = [str(v).upper() if upper else str(v) for v in values]
+    got = decode(spark, texts, codec.pg_uuid)
+    assert got == [str(v) for v in values]
+
+
+# ---------------------------------------------------------------------------
+# 1-D array literals (text.rs:228; grammar incl. quoting/escapes/bounds)
+# ---------------------------------------------------------------------------
+
+_PLAIN = re.compile(r'^[^"\\{},\s]+$')
+
+
+def render_pg_array(elems: list[str | None]) -> str:
+    """Render elements exactly the way PG renders 1-D array literals:
+    quote anything empty / containing structural chars / equal to NULL."""
+    parts = []
+    for e in elems:
+        if e is None:
+            parts.append("NULL")
+        elif _PLAIN.match(e) and e.upper() != "NULL":
+            parts.append(e)
+        else:
+            parts.append('"' + e.replace("\\", "\\\\").replace('"', '\\"') + '"')
+    return "{" + ",".join(parts) + "}"
+
+
+elem = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=["Cs"], blacklist_characters="\x00"),
+        max_size=12,
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(elem, max_size=8), min_size=1, max_size=10))
+def test_array_literal_roundtrip(spark, arrays):
+    texts = [render_pg_array(a) for a in arrays]
+    got = decode(spark, texts, codec.pg_array_full)
+    assert [list(g) if g is not None else None for g in got] == arrays
+
+
+def test_array_rejects_multidim(spark):
+    got = decode(spark, ["{{1,2},{3,4}}"], codec.pg_array_full)
+    assert got == [None]
+
+
+def test_array_explicit_bounds(spark):
+    got = decode(spark, ["[0:1]={7,8}"], codec.pg_array_full)
+    assert got == [["7", "8"]]
