@@ -1,0 +1,94 @@
+"""Bucketed co-located joins + skew operators: result AND plan checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark import layout
+from etl_spark.operators import skew
+from tests.test_plans import n_shuffles, plan_of
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    left = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("l_val")
+    )
+    right = spark.range(0, 1_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("r_val")
+    )
+    return left, right
+
+
+def test_bucketed_join_has_no_exchange(spark, facts):
+    left, right = facts
+    try:
+        layout.bucket_table(left, "b_left", ["k"], n_buckets=8, sort_cols=["k"])
+        layout.bucket_table(right, "b_right", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = layout.co_located_join(spark, "b_left", "b_right", ["k"])
+        plan = plan_of(joined)
+        assert n_shuffles(plan) == 0, plan  # co-located: no exchange either side
+        assert joined.count() == left.join(right, "k").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_salted_join_matches_plain(spark, facts):
+    left, right = facts
+    plain = left.join(right, ["k"]).groupBy("k").count()
+    salted = skew.salted_join(left, right, ["k"], n_salts=4).groupBy("k").count()
+    assert {(r.k, r["count"]) for r in salted.collect()} == {
+        (r.k, r["count"]) for r in plain.collect()
+    }
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, l string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k int, r string")
+    out = skew.salted_join(left, right, ["k"], n_salts=4, how="left").collect()
+    got = {(r.k, r.l, r.r) for r in out}
+    assert got == {(1, "a", "x"), (2, "b", "y"), (99, "zz", None)}
+
+
+def test_salted_agg_matches_plain(spark, facts):
+    left, _ = facts
+    plain = {
+        (r.k): (r.s, r.c, r.m)
+        for r in left.groupBy("k")
+        .agg(F.sum("l_val").alias("s"), F.count("l_val").alias("c"), F.max("l_val").alias("m"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.sum_l_val, r.count_l_val, r.max_l_val)
+        for r in skew.salted_agg(
+            left, ["k"], {"l_val": "sum"} | {}, n_salts=4
+        ).join(
+            skew.salted_agg(left, ["k"], {"l_val": "count"}, n_salts=4), "k"
+        ).join(
+            skew.salted_agg(left, ["k"], {"l_val": "max"}, n_salts=4), "k"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_mergeable(spark, facts):
+    with pytest.raises(ValueError):
+        skew.salted_agg(facts[0], ["k"], {"l_val": "avg"})
+
+
+def test_top_frequent_keys(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 80 + [(2,)] * 15 + [(3,)] * 5, "k int"
+    )
+    top = skew.top_frequent_keys(df, ["k"], top_n=2).collect()
+    assert [r.k for r in top] == [1, 2]
+    assert abs(top[0].share - 0.8) < 1e-9
+
+
+def test_plan_scan_partitions_matches_reference_constants(spark):
+    assert layout.plan_scan_partitions(1) == 1
+    assert layout.plan_scan_partitions(250_000) == 1
+    assert layout.plan_scan_partitions(250_001) == 2
+    assert layout.plan_scan_partitions(10**12) == layout.MAX_PARTITIONS
