@@ -182,6 +182,16 @@ class ControlStore:
         self._save()
         return reset
 
+    def remove(self, table: str) -> bool:
+        """Purge a table's control state (publication-membership removal,
+        pipeline.rs:390-418: tables dropped from the publication lose their
+        replication state so a re-add starts from a fresh snapshot)."""
+        if table in self.tables:
+            del self.tables[table]
+            self._save()
+            return True
+        return False
+
     # -- progress ----------------------------------------------------------
     def advance_flush_lsn(self, lsn: int) -> int:
         """Monotonic upsert (store/state/base.rs:81-89): never regresses."""

@@ -76,8 +76,19 @@ class Pipeline:
         self.query = None
 
     # ------------------------------------------------------------------
+    def reconcile_membership(self) -> list[str]:
+        """Purge state + destination data for tables no longer configured
+        (publication-membership sync, pipeline.rs:354-421). A later re-add
+        re-copies from a fresh snapshot, exactly like the reference."""
+        removed = [n for n in self.control.tables if n not in self.tables]
+        for name in removed:
+            self.sink.truncate(name)
+            self.control.remove(name)
+        return removed
+
     def backfill(self) -> None:
         """Initial copies for every table not yet streaming (SURVEY §3.3)."""
+        self.reconcile_membership()
         self.control.restart_reset()
         for cfg in self.tables.values():
             entry = self.control.get(cfg.name)
@@ -160,7 +171,14 @@ class Pipeline:
                 ).otherwise(F.col(f"__a.{n}"))
             )
             proj.append(src.alias(n))
-        return dec.select(*proj)
+        # PK-changing updates (D1 semantics, bigquery/core.rs:1421-1478):
+        # carry the old-image keys through decode, expand into
+        # DELETE(old key) + UPDATE(new key), then drop the plumbing columns
+        proj += [F.col(f"__b.{k}").alias(f"__before_{k}") for k in cfg.keys]
+        from etl_spark.operators.materialize import expand_pk_change
+
+        out = expand_pk_change(dec.select(*proj), cfg.keys, before_prefix="__before_")
+        return out.drop("sub_ordinal", *[f"__before_{k}" for k in cfg.keys])
 
     def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int) -> None:
         cfg = self.tables[name]

@@ -201,3 +201,34 @@ def test_schema_registry_asof_and_diff(tmp_path):
     assert d.columns_to_remove == []
     assert reg.prune("t", 100) == 1      # keeps boundary version only
     assert reg.versions("t") == [100]
+
+
+def test_pk_changing_update_moves_the_row(spark, env):
+    """UPDATE with a changed key → DELETE(old key) + row at the new key
+    (D1 semantics, bigquery/core.rs:1421-1478)."""
+    write_events(spark, env["source"], [
+        ev("UPDATE", "users", 30, 0,
+           after={"pk": 5, "val": "moved"}, before={"pk": 2, "val": "b"},
+           before_kind="FULL"),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    assert current(env) == {1: "a", 3: "c", 5: "moved"}  # pk 2 gone
+
+
+def test_membership_purge_on_removed_table(spark, env, tmp_path):
+    """A table dropped from the config loses control state and destination
+    data on the next start (publication sync, pipeline.rs:354-421)."""
+    snap2 = str(tmp_path / "snap2")
+    spark.createDataFrame([(9, "z")], PAYLOAD).write.mode("overwrite").parquet(snap2)
+    extra = TableConfig(name="orders", snapshot_path=snap2, keys=["pk"],
+                        payload_schema=PAYLOAD)
+    p = make_pipeline(spark, env, extra_tables=[extra])
+    p.run_until_drained()
+    assert {r.pk for r in env["sink"].read("orders").collect()} == {9}
+
+    p2 = make_pipeline(spark, env)  # orders no longer configured
+    removed = p2.reconcile_membership()
+    assert removed == ["orders"]
+    assert "orders" not in p2.control.tables
+    assert env["sink"].read("orders").count() == 0  # truncated
