@@ -235,5 +235,8 @@ def merge_current_state(
     # include target rows as pseudo-events so an older batch row never
     # clobbers a newer target row (replay safety)
     t = target.withColumn(op_col, F.lit("INSERT")) if op_col not in target.columns else target
-    combined = t.select(batch.columns).unionByName(batch)
+    # allowMissingColumns = schema evolution at the merge: a column the DDL
+    # just added is NULL for pre-DDL target rows; a dropped column survives
+    # as NULL on new rows (destination keeps history, schema-changes.md:20-30)
+    combined = t.unionByName(batch, allowMissingColumns=True)
     return current_state(combined, keys, seq_col=seq_col, op_col=op_col, delete_op=delete_op)

@@ -80,6 +80,8 @@ class TableEntry:
     lsn: int = 0                      # state-qualifying LSN (SyncDone{lsn})
     error: str | None = None
     retry_policy: RetryPolicy | None = None
+    errored_at: float | None = None   # wall time of the Errored transition
+    attempts: int = 0                 # consecutive failures (error_policy.rs)
 
 
 class IllegalTransition(Exception):
@@ -121,6 +123,8 @@ class ControlStore:
                 lsn=t.get("lsn", 0),
                 error=t.get("error"),
                 retry_policy=RetryPolicy(t["retry_policy"]) if t.get("retry_policy") else None,
+                errored_at=t.get("errored_at"),
+                attempts=t.get("attempts", 0),
             )
             for t in raw.get("tables", [])
         }
@@ -135,6 +139,8 @@ class ControlStore:
                     "lsn": e.lsn,
                     "error": e.error,
                     "retry_policy": e.retry_policy.value if e.retry_policy else None,
+                    "errored_at": e.errored_at,
+                    "attempts": e.attempts,
                 }
                 for e in self.tables.values()
                 if e.state in DURABLE_STATES
@@ -162,6 +168,14 @@ class ControlStore:
             e.lsn = lsn
         e.error = error
         e.retry_policy = retry_policy
+        if to == TableState.ERRORED:
+            import time as _time
+
+            e.errored_at = _time.time()
+            e.attempts += 1
+        elif to in (TableState.SYNC_DONE, TableState.READY):
+            e.errored_at = None
+            e.attempts = 0  # healthy again: the failure streak resets
         self._save()
         return e
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.envelope import ROW_OPS, with_sequence
+from etl_spark.schema_registry import ColumnDef, SchemaRegistry
 from etl_spark.sources.cdc import stream_changes
 from etl_spark.state import ControlStore, RetryPolicy, TableState
 from etl_spark.streaming.sinks import Sink
@@ -72,6 +73,7 @@ class Pipeline:
         self.sink = sink
         self.work_dir = work_dir
         self.control = ControlStore(os.path.join(work_dir, "control"))
+        self.schemas = SchemaRegistry(os.path.join(work_dir, "schemas"))
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.query = None
 
@@ -121,6 +123,7 @@ class Pipeline:
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
         try:
+            self._apply_relations(batch)
             max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
             for name, _cfg in self.tables.items():
                 entry = self.control.get(name)
@@ -141,6 +144,43 @@ class Pipeline:
                 self.control.advance_flush_lsn(int(max_lsn_row["m"]))
         finally:
             batch.unpersist()
+
+    def _apply_relations(self, batch: DataFrame) -> None:
+        """Schema-change stream (T9, apply.rs:2138-2276 + Relation
+        republish apply.rs:2363-2440): RELATION events carry the new column
+        list as JSON; record each version keyed by its DDL start-LSN and
+        switch the table's decode schema to the newest version.
+
+        Fidelity note vs the reference: pgoutput tuples are POSITIONAL, so
+        the reference must decode each event against its exact schema
+        version. This envelope's row images are name-keyed JSON, so
+        decoding a batch with the newest schema is loss-free for column
+        adds/drops (missing → NULL, dropped → ignored) — one schema switch
+        per batch instead of a per-event split.
+        """
+        import json as _json
+
+        rel = (
+            batch.filter(F.col("op") == "RELATION")
+            .select("table", "commit_lsn", "schema_snapshot_lsn", "after")
+            .collect()
+        )
+        for r in sorted(rel, key=lambda r: r["commit_lsn"]):
+            cfg = self.tables.get(r["table"])
+            if cfg is None or not r["after"]:
+                continue
+            spec = _json.loads(r["after"])
+            cols = [
+                ColumnDef(
+                    name=c["name"], typ=c.get("typ", "string"),
+                    nullable=c.get("nullable", True), ordinal=i,
+                    pk_ordinal=c.get("pk_ordinal"),
+                )
+                for i, c in enumerate(spec.get("columns", []))
+            ]
+            lsn = r["schema_snapshot_lsn"] or r["commit_lsn"]
+            self.schemas.record(r["table"], lsn, cols)
+            cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
 
     def _decode(self, cfg: TableConfig, rows: DataFrame) -> DataFrame:
         """Typed decode of the generic envelope (F11 analog): parse the
@@ -220,6 +260,41 @@ class Pipeline:
         processed — the deterministic test/batch entry point."""
         q = self.start(available_now=True)
         q.awaitTermination()
+
+    def retry_errored(
+        self,
+        retry_delay_sec: float = 300.0,
+        max_attempts: int = 5,
+        force: bool = False,
+    ) -> list[str]:
+        """Reset eligible quarantined tables to Init so the next backfill
+        re-copies them (error_policy.rs + config pipeline.rs:275-281):
+
+        - ``NoRetry``: never eligible;
+        - ``ManualRetry``: only with ``force=True`` (the operator's
+          POST /pipelines/{id}/rollback-tables analog);
+        - ``TimedRetry``: eligible once ``retry_delay_sec`` has elapsed and
+          fewer than ``max_attempts`` consecutive failures occurred.
+        """
+        import time as _time
+
+        now = _time.time()
+        retried = []
+        for e in list(self.control.tables.values()):
+            if e.state != TableState.ERRORED:
+                continue
+            if e.retry_policy == RetryPolicy.NO_RETRY:
+                continue
+            if e.retry_policy == RetryPolicy.MANUAL_RETRY and not force:
+                continue
+            if e.retry_policy == RetryPolicy.TIMED_RETRY and not force:
+                if e.attempts >= max_attempts:
+                    continue
+                if e.errored_at is not None and now - e.errored_at < retry_delay_sec:
+                    continue
+            self.control.transition(e.table, TableState.INIT)
+            retried.append(e.table)
+        return retried
 
     def status(self) -> dict:
         """Control-plane status surface (SURVEY §2.12's

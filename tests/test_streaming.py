@@ -232,3 +232,56 @@ def test_membership_purge_on_removed_table(spark, env, tmp_path):
     assert removed == ["orders"]
     assert "orders" not in p2.control.tables
     assert env["sink"].read("orders").count() == 0  # truncated
+
+
+def test_relation_event_evolves_schema(spark, env):
+    """RELATION mid-stream adds a column (T9): later events decode with it,
+    earlier rows read back NULL for it, registry records the version."""
+    newcols = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val", "typ": "string"},
+        {"name": "age", "typ": "int"},
+    ]}
+    write_events(spark, env["source"], [
+        ev("UPDATE", "users", 40, 0, after={"pk": 1, "val": "a1"}),
+        Row(op="RELATION", table="users", commit_lsn=41, start_lsn=41,
+            tx_ordinal=0, after=json.dumps(newcols), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=41),
+        ev("INSERT", "users", 42, 0, after={"pk": 7, "val": "g", "age": 30}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    rows = {r.pk: (r.val, r.age) for r in
+            env["sink"].read("users").select("pk", "val", "age").collect()}
+    assert rows[7] == ("g", 30)
+    assert rows[1] == ("a1", None)  # pre-DDL rows: new column is NULL
+    assert rows[2] == ("b", None)   # snapshot rows too
+    lsn, cols = p.schemas.asof("users", 99)
+    assert lsn == 41 and [c.name for c in cols] == ["pk", "val", "age"]
+
+
+def test_retry_policies(spark, env):
+    """NoRetry never resets; ManualRetry needs force; TimedRetry honors
+    delay + attempt cap (error_policy.rs)."""
+    from etl_spark.state import RetryPolicy, TableState
+
+    p = make_pipeline(spark, env)
+    c = p.control
+    for name, pol in [("users", RetryPolicy.NO_RETRY)]:
+        c.transition(name, TableState.ERRORED, error="boom", retry_policy=pol)
+    assert p.retry_errored() == []                      # NoRetry: never
+    assert p.retry_errored(force=True) == []            # even forced
+
+    c.tables["users"].retry_policy = RetryPolicy.MANUAL_RETRY
+    assert p.retry_errored() == []
+    assert p.retry_errored(force=True) == ["users"]     # operator override
+
+    c.transition("users", TableState.ERRORED, error="boom2",
+                 retry_policy=RetryPolicy.TIMED_RETRY)
+    assert p.retry_errored(retry_delay_sec=3600) == []  # too soon
+    assert p.retry_errored(retry_delay_sec=0) == ["users"]
+
+    c.transition("users", TableState.ERRORED, error="boom3",
+                 retry_policy=RetryPolicy.TIMED_RETRY)
+    c.tables["users"].attempts = 99
+    assert p.retry_errored(retry_delay_sec=0) == []     # attempt cap
