@@ -639,3 +639,42 @@ SELECT media_id,
        CAST(u.frame_idx * 1000 AS BIGINT) AS frame_ts_ms
 FROM vids, unnest(range(0, max_idx + 1)) AS u(frame_idx)
 """
+
+# IVF ANN is deterministic given the data (cells = labels, centroids = cell
+# means, fixed nprobe) — same double-widened left-fold cosine as
+# ann_cosine_topk, so the "approximate" index has an EXACT oracle.
+_COS = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform({b}, v -> v * v), (x, y) -> x + y)))"
+)
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT label, i.ord AS ord, avg(ev[i.ord]) AS m
+  FROM e, (SELECT unnest(range(1, (SELECT max(len(ev)) FROM e) + 1)) AS ord) i
+  GROUP BY label, i.ord
+),
+cents AS (SELECT label AS cell_id, list(m ORDER BY ord) AS cvec FROM comp GROUP BY label),
+q AS (SELECT vec_id AS query_id, ev AS qvec FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cell_id, qvec,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_COS.format(a="qvec", b="cvec")} DESC, cell_id ASC) AS pr
+  FROM q CROSS JOIN cents
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, {_COS.format(a="e.ev", b="p.qvec")} AS sim
+  FROM probes p JOIN e ON e.label = p.cell_id
+  WHERE p.pr <= 2
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

@@ -115,8 +115,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (cells = label groups, centroids = cell means,
-    nprobe=2). Rows-only check — approximate results have no SQL oracle
-    contract, but determinism is still exact given the data."""
+    nprobe=2). "Approximate" refers to recall vs brute force — the result
+    is fully deterministic given the data, so it has an exact SQL oracle
+    (same double-widened fold-cosine as ann_cosine_topk)."""
     emb = _emb(spark, sf_dir)
     # centroids = per-label component means: posexplode → groupBy(label,pos)
     # avg → re-assemble ordered array (all map-side-combinable aggregations)
