@@ -106,6 +106,47 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (stubbed codec).
+
+    Real deployments decode with PIL, resize, re-encode; the stub
+    deterministically truncates/pads the payload to ``width*height`` bytes
+    so batch shape, output schema, and metadata rewriting are exercised
+    end-to-end. ``decode_stub='raise'`` marks the missing-codec path.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+    out_len = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "image codecs (PIL) not available in this container; "
+                    "use decode_stub='fake' for plumbing tests"
+                )
+            def fake_resize(p):
+                if p is None:
+                    return None
+                return (p * (out_len // max(len(p), 1) + 1))[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("meta.media_type") == "image").mapInPandas(
+        run,
+        schema="media_id long, payload binary, width int, height int",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plan video frame sampling: one output row per (media_id, frame_ts).
 

@@ -119,6 +119,7 @@ def cosine_pairs_fast(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     prune_margin: float = 1e-6,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup pairs via blocked-GEMM candidate pruning + exact verify.
 
@@ -134,13 +135,22 @@ def cosine_pairs_fast(
        bit-identical to the brute-force/oracle formula, so downstream
        consumers see exactly the :func:`cosine_pairs` contract.
 
-    At 100 TB the broadcast side becomes an outer loop over corpus blocks
-    (or an IVF cell restriction) — the per-block kernel is unchanged.
+    When the corpus exceeds ``max_broadcast_rows`` the broadcast side
+    becomes an outer loop over id-range blocks (each block broadcast in
+    turn, every partition × block GEMM still covers all pairs exactly
+    once via the ``id_a < id_b`` cut) — the 100 TB path; the per-block
+    kernel is unchanged. An IVF cell restriction composes on top when
+    even one block pass is too much.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        return _cosine_pairs_blocked(
+            df, id_col, vec_col, threshold, prune_margin, max_broadcast_rows
+        )
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -171,6 +181,92 @@ def cosine_pairs_fast(
         cands.join(F.broadcast(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va")), "id_a")
         .join(F.broadcast(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb")), "id_b")
     )
+    return (
+        joined.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    prune_margin: float,
+    block_rows: int,
+) -> DataFrame:
+    """Outer loop for corpora too large to broadcast whole: split the
+    BROADCAST side into id-sorted blocks of ``block_rows`` and run the
+    standard prune kernel once per block against the full distributed
+    corpus. Union of block results = exact pair set (each pair lands in
+    exactly the block holding its larger id — the ``id_a < id_b`` cut
+    inside the kernel dedups across blocks).
+
+    Cost: ``ceil(n / block_rows)`` passes over the corpus — the classic
+    blocked all-pairs trade (GEMM tiling at cluster granularity). Each
+    pass is embarrassingly parallel and spill-free.
+    """
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).collect()]
+    out = None
+    for lo in range(0, len(ids), block_rows):
+        block_ids = ids[lo : lo + block_rows]
+        block = df.filter(
+            (F.col(id_col) >= block_ids[0]) & (F.col(id_col) <= block_ids[-1])
+        )
+        part = _cosine_pairs_kernel(
+            probe=df, build=block, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, prune_margin=prune_margin,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _cosine_pairs_kernel(
+    probe: DataFrame,
+    build: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    prune_margin: float,
+) -> DataFrame:
+    """One prune+verify pass: ``build`` (collected + broadcast, unit-
+    normalized) × ``probe`` (distributed). Emits pairs with
+    ``probe.id < build.id`` only, so block unions never double-count."""
+    import numpy as np
+    import pandas as pd
+
+    spark = probe.sparkSession
+    rows = build.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    cut = threshold - prune_margin
+
+    def prune(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            pvecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pvecs = pvecs / np.linalg.norm(pvecs, axis=1, keepdims=True)
+            sims = pvecs @ all_mat.T
+            for r, my_id in enumerate(pdf[id_col].to_numpy()):
+                hits = np.nonzero((sims[r] >= cut) & (all_ids > my_id))[0]
+                if len(hits):
+                    yield pd.DataFrame({"id_a": my_id, "id_b": all_ids[hits]})
+
+    n = max(1, spark.sparkContext.defaultParallelism)
+    cands = (
+        probe.select(F.col(id_col), F.col(vec_col))
+        .repartition(n)
+        .mapInPandas(prune, schema="id_a long, id_b long")
+    )
+    # verify joins: the CANDIDATE side broadcasts (near-dup candidate sets
+    # are tiny vs the corpus); the corpus is scanned, never shuffled —
+    # opposite of the small-corpus path, where the corpus broadcasts
+    va = probe.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = probe.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cands.hint("broadcast").join(va, "id_a").hint("broadcast").join(vb, "id_b")
     return (
         joined.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)

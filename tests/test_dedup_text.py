@@ -111,3 +111,20 @@ def test_ivf_assign_and_topk(spark):
     out = similarity.ivf_topk(assigned, cents, q, k=2, nprobe=1)
     got = [r.vec_id for r in out.orderBy("rank").collect()]
     assert got == [0, 1]  # probed only cell 0
+
+
+def test_cosine_pairs_blocked_matches_unblocked(spark):
+    """Forcing the blocked outer loop (tiny max_broadcast_rows) must yield
+    exactly the broadcast-whole-corpus pair set."""
+    import random
+
+    from etl_spark.operators import similarity
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole = similarity.cosine_pairs_fast(df, threshold=0.3)
+    blocked = similarity.cosine_pairs_fast(df, threshold=0.3, max_broadcast_rows=17)
+    a = {(r.id_a, r.id_b, round(r.sim, 9)) for r in whole.collect()}
+    b = {(r.id_a, r.id_b, round(r.sim, 9)) for r in blocked.collect()}
+    assert a == b and len(a) > 0

@@ -46,3 +46,23 @@ def test_repartition_by_bytes(spark, media):
     out = multimodal.repartition_by_bytes(media, target_partition_bytes=300)
     assert out.rdd.getNumPartitions() >= 1
     assert out.count() == 4
+
+
+def test_resize_images_stub(spark, media):
+    out = multimodal.resize_images(media, width=4, height=4)
+    rows = {r.media_id: r for r in out.collect()}
+    # only image rows survive the filter
+    src = {r.media_id for r in media.filter("meta.media_type = 'image'").collect()}
+    assert set(rows) == src
+    for r in rows.values():
+        if r.payload is not None:
+            assert len(r.payload) == 16
+        assert (r.width, r.height) == (4, 4)
+
+
+def test_resize_images_raise(spark, media):
+    import pytest as _pytest
+
+    out = multimodal.resize_images(media, 4, 4, decode_stub="raise")
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        out.collect()
