@@ -678,3 +678,36 @@ ranked AS (
 SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+ORACLES["dedup_keep_list"] = f"""
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents)
+  GROUP BY fp
+),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+near AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))
+        / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1) >= 0.5
+)
+SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""

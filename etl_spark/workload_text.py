@@ -147,3 +147,26 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     force/oracle formula, BLAS-speed candidate generation."""
     out = similarity.cosine_pairs_fast(_emb(spark, sf_dir), threshold=0.35)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline output: the documents that SURVIVE.
+
+    Composition of the two cheapest passes (the real training-data flow):
+    1. exact: keep only the min doc_id of each content-fingerprint group;
+    2. near-dup: among survivors, drop any doc that is the larger id of a
+       verified MinHash pair (jaccard ≥ 0.5).
+
+    Pairwise keep-smallest is deterministic and shuffle-bounded; full
+    transitive-closure clustering is an iterative (connected-components)
+    job a real pipeline runs offline — pairs from stage 2 are its input.
+    """
+    docs = _docs(spark, sf_dir)
+    keepers = dedup.exact_duplicates(docs).select(
+        F.col("min_doc_id").alias("doc_id")
+    )
+    near = dedup.minhash_lsh(docs, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    out = keepers.join(near, "doc_id", "left_anti")
+    return out.select("doc_id")

@@ -1,0 +1,116 @@
+"""Scale stress: replicate the sf0.1 facts k× (shifted keys), re-run the
+headline queries, and report per-query scaling factors vs sf0.1.
+
+Correctness is proven at sf0.01 by the oracle gate; this answers the other
+question — "would the plan survive a 10×/100× scale-up?" — empirically.
+A query whose runtime grows ~linearly (factor ≈ k on fixed cores) has a
+scan/shuffle-shaped plan; super-linear growth exposes an O(n²) or a
+collapse onto one task.
+
+    python tools/stress.py [k] [out_json]
+
+Facts (lineitem/orders/events/documents/embeddings) are replicated with
+primary + fact-fact join keys shifted per replica; dims stay as-is (more
+facts per dim row, like real growth). Output parquet lands under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+#: fact table → columns shifted per replica (offset ≫ max key)
+FACTS = {
+    "lineitem": {"l_orderkey": 10**9},
+    "orders": {"o_orderkey": 10**9},
+    "events": {"event_id": 10**9},
+    "documents": {"doc_id": 10**7},
+    "embeddings": {"vec_id": 10**7},
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "q18_large_volume_customers",
+    "cdc_current_state",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+    "embed_near_dup",
+    "mm_features",
+]
+
+
+def build(spark, k: int, dest: str) -> None:
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    reps = spark.range(k).withColumnRenamed("id", "__rep")
+    for t, shifts in FACTS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(reps))
+        for c, off in shifts.items():
+            df = df.withColumn(c, F.col(c) + F.col("__rep") * off)
+        df.drop("__rep").write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress_result.json"
+    dest = f"/tmp/stress_x{k}"
+    spark = get_spark("etl-spark-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+
+    t0 = time.perf_counter()
+    build(spark, k, dest)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    base = time_queries(spark, SRC)
+    big = time_queries(spark, dest)
+    result = {
+        "k": k,
+        "build_sec": build_sec,
+        "base_sec": base,
+        "scaled_sec": big,
+        "factor": {q: round(big[q] / max(base[q], 0.05), 1) for q in base},
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
