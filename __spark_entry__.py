@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
         "q22_dormant_customers": workload_relational.q22_dormant_customers,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "events_json_props": workload_relational.events_json_props,
         "asof_click_attribution": workload_relational.asof_click_attribution,
         # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,

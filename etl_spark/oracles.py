@@ -711,3 +711,12 @@ near AS (
 )
 SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
+
+ORACLES["events_json_props"] = """
+SELECT CAST((CAST(props->>'$.k' AS INT)) // 10 AS INT) AS k_decile,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1
+"""

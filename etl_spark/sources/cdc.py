@@ -42,11 +42,24 @@ def read_changes(spark: SparkSession, path: str, table: str | None = None) -> Da
     return df
 
 
-def stream_changes(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+def stream_changes(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming envelope source. The checkpoint dir (set on the writer)
     plays the replication slot's role: offsets = progress, deleting it =
-    slot invalidation → full re-sync (SURVEY S4)."""
-    df = spark.readStream.schema(GENERIC_ENVELOPE).parquet(path)
+    slot invalidation → full re-sync (SURVEY S4).
+
+    ``max_files_per_trigger`` is the batch-size budget (T1: the
+    reference's EventBatch byte/deadline flush, apply.rs:645-695, mapped
+    onto Spark's per-trigger source limit — one WAL-shipper flush file ≈
+    one budgeted batch)."""
+    reader = spark.readStream.schema(GENERIC_ENVELOPE)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
     df = with_sequence(df)
     if table:
         df = df.filter(F.col("table") == table)

@@ -238,11 +238,14 @@ class Pipeline:
         self.sink.write_changes(name, self._decode(cfg, rows), batch_id)
 
     # ------------------------------------------------------------------
-    def start(self, available_now: bool = True):
+    def start(self, available_now: bool = True, max_files_per_trigger: int | None = None):
         """Backfill, then start the stream. ``available_now=True`` drains
-        what exists and stops (test/batch mode); False runs continuously."""
+        what exists and stops (test/batch mode); False runs continuously.
+        ``max_files_per_trigger`` bounds each micro-batch (T1)."""
         self.backfill()
-        stream = stream_changes(self.spark, self.source_dir)
+        stream = stream_changes(
+            self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
+        )
         writer = (
             stream.writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

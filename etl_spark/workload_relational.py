@@ -413,3 +413,23 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("ts") - F.col("click_ts")) / F.lit(NANOS_PER_SEC)).cast("double").alias("gap_sec"),
         )
     )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON cell access (codec F8 + json_get): extract props.k, aggregate
+    by decile — JSON path evaluation stays JVM-side (get_json_object), no
+    parse-to-struct materialization for a single-field probe."""
+    from etl_spark.codec import json_get
+
+    ev = _t(spark, sf_dir, "events")
+    k = json_get("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
