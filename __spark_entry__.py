@@ -63,6 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
         "events_json_props": workload_relational.events_json_props,
         "asof_click_attribution": workload_relational.asof_click_attribution,
+        "q7_volume_shipping": workload_relational.q7_volume_shipping,
+        "q8_market_share": workload_relational.q8_market_share,
+        "q13_customer_distribution": workload_relational.q13_customer_distribution,
+        "q15_top_supplier": workload_relational.q15_top_supplier,
+        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        "events_running_total": workload_relational.events_running_total,
+        "set_ops_customers": workload_relational.set_ops_customers,
         # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,
         "mm_frame_plan": workload_mm.mm_frame_plan,

@@ -720,3 +720,110 @@ SELECT CAST((CAST(props->>'$.k' AS INT)) // 10 AS INT) AS k_decile,
        CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
 FROM events GROUP BY 1
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch 2 (q7/q8/q13/q15/q17/q19) + windows + set ops
+# ---------------------------------------------------------------------------
+
+_DISC = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+         " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))")
+
+ORACLES["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum({_DISC}) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN {_DISC}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(sum({_DISC}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+"""
+
+ORACLES["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_DISC}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+ranked AS (SELECT *, rank() OVER (ORDER BY total_rev DESC) AS rnk FROM rev)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk = 1
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+WITH cuts AS (
+  SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.2 AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN cuts ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+"""
+
+ORACLES["q19_discounted_revenue"] = f"""
+SELECT CAST(sum({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["events_running_total"] = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w7 AS DOUBLE)
+         / count(*) OVER w7 AS mov_avg_7,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq_in_user
+FROM events WHERE event_type = 'purchase'
+WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["set_ops_customers"] = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o96 AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT 'intersect' AS set_op, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM o96)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM o96)
+UNION ALL
+SELECT 'union', count(*) FROM (SELECT * FROM building UNION SELECT * FROM o96)
+"""

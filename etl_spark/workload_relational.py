@@ -433,3 +433,172 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume per year — fact⋈fact join
+    carries the shuffle, both nation dims broadcast, disjunctive
+    nation-pair predicate evaluated post-join."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(vol).cast("double").alias("volume"))
+    )
+    return out
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional share-of-total per year (NATION_3's
+    share of PROMO-part revenue)."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("nat"),
+            F.sum(vol).alias("total"),
+        )
+        .select(
+            "o_year",
+            (F.col("nat").cast("double") / F.col("total").cast("double")).alias("mkt_share"),
+        )
+    )
+    return out
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, including
+    zero-order customers — left outer join, two stacked aggregations."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + max-revenue supplier(s) — the
+    scalar-max re-join expressed as a rank window over the aggregate."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))).alias("total_rev"))
+    )
+    w = Window.orderBy(F.col("total_rev").desc())
+    top = rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg subquery → per-part aggregate
+    join-back; lineitems under 20% of their part's average quantity."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+    return out
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across a fact⋈dim join — one OR of three AND-groups, all
+    evaluated in the join stage."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+            .cast("double").alias("revenue")
+        )
+    )
+    return out
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running windows: cumulative sum + 7-row moving average of event
+    values per user, ordered by time — the frame-based window family
+    (rowsBetween), one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-6, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(cum).cast("double").alias("cum_value"),
+        # exact decimal sum / count, divided in double: Spark's decimal AVG
+        # truncates at scale 6, DuckDB's promotes to double — sidestep both
+        (F.sum(_dec("value")).over(mov).cast("double") / F.count("*").over(mov)).alias("mov_avg_7"),
+        F.row_number().over(w).alias("seq_in_user"),
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: BUILDING-segment customers vs customers ordering in
+    1996 — intersect / except / union counts in one result."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered96 = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01")))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tagged = [
+        building.intersect(ordered96).agg(F.count("*").alias("n")).withColumn("set_op", F.lit("intersect")),
+        building.exceptAll(building.intersect(ordered96)).agg(F.count("*").alias("n")).withColumn("set_op", F.lit("except")),
+        building.union(ordered96).distinct().agg(F.count("*").alias("n")).withColumn("set_op", F.lit("union")),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.select("set_op", "n")
