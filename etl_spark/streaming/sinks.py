@@ -92,12 +92,15 @@ class ParquetCurrentStateSink(Sink):
     def _vpath(self, table: str) -> str:
         return os.path.join(self.root, table, "VERSION")
 
-    def _current_version(self, table: str) -> int:
+    def _current_meta(self, table: str) -> dict:
         try:
             with open(self._vpath(table)) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
-            return -1
+            return {"version": -1, "batch_id": None}
+
+    def _current_version(self, table: str) -> int:
+        return self._current_meta(table)["version"]
 
     def _point(self, table: str, version: int, batch_id: int | None) -> None:
         os.makedirs(os.path.dirname(self._vpath(table)), exist_ok=True)
@@ -129,9 +132,16 @@ class ParquetCurrentStateSink(Sink):
         self._point(table, v, None)
 
     def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
-        v = self._current_version(table)
+        meta = self._current_meta(table)
+        v = meta["version"]
         if v < 0:
             raise RuntimeError(f"no snapshot for {table}; run write_snapshot first")
+        if meta.get("batch_id") == batch_id:
+            # replayed delivery of the already-applied batch (restart between
+            # sink write and checkpoint commit): the LWW merge would converge
+            # anyway — this is the applied-batches fast path
+            # (ducklake/core.rs:74-80)
+            return
         target = self.spark.read.parquet(self._data_dir(table, v))
         merged = materialize.merge_current_state(target, df, self.keys)
         nv = v + 1

@@ -285,3 +285,25 @@ def test_retry_policies(spark, env):
                  retry_policy=RetryPolicy.TIMED_RETRY)
     c.tables["users"].attempts = 99
     assert p.retry_errored(retry_delay_sec=0) == []     # attempt cap
+
+
+def test_replayed_batch_id_skips_rewrite(spark, env):
+    """Re-delivering the already-applied batch id must not rewrite a new
+    version (applied-batches fast path); a NEW batch id still applies."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 50, 0, after={"pk": 8, "val": "h"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    sink = env["sink"]
+    v_after = sink._current_version("users")
+    applied_batch = sink._current_meta("users")["batch_id"]
+
+    # replay the same batch id: version must not advance
+    df = sink.read("users")
+    sink.write_changes("users", df.limit(0), applied_batch)
+    assert sink._current_version("users") == v_after
+
+    # a different batch id applies normally
+    sink.write_changes("users", df.limit(0), applied_batch + 1)
+    assert sink._current_version("users") == v_after + 1
