@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": workload_relational.q15_top_supplier,
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        "q21_waiting_orders": workload_relational.q21_waiting_orders,
         "events_running_total": workload_relational.events_running_total,
         "set_ops_customers": workload_relational.set_ops_customers,
         # multimodal plumbing (binary payloads + metadata structs)

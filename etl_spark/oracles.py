@@ -827,3 +827,21 @@ SELECT 'except', count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM o96)
 UNION ALL
 SELECT 'union', count(*) FROM (SELECT * FROM building UNION SELECT * FROM o96)
 """
+
+ORACLES["q21_waiting_orders"] = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_suppkey, s_name
+"""

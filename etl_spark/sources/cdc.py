@@ -33,13 +33,30 @@ def ts_from_nanos(col):
     return F.timestamp_micros((c / 1000).cast("long")).cast("timestamp_ntz")
 
 
-def read_changes(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
-    """Batch-read an envelope directory; optionally route one table (P3)."""
-    df = spark.read.schema(GENERIC_ENVELOPE).parquet(path)
+def read_changes(
+    spark: SparkSession, path: str, table: str | None = None, fmt: str = "parquet"
+) -> DataFrame:
+    """Batch-read an envelope directory; optionally route one table (P3).
+
+    ``fmt``: parquet (sim harness), json (JSON-lines, what WAL shippers
+    like Debezium emit), or csv — all land on the same GENERIC_ENVELOPE
+    schema, so everything downstream is format-agnostic."""
+    df = _read(spark.read, path, fmt)
     df = with_sequence(df)
     if table:
         df = df.filter(F.col("table") == table)
     return df
+
+
+def _read(reader, path: str, fmt: str) -> DataFrame:
+    reader = reader.schema(GENERIC_ENVELOPE)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    raise ValueError(f"unsupported envelope format: {fmt}")
 
 
 def stream_changes(
@@ -47,6 +64,7 @@ def stream_changes(
     path: str,
     table: str | None = None,
     max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Streaming envelope source. The checkpoint dir (set on the writer)
     plays the replication slot's role: offsets = progress, deleting it =
@@ -56,10 +74,10 @@ def stream_changes(
     reference's EventBatch byte/deadline flush, apply.rs:645-695, mapped
     onto Spark's per-trigger source limit — one WAL-shipper flush file ≈
     one budgeted batch)."""
-    reader = spark.readStream.schema(GENERIC_ENVELOPE)
+    reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(path)
+    df = _read(reader, path, fmt)
     df = with_sequence(df)
     if table:
         df = df.filter(F.col("table") == table)

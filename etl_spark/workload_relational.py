@@ -602,3 +602,39 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out.select("set_op", "n")
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS — suppliers
+    whose line was late on a multi-supplier order where no OTHER supplier
+    was late. Exists → left-semi, not-exists → left-anti, both on the
+    orderkey projection."""
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late
+    # another supplier on the same order (any line)
+    other_any = (
+        li.select(F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s"))
+    )
+    # another supplier LATE on the same order
+    other_late = late.select(F.col("l_orderkey").alias("t_k"), F.col("l_suppkey").alias("t_s"))
+    exists_other = l1.join(
+        other_any,
+        (l1.l_orderkey == F.col("o_k")) & (l1.l_suppkey != F.col("o_s")),
+        "left_semi",
+    )
+    not_exists_other_late = exists_other.join(
+        other_late,
+        (exists_other.l_orderkey == F.col("t_k")) & (exists_other.l_suppkey != F.col("t_s")),
+        "left_anti",
+    )
+    out = (
+        not_exists_other_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return out

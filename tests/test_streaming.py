@@ -307,3 +307,23 @@ def test_replayed_batch_id_skips_rewrite(spark, env):
     # a different batch id applies normally
     sink.write_changes("users", df.limit(0), applied_batch + 1)
     assert sink._current_version("users") == v_after + 1
+
+
+def test_json_envelope_source(spark, env, tmp_path):
+    """The same pipeline semantics over a JSON-lines change log (what a
+    WAL shipper emits) — format-agnostic envelope."""
+    from etl_spark.sources.cdc import read_changes
+
+    src = str(tmp_path / "jsonlog")
+    os.makedirs(src)
+    rows = [
+        ev("INSERT", "users", 10, 0, after={"pk": 4, "val": "d"}),
+        ev("DELETE", "users", 11, 0, before={"pk": 1}, before_kind="KEY"),
+    ]
+    from etl_spark.envelope import GENERIC_ENVELOPE
+    spark.createDataFrame(rows, GENERIC_ENVELOPE).coalesce(1).write.mode(
+        "overwrite").json(src)
+    df = read_changes(spark, src, fmt="json")
+    got = {(r.op, r.commit_lsn) for r in df.collect()}
+    assert got == {("INSERT", 10), ("DELETE", 11)}
+    assert "event_seq" in df.columns
