@@ -60,11 +60,24 @@ GENERIC_ENVELOPE = T.StructType(
 )
 
 
+#: Largest commit_lsn the DECIMAL(38,0) packing can hold:
+#: seq = commit*2^64 + ordinal must stay < 10^38, so commit < 10^38/2^64
+#: ≈ 5.4e18 (just under 2^63). A Postgres LSN is total WAL bytes written —
+#: reaching this bound means ~5.4 exabytes of WAL through one slot, so the
+#: domain is not a practical restriction; it IS validated (not crashed
+#: into) via :func:`validate_envelope`.
+MAX_COMMIT_LSN = 10**38 // SEQ_SHIFT - 1
+
+
 def event_seq(commit_lsn: Column | str = "commit_lsn", tx_ordinal: Column | str = "tx_ordinal") -> Column:
     """Total-ordering key as DECIMAL(38,0): ``commit_lsn * 2^64 + tx_ordinal``.
 
     Reference: event.rs:341-343 (`to_u128`). Sortable, groupable, and exact
-    (no float). Use as the version column for LWW merges.
+    (no float). Use as the version column for LWW merges. Domain:
+    ``commit_lsn <= MAX_COMMIT_LSN`` (~2^62.2) — DECIMAL(38,0) cannot hold
+    the full u128 range; under ANSI semantics an out-of-domain commit_lsn
+    raises rather than silently wrapping, and ``validate_envelope`` flags
+    it up front.
     """
     c = F.col(commit_lsn) if isinstance(commit_lsn, str) else commit_lsn
     o = F.col(tx_ordinal) if isinstance(tx_ordinal, str) else tx_ordinal
@@ -112,3 +125,12 @@ def validate_envelope(df) -> list[str]:
         if required not in names:
             problems.append(f"missing required envelope column: {required}")
     return problems
+
+
+def check_lsn_domain(df, commit_lsn: str = "commit_lsn") -> int:
+    """Count rows whose commit_lsn exceeds :data:`MAX_COMMIT_LSN` (the
+    DECIMAL(38,0) packing domain). Non-zero means the source is corrupt —
+    run before trusting a new feed; one Spark job."""
+    return df.filter(
+        F.col(commit_lsn).cast(T.DecimalType(38, 0)) > F.lit(str(MAX_COMMIT_LSN)).cast(T.DecimalType(38, 0))
+    ).count()

@@ -248,3 +248,61 @@ def test_array_rejects_multidim(spark):
 def test_array_explicit_bounds(spark):
     got = decode(spark, ["[0:1]={7,8}"], codec.pg_array_full)
     assert got == [["7", "8"]]
+
+
+# ---------------------------------------------------------------------------
+# sequence keys (event.rs:323-375) — the total-ordering backbone
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**38 // (1 << 64) - 1),  # packing domain
+            st.integers(min_value=0, max_value=2**32 - 1),  # tx_ordinal
+        ),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_event_seq_pack_order_and_roundtrip(spark, pairs):
+    """event_seq = commit*2^64 + ordinal must be recoverable by divmod and
+    must sort exactly like the (commit, ordinal) tuple — including at u64
+    boundaries where double precision would corrupt."""
+    from etl_spark.envelope import SEQ_SHIFT, event_seq
+
+    df = spark.createDataFrame(
+        [(Decimal(c), o) for c, o in pairs], "commit_lsn decimal(20,0), tx_ordinal long"
+    ).select(
+        "commit_lsn", "tx_ordinal",
+        event_seq(F.col("commit_lsn").cast("decimal(38,0)"), "tx_ordinal").alias("seq"),
+    )
+    rows = df.collect()
+    for r in rows:
+        c, o = divmod(int(r["seq"]), SEQ_SHIFT)
+        assert (c, o) == (int(r["commit_lsn"]), r["tx_ordinal"])
+    by_seq = sorted(rows, key=lambda r: int(r["seq"]))
+    by_tuple = sorted(rows, key=lambda r: (int(r["commit_lsn"]), r["tx_ordinal"]))
+    assert [(r["commit_lsn"], r["tx_ordinal"]) for r in by_seq] == [
+        (r["commit_lsn"], r["tx_ordinal"]) for r in by_tuple
+    ]
+
+
+def test_event_seq_domain_guard(spark):
+    """Beyond MAX_COMMIT_LSN the decimal packing cannot represent the key;
+    check_lsn_domain must flag such rows before they reach event_seq."""
+    from etl_spark.envelope import MAX_COMMIT_LSN, check_lsn_domain
+
+    df = spark.createDataFrame(
+        [(Decimal(MAX_COMMIT_LSN),), (Decimal(MAX_COMMIT_LSN + 1),)],
+        "commit_lsn decimal(38,0)",
+    )
+    assert check_lsn_domain(df) == 1
+
+
+def test_event_seq_hex_format(spark):
+    from etl_spark.envelope import event_seq_hex
+
+    df = spark.createDataFrame(
+        [(255, 16)], "commit_lsn long, start_lsn long"
+    ).select(event_seq_hex().alias("h"))
+    assert df.first()["h"] == "00000000000000ff/0000000000000010"
