@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": workload_text.text_fingerprint,
         "ann_cosine_topk": workload_text.ann_cosine_topk,
         "dedup_keep_list": workload_text.dedup_keep_list,
+        "dedup_components": workload_text.dedup_components,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
         "embed_near_dup": workload_text.embed_near_dup,
         # relational analytics (host-engine capabilities over the same data)

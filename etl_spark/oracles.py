@@ -845,3 +845,36 @@ WHERE EXISTS (
     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
 GROUP BY s_suppkey, s_name
 """
+
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE {TOKS_CTE.strip().rstrip()}, {SHINGLE_CTE.strip()},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+edges AS (
+  SELECT c.id_a AS a, c.id_b AS b
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))
+        / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1) >= 0.5
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""

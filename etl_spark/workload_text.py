@@ -170,3 +170,19 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     out = keepers.join(near, "doc_id", "left_anti")
     return out.select("doc_id")
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified MinHash
+    near-dup pairs (iterative min-label propagation,
+    :mod:`etl_spark.operators.graph`). component = min doc_id reachable —
+    deterministic, so even the iterative algorithm has an exact SQL oracle
+    (recursive CTE)."""
+    from etl_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh(docs, threshold=0.5).select("id_a", "id_b")
+    out = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return out

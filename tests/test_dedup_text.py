@@ -128,3 +128,14 @@ def test_cosine_pairs_blocked_matches_unblocked(spark):
     a = {(r.id_a, r.id_b, round(r.sim, 9)) for r in whole.collect()}
     b = {(r.id_a, r.id_b, round(r.sim, 9)) for r in blocked.collect()}
     assert a == b and len(a) > 0
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A chain (1-2-3), a pair (10-11), and isolated vertices resolve to
+    min-id components; convergence needs diameter rounds."""
+    from etl_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    got = {r.id: r.component for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
