@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
         "q21_waiting_orders": workload_relational.q21_waiting_orders,
         "events_running_total": workload_relational.events_running_total,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "set_ops_customers": workload_relational.set_ops_customers,
         # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,

@@ -878,3 +878,21 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 """
+
+ORACLES["events_pivot_daily"] = """
+SELECT (epoch_ns(ts) // 1000000000 // 86400) * 86400 AS day_epoch,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+ORACLES["events_error_after_purchase"] = """
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       (epoch_ns(e.ts) - epoch_ns(p.ts)) // 1000000000 AS lag_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e USING (user_id)
+WHERE e.ts > p.ts AND epoch_ns(e.ts) - epoch_ns(p.ts) <= 14400000000000
+"""

@@ -638,3 +638,45 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
     )
     return out
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day × event-type count matrix — groupBy().pivot() with an
+    explicit value list so the plan is a single pass (no distinct-values
+    pre-query) and the output schema is stable."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400 * 86400")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("day_epoch", day)
+        .groupBy("day_epoch")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves NULL for absent combos; a count matrix wants 0
+    return out.select(
+        "day_epoch", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def events_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: error events within 4 hours AFTER the same
+    user's purchase. Equi key (user_id) carries the join; the time band is
+    a join-stage filter — scales as a hash join, not a range explosion."""
+    ev = _t(spark, sf_dir, "events")
+    band_ns = 4 * 3600 * NANOS_PER_SEC
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    out = (
+        p.join(err, "user_id")
+        .filter((F.col("e_ts") > F.col("p_ts")) & (F.col("e_ts") - F.col("p_ts") <= band_ns))
+        .select(
+            "user_id", "purchase_id", "error_id",
+            ((F.col("e_ts") - F.col("p_ts")) / F.lit(NANOS_PER_SEC)).cast("long").alias("lag_sec"),
+        )
+    )
+    return out
