@@ -61,6 +61,14 @@ def get_spark(
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONF_DIR" not in os.environ:
         builder = builder.master(f"local[{n}]")
         builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # whole-stage codegen emits one class set per distinct plan; a long
+        # query-per-minute driver fills the default ~240 MB code cache,
+        # after which the JIT stops compiling and hot queries run 2-3×
+        # slower — permanently. Bigger cache + flushing keeps JIT alive.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
