@@ -264,6 +264,15 @@ class Pipeline:
         q = self.start(available_now=True)
         q.awaitTermination()
 
+    def stop(self) -> None:
+        """Graceful stop (POST /pipelines/{id}/stop analog): halt the
+        stream after the in-flight micro-batch; progress is already
+        durable per batch, so a later start() resumes from the
+        checkpoint."""
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+            self.query.awaitTermination()
+
     def retry_errored(
         self,
         retry_delay_sec: float = 300.0,

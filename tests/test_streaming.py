@@ -327,3 +327,24 @@ def test_json_envelope_source(spark, env, tmp_path):
     got = {(r.op, r.commit_lsn) for r in df.collect()}
     assert got == {("INSERT", 10), ("DELETE", 11)}
     assert "event_seq" in df.columns
+
+
+def test_stop_then_resume(spark, env):
+    """stop() after a drained run is safe; a new pipeline resumes from the
+    checkpoint and only applies new events (continuous-mode lifecycle)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 60, 0, after={"pk": 12, "val": "x"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    p.stop()  # idempotent on a finished availableNow query
+    assert current(env)[12] == "x"
+
+    write_events(spark, env["source"], [
+        ev("UPDATE", "users", 61, 0, after={"pk": 12, "val": "y"}),
+    ], "b2")
+    p2 = make_pipeline(spark, env)
+    p2.run_until_drained()
+    p2.stop()
+    assert current(env)[12] == "y"
+    assert p2.status()["flush_lsn"] == 61
