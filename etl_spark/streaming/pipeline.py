@@ -218,7 +218,15 @@ class Pipeline:
         from etl_spark.operators.materialize import expand_pk_change
 
         out = expand_pk_change(dec.select(*proj), cfg.keys, before_prefix="__before_")
-        return out.drop("sub_ordinal", *[f"__before_{k}" for k in cfg.keys])
+        out = out.drop("sub_ordinal", *[f"__before_{k}" for k in cfg.keys])
+        # publication row filter (P2) on streamed changes: the server
+        # evaluates the WHERE on the new row image, so non-matching
+        # inserts/updates never reach the slot. DELETEs pass through —
+        # evaluating a value predicate on a key-only old image is
+        # impossible, and an unmatched-key delete is a no-op at the sink.
+        if cfg.row_filter:
+            out = out.filter((F.col("op") == "DELETE") | F.expr(cfg.row_filter))
+        return out
 
     def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int) -> None:
         cfg = self.tables[name]

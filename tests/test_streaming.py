@@ -348,3 +348,46 @@ def test_stop_then_resume(spark, env):
     p2.stop()
     assert current(env)[12] == "y"
     assert p2.status()["flush_lsn"] == 61
+
+
+def test_row_filter_applies_to_stream(spark, tmp_path):
+    """Publication WHERE (P2) filters both the snapshot copy and streamed
+    changes; deletes always pass (key-only old image can't be evaluated)."""
+    snap = str(tmp_path / "snap")
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    spark.createDataFrame([(1, 5), (2, 50)], "pk long, val long").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val long", row_filter="val >= 10")
+    write_events(spark, source, [
+        ev("INSERT", "users", 10, 0, after={"pk": 3, "val": 7}),    # filtered out
+        ev("INSERT", "users", 11, 0, after={"pk": 4, "val": 99}),   # kept
+        ev("DELETE", "users", 12, 0, before={"pk": 2}, before_kind="KEY"),
+    ], "b1")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+    p.run_until_drained()
+    got = {r.pk: r.val for r in sink.read("users").select("pk", "val").collect()}
+    assert got == {4: 99}  # pk1 filtered at copy, pk2 deleted, pk3 filtered
+
+
+def test_composite_replica_identity(spark, tmp_path):
+    """Composite keys (REPLICA IDENTITY over two columns): LWW merge and
+    deletes key on the tuple, not a single column."""
+    snap = str(tmp_path / "snap")
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)], "k1 long, k2 string, val long"
+    ).write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["k1", "k2"], spark=spark)
+    cfg = TableConfig(name="t", snapshot_path=snap, keys=["k1", "k2"],
+                      payload_schema="k1 long, k2 string, val long")
+    write_events(spark, source, [
+        ev("UPDATE", "t", 10, 0, after={"k1": 1, "k2": "a", "val": 11}),
+        ev("DELETE", "t", 11, 0, before={"k1": 1, "k2": "b"}, before_kind="KEY"),
+    ], "b1")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+    p.run_until_drained()
+    got = {(r.k1, r.k2): r.val for r in sink.read("t").select("k1", "k2", "val").collect()}
+    assert got == {(1, "a"): 11, (2, "a"): 30}
