@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": workload_relational.events_running_total,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "sketch_distinct_users": workload_relational.sketch_distinct_users,
         "set_ops_customers": workload_relational.set_ops_customers,
         # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,

@@ -896,3 +896,31 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT * FROM events WHERE event_type = 'error') e USING (user_id)
 WHERE e.ts > p.ts AND epoch_ns(e.ts) - epoch_ns(p.ts) <= 14400000000000
 """
+
+ORACLES["sketch_distinct_users"] = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         list_sum([(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), x, 1)) - 1)
+                   * power(16, 13 - x) for x in range(1, 14)])
+           / 4503599627370496.0 AS u
+  FROM events
+),
+topk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT event_type, max(u) AS kth, count(*) AS n_sketch
+  FROM topk WHERE rn <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE) ELSE 63 / kth END, 4) AS est_distinct,
+       round(kth, 12) AS kth_min_hash,
+       n_sketch,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM agg a JOIN exact e ON a.event_type = e.event_type
+"""

@@ -680,3 +680,18 @@ def events_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type (k=64) beside the exact
+    count — a deterministic approximate aggregate, so even the sketch
+    hash-checks against the oracle (unlike HLL, whose register layout is
+    engine-specific)."""
+    from etl_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, "user_id", ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return sk.join(exact, "event_type").select(
+        "event_type", "est_distinct", "kth_min_hash", "n_sketch", "exact_distinct"
+    )

@@ -115,3 +115,10 @@ def test_asof_single_shuffle_both_sides(spark):
     # [union + final broadcast] means the trick regressed to a sort-merge.
     assert "CartesianProduct" not in plan
     assert n_shuffles(plan) == 1, plan
+
+
+def test_kmv_sketch_prunes_map_side(spark):
+    plan = plan_of(workload_relational.sketch_distinct_users(spark, SF_DIR))
+    # the rank<=k filter must prune to k rows per group BEFORE the shuffle —
+    # that pruning IS the sketch's scale property
+    assert "WindowGroupLimit" in plan, plan
