@@ -69,15 +69,16 @@ def main() -> None:
     # Warm the JVM/codegen path outside the timed region.
     materialize(queries["cdc_current_state"](spark, sf_dir))
 
-    # Two runs per query, report the min: run 1 pays one-time plan
-    # compilation + whole-stage codegen; run 2 is the sustained rate, which
-    # is what the reference's long-stream benchmark measures (BASELINE.md).
+    # Three runs per query, report the min: run 1 pays one-time plan
+    # compilation + whole-stage codegen; later runs are the sustained rate,
+    # which is what the reference's long-stream benchmark measures
+    # (BASELINE.md); min-of-3 damps same-machine load variance.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -108,7 +109,7 @@ def main() -> None:
         "events_per_second": events_per_sec,
         "copy_rows_per_second": copy_rows_per_sec,
         "conf": {
-            "runs_per_query": 2,
+            "runs_per_query": 3,
             "cpus": cpus,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
