@@ -226,6 +226,16 @@ class Pipeline:
         # impossible, and an unmatched-key delete is a no-op at the sink.
         if cfg.row_filter:
             out = out.filter((F.col("op") == "DELETE") | F.expr(cfg.row_filter))
+        # reject-not-corrupt: a row event whose key columns ALL decoded to
+        # NULL (malformed/missing row image) is unaddressable — it cannot
+        # merge, delete, or upsert anything. Drop it rather than let a
+        # NULL-key row poison the current-state table.
+        key_present = None
+        for k in cfg.keys:
+            cond = F.col(k).isNotNull()
+            key_present = cond if key_present is None else (key_present | cond)
+        if key_present is not None:
+            out = out.filter(key_present)
         return out
 
     def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int) -> None:

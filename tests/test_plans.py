@@ -122,3 +122,24 @@ def test_kmv_sketch_prunes_map_side(spark):
     # the rank<=k filter must prune to k rows per group BEFORE the shuffle —
     # that pruning IS the sketch's scale property
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q21_semi_and_anti(spark):
+    plan = plan_of(workload_relational.q21_waiting_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_two_phase(spark):
+    plan = plan_of(workload_relational.events_pivot_daily(spark, SF_DIR))
+    # explicit value list → no distinct-values pre-JOB; the plan is the
+    # standard two-phase pivot: shuffle 1 reduces the fact to |days|×|types|
+    # rows, shuffle 2 (tiny) pivots — anything more means the value list
+    # regressed to a runtime distinct scan
+    assert n_shuffles(plan) == 2, plan
+
+
+def test_q7_broadcasts_all_dims(spark):
+    plan = plan_of(workload_relational.q7_volume_shipping(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan

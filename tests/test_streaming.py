@@ -391,3 +391,19 @@ def test_composite_replica_identity(spark, tmp_path):
     p.run_until_drained()
     got = {(r.k1, r.k2): r.val for r in sink.read("t").select("k1", "k2", "val").collect()}
     assert got == {(1, "a"): 11, (2, "a"): 30}
+
+
+def test_malformed_row_image_rejected_not_poisoning(spark, env):
+    """An event whose JSON row image doesn't parse decodes to all-NULL
+    keys — it must be dropped, not merged as a NULL-key row."""
+    write_events(spark, env["source"], [
+        Row(op="INSERT", table="users", commit_lsn=70, start_lsn=70,
+            tx_ordinal=0, after="{not valid json", before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=None),
+        ev("INSERT", "users", 71, 0, after={"pk": 9, "val": "ok"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    rows = env["sink"].read("users").select("pk", "val").collect()
+    assert all(r.pk is not None for r in rows)
+    assert {r.pk: r.val for r in rows}[9] == "ok"
