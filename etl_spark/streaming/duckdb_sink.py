@@ -1,0 +1,115 @@
+"""DuckDB warehouse sink: the external-destination shape (SURVEY §2.10).
+
+The reference's warehouse destinations (BigQuery/Snowflake/DuckLake) all
+follow the same contract: stage the micro-batch, then let the WAREHOUSE
+execute the keyed merge (staging-table MERGE, ducklake/core.rs:1133-1216;
+BigQuery CDC upserts, bigquery/core.rs:1409-1478). This sink reproduces
+that division of labor with DuckDB as the warehouse:
+
+- Spark writes the batch as parquet (distributed, its job);
+- DuckDB ingests the staged files and applies the LWW merge in SQL keyed
+  by (replica identity, event_seq), with batch-id replay dedup recorded in
+  an ``applied_batches`` table (ducklake/core.rs:74-80).
+
+On a cluster the staging directory is object storage and the DuckDB file
+is whatever warehouse you point the same SQL at — the sink's Spark side
+never changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+from pyspark.sql import DataFrame
+
+from etl_spark.streaming.sinks import Sink
+
+
+class DuckDBCurrentStateSink(Sink):
+    """Current-state (LWW) tables materialized inside a DuckDB database."""
+
+    def __init__(self, db_path: str, keys: dict[str, list[str]], staging_dir: str | None = None):
+        self.db_path = db_path
+        self.keys = keys  # table -> replica identity columns
+        self.staging_dir = staging_dir or tempfile.mkdtemp(prefix="etl_stage_")
+        con = self._con()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS applied_batches ("
+            "  tbl VARCHAR, batch_id BIGINT, PRIMARY KEY (tbl, batch_id))"
+        )
+        con.close()
+
+    def _con(self):
+        return duckdb.connect(self.db_path)
+
+    def _stage(self, table: str, df: DataFrame, tag: str) -> str:
+        out = os.path.join(self.staging_dir, table, tag)
+        df.write.mode("overwrite").parquet(out)
+        return out
+
+    # -- Sink ----------------------------------------------------------------
+    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
+        staged = self._stage(table, df, "snapshot")
+        con = self._con()
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(
+            f'CREATE TABLE "{table}" AS '
+            f"SELECT *, CAST({snapshot_lsn} AS HUGEINT) AS _etl_seq "
+            f"FROM read_parquet('{staged}/*.parquet')"
+        )
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
+        con = self._con()
+        seen = con.execute(
+            "SELECT 1 FROM applied_batches WHERE tbl = ? AND batch_id = ?",
+            [table, batch_id],
+        ).fetchone()
+        if seen:  # replay: already durable in the warehouse
+            con.close()
+            return
+        cols = [c for c in df.columns if c not in ("op", "commit_lsn", "tx_ordinal", "event_seq")]
+        staged = self._stage(table, df, f"batch_{batch_id}")
+        keys = self.keys[table]
+        key_eq = " AND ".join(f't."{k}" = w.{k}' for k in keys)
+        col_list = ", ".join(f'"{c}"' for c in cols)
+        con.execute("BEGIN")
+        # winner per key within the batch (LWW by event_seq), then delete
+        # superseded target rows and insert survivors — the staging-merge
+        # pattern every reference warehouse destination uses
+        con.execute(
+            f"CREATE TEMP TABLE w AS "
+            f"SELECT * FROM ("
+            f"  SELECT *, row_number() OVER ("
+            f"    PARTITION BY {', '.join(keys)} ORDER BY CAST(event_seq AS HUGEINT) DESC) AS rn"
+            f"  FROM read_parquet('{staged}/*.parquet')) WHERE rn = 1"
+        )
+        con.execute(f'DELETE FROM "{table}" t USING w WHERE {key_eq} AND CAST(w.event_seq AS HUGEINT) > t._etl_seq')
+        con.execute(
+            f'INSERT INTO "{table}" SELECT {col_list}, CAST(event_seq AS HUGEINT) FROM w '
+            f"WHERE op <> 'DELETE' AND NOT EXISTS ("
+            f'  SELECT 1 FROM "{table}" t WHERE {key_eq})'
+        )
+        con.execute("INSERT INTO applied_batches VALUES (?, ?)", [table, batch_id])
+        con.execute("COMMIT")
+        con.close()
+
+    def truncate(self, table: str) -> None:
+        con = self._con()
+        exists = con.execute(
+            "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
+        ).fetchone()
+        if exists:
+            con.execute(f'DELETE FROM "{table}"')
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def read(self, table: str):
+        """Driver-side read-back (tests): list of dict rows."""
+        con = self._con()
+        out = con.execute(f'SELECT * FROM "{table}"').df().to_dict("records")
+        con.close()
+        return out

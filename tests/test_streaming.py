@@ -407,3 +407,29 @@ def test_malformed_row_image_rejected_not_poisoning(spark, env):
     rows = env["sink"].read("users").select("pk", "val").collect()
     assert all(r.pk is not None for r in rows)
     assert {r.pk: r.val for r in rows}[9] == "ok"
+
+
+def test_duckdb_warehouse_sink(spark, tmp_path):
+    """External-warehouse destination: Spark stages parquet, DuckDB runs
+    the keyed merge; batch-id replay dedup via applied_batches."""
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    db = str(tmp_path / "wh.duckdb")
+    sink = DuckDBCurrentStateSink(db, keys={"users": ["pk"]},
+                                  staging_dir=str(tmp_path / "stage"))
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], PAYLOAD)
+    sink.write_snapshot("users", snap)
+
+    batch = spark.createDataFrame([
+        ("UPDATE", 2, "b2", 10, 0), ("INSERT", 3, "c", 11, 0), ("DELETE", 1, None, 12, 0),
+    ], "op string, pk long, val string, commit_lsn long, tx_ordinal long").selectExpr(
+        "op", "pk", "val", "commit_lsn", "tx_ordinal",
+        "CAST(commit_lsn AS DECIMAL(38,0)) * 18446744073709551616 + tx_ordinal AS event_seq",
+    )
+    sink.write_changes("users", batch, batch_id=0)
+    got = {r["pk"]: r["val"] for r in sink.read("users")}
+    assert got == {2: "b2", 3: "c"}
+
+    # replay the same batch id: no duplicate application
+    sink.write_changes("users", batch, batch_id=0)
+    assert {r["pk"]: r["val"] for r in sink.read("users")} == {2: "b2", 3: "c"}
