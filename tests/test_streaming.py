@@ -433,3 +433,49 @@ def test_duckdb_warehouse_sink(spark, tmp_path):
     # replay the same batch id: no duplicate application
     sink.write_changes("users", batch, batch_id=0)
     assert {r["pk"]: r["val"] for r in sink.read("users")} == {2: "b2", 3: "c"}
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Streaming-native event-time aggregation: watermarked 1-hour windows
+    over the change stream (the watermark bounds state for late data —
+    beyond the reference's surface, which has no event-time aggs)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from etl_spark.envelope import GENERIC_ENVELOPE
+    from etl_spark.sources.cdc import stream_changes
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_000_000  # epoch secs
+    rows = []
+    for i, hour in enumerate([0, 0, 1, 1, 1, 2]):
+        rows.append(Row(op="INSERT", table="users", commit_lsn=100 + i,
+                        start_lsn=100 + i, tx_ordinal=0,
+                        after=json.dumps({"pk": i, "ts_sec": base + hour * 3600 + i}),
+                        before=None, before_kind=None, missing_cols=None,
+                        schema_snapshot_lsn=None))
+    write_events(spark, src, rows, "b1")
+
+    stream = stream_changes(spark, src)
+    decoded = stream.withColumn(
+        "evt_ts",
+        F.timestamp_seconds(F.get_json_object("after", "$.ts_sec").cast("long")),
+    )
+    agg = (
+        decoded.withWatermark("evt_ts", "30 minutes")
+        .groupBy(F.window("evt_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("win_agg").option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # tumbling windows align to the epoch, not to the first event:
+    # base % 3600 = 800, so each hour's window starts 800s before it
+    got = {r.w_start - base: r.n for r in spark.table("win_agg").collect()}
+    assert got == {-800: 2, 2800: 3, 6400: 1}
