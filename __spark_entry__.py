@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
         "q21_waiting_orders": workload_relational.q21_waiting_orders,
+        "q9_product_profit": workload_relational.q9_product_profit,
+        "q11_important_parts": workload_relational.q11_important_parts,
+        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
+        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
         "events_running_total": workload_relational.events_running_total,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,

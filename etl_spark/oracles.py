@@ -924,3 +924,57 @@ SELECT a.event_type,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM agg a JOIN exact e ON a.event_type = e.event_type
 """
+
+ORACLES["q9_product_profit"] = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum({_D}) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLES["q11_important_parts"] = f"""
+WITH pv AS (
+  SELECT l.l_partkey, sum({_D}) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(v) AS DOUBLE) AS total, count(*) AS cnt FROM pv)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM pv, t
+WHERE CAST(v AS DOUBLE) > 2.0 * total / cnt
+"""
+
+ORACLES["q16_supplier_part_count"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT IN ('PROMO') AND p.p_size <= 40
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q20_excess_suppliers"] = """
+WITH qty AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS q
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(q) AS DOUBLE) AS total, count(*) AS cnt FROM qty),
+big AS (SELECT l_suppkey FROM qty, t WHERE q > total / cnt)
+SELECT s.s_name, s.s_acctbal, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM big)
+"""

@@ -695,3 +695,109 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "event_type").select(
         "event_type", "est_distinct", "kth_min_hash", "n_sketch", "exact_distinct"
     )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: nation × year profit over a 5-table join (the
+    testdata has no partsupp, so profit = discounted revenue).
+
+    part/supplier/nation broadcast; lineitem⋈orders is the one shuffle.
+    The part LIKE filter lands before the join, shrinking the broadcast.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(profit.cast("double").alias("profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value HAVING > a global-scalar threshold
+    (2× the mean part value within one nation's suppliers).
+
+    The scalar side is a 1-row agg broadcast into the filter — Catalyst
+    plans it as a broadcast nested loop over one row, not a shuffle. The
+    per-part agg reuses the same shuffled partitioning for both branches.
+    """
+    supp_n7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    per_part = (
+        li.join(F.broadcast(supp_n7), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(value.alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("total"), F.count("*").alias("cnt")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > 2.0 * F.col("total") / F.col("cnt"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute group,
+    minus a NOT IN supplier exclusion (anti-join on a broadcast set).
+
+    countDistinct plans as a two-phase partial/final aggregate (expand +
+    distinct-combine map-side) — one shuffle on the group keys.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").isin("PROMO")) & (F.col("p_size") <= 40)
+    )
+    excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers whose 1996
+    shipped quantity of bolt parts exceeds the average across such
+    suppliers, listed with their nation.
+
+    The derived key set stays aggregated (one row per supplier) before the
+    semi-join, so the probe side is minimal; supplier and nation broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    bolts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    qty = (
+        li.join(F.broadcast(bolts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+    )
+    thresh = qty.agg(F.sum("qty").alias("t"), F.count("*").alias("c"))
+    big = (
+        qty.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("t") / F.col("c"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(big), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+    )
