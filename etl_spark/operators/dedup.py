@@ -203,35 +203,36 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Charikar '02: each distinct token votes ±1 per bit position (bit j of
     md5(token)); the fingerprint sets bit j iff the vote sum is positive.
-    Implementation is explode(tokens) × explode(bits) → groupBy(id, bit)
-    vote-sum → groupBy(id) bit-assemble: two shuffles, both with map-side
-    combine. Bits come from md5 hex digits via arithmetic (no bigint
-    conversion) so the oracle can mirror it.
+    Implementation is explode(tokens) → ONE groupBy(id) with 32 wide
+    vote-sum columns (the same wide-column shape as the MinHash
+    signatures): no per-bit row explosion, one shuffle, map-side combine
+    reduces each partition to one 32-int row per document. Bits come from
+    md5 hex digits via arithmetic (no bigint conversion) so the DuckDB
+    oracle can mirror the fingerprint definition exactly.
     """
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
-    bits = tok.select(
+    # 8 hex digits once per token row, then 32 constant-folded ±1 votes
+    digits = tok.select(
         F.col(id_col),
-        F.col("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring("h", d + 1, 1)) - 1).alias(f"d{d}")
+            for d in range(SIMHASH_BITS // 4)
+        ],
     )
-    # hex digit holding this bit, then extract with div/mod arithmetic
-    # (identical expression runs in the DuckDB oracle)
-    bitval = F.expr(
-        "((instr('0123456789abcdef', substring(h, (bit div 4) + 1, 1)) - 1)"
-        " div cast(pow(2, bit % 4) as int)) % 2"
+    votes = [
+        (F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = digits.select(F.col(id_col), *votes).groupBy(id_col).agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
     )
-    votes = bits.withColumn("v", F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)))
-    sums = votes.groupBy(id_col, "bit").agg(F.sum("v").alias("s"))
-    fp = sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
+    fingerprint = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
     )
-    return fp
+    return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def simhash_candidates(
@@ -253,14 +254,22 @@ def simhash_candidates(
     a = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # hamming filter BEFORE distinct: the predicate is join-local (no
-    # shuffle) and prunes the exchange feeding the dedup — at scale the
-    # far-pair majority never leaves the join stage.
+    # a pair with k equal bytes matches in k of the 4 equi-joins; emit it
+    # only from the SMALLEST equal block (no earlier block byte-equal) —
+    # the predicate is join-local, so no distinct and no second shuffle of
+    # the pair set. hamming filter is also join-local: the far-pair
+    # majority never leaves the join stage.
+    first_match = F.expr(
+        " AND ".join(
+            f"(blk <= {b} OR (shiftright(sh_a, {b * 8}) & 255) != (shiftright(sh_b, {b * 8}) & 255))"
+            for b in range(3)
+        )
+    )
     return (
         a.join(b, ["blk", "blk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
