@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": workload_text.ann_cosine_topk,
         "dedup_keep_list": workload_text.dedup_keep_list,
         "dedup_components": workload_text.dedup_components,
+        "sample_stratified": workload_text.sample_stratified,
+        "docs_top_terms": workload_text.docs_top_terms,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
         "embed_near_dup": workload_text.embed_near_dup,
         # relational analytics (host-engine capabilities over the same data)
@@ -75,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": workload_relational.q11_important_parts,
         "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
         "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
+        "events_funnel": workload_relational.events_funnel,
+        "events_value_percentiles": workload_relational.events_value_percentiles,
         "events_running_total": workload_relational.events_running_total,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,

@@ -978,3 +978,54 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM big)
 """
+
+_U13 = """list_sum([(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), x, 1)) - 1)
+                   * power(16, 13 - x) for x in range(1, 14)]) / 4503599627370496.0"""
+
+ORACLES["sample_stratified"] = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_U13} < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.25
+                         WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 END
+"""
+
+ORACLES["docs_top_terms"] = """
+WITH term AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM term WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df_docs + 1.0)) + 1.0), 4) AS tfidf,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term ASC) AS INTEGER) AS rank
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df_docs, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["events_funnel"] = """
+WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY 1),
+cl AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > su.s_ts GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN cl USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts GROUP BY 1
+)
+SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM su
+UNION ALL SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM cl
+UNION ALL SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM pu
+"""
+
+ORACLES["events_value_percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""

@@ -801,3 +801,55 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
         .select("s_name", "s_acctbal", "n_name")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first click after signup →
+    first purchase after that click, counted per stage.
+
+    Each stage is a keyed min-aggregate joined back on user_id — three
+    shuffles on the same key (a bucketed-by-user layout would make every
+    one of them exchange-free). Timestamps stay raw nanos longs end-to-end.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = [
+        su.agg(F.count("*").alias("users")).withColumn("stage", F.lit("1_signup")),
+        cl.agg(F.count("*").alias("users")).withColumn("stage", F.lit("2_click_after_signup")),
+        pu.agg(F.count("*").alias("users")).withColumn("stage", F.lit("3_purchase_after_click")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.select("stage", "users")
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) of purchase value per
+    event type — the canonical data-quality profile aggregate.
+
+    Spark's ``percentile`` is a full-sort exact aggregate: one shuffle on
+    the group key, per-group sort inside the aggregate buffer. At 100 TB
+    the same query swaps to ``approx_percentile`` (t-digest, mergeable,
+    bounded memory) — kept exact here so the DuckDB oracle hash-matches.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.count("*").alias("n"),
+    )

@@ -186,3 +186,65 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return out
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-data mixing
+    primitive (downsample over-represented languages).
+
+    Keep predicate: md5-uniform(doc_id) < rate(lang). Pure column algebra,
+    no shuffle at all (sampling is scan-stage); deterministic, so re-runs
+    and the oracle agree row-for-row. Production shape: the rates come
+    from a broadcast-joined mix-spec dim instead of a literal CASE.
+    """
+    rates = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    docs = _docs(spark, sf_dir)
+    # first 13 md5 hex digits = exact 52-bit integer → exact double in [0,1)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    rate = F.lit(None).cast("double")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(u < rate).select("doc_id", "lang")
+
+
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Shape: explode(tokens) → (doc, term) counts [shuffle 1] → term document
+    frequency [shuffle 2, map-combined] → broadcast DF back onto the term
+    table → per-doc rank window [shuffle 3]. Corpus size N arrives as a
+    1-row broadcast, never a driver-side collect. The DF side is
+    vocabulary-sized, so its join is left unhinted — AQE broadcasts it at
+    small scale and falls back to shuffle join when the vocabulary
+    outgrows the threshold. Ranking is by integer (tf DESC, term ASC) so
+    cross-engine float ulps can't reorder it; the tfidf score itself is
+    reported rounded.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    term = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df_docs") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+            "rank",
+        )
+    )
