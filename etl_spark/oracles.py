@@ -1029,3 +1029,8 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """
+
+ORACLES["stream_stateful_dedup"] = f"""
+WITH {ENVELOPE_CTE}
+SELECT op, commit_lsn, tx_ordinal, pk, value FROM env WHERE pk IS NOT NULL
+"""

@@ -178,3 +178,57 @@ def cdc_pk_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded, keys=["pk"], tie_breakers=["sub_ordinal"]
     )
     return cur.select("pk", "op", "start_lsn", "sub_ordinal", "value")
+
+
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Structured-Streaming run of the stateful in-stream dedup
+    (:func:`etl_spark.streaming.stateful.dedup_by_sequence`).
+
+    The envelope is split into two change-log files; the second file
+    REPLAYS the first in full before adding the rest (the at-least-once
+    delivery the reference's architecture.md:119-136 promises downstream
+    consumers will see). ``maxFilesPerTrigger=1`` forces separate
+    micro-batches, so the replay is filtered by state persisted across
+    batches, not by intra-batch dedup. The final emitted set is therefore
+    every unique sequence exactly once — deterministic, with an exact SQL
+    oracle (the envelope itself).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from etl_spark.streaming.stateful import dedup_by_sequence
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "table", "commit_lsn", "tx_ordinal", "pk", "value"
+    ).filter(F.col("pk").isNotNull())
+    mid = env.agg(F.expr("percentile(commit_lsn, 0.5)").alias("m")).collect()[0]["m"]
+    first = env.filter(F.col("commit_lsn") <= mid)
+    rest = env.filter(F.col("commit_lsn") > mid)
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(first, "b0")
+    emit(first.unionByName(rest), "b1")  # b1 = full replay of b0 + the rest
+
+    stream = spark.readStream.schema(env.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_by_sequence(stream, ["table", "pk"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("op", "commit_lsn", "tx_ordinal", "pk", "value")

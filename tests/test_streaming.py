@@ -8,6 +8,7 @@ import shutil
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from etl_spark.envelope import GENERIC_ENVELOPE
 from etl_spark.state import TableState
@@ -479,3 +480,54 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     # base % 3600 = 800, so each hour's window starts 800s before it
     got = {r.w_start - base: r.n for r in spark.table("win_agg").collect()}
     assert got == {-800: 2, 2800: 3, 6400: 1}
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState high-watermark dedup: replays of already-
+    applied sequences are dropped ACROSS micro-batches (state persists),
+    and intra-batch duplicates collapse to one emission."""
+    from etl_spark.streaming.stateful import dedup_by_sequence
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    ck = str(tmp_path / "ck")
+
+    def batch(name, rows):
+        write_events(spark, src, rows, name)
+
+    batch("b0", [
+        ev("INSERT", "public.users", 10, 0, after={"pk": 1, "val": "a"}),
+        ev("UPDATE", "public.users", 10, 1, after={"pk": 1, "val": "b"}),
+        ev("UPDATE", "public.users", 10, 1, after={"pk": 1, "val": "b"}),  # intra-batch dup
+        ev("INSERT", "public.users", 11, 0, after={"pk": 2, "val": "x"}),
+    ])
+
+    events = (
+        spark.readStream.schema(GENERIC_ENVELOPE).parquet(src)
+        .withColumn("pk", F.get_json_object("after", "$.pk").cast("long"))
+    )
+    deduped = dedup_by_sequence(events, ["table", "pk"])
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", ck).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select commit_lsn, tx_ordinal, pk from dedup_out order by 1,2").collect()
+        assert [(r.commit_lsn, r.tx_ordinal, r.pk) for r in got1] == [
+            (10, 0, 1), (10, 1, 1), (11, 0, 2)
+        ]
+        # batch 2: full replay of batch 1 + one stale straggler + one new event
+        batch("b1", [
+            ev("INSERT", "public.users", 10, 0, after={"pk": 1, "val": "a"}),   # replay
+            ev("UPDATE", "public.users", 10, 1, after={"pk": 1, "val": "b"}),   # replay
+            ev("UPDATE", "public.users", 9, 5, after={"pk": 2, "val": "old"}),  # stale
+            ev("UPDATE", "public.users", 12, 0, after={"pk": 1, "val": "c"}),   # new
+        ])
+        q.processAllAvailable()
+        got2 = spark.sql("select commit_lsn, tx_ordinal, pk from dedup_out order by 1,2").collect()
+        assert [(r.commit_lsn, r.tx_ordinal, r.pk) for r in got2] == [
+            (10, 0, 1), (10, 1, 1), (11, 0, 2), (12, 0, 1)
+        ]
+    finally:
+        q.stop()
