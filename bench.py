@@ -49,6 +49,11 @@ HEADLINE = [
     "text_quality",
     "ann_cosine_topk",
     "embed_near_dup",
+    "q9_product_profit",
+    "docs_top_terms",
+    "sample_stratified",
+    "events_value_percentiles",
+    "events_funnel",
 ]
 
 
