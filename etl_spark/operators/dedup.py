@@ -245,31 +245,60 @@ def simhash_candidates(
     (unioned) instead of a cross join — the standard scalable SimHash
     lookup (Manku et al. '07, detecting near-duplicates for web crawling).
     Returns ``(id_a, id_b, hamming)``.
+
+    Scale shape: identical fingerprints collapse to ONE row before the
+    block join (duplicate-heavy corpora make hot fingerprints — replicate
+    a corpus 10× and every bucket is 10× deeper, so a doc-level join
+    would do 100× the work for the same distinct-fingerprint structure).
+    The block join runs over distinct fingerprints only; the surviving
+    fingerprint pairs then join back to the doc table twice, so the
+    unavoidable |cluster|² pair listing is produced by streamed join
+    output — parallel across tasks, never a giant in-row array. (For
+    mega-clusters a production pipeline keeps counts + exemplar ids
+    instead of materializing every pair; cap that by pre-limiting docs
+    per fingerprint.)
     """
-    blocks = fp.select(
-        F.col(id_col),
-        F.col("simhash"),
+    distinct_fp = fp.select("simhash").distinct()
+    blocks = distinct_fp.select(
+        "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
     ).withColumn("blk_val", F.expr("shiftright(simhash, blk * 8) & 255"))
-    a = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = blocks.select(F.col("blk"), F.col("blk_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    a = blocks.select("blk", "blk_val", F.col("simhash").alias("sh_a"))
+    b = blocks.select("blk", "blk_val", F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # a pair with k equal bytes matches in k of the 4 equi-joins; emit it
-    # only from the SMALLEST equal block (no earlier block byte-equal) —
-    # the predicate is join-local, so no distinct and no second shuffle of
-    # the pair set. hamming filter is also join-local: the far-pair
-    # majority never leaves the join stage.
+    # a fingerprint pair with k equal bytes matches in k of the 4
+    # equi-joins; emit it only from the SMALLEST equal block — join-local
+    # predicate, so no distinct and no second shuffle of the pair set.
+    # hamming filter is also join-local: the far-pair majority never
+    # leaves the join stage. sh_a == sh_b (identical fingerprints) pairs
+    # survive exactly once via blk 0 (all earlier-byte tests fail).
     first_match = F.expr(
         " AND ".join(
             f"(blk <= {b} OR (shiftright(sh_a, {b * 8}) & 255) != (shiftright(sh_b, {b * 8}) & 255))"
             for b in range(3)
         )
     )
-    return (
+    fp_pairs = (
         a.join(b, ["blk", "blk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("sh_a") <= F.col("sh_b"))
         .filter(first_match)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("sh_a", "sh_b", "hamming")
+    )
+    # streamed expansion: each surviving fingerprint pair picks up its
+    # member docs from two joins. Shuffle volume is (candidate fp pair ×
+    # side) rows — the m×n pair OUTPUT is join-stage streaming, and the
+    # same-fingerprint m² case collapses to i<j by the id ordering filter.
+    da = fp.select(F.col(id_col).alias("id_x"), F.col("simhash").alias("sh_a"))
+    db = fp.select(F.col(id_col).alias("id_y"), F.col("simhash").alias("sh_b"))
+    return (
+        fp_pairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .filter((F.col("sh_a") < F.col("sh_b")) | (F.col("id_x") < F.col("id_y")))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
     )

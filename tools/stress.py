@@ -53,6 +53,13 @@ QUERIES = [
     "ann_cosine_topk",
     "embed_near_dup",
     "mm_features",
+    "dedup_simhash_pairs",
+    "docs_top_terms",
+    "sample_stratified",
+    "events_funnel",
+    "events_value_percentiles",
+    "q9_product_profit",
+    "q16_supplier_part_count",
 ]
 
 
