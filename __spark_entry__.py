@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": workload_text.dedup_components,
         "sample_stratified": workload_text.sample_stratified,
         "docs_top_terms": workload_text.docs_top_terms,
+        "docs_clean": workload_text.docs_clean,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
         "embed_near_dup": workload_text.embed_near_dup,
         # relational analytics (host-engine capabilities over the same data)
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
         "events_funnel": workload_relational.events_funnel,
         "events_value_percentiles": workload_relational.events_value_percentiles,
+        "events_window_suite": workload_relational.events_window_suite,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
         "events_running_total": workload_relational.events_running_total,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,

@@ -1034,3 +1034,46 @@ ORACLES["stream_stateful_dedup"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT op, commit_lsn, tx_ordinal, pk, value FROM env WHERE pk IS NOT NULL
 """
+
+ORACLES["events_window_suite"] = """
+SELECT user_id, event_id,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+       last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+FROM events
+WHERE event_type IN ('purchase', 'view')
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["events_grouping_sets"] = """
+SELECT event_type,
+       CAST(epoch_ns(ts) // 1000000000 // 86400 * 86400 AS DOUBLE) AS day_epoch,
+       CAST(grouping(event_type) AS INTEGER) AS g_type,
+       CAST(grouping(epoch_ns(ts) // 1000000000 // 86400 * 86400) AS INTEGER) AS g_day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (epoch_ns(ts) // 1000000000 // 86400 * 86400), ())
+"""
+
+ORACLES["docs_clean"] = """
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              'https?://[^\\s]+', ' ', 'g'),
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(cleaned) AS INTEGER) AS clean_len,
+       md5(cleaned) AS clean_fp,
+       CAST(length(text) - length(cleaned) AS INTEGER) AS removed_chars
+FROM c
+"""

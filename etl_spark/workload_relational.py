@@ -853,3 +853,47 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+def events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window family in one pass: lag/lead, ntile, rank
+    percentiles, cumulative distribution, first/last value — all over ONE
+    window spec, so Catalyst evaluates them in a single sort within a
+    single shuffle on user_id. Ordering key (ts, event_id) is unique ⇒
+    every function is deterministic cross-engine.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("event_id").over(wall).alias("first_event"),
+        F.last("event_id").over(wall).alias("last_event"),
+    )
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than ROLLUP/CUBE): (type), (day), and
+    grand total in ONE shuffle via the expand operator — the multi-
+    granularity aggregation a reporting layer wants without re-scanning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(ts div 1000000000 div 86400 * 86400 AS DOUBLE) AS day_epoch,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(ts div 1000000000 div 86400 * 86400) AS INT) AS g_day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (ts div 1000000000 div 86400 * 86400), ())
+        """
+    )

@@ -248,3 +248,29 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text cleanup: strip URLs and e-mail addresses,
+    collapse whitespace, lowercase — then fingerprint the cleaned text.
+
+    All JVM-side regexp work in the scan stage (no shuffle, no Python).
+    Patterns stay inside the regex subset Java and RE2 interpret
+    identically, so the oracle mirrors them verbatim.
+    """
+    docs = _docs(spark, sf_dir)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"https?://[^\s]+", " "),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_fp"),
+        (F.length("text") - F.length(cleaned)).alias("removed_chars"),
+    )
