@@ -143,3 +143,50 @@ def test_q7_broadcasts_all_dims(spark):
     plan = plan_of(workload_relational.q7_volume_shipping(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_suite_single_shuffle(spark):
+    # all 7 window functions share one window spec → one sort, one exchange
+    plan = plan_of(workload_relational.events_window_suite(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert plan.count("(1) Scan") == 1  # single pass over events
+
+
+def test_grouping_sets_single_shuffle(spark):
+    # Expand feeds ONE exchange; no re-scan per grouping set
+    plan = plan_of(workload_relational.events_grouping_sets(spark, SF_DIR))
+    assert "Expand" in plan
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_sample_stratified_zero_shuffle(spark):
+    from etl_spark import workload_text
+
+    plan = plan_of(workload_text.sample_stratified(spark, SF_DIR))
+    # scan-stage predicate only; the explicit fan-out repartition in _docs
+    # is the only exchange allowed
+    assert n_shuffles(plan) <= 1, plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_docs_clean_scan_stage_only(spark):
+    from etl_spark import workload_text
+
+    plan = plan_of(workload_text.docs_clean(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_funnel_no_cartesian(spark):
+    plan = plan_of(workload_relational.events_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_block_join_over_distinct_fingerprints(spark):
+    from etl_spark import workload_text
+
+    plan = plan_of(workload_text.dedup_simhash_pairs(spark, SF_DIR))
+    # the block join must consume HashAggregate(distinct simhash), not raw
+    # per-doc rows — the duplicate-collapse that bounds join work
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
