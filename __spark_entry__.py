@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_terms": workload_text.docs_top_terms,
         "docs_clean": workload_text.docs_clean,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
+        "ann_lsh_topk": workload_text.ann_lsh_topk,
         "embed_near_dup": workload_text.embed_near_dup,
         # relational analytics (host-engine capabilities over the same data)
         "q1_pricing_summary": workload_relational.q1_pricing_summary,

@@ -342,3 +342,77 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH (random hyperplane) bucketed ANN
+# ---------------------------------------------------------------------------
+
+def lsh_sign_matrix(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (Charikar random-hyperplane LSH
+    with Rademacher projections). Seeded from md5 so both engines and every
+    run see the same planes — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def lsh_bucket(vec_col, n_bits: int = 6, dim: int = 64):
+    """Bucket id = n-bit sign signature of the vector under the fixed
+    hyperplanes — pure Column algebra (one fused projection per bit, no
+    UDF), so bucketing happens in the scan stage."""
+    signs = lsh_sign_matrix(n_bits, dim)
+    v = vec_col.cast("array<double>")
+    bits = []
+    for j, row in enumerate(signs):
+        plane = F.array(*[F.lit(float(s)) for s in row])
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k restricted to the query's LSH bucket.
+
+    Scale shape vs brute force: the corpus join key is the bucket id, so
+    per-query work is bucket occupancy (n / 2^bits expected), not n. The
+    corpus side never broadcasts; the (tiny) query side does. Recall is
+    the usual S-curve tradeoff — RAISE n_bits for bigger corpora, or
+    multi-probe by unioning bit-flipped query buckets. Deterministic
+    hyperplanes ⇒ deterministic result ⇒ exact SQL oracle.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), n_bits, dim).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), n_bits, dim).alias("__bkt"),
+    )
+    scored = c.join(F.broadcast(q), "__bkt").select(
+        F.col(query_id_col), F.col(id_col), cosine(F.col("__cv"), F.col("__qv")).alias("sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

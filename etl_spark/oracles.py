@@ -1077,3 +1077,20 @@ SELECT doc_id,
        CAST(length(text) - length(cleaned) AS INTEGER) AS removed_chars
 FROM c
 """
+
+ORACLES["ann_lsh_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+c AS (SELECT vec_id, ev, (CASE WHEN (ev[1] * -1.0 + ev[2] * 1.0 + ev[3] * 1.0 + ev[4] * 1.0 + ev[5] * 1.0 + ev[6] * 1.0 + ev[7] * -1.0 + ev[8] * 1.0 + ev[9] * 1.0 + ev[10] * 1.0 + ev[11] * -1.0 + ev[12] * -1.0 + ev[13] * -1.0 + ev[14] * -1.0 + ev[15] * -1.0 + ev[16] * 1.0 + ev[17] * 1.0 + ev[18] * -1.0 + ev[19] * 1.0 + ev[20] * -1.0 + ev[21] * -1.0 + ev[22] * 1.0 + ev[23] * -1.0 + ev[24] * -1.0 + ev[25] * 1.0 + ev[26] * 1.0 + ev[27] * 1.0 + ev[28] * -1.0 + ev[29] * 1.0 + ev[30] * 1.0 + ev[31] * -1.0 + ev[32] * -1.0 + ev[33] * 1.0 + ev[34] * -1.0 + ev[35] * -1.0 + ev[36] * 1.0 + ev[37] * -1.0 + ev[38] * -1.0 + ev[39] * -1.0 + ev[40] * 1.0 + ev[41] * 1.0 + ev[42] * -1.0 + ev[43] * 1.0 + ev[44] * 1.0 + ev[45] * 1.0 + ev[46] * 1.0 + ev[47] * -1.0 + ev[48] * 1.0 + ev[49] * 1.0 + ev[50] * -1.0 + ev[51] * 1.0 + ev[52] * 1.0 + ev[53] * 1.0 + ev[54] * -1.0 + ev[55] * 1.0 + ev[56] * -1.0 + ev[57] * -1.0 + ev[58] * 1.0 + ev[59] * 1.0 + ev[60] * 1.0 + ev[61] * 1.0 + ev[62] * 1.0 + ev[63] * 1.0 + ev[64] * -1.0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN (ev[1] * 1.0 + ev[2] * 1.0 + ev[3] * 1.0 + ev[4] * -1.0 + ev[5] * 1.0 + ev[6] * 1.0 + ev[7] * 1.0 + ev[8] * 1.0 + ev[9] * -1.0 + ev[10] * 1.0 + ev[11] * 1.0 + ev[12] * 1.0 + ev[13] * -1.0 + ev[14] * 1.0 + ev[15] * -1.0 + ev[16] * -1.0 + ev[17] * -1.0 + ev[18] * -1.0 + ev[19] * -1.0 + ev[20] * -1.0 + ev[21] * 1.0 + ev[22] * -1.0 + ev[23] * -1.0 + ev[24] * 1.0 + ev[25] * -1.0 + ev[26] * 1.0 + ev[27] * -1.0 + ev[28] * 1.0 + ev[29] * 1.0 + ev[30] * -1.0 + ev[31] * 1.0 + ev[32] * 1.0 + ev[33] * 1.0 + ev[34] * -1.0 + ev[35] * -1.0 + ev[36] * -1.0 + ev[37] * 1.0 + ev[38] * -1.0 + ev[39] * -1.0 + ev[40] * -1.0 + ev[41] * 1.0 + ev[42] * -1.0 + ev[43] * 1.0 + ev[44] * 1.0 + ev[45] * 1.0 + ev[46] * 1.0 + ev[47] * 1.0 + ev[48] * -1.0 + ev[49] * 1.0 + ev[50] * -1.0 + ev[51] * -1.0 + ev[52] * -1.0 + ev[53] * -1.0 + ev[54] * 1.0 + ev[55] * -1.0 + ev[56] * -1.0 + ev[57] * -1.0 + ev[58] * -1.0 + ev[59] * -1.0 + ev[60] * 1.0 + ev[61] * -1.0 + ev[62] * -1.0 + ev[63] * -1.0 + ev[64] * 1.0) > 0 THEN 2 ELSE 0 END) + (CASE WHEN (ev[1] * 1.0 + ev[2] * -1.0 + ev[3] * -1.0 + ev[4] * -1.0 + ev[5] * 1.0 + ev[6] * -1.0 + ev[7] * -1.0 + ev[8] * 1.0 + ev[9] * -1.0 + ev[10] * 1.0 + ev[11] * 1.0 + ev[12] * -1.0 + ev[13] * -1.0 + ev[14] * 1.0 + ev[15] * 1.0 + ev[16] * 1.0 + ev[17] * -1.0 + ev[18] * -1.0 + ev[19] * -1.0 + ev[20] * -1.0 + ev[21] * -1.0 + ev[22] * -1.0 + ev[23] * -1.0 + ev[24] * -1.0 + ev[25] * -1.0 + ev[26] * -1.0 + ev[27] * 1.0 + ev[28] * -1.0 + ev[29] * -1.0 + ev[30] * -1.0 + ev[31] * -1.0 + ev[32] * -1.0 + ev[33] * -1.0 + ev[34] * -1.0 + ev[35] * 1.0 + ev[36] * -1.0 + ev[37] * -1.0 + ev[38] * -1.0 + ev[39] * 1.0 + ev[40] * 1.0 + ev[41] * 1.0 + ev[42] * -1.0 + ev[43] * 1.0 + ev[44] * 1.0 + ev[45] * -1.0 + ev[46] * 1.0 + ev[47] * -1.0 + ev[48] * 1.0 + ev[49] * -1.0 + ev[50] * -1.0 + ev[51] * 1.0 + ev[52] * -1.0 + ev[53] * 1.0 + ev[54] * -1.0 + ev[55] * -1.0 + ev[56] * 1.0 + ev[57] * -1.0 + ev[58] * -1.0 + ev[59] * -1.0 + ev[60] * -1.0 + ev[61] * 1.0 + ev[62] * -1.0 + ev[63] * 1.0 + ev[64] * -1.0) > 0 THEN 4 ELSE 0 END) + (CASE WHEN (ev[1] * 1.0 + ev[2] * -1.0 + ev[3] * -1.0 + ev[4] * 1.0 + ev[5] * -1.0 + ev[6] * -1.0 + ev[7] * -1.0 + ev[8] * -1.0 + ev[9] * 1.0 + ev[10] * 1.0 + ev[11] * 1.0 + ev[12] * 1.0 + ev[13] * 1.0 + ev[14] * 1.0 + ev[15] * -1.0 + ev[16] * 1.0 + ev[17] * -1.0 + ev[18] * -1.0 + ev[19] * 1.0 + ev[20] * 1.0 + ev[21] * -1.0 + ev[22] * 1.0 + ev[23] * 1.0 + ev[24] * -1.0 + ev[25] * -1.0 + ev[26] * 1.0 + ev[27] * 1.0 + ev[28] * -1.0 + ev[29] * 1.0 + ev[30] * -1.0 + ev[31] * 1.0 + ev[32] * -1.0 + ev[33] * -1.0 + ev[34] * 1.0 + ev[35] * -1.0 + ev[36] * 1.0 + ev[37] * 1.0 + ev[38] * -1.0 + ev[39] * 1.0 + ev[40] * 1.0 + ev[41] * 1.0 + ev[42] * 1.0 + ev[43] * -1.0 + ev[44] * 1.0 + ev[45] * -1.0 + ev[46] * -1.0 + ev[47] * -1.0 + ev[48] * 1.0 + ev[49] * -1.0 + ev[50] * -1.0 + ev[51] * 1.0 + ev[52] * -1.0 + ev[53] * 1.0 + ev[54] * 1.0 + ev[55] * -1.0 + ev[56] * -1.0 + ev[57] * 1.0 + ev[58] * 1.0 + ev[59] * -1.0 + ev[60] * 1.0 + ev[61] * 1.0 + ev[62] * 1.0 + ev[63] * -1.0 + ev[64] * 1.0) > 0 THEN 8 ELSE 0 END) + (CASE WHEN (ev[1] * 1.0 + ev[2] * 1.0 + ev[3] * 1.0 + ev[4] * -1.0 + ev[5] * 1.0 + ev[6] * -1.0 + ev[7] * -1.0 + ev[8] * 1.0 + ev[9] * -1.0 + ev[10] * -1.0 + ev[11] * -1.0 + ev[12] * 1.0 + ev[13] * -1.0 + ev[14] * 1.0 + ev[15] * -1.0 + ev[16] * -1.0 + ev[17] * -1.0 + ev[18] * -1.0 + ev[19] * 1.0 + ev[20] * -1.0 + ev[21] * -1.0 + ev[22] * 1.0 + ev[23] * -1.0 + ev[24] * -1.0 + ev[25] * 1.0 + ev[26] * 1.0 + ev[27] * 1.0 + ev[28] * -1.0 + ev[29] * -1.0 + ev[30] * 1.0 + ev[31] * 1.0 + ev[32] * 1.0 + ev[33] * -1.0 + ev[34] * -1.0 + ev[35] * 1.0 + ev[36] * 1.0 + ev[37] * -1.0 + ev[38] * -1.0 + ev[39] * 1.0 + ev[40] * 1.0 + ev[41] * -1.0 + ev[42] * -1.0 + ev[43] * -1.0 + ev[44] * 1.0 + ev[45] * -1.0 + ev[46] * 1.0 + ev[47] * -1.0 + ev[48] * -1.0 + ev[49] * -1.0 + ev[50] * 1.0 + ev[51] * 1.0 + ev[52] * -1.0 + ev[53] * -1.0 + ev[54] * 1.0 + ev[55] * 1.0 + ev[56] * 1.0 + ev[57] * -1.0 + ev[58] * -1.0 + ev[59] * -1.0 + ev[60] * -1.0 + ev[61] * 1.0 + ev[62] * -1.0 + ev[63] * -1.0 + ev[64] * -1.0) > 0 THEN 16 ELSE 0 END) + (CASE WHEN (ev[1] * -1.0 + ev[2] * 1.0 + ev[3] * 1.0 + ev[4] * -1.0 + ev[5] * -1.0 + ev[6] * -1.0 + ev[7] * 1.0 + ev[8] * -1.0 + ev[9] * -1.0 + ev[10] * 1.0 + ev[11] * 1.0 + ev[12] * -1.0 + ev[13] * 1.0 + ev[14] * -1.0 + ev[15] * -1.0 + ev[16] * -1.0 + ev[17] * 1.0 + ev[18] * -1.0 + ev[19] * -1.0 + ev[20] * -1.0 + ev[21] * -1.0 + ev[22] * 1.0 + ev[23] * -1.0 + ev[24] * -1.0 + ev[25] * -1.0 + ev[26] * -1.0 + ev[27] * 1.0 + ev[28] * 1.0 + ev[29] * 1.0 + ev[30] * 1.0 + ev[31] * -1.0 + ev[32] * 1.0 + ev[33] * 1.0 + ev[34] * 1.0 + ev[35] * 1.0 + ev[36] * -1.0 + ev[37] * 1.0 + ev[38] * -1.0 + ev[39] * 1.0 + ev[40] * -1.0 + ev[41] * 1.0 + ev[42] * -1.0 + ev[43] * -1.0 + ev[44] * 1.0 + ev[45] * 1.0 + ev[46] * 1.0 + ev[47] * 1.0 + ev[48] * -1.0 + ev[49] * -1.0 + ev[50] * 1.0 + ev[51] * 1.0 + ev[52] * 1.0 + ev[53] * 1.0 + ev[54] * 1.0 + ev[55] * 1.0 + ev[56] * 1.0 + ev[57] * -1.0 + ev[58] * -1.0 + ev[59] * 1.0 + ev[60] * -1.0 + ev[61] * 1.0 + ev[62] * 1.0 + ev[63] * 1.0 + ev[64] * 1.0) > 0 THEN 32 ELSE 0 END) AS bkt FROM e),
+q AS (SELECT vec_id AS query_id, ev AS qv, bkt FROM c WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_transform(list_zip(c.ev, q.qv), x -> x[1] * x[2]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(c.ev, v -> v * v), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(q.qv, v -> v * v), (x, y) -> x + y))) AS sim
+  FROM c JOIN q USING (bkt)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

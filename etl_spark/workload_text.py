@@ -274,3 +274,15 @@ def docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(cleaned).alias("clean_fp"),
         (F.length("text") - F.length(cleaned)).alias("removed_chars"),
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 (6-bit random-hyperplane buckets,
+    deterministic planes). The bucket equi-join replaces the brute-force
+    cross join — per-query cost is bucket occupancy, not corpus size."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, k=5, n_bits=6, dim=64)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
