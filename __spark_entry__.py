@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": workload_relational.events_value_percentiles,
         "events_window_suite": workload_relational.events_window_suite,
         "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
         "events_running_total": workload_relational.events_running_total,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,

@@ -1094,3 +1094,10 @@ ranked AS (
 SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+ORACLES["events_skew_salted_agg"] = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(count(event_id) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""

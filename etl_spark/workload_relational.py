@@ -897,3 +897,27 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (ts div 1000000000 div 86400 * 86400), ())
         """
     )
+
+
+def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over genuinely hot keys (5 event types
+    × ~10⁵ rows each): groupBy(key, salt) partial → groupBy(key) merge
+    (:func:`etl_spark.operators.skew.salted_agg`).
+
+    The first shuffle spreads each hot key across 16 salt buckets, so no
+    single reducer owns a whole key — the pattern that keeps a 100 TB agg
+    off the one-straggler cliff when AQE skew-split can't help (e.g. a
+    single key bigger than an executor). Decimal partials keep the
+    two-phase sum exact, so the salted plan hash-matches the plain oracle.
+    """
+    from etl_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _dec("value").alias("value_dec"), "event_id"
+    )
+    out = salted_agg(ev, ["event_type"], {"value_dec": "sum", "event_id": "count"}, n_salts=16)
+    return out.select(
+        "event_type",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+        F.col("count_event_id").cast("long").alias("n"),
+    )
