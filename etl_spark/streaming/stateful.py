@@ -31,6 +31,35 @@ STATE_SCHEMA = StructType(
 )
 
 
+def dedup_apply(
+    pdfs: Iterator[pd.DataFrame],
+    state,
+    commit_col: str = "commit_lsn",
+    ordinal_col: str = "tx_ordinal",
+) -> Iterator[pd.DataFrame]:
+    """The per-group dedup kernel (module-level so unit/property tests can
+    drive it with a fake GroupState — no streaming query needed).
+
+    Invariants (property-tested): emitted sequences are strictly
+    increasing across the group's whole lifetime; nothing emits twice;
+    an exact replay of already-seen batches emits nothing.
+    """
+    c0, o0 = state.get if state.exists else (-1, -1)
+    start = (c0, o0)
+    for pdf in pdfs:
+        fresh = pdf[
+            (pdf[commit_col] > c0) | ((pdf[commit_col] == c0) & (pdf[ordinal_col] > o0))
+        ].sort_values([commit_col, ordinal_col])
+        # same sequence delivered twice inside one batch → keep first
+        fresh = fresh[~fresh[[commit_col, ordinal_col]].duplicated(keep="first")]
+        if len(fresh):
+            tail = fresh.iloc[-1]
+            c0, o0 = int(tail[commit_col]), int(tail[ordinal_col])
+            yield fresh
+    if (c0, o0) > start:
+        state.update((c0, o0))
+
+
 def dedup_by_sequence(
     events: DataFrame,
     key_cols: list[str],
@@ -53,24 +82,7 @@ def dedup_by_sequence(
     def apply(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        c0, o0 = state.get if state.exists else (-1, -1)
-        for pdf in pdfs:
-            fresh = pdf[
-                (pdf[commit_col] > c0)
-                | ((pdf[commit_col] == c0) & (pdf[ordinal_col] > o0))
-            ].sort_values([commit_col, ordinal_col])
-            # same sequence delivered twice inside one batch → keep first
-            fresh = fresh[~fresh[[commit_col, ordinal_col]].duplicated(keep="first")]
-            if len(fresh):
-                tail = fresh.iloc[-1]
-                c0, o0 = int(tail[commit_col]), int(tail[ordinal_col])
-                yield fresh
-        if state.exists:
-            prev = state.get
-            if (c0, o0) > (prev[0], prev[1]):
-                state.update((c0, o0))
-        elif c0 >= 0:
-            state.update((c0, o0))
+        return dedup_apply(pdfs, state, commit_col, ordinal_col)
 
     return events.groupBy(*key_cols).applyInPandasWithState(
         apply,
