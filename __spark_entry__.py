@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
         "stream_stateful_dedup": workload.stream_stateful_dedup,
+        "stream_incremental_rollup": workload.stream_incremental_rollup,
         "cdc_toast_lww": workload.cdc_toast_lww,
         "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
         "cdc_schema_asof": workload.cdc_schema_asof,

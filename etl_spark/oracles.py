@@ -1101,3 +1101,14 @@ SELECT event_type,
        CAST(count(event_id) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """
+
+ORACLES["stream_incremental_rollup"] = """
+SELECT epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -1,0 +1,103 @@
+"""Incrementally-maintained rollup (continuous-aggregate analog).
+
+The reference materializes the change stream as changelog or current-state
+tables; an analytics consumer additionally wants pre-aggregated rollups
+kept fresh per micro-batch (the hypertable continuous-aggregate pattern —
+a custom operator Spark has no built-in for; task brief §custom operators).
+
+Spark shape: the rollup table is parquet partitioned by the time bucket.
+Each micro-batch (1) partially aggregates ITS OWN rows — map-side
+combinable, tiny output; (2) reads back only the rollup partitions its
+buckets touch (partition pruning — the table-sized merge never happens);
+(3) re-aggregates union(existing, partial) and rewrites JUST those
+partitions via dynamic partition overwrite. Work per batch is
+O(batch + touched buckets), independent of rollup-table size — the
+property that keeps a year-old 100 TB rollup updatable in seconds.
+
+Only re-aggregatable functions (sum/count/min/max) participate; avg is a
+sum/count pair composed at read time. Decimal sums keep the incremental
+result bit-identical to a from-scratch recompute (and the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalRollup:
+    """Maintains ``path`` as a bucket-partitioned rollup of a change stream.
+
+    ``update(batch)`` folds one micro-batch in. The batch's distinct
+    bucket list is collected driver-side — bounded by the batch's time
+    span (metadata-sized by construction), it drives partition pruning on
+    the read-back and is the only non-distributed step.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str,
+        group_cols: list[str],
+        value_col: str,
+    ):
+        self.spark = spark
+        self.path = path
+        self.bucket = bucket_col
+        self.groups = group_cols
+        self.value = value_col
+
+    def _schema_pin(self, df: DataFrame) -> DataFrame:
+        # decimal SUM widens precision per fold (20,2 → 30,2 → …); pin the
+        # stored schema so every version/partition stays byte-compatible
+        return df.select(
+            self.bucket,
+            *self.groups,
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_value").cast("decimal(20,2)").alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        return self._schema_pin(
+            df.groupBy(self.bucket, *self.groups).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col(self.value).cast("decimal(20,2)")).alias("sum_value"),
+                F.min(F.col(self.value)).alias("min_value"),
+                F.max(F.col(self.value)).alias("max_value"),
+            )
+        )
+
+    def update(self, batch: DataFrame) -> None:
+        partial = self._partial(batch).localCheckpoint(eager=True)
+        buckets = [r[0] for r in partial.select(self.bucket).distinct().collect()]
+        if not buckets:
+            return
+        try:
+            existing = self.spark.read.parquet(self.path).filter(
+                F.col(self.bucket).isin(buckets)
+            )
+            merged = self._schema_pin(
+                existing.select(*partial.columns)
+                .unionByName(partial)
+                .groupBy(self.bucket, *self.groups)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        except Exception:
+            merged = partial  # first batch — nothing to merge
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.bucket)
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -232,3 +232,46 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("op", "commit_lsn", "tx_ordinal", "pk", "value")
+
+
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly value rollup kept
+    fresh incrementally across three micro-batches
+    (:mod:`etl_spark.streaming.rollup`).
+
+    Per batch the work is O(batch + touched buckets) — partial agg of the
+    batch, partition-pruned read-back of ONLY the touched bucket
+    partitions, dynamic-partition-overwrite rewrite. Decimal partials make
+    the incremental result bit-identical to a from-scratch GROUP BY, which
+    is exactly what the oracle runs.
+    """
+    import tempfile
+
+    from etl_spark.streaming.rollup import IncrementalRollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000000000 div 3600 * 3600").alias("hour_epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="rollup_")
+    roll = IncrementalRollup(
+        spark, f"{work}/rollup", "hour_epoch", ["event_type"], "value"
+    )
+    # three deterministic micro-batches by event_id band (overlapping
+    # hours across batches exercise the read-back merge path)
+    bounds = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    cut1, cut2 = bounds // 3, 2 * bounds // 3
+    roll.update(ev.filter(F.col("event_id") <= cut1))
+    roll.update(ev.filter((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)))
+    roll.update(ev.filter(F.col("event_id") > cut2))
+    out = roll.read()
+    return out.select(
+        F.col("hour_epoch").cast("long").alias("hour_epoch"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -82,3 +82,31 @@ def test_metrics_listener_collects_progress(spark, tmp_path):
         assert qstats["batches"] >= 1 and qstats["rows"] >= 50
     finally:
         spark.streams.removeListener(m)
+
+
+def test_incremental_rollup_untouched_partitions_preserved(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_spark.streaming.rollup import IncrementalRollup
+
+    path = str(tmp_path / "roll")
+    roll = IncrementalRollup(spark, path, "b", ["g"], "v")
+    df = lambda rows: spark.createDataFrame(rows, "b long, g string, v double")
+    roll.update(df([(1, "x", 1.0), (1, "x", 2.0), (2, "y", 5.0)]))
+    # second batch touches bucket 2 only — bucket 1's partition must not be
+    # rewritten (its mtime is the cheap proxy) and its values must survive
+    import os, time
+
+    p1 = os.path.join(path, "b=1")
+    before = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+    time.sleep(1.1)
+    roll.update(df([(2, "y", 7.0)]))
+    after = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+    assert after == before  # dynamic overwrite left bucket 1 alone
+    got = {
+        (r.b, r.g): (r.n, float(r.sum_value))
+        for r in roll.read().collect()
+    }
+    assert got == {(1, "x"): (2, 3.0), (2, "y"): (2, 12.0)}
+    # schema stays pinned across merge generations
+    assert dict(roll.read().dtypes)["sum_value"] == "decimal(20,2)"
