@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": workload_relational.q11_important_parts,
         "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
         "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
+        "orders_price_tiers": workload_relational.orders_price_tiers,
+        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
         "events_funnel": workload_relational.events_funnel,
         "events_value_percentiles": workload_relational.events_value_percentiles,
         "events_window_suite": workload_relational.events_window_suite,

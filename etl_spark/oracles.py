@@ -1112,3 +1112,28 @@ SELECT epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_epoch,
 FROM events
 GROUP BY 1, 2
 """
+
+ORACLES["orders_price_tiers"] = """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('T1_small', 0.0, 50000.0), ('T2_mid', 50000.0, 150000.0),
+  ('T3_large', 150000.0, 300000.0), ('T4_jumbo', 300000.0, 10000000.0))
+SELECT tier, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tier_value
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1, 2
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0
+),
+mins AS (SELECT l_partkey, min(unit_price) AS min_price FROM priced GROUP BY 1),
+arg AS (
+  SELECT DISTINCT p.l_partkey, p.l_suppkey, p.unit_price
+  FROM priced p JOIN mins m ON p.l_partkey = m.l_partkey AND p.unit_price = m.min_price
+)
+SELECT a.l_partkey, s.s_name, a.unit_price
+FROM arg a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+"""

@@ -921,3 +921,64 @@ def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_dec").cast("double").alias("total_value"),
         F.col("count_event_id").cast("long").alias("n"),
     )
+
+
+def orders_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a tier dimension: each order lands in
+    the [lo, hi) price band. The band table is tiny → broadcast nested
+    loop with a range predicate, the right plan at any fact scale (the
+    alternative for band-vs-band is bucketized equi-join, see
+    events_error_after_purchase). Aggregated per tier per priority.
+    """
+    tiers = spark.createDataFrame(
+        [("T1_small", 0.0, 50_000.0), ("T2_mid", 50_000.0, 150_000.0),
+         ("T3_large", 150_000.0, 300_000.0), ("T4_jumbo", 300_000.0, 10_000_000.0)],
+        "tier string, lo double, hi double",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (orders.o_totalprice >= tiers.lo) & (orders.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("tier_value"),
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — the supplier(s) selling
+    each part at its minimum observed unit price (no partsupp in the
+    testdata; unit price = l_extendedprice / l_quantity from lineitem).
+
+    Shape: per-part min via groupBy, joined back on (part, price) — the
+    argmin-by-join pattern (vs the rank-window argmax in
+    topk_orders_per_customer; both shapes exist in real workloads). Unit
+    price is one IEEE double division — bit-identical across engines for
+    identical operands, so min and the equality join-back agree exactly.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    priced = li.select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = (
+        priced.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        priced.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(F.col("l_partkey").alias("p_key"), "l_suppkey", "unit_price")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("p_key").alias("l_partkey"), "s_name", "unit_price")
+    )
