@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,
         "mm_frame_plan": workload_mm.mm_frame_plan,
+        "mm_payload_dedup": workload_mm.mm_payload_dedup,
         # codec layer end-to-end (SURVEY §2.8)
         "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
         "pg_array_roundtrip": workload_relational.pg_array_roundtrip,

@@ -1137,3 +1137,11 @@ arg AS (
 SELECT a.l_partkey, s.s_name, a.unit_price
 FROM arg a JOIN supplier s ON a.l_suppkey = s.s_suppkey
 """
+
+ORACLES["mm_payload_dedup"] = """
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM documents
+GROUP BY 1
+"""

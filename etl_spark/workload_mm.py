@@ -69,3 +69,15 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) at 1 Hz
     — the explode that drives downstream decode partitioning."""
     return multimodal.frame_sample_plan(media_table(spark, sf_dir), every_ms=1000)
+
+
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque BINARY payload column — content hash of
+    the raw bytes (the first pass every multimodal ingest runs before any
+    decode). One map-combined shuffle on the 16-byte digest, never the
+    payload; at 100 TB the shuffle carries hashes, not media."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy(F.md5("payload").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("keeper_id"))
+    )
