@@ -190,3 +190,27 @@ def test_simhash_block_join_over_distinct_fingerprints(spark):
     # per-doc rows — the duplicate-collapse that bounds join work
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_price_tiers_broadcast_range_join(spark):
+    # tiny band dim → BroadcastNestedLoopJoin, never a shuffled cartesian
+    plan = plan_of(workload_relational.orders_price_tiers(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_argmin_no_cartesian_single_fact_shuffle_key(spark):
+    plan = plan_of(workload_relational.q2_min_cost_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # supplier lookup stays broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_payload_dedup_shuffles_digest_not_payload(spark):
+    from etl_spark import workload_mm
+
+    plan = plan_of(workload_mm.mm_payload_dedup(spark, SF_DIR))
+    # the exchange partitions on the md5 digest; payload bytes are gone
+    # from the aggregate output (pruned before the shuffle)
+    post = plan.split("Exchange", 1)[1]
+    assert "payload" not in post.split("== Physical Plan ==")[0].split("(1) Scan")[0]
