@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_tiers": workload_relational.orders_price_tiers,
         "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
         "events_funnel": workload_relational.events_funnel,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_value_percentiles": workload_relational.events_value_percentiles,
         "events_window_suite": workload_relational.events_window_suite,
         "events_grouping_sets": workload_relational.events_grouping_sets,

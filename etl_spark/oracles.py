@@ -1145,3 +1145,22 @@ SELECT md5(text) AS content_hash,
 FROM documents
 GROUP BY 1
 """
+
+ORACLES["events_retention_cohorts"] = """
+WITH cohort AS (
+  SELECT user_id,
+         min(epoch_ns(ts)) // 1000000000 // 604800 * 604800 AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) // 1000000000 // 604800 * 604800 AS act_week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST((a.act_week - c.cohort_week) // 604800 AS BIGINT) AS weeks_since,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+WHERE a.act_week >= c.cohort_week
+GROUP BY 1, 2
+"""

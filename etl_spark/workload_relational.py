@@ -982,3 +982,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(F.col("p_key").alias("l_partkey"), "s_name", "unit_price")
     )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by signup week,
+    counted distinct in each later activity week.
+
+    Shape: per-user min-aggregate (cohort assignment), distinct activity
+    weeks, equi-join on user_id, distinct-count per (cohort, offset) cell
+    — three shuffles, all on user or the small cell grid. The week math
+    stays on raw epoch nanos longs (pushdown-friendly, no date functions
+    in the hot path).
+    """
+    week = 7 * 86400
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select(
+            "user_id",
+            F.expr(f"s_ts div 1000000000 div {week} * {week}").alias("cohort_week"),
+        )
+    )
+    act = ev.select(
+        "user_id", F.expr(f"ts div 1000000000 div {week} * {week}").alias("act_week")
+    ).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            ((F.col("act_week") - F.col("cohort_week")) / week).cast("long").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
