@@ -60,6 +60,11 @@ QUERIES = [
     "events_value_percentiles",
     "q9_product_profit",
     "q16_supplier_part_count",
+    "events_retention_cohorts",
+    "orders_price_tiers",
+    "q2_min_cost_supplier",
+    "mm_payload_dedup",
+    "events_skew_salted_agg",
 ]
 
 
