@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": workload_text.sample_stratified,
         "docs_top_terms": workload_text.docs_top_terms,
         "docs_clean": workload_text.docs_clean,
+        "docs_langid_confusion": workload_text.docs_langid_confusion,
         "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
         "ann_lsh_topk": workload_text.ann_lsh_topk,
         "embed_near_dup": workload_text.embed_near_dup,

@@ -1164,3 +1164,11 @@ FROM act a JOIN cohort c USING (user_id)
 WHERE a.act_week >= c.cohort_week
 GROUP BY 1, 2
 """
+
+
+ORACLES["docs_langid_confusion"] = f"""
+WITH pred AS ({ORACLES["text_langid"]})
+SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""

@@ -286,3 +286,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.lsh_topk(emb, queries, k=5, n_bits=6, dim=64)
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of predicted vs labeled
+    language — the report every classifier-driven filter stage needs.
+    One extra shuffle over the scan-stage lang_id expression."""
+    out = text.lang_id(_docs(spark, sf_dir))
+    return (
+        out.groupBy(F.col("lang").alias("lang_true"), F.col("lang_pred"))
+        .agg(F.count("*").alias("n_docs"))
+    )
