@@ -110,3 +110,21 @@ def test_incremental_rollup_untouched_partitions_preserved(spark, tmp_path):
     assert got == {(1, "x"): (2, 3.0), (2, "y"): (2, 12.0)}
     # schema stays pinned across merge generations
     assert dict(roll.read().dtypes)["sum_value"] == "decimal(20,2)"
+
+
+def test_compact_live_sink_version(spark, tmp_path):
+    """Compacting the LIVE current-state version dir must preserve content
+    and leave the VERSION pointer valid (the reference's external
+    maintenance runs against live destination tables the same way)."""
+    from etl_spark.maintenance import compact_parquet_dir
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    sink = ParquetCurrentStateSink(str(tmp_path / "wh"), keys=["pk"], spark=spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "pk long, val string")
+    sink.write_snapshot("t", df.repartition(16))  # fragmented snapshot
+    v = sink._current_version("t")
+    stats = compact_parquet_dir(spark, sink._data_dir("t", v), target_mb=128, sort_col="pk")
+    assert stats["files_after"] < stats["files_before"]
+    assert sink._current_version("t") == v  # pointer untouched
+    got = {r.pk: r.val for r in sink.read("t").collect()}
+    assert got == {i: f"v{i}" for i in range(100)}
