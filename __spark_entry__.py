@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
         "events_funnel": workload_relational.events_funnel,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
+        "events_value_zscores": workload_relational.events_value_zscores,
         "events_value_percentiles": workload_relational.events_value_percentiles,
         "events_window_suite": workload_relational.events_window_suite,
         "events_grouping_sets": workload_relational.events_grouping_sets,

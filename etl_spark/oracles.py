@@ -1172,3 +1172,30 @@ SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred p JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
+
+ORACLES["q12_priority_shipmix"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+ORACLES["events_value_zscores"] = """
+WITH mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value * 100 AS DECIMAL(20,0))) AS DOUBLE) / 100.0 AS sum_v,
+         CAST(sum(CAST(value * 100 AS DECIMAL(20,0)) * CAST(value * 100 AS DECIMAL(20,0))) AS DOUBLE) / 10000.0 AS sum_v2
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n, sum_v / n AS mean,
+         sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)) AS sd
+  FROM mom
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mean) / s.sd, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mean) / s.sd) > 3.0
+"""

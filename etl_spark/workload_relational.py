@@ -1017,3 +1017,63 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def q12_priority_shipmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + multi-branch conditional aggregation —
+    per returnflag, how many lineitems belong to high- vs low-priority
+    orders. The CASE branches evaluate inside the partial aggregate, so
+    the orders join (shuffled on orderkey) feeds ONE agg shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def events_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flags: per-event-type z-scores from EXACT decimal moments.
+
+    stddev is derived from decimal-exact (n, Σv, Σv²) — not the engine's
+    float `stddev` aggregate, whose summation order varies — so the same
+    doubles come out of both engines and the z-score comparisons agree
+    bit-for-bit. One agg shuffle + a broadcast join of the 5-row moment
+    table back onto the scan; returns the |z| > 3 outliers.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value") * 100).cast("decimal(20,0)")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    mom = mom.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / 100.0).alias("sum_v"),
+        (F.col("s2").cast("double") / 10000.0).alias("sum_v2"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("sum_v") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sum_v2") - F.col("sum_v") * F.col("sum_v") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(mom), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("z", 6).alias("z"))
+    )
