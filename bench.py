@@ -54,6 +54,10 @@ HEADLINE = [
     "sample_stratified",
     "events_value_percentiles",
     "events_funnel",
+    "events_retention_cohorts",
+    "q12_priority_shipmix",
+    "events_value_zscores",
+    "ann_lsh_topk",
 ]
 
 
