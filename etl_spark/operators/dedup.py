@@ -142,9 +142,11 @@ def ngram_jaccard(
     """Exact Jaccard for candidate pairs: ``(id_a, id_b, inter, union_, jaccard)``.
 
     Joins each side's distinct shingle set (collected once) onto the pairs
-    and computes |A∩B| / |A∪B| with JVM array intrinsics. Candidates are
-    LSH output — tiny relative to the corpus — so the two joins broadcast
-    in the common case.
+    and computes |A∩B| / |A∪B| with JVM array intrinsics. Neither join is
+    hinted: the pairs side is usually tiny (LSH output) but grows with
+    real duplication, and the set table carries corpus-sized array
+    payloads — AQE's runtime sizes pick the build side safely at every
+    scale.
     """
     sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     j = (
