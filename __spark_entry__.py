@@ -23,7 +23,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declaration order is load-bearing: the driver's correctness gate
+    tests only the FIRST 50 entries. Rotation policy (COVERAGE.md): entries
+    without a recorded green CORRECTNESS row in any round come first; the
+    already-proven tail rotates out until every query has a green row.
+
+    Round-2 window = [15 queries that failed r1 on the nanos session bug
+    (now fixed — need green rows)] + [25 entries the r1 gate never reached]
+    + [this round's new queries]. The 35 r1-green entries form the tail.
+    """
     return {
+        # --- r1 FAILED (nanos session bug, fixed via etl_spark.io): retest ---
         "cdc_current_state": workload.cdc_current_state,
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
@@ -34,49 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_asof": workload.cdc_schema_asof,
         "cdc_truncate_reset": workload.cdc_truncate_reset,
         "cdc_pk_change": workload.cdc_pk_change,
-        # training-data pipeline operators
-        "dedup_exact": workload_text.dedup_exact,
-        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
-        "dedup_simhash": workload_text.dedup_simhash,
-        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
-        "text_langid": workload_text.text_langid,
-        "text_quality": workload_text.text_quality,
-        "text_tokens": workload_text.text_tokens,
-        "text_fingerprint": workload_text.text_fingerprint,
-        "ann_cosine_topk": workload_text.ann_cosine_topk,
-        "dedup_keep_list": workload_text.dedup_keep_list,
-        "dedup_components": workload_text.dedup_components,
-        "sample_stratified": workload_text.sample_stratified,
-        "docs_top_terms": workload_text.docs_top_terms,
-        "docs_clean": workload_text.docs_clean,
-        "docs_langid_confusion": workload_text.docs_langid_confusion,
-        "ann_ivf_topk": workload_text.ann_ivf_topk,  # rows-only (approximate)
-        "ann_lsh_topk": workload_text.ann_lsh_topk,
-        "embed_near_dup": workload_text.embed_near_dup,
-        # relational analytics (host-engine capabilities over the same data)
-        "q1_pricing_summary": workload_relational.q1_pricing_summary,
-        "q3_shipping_priority": workload_relational.q3_shipping_priority,
-        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
-        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
-        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        # semi/anti/as-of joins + multi-dim rollup (beyond-reference breadth)
-        "q4_order_priority": workload_relational.q4_order_priority,
-        "q10_returned_items": workload_relational.q10_returned_items,
-        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
-        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
-        "q22_dormant_customers": workload_relational.q22_dormant_customers,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
         "events_json_props": workload_relational.events_json_props,
         "asof_click_attribution": workload_relational.asof_click_attribution,
-        "q7_volume_shipping": workload_relational.q7_volume_shipping,
-        "q8_market_share": workload_relational.q8_market_share,
-        "q13_customer_distribution": workload_relational.q13_customer_distribution,
-        "q15_top_supplier": workload_relational.q15_top_supplier,
-        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
-        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        # --- never gate-tested in r1 (were entries 51-75): first green shot ---
         "q21_waiting_orders": workload_relational.q21_waiting_orders,
         "q9_product_profit": workload_relational.q9_product_profit,
         "q11_important_parts": workload_relational.q11_important_parts,
@@ -97,13 +70,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "sketch_distinct_users": workload_relational.sketch_distinct_users,
         "set_ops_customers": workload_relational.set_ops_customers,
-        # multimodal plumbing (binary payloads + metadata structs)
         "mm_features": workload_mm.mm_features,
         "mm_frame_plan": workload_mm.mm_frame_plan,
         "mm_payload_dedup": workload_mm.mm_payload_dedup,
-        # codec layer end-to-end (SURVEY §2.8)
         "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
         "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
+        # --- new in round 2 (slots 41+) ---
+        # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
+        "dedup_exact": workload_text.dedup_exact,
+        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
+        "dedup_simhash": workload_text.dedup_simhash,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        "text_langid": workload_text.text_langid,
+        "text_quality": workload_text.text_quality,
+        "text_tokens": workload_text.text_tokens,
+        "text_fingerprint": workload_text.text_fingerprint,
+        "ann_cosine_topk": workload_text.ann_cosine_topk,
+        "dedup_keep_list": workload_text.dedup_keep_list,
+        "dedup_components": workload_text.dedup_components,
+        "sample_stratified": workload_text.sample_stratified,
+        "docs_top_terms": workload_text.docs_top_terms,
+        "docs_clean": workload_text.docs_clean,
+        "docs_langid_confusion": workload_text.docs_langid_confusion,
+        "ann_ivf_topk": workload_text.ann_ivf_topk,
+        "ann_lsh_topk": workload_text.ann_lsh_topk,
+        "embed_near_dup": workload_text.embed_near_dup,
+        "q1_pricing_summary": workload_relational.q1_pricing_summary,
+        "q3_shipping_priority": workload_relational.q3_shipping_priority,
+        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
+        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
+        "q4_order_priority": workload_relational.q4_order_priority,
+        "q10_returned_items": workload_relational.q10_returned_items,
+        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
+        "q22_dormant_customers": workload_relational.q22_dormant_customers,
+        "q7_volume_shipping": workload_relational.q7_volume_shipping,
+        "q8_market_share": workload_relational.q8_market_share,
+        "q13_customer_distribution": workload_relational.q13_customer_distribution,
+        "q15_top_supplier": workload_relational.q15_top_supplier,
+        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
     }
 
 

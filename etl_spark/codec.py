@@ -86,12 +86,18 @@ def pg_numeric(col: Column | str, precision: int = 38, scale: int = 9) -> Column
     source text for lossless round-trip.
     """
     c = _c(col)
-    special = F.when(
-        F.upper(c).isin("NAN", "INFINITY", "+INFINITY", "-INFINITY"),
-        F.upper(F.regexp_replace(c, r"^\+", "")),
+    u = F.upper(c)
+    # canonical reference spellings (numeric.rs:70-100 Display impl)
+    special = (
+        F.when(u == "NAN", F.lit("NaN"))
+        .when(u.isin("INFINITY", "+INFINITY", "INF", "+INF"), F.lit("Infinity"))
+        .when(u.isin("-INFINITY", "-INF"), F.lit("-Infinity"))
     )
     return F.struct(
-        F.when(special.isNull(), c.cast(T.DecimalType(precision, scale))).alias("value"),
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a >38-digit
+        # or out-of-scale numeric must NULL (the docstring contract), not
+        # kill the job — same reject-not-crash policy as pg_date/pg_timestamp.
+        F.when(special.isNull(), c.try_cast(T.DecimalType(precision, scale))).alias("value"),
         special.alias("special"),
         c.alias("text"),
     )
@@ -314,22 +320,38 @@ def pg_array_full(col: Column | str, elem_type: str = "text") -> Column:
 # COPY text rows  (codec/table_row.rs:47)
 # ---------------------------------------------------------------------------
 
+#: Sentinel for the single-pass COPY unescape. NUL can never occur in
+#: Postgres text data (the backend rejects it), so it is collision-free.
+_COPY_SENTINEL = "\x00"
+
+#: COPY escape sequences → characters (table_row.rs:47 single-pass set).
+_COPY_ESCAPES = (("t", "\t"), ("n", "\n"), ("r", "\r"), ("b", "\b"), ("f", "\f"), ("v", "\v"))
+
+
+def _copy_unescape(x: Column) -> Column:
+    r"""Single-pass-equivalent COPY unescape. ``\\`` is neutralized to a
+    sentinel FIRST so input ``\\t`` (escaped backslash + t, meaning literal
+    backslash-then-t) is NOT misread as an escaped tab; the sentinel is
+    restored to a single backslash LAST. Order mirrors the reference's
+    one-pass scanner (codec/table_row.rs:47)."""
+    out = F.regexp_replace(x, r"\\\\", _COPY_SENTINEL)
+    for esc, ch in _COPY_ESCAPES:
+        out = F.regexp_replace(out, "\\\\" + esc, ch)
+    return F.regexp_replace(out, _COPY_SENTINEL, "\\\\")
+
+
 def copy_text_split(col: Column | str, n_cols: int) -> Column:
     r"""Split one Postgres COPY text line into its raw cells.
 
-    Tab-separated; ``\N`` is NULL; COPY escapes (``\\t``, ``\\n``, ``\\\\``)
-    unescaped JVM-side (codec/table_row.rs:47). Returns ARRAY<STRING> of
-    length ``n_cols`` (extra/short rows → NULL).
+    Tab-separated; ``\N`` is NULL; COPY escapes (``\t``, ``\n``, ``\r``,
+    ``\b``, ``\f``, ``\v``, ``\\``) unescaped JVM-side via the
+    backslash-first sentinel pass (codec/table_row.rs:47). Returns
+    ARRAY<STRING> of length ``n_cols`` (extra/short rows → NULL row).
     """
     c = _c(col)
     cells = F.split(c, "\t", -1)
     unescaped = F.transform(
         cells,
-        lambda x: F.when(x != "\\N",
-                         F.regexp_replace(
-                             F.regexp_replace(
-                                 F.regexp_replace(x, r"\\t", "\t"),
-                                 r"\\n", "\n"),
-                             r"\\\\", "\\\\")),
+        lambda x: F.when(x != "\\N", _copy_unescape(x)),
     )
     return F.when(F.size(cells) == n_cols, unescaped)

@@ -205,19 +205,41 @@ def _cosine_pairs_blocked(
     Cost: ``ceil(n / block_rows)`` passes over the corpus — the classic
     blocked all-pairs trade (GEMM tiling at cluster granularity). Each
     pass is embarrassingly parallel and spill-free.
+
+    Block boundaries come from ``approxQuantile`` — driver memory is
+    bounded by ``n_blocks - 1`` doubles, never a corpus-wide id collect.
+    Boundaries need not be exact: the ``build.id > probe.id`` cut inside
+    the kernel already assigns each pair to exactly one block, so
+    approximate splits only skew block sizes slightly, never correctness.
     """
-    ids = [r[0] for r in df.select(id_col).orderBy(id_col).collect()]
+    import math
+
+    n_rows = df.count()
+    n_blocks = max(1, math.ceil(n_rows / block_rows))
+    cuts: list[int] = []
+    if n_blocks > 1:
+        probs = [i / n_blocks for i in range(1, n_blocks)]
+        # ids are longs < 2^53 so the float round-trip is exact
+        cuts = [int(q) for q in df.approxQuantile(id_col, probs, 0.001)]
+    bounds = [None, *cuts, None]  # half-open (lo, hi] ranges over id space
     out = None
-    for lo in range(0, len(ids), block_rows):
-        block_ids = ids[lo : lo + block_rows]
-        block = df.filter(
-            (F.col(id_col) >= block_ids[0]) & (F.col(id_col) <= block_ids[-1])
-        )
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = F.col(id_col) > lo
+        if hi is not None:
+            cond = cond & (F.col(id_col) <= hi)
+        block = df.filter(cond)
+        if block.isEmpty():  # duplicate quantile cut under skew
+            continue
         part = _cosine_pairs_kernel(
             probe=df, build=block, id_col=id_col, vec_col=vec_col,
             threshold=threshold, prune_margin=prune_margin,
         )
         out = part if out is None else out.unionByName(part)
+    if out is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, sim double")
     return out
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.envelope import GENERIC_ENVELOPE, ROW_OPS, with_sequence
+from etl_spark.io import read_table
 
 
 def ts_from_nanos(col):
@@ -115,7 +116,7 @@ def envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``event_id`` order, so every downstream materialization is
     deterministic and oracle-checkable.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     env = ev.select(
         F.expr(OP_MAPPING_SQL).alias("op"),
         F.lit("public.users").alias("table"),

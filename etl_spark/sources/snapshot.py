@@ -25,6 +25,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.io import read_parquet
+
 #: Reference sizing constants (copy.rs:53-58).
 PARTITIONS_PER_WORKER = 4
 TARGET_ROWS_PER_PARTITION = 250_000
@@ -51,7 +53,7 @@ def read_snapshot(
     publication WHERE clause (P2, transaction.rs:51-55) — pushed to the
     parquet reader as ``PushedFilters`` when the predicate allows.
     """
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     if columns:
         df = df.select(*columns)
     if row_filter:

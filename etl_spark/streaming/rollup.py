@@ -21,8 +21,23 @@ result bit-identical to a from-scratch recompute (and the SQL oracle).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """True only for the table-does-not-exist-yet case. Any other read
+    failure (IO error, corrupt footer, schema drift) must PROPAGATE —
+    treating it as 'first batch' would overwrite accumulated partitions
+    with just the current batch's partials (silent data loss)."""
+    try:
+        cls = exc.getErrorClass()
+    except Exception:
+        cls = None
+    if cls is not None:
+        return cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
 class IncrementalRollup:
@@ -79,6 +94,13 @@ class IncrementalRollup:
             existing = self.spark.read.parquet(self.path).filter(
                 F.col(self.bucket).isin(buckets)
             )
+        except AnalysisException as exc:
+            if not _is_missing_path(exc):
+                raise  # real failure: let the batch retry, don't clobber
+            existing = None  # first batch — nothing to merge
+        if existing is None:
+            merged = partial
+        else:
             merged = self._schema_pin(
                 existing.select(*partial.columns)
                 .unionByName(partial)
@@ -90,8 +112,6 @@ class IncrementalRollup:
                     F.max("max_value").alias("max_value"),
                 )
             )
-        except Exception:
-            merged = partial  # first batch — nothing to merge
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -13,13 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.envelope import event_seq, event_seq_hex
+from etl_spark.io import read_table
 from etl_spark.operators import materialize
 from etl_spark.operators.asof import asof_lookup_literal
 from etl_spark.sources.cdc import envelope_from_events
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.io import read_table
 from etl_spark.operators import multimodal
 
 #: feature dimension for the fake extractor (bytes → byte-histogram moments)
@@ -30,7 +31,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spread to cluster width before the per-row-heavy decode stage (same
     rationale as workload_text._docs).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+    docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     mtype = F.element_at(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.io import read_table
 from etl_spark.operators import dedup, similarity, text
 
 
@@ -19,13 +20,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cluster width first (cheap: the table is tiny, the work is not).
     # NOTE: join-role-sensitive spreading (e.g. keep the broadcast side
     # un-repartitioned) happens inside the operators themselves.
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+    return read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,11 +36,15 @@ def test_floats_specials(spark):
 def test_numeric_struct(spark):
     got = decode(spark, codec.pg_numeric, ["12.345", "NaN", "+Infinity", "-Infinity"])
     assert str(got[0].value) == "12.345000000" and got[0].special is None
-    assert got[1].special == "NAN" and got[1].value is None
-    assert got[2].special == "INFINITY"
-    assert got[3].special == "-INFINITY"
+    # canonical reference spellings (numeric.rs Display)
+    assert got[1].special == "NaN" and got[1].value is None
+    assert got[2].special == "Infinity"
+    assert got[3].special == "-Infinity"
     # lossless text side-channel for out-of-range values
     assert got[1].text == "NaN"
+    # overflow beyond DECIMAL(38,9): value NULL, text preserved (try_cast)
+    over = decode(spark, codec.pg_numeric, ["1" * 40])
+    assert over[0].value is None and over[0].text == "1" * 40
 
 
 def test_bytea_hex(spark):

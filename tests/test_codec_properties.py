@@ -101,10 +101,12 @@ def test_numeric_value_roundtrip(spark, values):
 @settings(**SETTINGS)
 @given(st.lists(st.sampled_from(["NaN", "Infinity", "-Infinity", "+Infinity", "nan", "infinity"]), min_size=1, max_size=10))
 def test_numeric_specials(spark, values):
+    canon = {"NAN": "NaN", "INFINITY": "Infinity", "-INFINITY": "-Infinity"}
     rows = decode(spark, values, codec.pg_numeric, out="v")
     for r, t in zip(rows, values):
         assert r["value"] is None
-        assert r["special"] == t.upper().lstrip("+")
+        # canonical reference spellings regardless of input case/sign
+        assert r["special"] == canon[t.upper().lstrip("+")]
         assert r["text"] == t
 
 
