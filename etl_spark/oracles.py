@@ -47,6 +47,45 @@ SELECT start_lsn, "table", op AS cdc_operation,
 FROM env
 """
 
+ORACLES["cdc_replica_identity"] = """
+WITH env AS (
+  SELECT CASE event_type WHEN 'signup' THEN 'INSERT'
+                         WHEN 'error' THEN 'DELETE'
+                         ELSE 'UPDATE' END AS op,
+         CAST(event_id // 10 AS BIGINT) AS commit_lsn,
+         CAST(event_id % 10 AS BIGINT) AS tx_ordinal,
+         value,
+         CASE WHEN event_type = 'error' THEN NULL
+              WHEN event_type = 'purchase' THEN user_id + 1000000
+              ELSE user_id END AS new_key,
+         CASE WHEN event_type IN ('error', 'purchase') THEN user_id
+              ELSE NULL END AS old_key
+  FROM events
+),
+addressed AS (
+  -- every event addressed at its destination identity (DELETEs via the
+  -- key-only old image), original rows are sub_ordinal 1
+  SELECT op, commit_lsn, tx_ordinal, value,
+         COALESCE(new_key, old_key) AS user_id, 1 AS sub_ordinal
+  FROM env
+  UNION ALL
+  -- identity-changing updates also emit DELETE(old identity), old-first
+  SELECT 'DELETE', commit_lsn, tx_ordinal, value, old_key, 0
+  FROM env
+  WHERE op = 'UPDATE' AND old_key IS NOT NULL AND old_key <> new_key
+),
+ranked AS (
+  SELECT user_id, op, commit_lsn, tx_ordinal, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY commit_lsn DESC, tx_ordinal DESC, sub_ordinal DESC
+         ) AS rn
+  FROM addressed
+)
+SELECT user_id, op, commit_lsn, tx_ordinal, value
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,

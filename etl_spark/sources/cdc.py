@@ -129,3 +129,55 @@ def envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
     )
     return with_sequence(env)
+
+
+#: Identity-change offset for the sim: a ``purchase`` moves the row to a new
+#: identity ``user_id + IDENTITY_SHIFT`` (disjoint from real user ids).
+IDENTITY_SHIFT = 1_000_000
+
+
+def envelope_with_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sim envelope exercising REPLICA IDENTITY DEFAULT old-row shapes.
+
+    Mirrors the reference's identity matrix
+    (crates/etl/tests/pipeline_replica_identity.rs, old-row model
+    table_row.rs:193-198): the old image travels as a JSON ``before``
+    string whose kind depends on the operation —
+
+    - ``signup`` → INSERT: full ``after``, no old row (``before_kind`` NONE);
+    - ``click``/``view`` → non-identity UPDATE: full ``after``, NO old row
+      (pgoutput sends no old tuple when the identity is unchanged);
+    - ``purchase`` → identity-CHANGING update: ``after`` addressed at
+      ``user_id + IDENTITY_SHIFT``, ``before`` is the KEY-ONLY old row
+      ``{"user_id": old}``;
+    - ``error`` → DELETE: no new image, ``before`` is the key-only old row.
+
+    ``value``/``props`` stay typed (doubles through JSON would break
+    cross-engine text parity); only the identity routes through JSON.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    op = F.expr(OP_MAPPING_SQL)
+    is_ident_change = F.col("event_type") == "purchase"
+    new_key = F.when(
+        is_ident_change, F.col("user_id") + IDENTITY_SHIFT
+    ).otherwise(F.col("user_id"))
+    after = F.when(
+        op != "DELETE", F.format_string('{"user_id": %d}', new_key)
+    )
+    before = F.when(
+        (op == "DELETE") | is_ident_change,
+        F.format_string('{"user_id": %d}', F.col("user_id")),
+    )
+    env = ev.select(
+        op.alias("op"),
+        F.lit("public.users").alias("table"),
+        (F.col("event_id").cast("long") / TX_SIZE).cast("long").alias("commit_lsn"),
+        F.col("event_id").cast("long").alias("start_lsn"),
+        (F.col("event_id") % TX_SIZE).cast("long").alias("tx_ordinal"),
+        after.alias("after"),
+        before.alias("before"),
+        F.when(before.isNotNull(), F.lit("KEY")).otherwise(F.lit("NONE")).alias("before_kind"),
+        F.col("value"),
+        F.col("props"),
+    )
+    return with_sequence(env)

@@ -181,6 +181,35 @@ def cdc_pk_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("pk", "op", "start_lsn", "sub_ordinal", "value")
 
 
+def cdc_replica_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state under REPLICA IDENTITY DEFAULT old-row semantics.
+
+    The envelope carries the identity in JSON before/after images with the
+    reference's old-row kinds (tests/pipeline_replica_identity.rs):
+    DELETEs and identity-changing UPDATEs have KEY-ONLY old rows; other
+    UPDATEs have none. The materialization must (a) address DELETEs via
+    the old image, (b) expand identity changes into DELETE(old)+UPSERT(new)
+    old-first, (c) LWW per identity. All JSON extraction + addressing is
+    scan-stage Column algebra; the one shuffle is the LWW window.
+    """
+    from etl_spark.operators import identity
+    from etl_spark.sources.cdc import envelope_with_identity
+
+    env = envelope_with_identity(spark, sf_dir)
+    typed = env.select(
+        "op", "commit_lsn", "start_lsn", "tx_ordinal", "event_seq", "value",
+        F.get_json_object("after", "$.user_id").cast("long").alias("user_id"),
+        F.when(
+            F.col("before_kind") == identity.BEFORE_KEY,
+            F.get_json_object("before", "$.user_id").cast("long"),
+        ).alias("before_user_id"),
+    )
+    cur = identity.current_state_with_identity(
+        typed, identity.IDENTITY_PRIMARY_KEY, ["user_id"]
+    )
+    return cur.select("user_id", "op", "commit_lsn", "tx_ordinal", "value")
+
+
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured-Streaming run of the stateful in-stream dedup
     (:func:`etl_spark.streaming.stateful.dedup_by_sequence`).
