@@ -86,6 +86,23 @@ SELECT user_id, op, commit_lsn, tx_ordinal, value
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
+ORACLES["cdc_partition_root"] = f"""
+WITH {ENVELOPE_CTE},
+routed AS (
+  -- leaves route to the published root; detached p3 (pk % 4 = 3) purged;
+  -- the ROOT's row filter applies to every routed leaf
+  SELECT 'public.users' AS "table", op, commit_lsn, tx_ordinal, pk, value
+  FROM env
+  WHERE pk % 4 <> 3 AND value >= 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM routed
+)
+SELECT "table", pk, op, commit_lsn, tx_ordinal, value
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,

@@ -210,6 +210,36 @@ def cdc_replica_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("user_id", "op", "commit_lsn", "tx_ordinal", "value")
 
 
+def cdc_partition_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table routing (publish_via_partition_root).
+
+    Sim: the users table is hash-partitioned into 4 leaves
+    ``public.users_p{pk % 4}``; the publication names the ROOT with a row
+    filter ``value >= 10``; leaf p3 is DETACHED. Expected reference
+    behavior (pipeline_with_partitioned_table.rs): leaf events route to
+    the root id, the root's row filter applies to every leaf
+    (filter_table_id, copy.rs:100-110), detached-partition events stop
+    replicating. Routing is a broadcast map in the scan stage; the only
+    shuffle is the LWW window.
+    """
+    from etl_spark.operators import partitions
+
+    env = envelope_from_events(spark, sf_dir)
+    env = env.withColumn(
+        "table", F.concat(F.lit("public.users_p"), (F.col("pk") % 4).cast("string"))
+    )
+    tree = {f"public.users_p{i}": "public.users" for i in range(4)}
+    routed = partitions.route_events(
+        env,
+        tree,
+        published={"public.users"},
+        detached={"public.users_p3"},
+        row_filters={"public.users": "value >= 10"},
+    )
+    cur = materialize.current_state(routed, keys=["pk"])
+    return cur.select("table", "pk", "op", "commit_lsn", "tx_ordinal", "value")
+
+
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured-Streaming run of the stateful in-stream dedup
     (:func:`etl_spark.streaming.stateful.dedup_by_sequence`).
