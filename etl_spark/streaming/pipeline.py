@@ -326,6 +326,26 @@ class Pipeline:
             retried.append(e.table)
         return retried
 
+    def resync_errored(self, force: bool = False, **kwargs) -> list[str]:
+        """Retry quarantined tables AND re-deliver their change stream.
+
+        The reference's resync re-copies the table and then re-reads WAL
+        from the copied LSN through the still-retained slot
+        (pipeline_with_faulty_destination.rs: drop → recopy → retry until
+        durable). The Spark analog: reset eligible Errored tables to Init
+        (:meth:`retry_errored`) and invalidate the stream checkpoint so the
+        retained change log replays from the start. Replay is convergent:
+        healthy tables skip already-applied batches (sink batch-id dedup)
+        or re-merge idempotently (LWW by event_seq) — at-least-once in,
+        exactly-once-looking out (SURVEY T7).
+        """
+        import shutil as _shutil
+
+        retried = self.retry_errored(force=force, **kwargs)
+        if retried and os.path.isdir(self.checkpoint_dir):
+            _shutil.rmtree(self.checkpoint_dir)
+        return retried
+
     def status(self) -> dict:
         """Control-plane status surface (SURVEY §2.12's
         GET /pipelines/{id}/status, minus the REST)."""
