@@ -340,6 +340,29 @@ def _copy_unescape(x: Column) -> Column:
     return F.regexp_replace(out, _COPY_SENTINEL, "\\\\")
 
 
+def copy_text_escape(col: Column | str) -> Column:
+    r"""Escape one cell for the COPY text format (the encode side of
+    ``table_row.rs:47``; F12 destination-value encoding for COPY).
+    Backslash FIRST (so data backslashes don't collide with the escapes
+    added after), then TAB/NL/CR. Literal ``F.replace`` — no regex."""
+    c = _c(col)
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    for esc, ch in (("t", "\t"), ("n", "\n"), ("r", "\r")):
+        out = F.replace(out, F.lit(ch), F.lit("\\" + esc))
+    return out
+
+
+def copy_text_encode(cells: list[Column]) -> Column:
+    r"""Render one COPY text line from cell columns: NULL → ``\N``, cells
+    escaped (:func:`copy_text_escape`), TAB-joined. Inverse of
+    :func:`copy_text_split` + unescape — ``split(encode(row)) == row`` for
+    any row (the round-trip contract the gate query proves)."""
+    rendered = [
+        F.coalesce(copy_text_escape(c.cast("string")), F.lit("\\N")) for c in cells
+    ]
+    return F.concat_ws("\t", *rendered)
+
+
 def copy_text_split(col: Column | str, n_cols: int) -> Column:
     r"""Split one Postgres COPY text line into its raw cells.
 

@@ -103,6 +103,15 @@ SELECT "table", pk, op, commit_lsn, tx_ordinal, value
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
+ORACLES["pg_copy_roundtrip"] = """
+-- decode(encode(row)) == row: the oracle just selects the source values
+SELECT c_custkey AS custkey,
+       c_name || chr(9) || 'q\\z' || c_mktsegment AS payload,
+       CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END AS segment,
+       c_acctbal AS acctbal
+FROM customer
+"""
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,

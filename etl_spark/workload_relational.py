@@ -230,6 +230,39 @@ def pg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded
 
 
+def pg_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""COPY text row round trip (F10/F12, codec/table_row.rs:47): render
+    each customer row as one COPY line — payload deliberately containing a
+    real TAB and a backslash (forcing ``\t``/``\\`` escapes), a modular
+    NULL cell (``\N``) — then decode through ``copy_text_split`` + typed
+    casts. Output must equal the source values the oracle selects
+    directly: decode ∘ encode == identity.
+    """
+    from etl_spark import codec
+
+    cust = _t(spark, sf_dir, "customer")
+    payload = F.concat(
+        F.col("c_name"), F.lit("\t"), F.lit("q\\z"), F.col("c_mktsegment")
+    )
+    nullable = F.when(F.col("c_custkey") % 7 != 0, F.col("c_mktsegment"))
+    line = codec.copy_text_encode(
+        [
+            F.col("c_custkey"),
+            payload,
+            nullable,
+            F.col("c_acctbal"),
+        ]
+    )
+    rendered = cust.select(line.alias("__line"))
+    cells = codec.copy_text_split(F.col("__line"), 4)
+    return rendered.select(
+        codec.pg_int8(F.element_at(cells, 1)).alias("custkey"),
+        F.element_at(cells, 2).alias("payload"),
+        F.element_at(cells, 3).alias("segment"),
+        codec.pg_float8(F.element_at(cells, 4)).alias("acctbal"),
+    )
+
+
 def pg_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG 1-D array-literal parse (codec F9) over generated literals,
     output in canonical element-joined form."""

@@ -131,3 +131,37 @@ def test_copy_text_split(spark):
     got = [r.y for r in df.select(codec.copy_text_split("x", 3).alias("y")).collect()]
     assert got[0] == ["a", None, "1"]
     assert got[1] is None
+
+
+def test_copy_unescape_order(spark):
+    r"""\\ must neutralize BEFORE \t: input '\\t' is literal backslash+t,
+    not an escaped tab (ADVICE: single-pass unescape semantics)."""
+    cases = [
+        (r"\t", "\t"),          # escaped tab
+        (r"\\t", "\\t"),        # escaped backslash, then literal t
+        (r"\\\t", "\\\t"),      # escaped backslash, then escaped tab
+        (r"\\\\", "\\\\"),      # two escaped backslashes
+        (r"a\nb", "a\nb"),      # escaped newline
+        (r"\r\b\f\v", "\r\b\f\v"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["x"])
+    got = [r.y for r in df.select(codec.copy_text_split("x", 1).alias("y")).collect()]
+    for (src, want), out in zip(cases, got):
+        assert out[0] == want, (src, want, out[0])
+
+
+def test_copy_encode_decode_roundtrip(spark):
+    """decode(encode(cells)) == cells for payloads containing every escape
+    target, NULLs, and the literal two-char sequence backslash-N."""
+    rows = [
+        ("tab\there", None, "line\nbreak"),
+        ("back\\slash", "\\N", "both\t\\and\n"),
+        ("", "plain", "\r\t\\"),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    from pyspark.sql import functions as F
+
+    line = codec.copy_text_encode([F.col("a"), F.col("b"), F.col("c")])
+    back = df.select(codec.copy_text_split(line, 3).alias("cells")).collect()
+    for (a, b, c), r in zip(rows, back):
+        assert r.cells == [a, b, c]
