@@ -112,6 +112,24 @@ SELECT c_custkey AS custkey,
 FROM customer
 """
 
+ORACLES["pgoutput_decode"] = """
+-- the binary encode/decode round trip must land exactly on the logical
+-- envelope reconstructible from the source events
+SELECT CASE event_type WHEN 'signup' THEN 'INSERT'
+                       WHEN 'error' THEN 'DELETE'
+                       ELSE 'UPDATE' END AS op,
+       CAST(event_id // 10 AS BIGINT) AS commit_lsn,
+       CAST(event_id % 10 AS BIGINT) AS tx_ordinal,
+       CAST(event_id AS BIGINT) AS start_lsn,
+       user_id AS pk,
+       CASE WHEN event_type = 'error' THEN NULL
+            WHEN event_type IN ('click', 'view') AND event_id % 5 = 0 THEN NULL
+            ELSE value END AS value,
+       CASE WHEN event_type IN ('error', 'purchase') THEN 'KEY'
+            ELSE 'NONE' END AS before_kind
+FROM events
+"""
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,

@@ -240,6 +240,85 @@ def cdc_partition_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("table", "pk", "op", "commit_lsn", "tx_ordinal", "value")
 
 
+def pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgoutput BINARY frame decode end-to-end (F11, codec/event.rs:303-985).
+
+    Events are rendered as real pgoutput wire frames (Begin per tx +
+    Insert/Update/Delete with text TupleData cells; key-only old tuples
+    for deletes and PK-carrying updates; unchanged-TOAST cells on every
+    5th plain update) in an Arrow-batched encoder, then decoded by the
+    distributed frame decoder — relation registry broadcast, per-frame
+    parse in ``mapInPandas``, transactions assembled by xid broadcast-join
+    + per-xid window (no global sort). Output is the typed envelope the
+    oracle reconstructs directly from ``events``.
+    """
+    from collections.abc import Iterator
+
+    from etl_spark.sources import pgoutput as pgo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+
+    def enc(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"wal_start": [], "xid": [], "frame": []}
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid, uid = int(eid), int(uid)
+                tx = eid // 10
+                pk, v = str(uid), str(float(val))
+                if et == "signup":
+                    frame = pgo.encode_insert(1, [pk, v])
+                elif et == "error":
+                    frame = pgo.encode_delete(1, key=[pk])
+                elif et == "purchase":
+                    frame = pgo.encode_update(1, [pk, v], key=[pk])
+                else:  # click/view: plain update; every 5th value is TOASTed
+                    cell = pgo.UNCHANGED_TOAST if eid % 5 == 0 else v
+                    frame = pgo.encode_update(1, [pk, cell])
+                out["wal_start"].append(eid)
+                out["xid"].append(tx)
+                out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    dml = ev.mapInPandas(enc, schema="wal_start long, xid long, frame binary")
+
+    def enc_begin(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "wal_start": [int(x) * 10 - 1 for x in pdf["xid"]],
+                "xid": [int(x) for x in pdf["xid"]],
+                "frame": [pgo.encode_begin(final_lsn=int(x), xid=int(x)) for x in pdf["xid"]],
+            })
+
+    begins = (
+        ev.select((F.col("event_id") / 10).cast("long").alias("xid"))
+        .distinct()
+        .mapInPandas(enc_begin, schema="wal_start long, xid long, frame binary")
+    )
+    rel = spark.createDataFrame(
+        [(-100, -1, bytearray(pgo.encode_relation(
+            1, "public", "users", "d", [(1, "pk", 20, -1), (0, "value", 701, -1)]
+        )))],
+        "wal_start long, xid long, frame binary",
+    )
+    frames = dml.unionByName(begins).unionByName(rel)
+    env = pgo.decode_frames(frames)
+    rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    return rows.select(
+        "op", "commit_lsn", "tx_ordinal", "start_lsn",
+        F.coalesce(
+            F.get_json_object("after", "$.pk"), F.get_json_object("before", "$.pk")
+        ).cast("long").alias("pk"),
+        F.get_json_object("after", "$.value").cast("double").alias("value"),
+        "before_kind",
+    )
+
+
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured-Streaming run of the stateful in-stream dedup
     (:func:`etl_spark.streaming.stateful.dedup_by_sequence`).

@@ -1,0 +1,125 @@
+"""pgoutput binary codec + distributed decode tests (F11,
+reference codec/event.rs:303-985 and its test encoders :990-1145)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import pgoutput as pgo
+
+
+def test_frame_roundtrip_begin_commit():
+    b = pgo.parse_frame(pgo.encode_begin(final_lsn=77, commit_ts=123, xid=9))
+    assert b == {"kind": "BEGIN", "final_lsn": 77, "commit_ts": 123, "xid": 9}
+    c = pgo.parse_frame(pgo.encode_commit(commit_lsn=77, end_lsn=78, commit_ts=5))
+    assert (c["kind"], c["commit_lsn"], c["end_lsn"]) == ("COMMIT", 77, 78)
+
+
+def test_frame_roundtrip_relation():
+    r = pgo.parse_frame(pgo.encode_relation(
+        42, "public", "users", "d",
+        [(1, "pk", 20, -1), (0, "val", 25, -1)],
+    ))
+    assert r["kind"] == "RELATION" and r["rel_id"] == 42
+    assert r["namespace"] == "public" and r["name"] == "users"
+    assert r["replident"] == "d"
+    assert [c["name"] for c in r["columns"]] == ["pk", "val"]
+    assert [c["flags"] for c in r["columns"]] == [1, 0]
+    assert [c["type_oid"] for c in r["columns"]] == [20, 25]
+
+
+def test_frame_roundtrip_dml_and_cells():
+    ins = pgo.parse_frame(pgo.encode_insert(1, ["7", None, "x\ty"]))
+    assert ins["kind"] == "INSERT" and ins["new"] == ["7", None, "x\ty"]
+
+    # unchanged-TOAST cell survives the wire as 'u'
+    upd = pgo.parse_frame(pgo.encode_update(1, ["7", pgo.UNCHANGED_TOAST], key=["7"]))
+    assert upd["new"][0] == "7"
+    assert isinstance(upd["new"][1], type(pgo.UNCHANGED_TOAST))
+    assert upd["key"] == ["7"] and upd["old"] is None
+
+    upd_full = pgo.parse_frame(pgo.encode_update(1, ["8", "n2"], old=["8", "n1"]))
+    assert upd_full["old"] == ["8", "n1"] and upd_full["key"] is None
+
+    dele = pgo.parse_frame(pgo.encode_delete(1, key=["9"]))
+    assert dele["kind"] == "DELETE" and dele["key"] == ["9"]
+
+    tr = pgo.parse_frame(pgo.encode_truncate([1, 2], options=1))
+    assert tr == {"kind": "TRUNCATE", "rel_ids": [1, 2], "options": 1}
+
+
+def test_encoder_guards():
+    with pytest.raises(ValueError):
+        pgo.encode_update(1, ["x"], old=["a"], key=["b"])
+    with pytest.raises(ValueError):
+        pgo.encode_delete(1)
+    with pytest.raises(ValueError):
+        pgo.parse_frame(b"Z???")
+
+
+def test_sentinel_survives_pickle():
+    import pickle
+
+    assert pickle.loads(pickle.dumps(pgo.UNCHANGED_TOAST)) is pgo.UNCHANGED_TOAST
+
+
+def _frames_df(spark, rows):
+    return spark.createDataFrame(
+        [(w, x, bytearray(f)) for w, x, f in rows],
+        "wal_start long, xid long, frame binary",
+    )
+
+
+def test_decode_frames_end_to_end(spark):
+    rel = pgo.encode_relation(1, "public", "users", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        # tx 100 (xid 5): insert + toast update with key-only old row
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "a"])),
+        (12, 5, pgo.encode_update(1, ["1", pgo.UNCHANGED_TOAST], key=["1"])),
+        (13, 5, pgo.encode_commit(100, 101)),
+        # tx 200 (xid 6): full-old update, delete, truncate
+        (20, 6, pgo.encode_begin(final_lsn=200, xid=6)),
+        (21, 6, pgo.encode_update(1, ["2", "n2"], old=["2", "n1"])),
+        (22, 6, pgo.encode_delete(1, key=["2"])),
+        (23, 6, pgo.encode_truncate([1])),
+        # event on an unknown relation: dropped (P4)
+        (24, 6, pgo.encode_insert(99, ["zz"])),
+    ])
+    env = pgo.decode_frames(frames)
+    rows = {(r.op, r.start_lsn): r for r in env.collect()}
+
+    ins = rows[("INSERT", 11)]
+    assert ins.commit_lsn == 100 and ins.tx_ordinal == 0
+    assert ins.after == '{"pk": "1", "val": "a"}' and ins.before_kind == "NONE"
+
+    toast = rows[("UPDATE", 12)]
+    assert toast.commit_lsn == 100 and toast.tx_ordinal == 1
+    assert toast.missing_cols == [1]           # val was unchanged-TOAST
+    assert toast.before == '{"pk": "1"}' and toast.before_kind == "KEY"
+
+    full = rows[("UPDATE", 21)]
+    assert full.commit_lsn == 200 and full.tx_ordinal == 0
+    assert full.before == '{"pk": "2", "val": "n1"}' and full.before_kind == "FULL"
+
+    dele = rows[("DELETE", 22)]
+    assert dele.before == '{"pk": "2"}' and dele.before_kind == "KEY"
+    assert dele.after is None
+
+    trunc = rows[("TRUNCATE", 23)]
+    assert trunc.table == "public.users"
+
+    assert ("INSERT", 24) not in rows  # unknown relation dropped
+    # relation frame surfaces as a RELATION control event
+    assert any(op == "RELATION" for op, _ in rows)
+
+
+def test_decode_registry(spark):
+    rel = pgo.encode_relation(7, "s", "t", "f", [(1, "a", 20, -1), (1, "b", 25, -1)])
+    frames = _frames_df(spark, [(-1, -1, rel)])
+    reg = pgo.relation_registry(frames)
+    assert reg == {7: {"table": "s.t", "columns": ["a", "b"],
+                       "key_cols": ["a", "b"], "replident": "f"}}
