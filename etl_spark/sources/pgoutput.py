@@ -360,10 +360,19 @@ def decode_frames(
     decoded = frames.select(lsn_col, xid_col, frame_col).mapInPandas(run, schema=_DECODED)
 
     # tx assembly: commit_lsn by broadcast join on xid (Begins are tiny),
-    # ordinal by per-transaction window — both shuffle-free on the big side
-    begins = decoded.filter(F.col("op") == "BEGIN").select(
-        F.col("xid").alias("__bx"), F.col("begin_final_lsn").alias("commit_lsn")
-    ).distinct()
+    # ordinal by per-transaction window — both shuffle-free on the big side.
+    # The begins branch pre-filters on the FRAME TAG BYTE so its decode pass
+    # parses only 'B' frames (tx-boundary fraction of the WAL), instead of
+    # re-decoding the whole stream a second time (verified via .explain).
+    begin_frames = frames.filter(
+        F.substring(F.col(frame_col).cast("binary"), 1, 1) == F.lit(b"B")
+    )
+    begins = (
+        begin_frames.select(lsn_col, xid_col, frame_col)
+        .mapInPandas(run, schema=_DECODED)
+        .select(F.col("xid").alias("__bx"), F.col("begin_final_lsn").alias("commit_lsn"))
+        .distinct()
+    )
     data = decoded.filter(~F.col("op").isin("BEGIN", "COMMIT"))
     joined = data.join(F.broadcast(begins), data["xid"] == begins["__bx"], "left").drop("__bx")
     w = Window.partitionBy("xid").orderBy(F.col("wal_start").asc())

@@ -66,10 +66,16 @@ class Pipeline:
         tables: list[TableConfig],
         sink: Sink,
         work_dir: str,
+        async_flush: bool = False,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.tables = {t.name: t for t in tables}
+        if async_flush:
+            from etl_spark.streaming.async_flush import AsyncFlushSink
+
+            if not isinstance(sink, AsyncFlushSink):
+                sink = AsyncFlushSink(sink)
         self.sink = sink
         self.work_dir = work_dir
         self.control = ControlStore(os.path.join(work_dir, "control"))
@@ -119,10 +125,24 @@ class Pipeline:
     # ------------------------------------------------------------------
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body — the reference's apply loop for one
-        micro-batch (SURVEY §3.2 steps 3-6)."""
+        micro-batch (SURVEY §3.2 steps 3-6).
+
+        With an :class:`~etl_spark.streaming.async_flush.AsyncFlushSink`
+        (T5): the previous batch's flush settles FIRST (its failure fails
+        the loop, apply.rs:1964-1967 pause semantics), this batch's writes
+        dispatch without blocking, and the flush-LSN advance + unpersist
+        ride the durability callback — progress only moves when the
+        destination acknowledges.
+        """
+        from etl_spark.streaming.async_flush import AsyncFlushSink
+
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
+        async_mode = isinstance(self.sink, AsyncFlushSink)
+        deferred = False
         try:
+            if async_mode:
+                self.sink.await_pending()  # settle pending_flush_result
             self._apply_relations(batch)
             max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
             for name, _cfg in self.tables.items():
@@ -139,11 +159,21 @@ class Pipeline:
                         name, TableState.ERRORED,
                         error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
                     )
-            # durable progress: sink writes above completed synchronously
-            if max_lsn_row["m"] is not None:
-                self.control.advance_flush_lsn(int(max_lsn_row["m"]))
+            max_lsn = max_lsn_row["m"]
+            if async_mode:
+                def _durable(lsn=max_lsn, b=batch):
+                    if lsn is not None:
+                        self.control.advance_flush_lsn(int(lsn))
+                    b.unpersist()
+
+                self.sink.after_flush(_durable)
+                deferred = True
+            elif max_lsn is not None:
+                # durable progress: sink writes above completed synchronously
+                self.control.advance_flush_lsn(int(max_lsn))
         finally:
-            batch.unpersist()
+            if not deferred:
+                batch.unpersist()
 
     def _apply_relations(self, batch: DataFrame) -> None:
         """Schema-change stream (T9, apply.rs:2138-2276 + Relation
