@@ -58,6 +58,10 @@ HEADLINE = [
     "q12_priority_shipmix",
     "events_value_zscores",
     "ann_lsh_topk",
+    # round-2 additions (no r1 baseline; first timed here)
+    "cdc_replica_identity",
+    "cdc_partition_root",
+    "pgoutput_decode",
 ]
 
 

@@ -159,6 +159,48 @@ def test_repeated_faults_retry_until_durable(spark, tmp_path):
     assert sink.change_attempts == 3
 
 
+class FlakyCopySink(FlakySink):
+    """Copy-phase fault (failpoints: table_copy_is_consistent_during_
+    data_sync_threw_an_error_with_timed_retry): the first snapshot write
+    lands PARTIAL rows in the destination, then fails — the retry must
+    drop-for-copy and re-copy, never leaving the partial slice visible."""
+
+    def write_snapshot(self, table, df):
+        if self.remaining > 0:
+            self.remaining -= 1
+            self.inner.write_snapshot(table, df.limit(1))  # partial copy
+            raise RuntimeError("injected copy failure after partial write")
+        self.inner.write_snapshot(table, df)
+
+
+def test_copy_failure_partial_rows_then_retry_consistent(spark, tmp_path):
+    """Backfill fails mid-copy leaving partial rows → table Errored →
+    forced retry re-runs drop_table_for_copy + full copy + stream; final
+    state equals the fault-free run (copy-consistency failpoint)."""
+    from etl_spark.envelope import GENERIC_ENVELOPE  # noqa: F401 (parity with _setup)
+
+    sink, pipe = _setup(spark, tmp_path, "copyfail")
+    flaky = FlakyCopySink(sink.inner, fail_n=1)
+    cfg = TableConfig(name="users",
+                      snapshot_path=str(tmp_path / "snap_copyfail"),
+                      keys=["pk"], payload_schema=PAYLOAD)
+    src = str(tmp_path / "src_copyfail")
+    mk = lambda: Pipeline(spark, src, [cfg], flaky, str(tmp_path / "work_copyfail"))  # noqa: E731
+
+    p = mk()
+    p.run_until_drained()
+    st = p.status()["tables"]["users"]
+    assert st["state"] == "Errored" and "copy failure" in st["error"]
+    # quarantined: the stream did NOT apply events to the partial table
+    assert len(_state(flaky)) == 1  # the partial row only
+
+    p2 = mk()
+    p2.resync_errored(force=True)
+    p2.run_until_drained()
+    assert p2.status()["tables"]["users"]["state"] == "Ready"
+    assert _state(flaky) == EXPECTED  # identical to the fault-free run
+
+
 def test_resync_noop_without_errored_tables(spark, tmp_path):
     """resync_errored on a healthy pipeline must not invalidate the
     checkpoint (no gratuitous replay)."""

@@ -214,3 +214,38 @@ def test_payload_dedup_shuffles_digest_not_payload(spark):
     # from the aggregate output (pruned before the shuffle)
     post = plan.split("Exchange", 1)[1]
     assert "payload" not in post.split("== Physical Plan ==")[0].split("(1) Scan")[0]
+
+
+def test_replica_identity_single_shuffle(spark):
+    plan = plan_of(workload.cdc_replica_identity(spark, SF_DIR))
+    # JSON extraction + addressing + identity-change expansion are all
+    # scan-stage; the ONE exchange is the LWW window on the identity
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_partition_root_single_shuffle_broadcast_map(spark):
+    plan = plan_of(workload.cdc_partition_root(spark, SF_DIR))
+    # routing is a literal map lookup (no join at all); the one exchange
+    # is the LWW window
+    assert n_shuffles(plan) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pg_copy_roundtrip_scan_stage_only(spark):
+    plan = plan_of(workload_relational.pg_copy_roundtrip(spark, SF_DIR))
+    # encode -> split -> typed decode is pure column algebra: zero shuffles
+    assert n_shuffles(plan) == 0, plan
+
+
+def test_pgoutput_decode_no_global_sort(spark):
+    plan = plan_of(workload.pgoutput_decode(spark, SF_DIR))
+    # tx assembly must stay per-xid: the window partitions by xid and the
+    # begin lookup is broadcast — a global (empty-partition) sort means
+    # the ordered-window fallback regressed into the plan
+    import re
+
+    assert "BroadcastHashJoin" in plan
+    global_sorts = re.findall(r"Sort \[wal_start[^\]]*\], true", plan)
+    assert not global_sorts, plan
+    # window partitioning key present
+    assert "xid" in plan
