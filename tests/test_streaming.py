@@ -261,6 +261,44 @@ def test_relation_event_evolves_schema(spark, env):
     assert lsn == 41 and [c.name for c in cols] == ["pk", "val", "age"]
 
 
+def test_schema_snapshots_consistent_after_replay(spark, env):
+    """Failpoint analog (pipeline_with_failpoints.rs: table_schema_snapshots_
+    are_consistent_after_missing_status_update_*): a replay of a batch
+    containing interleaved DDL — checkpoint wiped, everything re-delivered —
+    must leave the registry with the SAME version set (no duplicates, same
+    as-of resolution) and the destination in the same final state."""
+    newcols = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val", "typ": "string"},
+        {"name": "age", "typ": "int"},
+    ]}
+    write_events(spark, env["source"], [
+        ev("UPDATE", "users", 70, 0, after={"pk": 1, "val": "pre"}),
+        Row(op="RELATION", table="users", commit_lsn=71, start_lsn=71,
+            tx_ordinal=0, after=json.dumps(newcols), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=71),
+        ev("INSERT", "users", 72, 0, after={"pk": 8, "val": "h", "age": 44}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    versions_first = dict(p.schemas._versions)
+    state_first = {r.pk: (r.val, r.age) for r in
+                   env["sink"].read("users").select("pk", "val", "age").collect()}
+
+    shutil.rmtree(p.checkpoint_dir)  # missing status update → full replay
+    p2 = make_pipeline(spark, env)
+    p2.run_until_drained()
+    # registry: same version LSNs, no duplicate recording of the DDL
+    assert {t: [lsn for lsn, _ in vs] for t, vs in p2.schemas._versions.items()} \
+        == {t: [lsn for lsn, _ in vs] for t, vs in versions_first.items()}
+    state_second = {r.pk: (r.val, r.age) for r in
+                    env["sink"].read("users").select("pk", "val", "age").collect()}
+    assert state_second == state_first
+    # as-of resolution unchanged across the replay
+    lsn, cols = p2.schemas.asof("users", 99)
+    assert lsn == 71 and [c.name for c in cols] == ["pk", "val", "age"]
+
+
 def test_retry_policies(spark, env):
     """NoRetry never resets; ManualRetry needs force; TimedRetry honors
     delay + attempt cap (error_policy.rs)."""
