@@ -248,6 +248,44 @@ def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, 
     return reg
 
 
+#: raw frame-file schema: what a binary WAL shipper writes per frame
+FRAME_SCHEMA = "wal_start long, xid long, frame binary"
+
+
+class PersistentRelationRegistry:
+    """Relation metadata persisted across micro-batches and restarts.
+
+    Relation messages arrive once per (table, schema version) — a restart
+    with an intact checkpoint will NOT re-deliver old frames, so the
+    registry must outlive the stream (the reference stores table schemas
+    in its store for exactly this reason, store/schema/base.rs)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._reg: dict[int, dict] = {}
+        try:
+            with open(path) as f:
+                self._reg = {int(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            pass
+
+    def update_from(self, frames: DataFrame, frame_col: str = "frame") -> None:
+        new = relation_registry(frames, frame_col)
+        if new:
+            self._reg.update(new)
+            import os
+            import tempfile
+
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+            with os.fdopen(fd, "w") as f:
+                json.dump({str(k): v for k, v in self._reg.items()}, f)
+            os.replace(tmp, self.path)
+
+    def snapshot(self) -> dict[int, dict]:
+        return dict(self._reg)
+
+
 #: decode output schema (pre-assembly): one row per data-bearing frame
 _DECODED = (
     "wal_start long, xid long, op string, table string, after string, "

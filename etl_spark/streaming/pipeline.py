@@ -67,7 +67,12 @@ class Pipeline:
         sink: Sink,
         work_dir: str,
         async_flush: bool = False,
+        source_fmt: str = "envelope",
     ):
+        #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv);
+        #: "pgoutput" = raw binary frame files (FRAME_SCHEMA) from a WAL
+        #: shipper, decoded per micro-batch through sources/pgoutput.py
+        self.source_fmt = source_fmt
         self.spark = spark
         self.source_dir = source_dir
         self.tables = {t.name: t for t in tables}
@@ -82,6 +87,13 @@ class Pipeline:
         self.schemas = SchemaRegistry(os.path.join(work_dir, "schemas"))
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.query = None
+        self.relations = None
+        if source_fmt == "pgoutput":
+            from etl_spark.sources.pgoutput import PersistentRelationRegistry
+
+            self.relations = PersistentRelationRegistry(
+                os.path.join(work_dir, "pgoutput_relations.json")
+            )
 
     # ------------------------------------------------------------------
     def reconcile_membership(self) -> list[str]:
@@ -136,6 +148,13 @@ class Pipeline:
         """
         from etl_spark.streaming.async_flush import AsyncFlushSink
 
+        if self.source_fmt == "pgoutput":
+            # binary WAL frames → envelope: learn relations first (persisted
+            # across batches/restarts), then decode this batch
+            from etl_spark.sources.pgoutput import decode_frames
+
+            self.relations.update_from(batch)
+            batch = decode_frames(batch, relations=self.relations.snapshot())
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
         async_mode = isinstance(self.sink, AsyncFlushSink)
@@ -291,9 +310,17 @@ class Pipeline:
         what exists and stops (test/batch mode); False runs continuously.
         ``max_files_per_trigger`` bounds each micro-batch (T1)."""
         self.backfill()
-        stream = stream_changes(
-            self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
-        )
+        if self.source_fmt == "pgoutput":
+            from etl_spark.sources.pgoutput import FRAME_SCHEMA
+
+            reader = self.spark.readStream.schema(FRAME_SCHEMA)
+            if max_files_per_trigger is not None:
+                reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+            stream = reader.parquet(self.source_dir)
+        else:
+            stream = stream_changes(
+                self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
+            )
         writer = (
             stream.writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

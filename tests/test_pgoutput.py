@@ -117,6 +117,67 @@ def test_decode_frames_end_to_end(spark):
     assert any(op == "RELATION" for op, _ in rows)
 
 
+def _write_frames(spark, path, rows, name):
+    import os
+    import shutil
+
+    staging = os.path.join(path, f".__stage_{name}")
+    df = spark.createDataFrame(
+        [(w, x, bytearray(f)) for w, x, f in rows], pgo.FRAME_SCHEMA
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(staging)
+
+
+def test_pipeline_pgoutput_source_end_to_end(spark, tmp_path):
+    """Binary WAL-shipper files drive the full pipeline: decode → typed
+    merge → current state. The restart batch contains NO relation frame —
+    the persisted registry must carry it (store-backed schemas analog)."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel = pgo.encode_relation(1, "public", "users", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    _write_frames(spark, source, [
+        (-1, -1, rel),
+        (10, 1, pgo.encode_begin(final_lsn=100, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["1", "a"])),
+        (12, 1, pgo.encode_insert(1, ["2", "b"])),
+        (13, 1, pgo.encode_commit(100, 101)),
+    ], "b1")
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)  # empty table pre-stream
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    work = str(tmp_path / "work")
+    p = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    p.run_until_drained()
+    got = {r.pk: r.val for r in sink.read("public.users").select("pk", "val").collect()}
+    assert got == {1: "a", 2: "b"}
+    assert p.status()["flush_lsn"] == 100
+
+    # restart: new frames, no relation frame — persisted registry resolves
+    _write_frames(spark, source, [
+        (20, 2, pgo.encode_begin(final_lsn=200, xid=2)),
+        (21, 2, pgo.encode_update(1, ["1", "a2"])),
+        (22, 2, pgo.encode_delete(1, key=["2"])),
+        (23, 2, pgo.encode_commit(200, 201)),
+    ], "b2")
+    p2 = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    p2.run_until_drained()
+    got = {r.pk: r.val for r in sink.read("public.users").select("pk", "val").collect()}
+    assert got == {1: "a2"}
+    assert p2.status()["flush_lsn"] == 200
+
+
 def test_decode_registry(spark):
     rel = pgo.encode_relation(7, "s", "t", "f", [(1, "a", 20, -1), (1, "b", 25, -1)])
     frames = _frames_df(spark, [(-1, -1, rel)])

@@ -65,6 +65,10 @@ QUERIES = [
     "q2_min_cost_supplier",
     "mm_payload_dedup",
     "events_skew_salted_agg",
+    # round-2 additions
+    "cdc_replica_identity",
+    "cdc_partition_root",
+    "pgoutput_decode",
 ]
 
 
