@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_root": workload.cdc_partition_root,
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
         "pgoutput_decode": workload.pgoutput_decode,
+        "corpus_curation": workload_text.corpus_curation,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

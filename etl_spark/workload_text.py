@@ -173,6 +173,41 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline — every stage in one
+    declarative plan Catalyst optimizes as a whole:
+
+    1. dedup survivors (exact fingerprint keep-min + MinHash near-dup drop
+       — :func:`dedup_keep_list`);
+    2. quality gate: combined score ≥ 0.5 (:mod:`operators.text`);
+    3. language-stratified downsample (deterministic md5-uniform).
+
+    Output = the curated corpus manifest (doc_id, lang, n_tokens, quality).
+    Scale shape: stages 2-3 are scan-stage column algebra; the only
+    shuffles are the dedup pipeline's own (bounded, see SCALE.md), and the
+    final joins are keyed on doc_id.
+    """
+    docs = _docs(spark, sf_dir)
+    survivors = dedup_keep_list(spark, sf_dir)
+    q = text.quality_score(docs).select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+    rates = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    rate = F.lit(None).cast("double")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    out = (
+        survivors.join(q, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .filter(u < rate)
+    )
+    return out.select("doc_id", "lang", "n_tokens", "quality")
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified MinHash
     near-dup pairs (iterative min-label propagation,
