@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
         "pgoutput_decode": workload.pgoutput_decode,
         "corpus_curation": workload_text.corpus_curation,
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

@@ -420,6 +420,23 @@ SELECT doc_id,
 FROM tok
 """
 
+ORACLES["corpus_pack_sequences"] = r"""
+WITH tok AS (
+  SELECT doc_id, lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+FROM packed
+"""
+
 ORACLES["text_fingerprint"] = r"""
 SELECT doc_id, md5(text) AS fp_exact,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm

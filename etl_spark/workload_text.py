@@ -208,6 +208,41 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tokens", "quality")
 
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk pretraining primitive:
+    assign each document a (sequence id, offset) inside fixed token-budget
+    training sequences, per language.
+
+    Spark shape: deterministic order (doc_id) within each pack group, a
+    cumulative-token window, then ``seq = cum_before // budget``. Packing
+    groups are ``(lang, shard)`` with ``shard = doc_id % 8``: packing is
+    an arbitrary grouping, so sharding the window key is semantics-free
+    but keeps the shuffle keyed on |langs| × shards partitions instead of
+    |langs| — the 5-language corpus would otherwise collapse onto 5 tasks
+    at 100 TB (window-skew trap).
+    """
+    budget = 2048
+    docs = _docs(spark, sf_dir)
+    toks = text.token_counts(docs).select("doc_id", "lang", "n_ws_tokens")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", F.col("doc_id") % 8)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_ws_tokens").over(w)
+    out = toks.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.col("n_ws_tokens").alias("n_tokens"),
+        ((cum - F.col("n_ws_tokens")) / budget).cast("long").alias("seq_id"),
+        ((cum - F.col("n_ws_tokens")) % budget).cast("long").alias("seq_offset"),
+    )
+    return out
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified MinHash
     near-dup pairs (iterative min-label propagation,
