@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgoutput_decode": workload.pgoutput_decode,
         "corpus_curation": workload_text.corpus_curation,
         "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

@@ -584,6 +584,28 @@ SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch, event_type,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["events_gapfill_locf"] = """
+WITH roll AS (
+  SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(hour_epoch) AS lo, max(hour_epoch) AS hi FROM roll),
+grid AS (
+  SELECT t.event_type, g.hour_epoch
+  FROM (SELECT DISTINCT event_type FROM roll) t,
+       (SELECT unnest(range(rng.lo, rng.hi + 3600, 3600)) AS hour_epoch FROM rng) g
+)
+SELECT grid.event_type, grid.hour_epoch,
+       CAST(coalesce(roll.n, 0) AS BIGINT) AS n,
+       last_value(roll.sum_value IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+         ROWS UNBOUNDED PRECEDING) AS sum_value_locf,
+       CAST(roll.n IS NULL AS INT) AS is_gap
+FROM grid LEFT JOIN roll USING (event_type, hour_epoch)
+"""
+
 ORACLES["pg_decode_roundtrip"] = r"""
 WITH src AS (SELECT * FROM lineitem WHERE l_linenumber = 1),
 rendered AS (
@@ -1135,6 +1157,23 @@ FROM surv JOIN documents d USING (doc_id) JOIN scored s USING (doc_id)
 WHERE s.quality >= 0.5
   AND {_U13} < CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.25
                             WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 END
+"""
+
+ORACLES["corpus_token_mixture"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         {_U13} AS u
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, doc_id % 8 ORDER BY u ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM tok
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE cum_before < 2500
 """
 
 ORACLES["sample_stratified"] = f"""

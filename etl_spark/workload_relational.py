@@ -201,6 +201,53 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup with LOCF (the time_bucket_gapfill
+    + locf pattern — task brief §custom operators, hypertable rollup).
+
+    1. hourly rollup per event_type (one keyed shuffle, map-combined);
+    2. dense hour grid per type: global [min, max] hour range (broadcast
+       scalar) × distinct types, ``sequence``-exploded — grid size is
+       bounded by wall-clock hours × |types|, METADATA-sized at any data
+       scale because it sits post-aggregation;
+    3. left join rollup onto the grid; missing hours get n=0 and
+       last-observation-carried-forward sum (per-type ordered window over
+       the tiny grid).
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("ts div 1000000000 div 3600 * 3600")
+    roll = (
+        ev.withColumn("hour_epoch", hour)
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    rng = roll.agg(F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi"))
+    grid = (
+        roll.select("event_type").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch"),
+        )
+    )
+    joined = grid.join(roll, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    )
+
+
 def pg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec layer end-to-end: render PG wire text from typed columns, then
     decode through the production codec (SURVEY §2.8 F1-F13 subset).

@@ -243,6 +243,40 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per language, take documents in a
+    deterministic pseudo-random order until a token budget fills — the
+    "N billion tokens of lang X" selection step of a pretraining mix.
+
+    Budgets are PER (lang, shard) with shard = doc_id % 8 (total budget /
+    8 per shard): budget-capped selection needs an ordered scan within
+    each budget group, so sharding the group key bounds every sort at
+    1/8th per language and keeps |langs|×8 parallel tasks — same
+    skew-avoidance as sequence packing. Order = md5-uniform of doc_id
+    (deterministic; re-runs and the oracle agree row-for-row).
+    """
+    shard_budget = 2500  # tokens per (lang, shard); total = 8x per lang
+    docs = _docs(spark, sf_dir)
+    toks = text.token_counts(docs).select("doc_id", "lang", "n_ws_tokens")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", F.col("doc_id") % 8)
+        .orderBy(u.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_ws_tokens").over(w)
+    out = toks.withColumn("__cum_before", cum - F.col("n_ws_tokens")).filter(
+        F.col("__cum_before") < shard_budget
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_ws_tokens").alias("n_tokens")
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified MinHash
     near-dup pairs (iterative min-label propagation,
