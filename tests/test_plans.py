@@ -249,3 +249,23 @@ def test_pgoutput_decode_no_global_sort(spark):
     assert not global_sorts, plan
     # window partitioning key present
     assert "xid" in plan
+
+
+def test_pack_sequences_sharded_window(spark):
+    plan = plan_of(workload_text.corpus_pack_sequences(spark, SF_DIR))
+    # window key must be (lang, shard), not lang alone — the 5-language
+    # corpus would collapse onto 5 tasks at scale otherwise
+    assert "hashpartitioning(lang" in plan and "% 8)" in plan, plan
+
+
+def test_token_mixture_sharded_window(spark):
+    plan = plan_of(workload_text.corpus_token_mixture(spark, SF_DIR))
+    assert "hashpartitioning(lang" in plan and "% 8)" in plan, plan
+
+
+def test_gapfill_grid_is_post_aggregation(spark):
+    plan = plan_of(workload_relational.events_gapfill_locf(spark, SF_DIR))
+    # the dense grid crossJoin must sit on AGGREGATED (tiny) inputs with the
+    # range broadcast — never a cartesian over raw events
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # types x broadcast [lo, hi]
