@@ -321,79 +321,127 @@ def decode_frames(
         relations = relation_registry(frames, frame_col)
 
     def run(batches: Iterator) -> Iterator:
+        import struct as _struct
+
         import pandas as pd
 
+        # hot-loop locals: precompiled structs + bound methods (the parse
+        # runs per frame; attribute lookups and re-parsing format strings
+        # measurably dominate at millions of frames per task)
+        u_h = _struct.Struct(">h").unpack_from
+        u_i = _struct.Struct(">i").unpack_from
+        u_I = _struct.Struct(">I").unpack_from
+        u_begin = _struct.Struct(">QqI").unpack_from
+        dumps = json.dumps
+        toast = _UnchangedToast
+        OPS = {73: "INSERT", 85: "UPDATE", 68: "DELETE"}  # I U D
+
+        def parse_cells(buf, pos):
+            (n,) = u_h(buf, pos)
+            pos += 2
+            cells = []
+            ap = cells.append
+            for _ in range(n):
+                kind = buf[pos]
+                pos += 1
+                if kind == 116:  # 't'
+                    (ln,) = u_i(buf, pos)
+                    pos += 4
+                    ap(buf[pos : pos + ln].decode())
+                    pos += ln
+                elif kind == 110:  # 'n'
+                    ap(None)
+                elif kind == 117:  # 'u'
+                    ap(UNCHANGED_TOAST)
+                else:
+                    raise ValueError(f"unsupported TupleData kind: {chr(kind)!r}")
+            return cells, pos
+
         for pdf in batches:
-            out = {k: [] for k in ("wal_start", "xid", "op", "table", "after",
-                                   "before", "before_kind", "missing_cols",
-                                   "begin_final_lsn")}
-
-            def emit(wal, xid, op, table=None, after=None, before=None,
-                     kind="NONE", missing=None, final_lsn=None):
-                out["wal_start"].append(wal)
-                out["xid"].append(xid)
-                out["op"].append(op)
-                out["table"].append(table)
-                out["after"].append(after)
-                out["before"].append(before)
-                out["before_kind"].append(kind)
-                out["missing_cols"].append(missing)
-                out["begin_final_lsn"].append(final_lsn)
-
-            for wal, xid, raw in zip(pdf[lsn_col], pdf[xid_col], pdf[frame_col]):
-                p = parse_frame(bytes(raw))
-                k = p["kind"]
-                if k == "BEGIN":
-                    emit(wal, xid, "BEGIN", final_lsn=p["final_lsn"])
-                elif k == "COMMIT":
-                    emit(wal, xid, "COMMIT")
-                elif k == "RELATION":
-                    emit(wal, xid, "RELATION",
-                         table=f"{p['namespace']}.{p['name']}",
-                         after=json.dumps({"columns": [
-                             {"name": c["name"], "pk_ordinal": i if c["flags"] & 1 else None}
-                             for i, c in enumerate(p["columns"])]}))
-                elif k == "TRUNCATE":
-                    for rid in p["rel_ids"]:
-                        rel = relations.get(rid)
-                        if rel:
-                            emit(wal, xid, "TRUNCATE", table=rel["table"])
-                elif k in ("INSERT", "UPDATE", "DELETE"):
-                    rel = relations.get(p["rel_id"])
+            wals = pdf[lsn_col].tolist()
+            xids = pdf[xid_col].tolist()
+            raws = pdf[frame_col].tolist()
+            rows = []
+            ap = rows.append
+            for wal, xid, raw in zip(wals, xids, raws):
+                buf = bytes(raw)
+                tag = buf[0]
+                op = OPS.get(tag)
+                if op is not None:  # DML fast path
+                    (rel_id,) = u_I(buf, 1)
+                    rel = relations.get(rel_id)
                     if rel is None:
                         continue  # unknown relation: P4 drop-with-warning
                     cols = rel["columns"]
-                    after = before = None
+                    old = key = new = None
+                    pos = 5
+                    blen = len(buf)
+                    while pos < blen:
+                        sub = buf[pos]
+                        pos += 1
+                        tup, pos = parse_cells(buf, pos)
+                        if sub == 78:  # 'N'
+                            new = tup
+                        elif sub == 79:  # 'O'
+                            old = tup
+                        elif sub == 75:  # 'K'
+                            key = tup
+                        else:
+                            raise ValueError(f"unexpected tuple tag {chr(sub)!r}")
+                    after = before = missing = None
                     kind = "NONE"
-                    missing = None
-                    new = p.get("new")
                     if new is not None:
                         vals, miss = {}, []
-                        for i, (c, v) in enumerate(zip(cols, new)):
-                            if isinstance(v, _UnchangedToast):
+                        for i, c in enumerate(cols):
+                            v = new[i]
+                            if v is toast or isinstance(v, toast):
                                 miss.append(i)
                             else:
                                 vals[c] = v
-                        after = json.dumps(vals)
+                        after = dumps(vals)
                         missing = miss or None
-                    if p.get("old") is not None:
-                        before = json.dumps({
-                            c: (None if isinstance(v, _UnchangedToast) else v)
-                            for c, v in zip(cols, p["old"])})
+                    if old is not None:
+                        before = dumps({
+                            c: (None if isinstance(v, toast) else v)
+                            for c, v in zip(cols, old)})
                         kind = "FULL"
-                    elif p.get("key") is not None:
-                        keyvals = p["key"]
+                    elif key is not None:
                         # dense key tuple (len == identity cols) or
                         # full-width with nulls (event.rs:887-911)
-                        if len(keyvals) == len(rel["key_cols"]):
-                            before = json.dumps(dict(zip(rel["key_cols"], keyvals)))
+                        if len(key) == len(rel["key_cols"]):
+                            before = dumps(dict(zip(rel["key_cols"], key)))
                         else:
-                            before = json.dumps({
-                                c: v for c, v in zip(cols, keyvals) if v is not None})
+                            before = dumps({
+                                c: v for c, v in zip(cols, key) if v is not None})
                         kind = "KEY"
-                    emit(wal, xid, k, table=rel["table"], after=after,
-                         before=before, kind=kind, missing=missing)
-            yield pd.DataFrame(out)
+                    ap((wal, xid, op, rel["table"], after, before, kind,
+                        missing, None))
+                elif tag == 66:  # 'B'
+                    final_lsn, _ts, _x = u_begin(buf, 1)
+                    ap((wal, xid, "BEGIN", None, None, None, "NONE", None, final_lsn))
+                elif tag == 67:  # 'C'
+                    ap((wal, xid, "COMMIT", None, None, None, "NONE", None, None))
+                elif tag == 82:  # 'R'
+                    p = parse_frame(buf)
+                    ap((wal, xid, "RELATION", f"{p['namespace']}.{p['name']}",
+                        dumps({"columns": [
+                            {"name": c["name"], "pk_ordinal": i if c["flags"] & 1 else None}
+                            for i, c in enumerate(p["columns"])]}),
+                        None, "NONE", None, None))
+                elif tag == 84:  # 'T'
+                    p = parse_frame(buf)
+                    for rid in p["rel_ids"]:
+                        rel = relations.get(rid)
+                        if rel:
+                            ap((wal, xid, "TRUNCATE", rel["table"],
+                                None, None, "NONE", None, None))
+                else:
+                    raise ValueError(f"unknown pgoutput message tag: {chr(tag)!r}")
+            yield pd.DataFrame(
+                rows,
+                columns=["wal_start", "xid", "op", "table", "after", "before",
+                         "before_kind", "missing_cols", "begin_final_lsn"],
+            )
 
     decoded = frames.select(lsn_col, xid_col, frame_col).mapInPandas(run, schema=_DECODED)
 
