@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark import failpoints
 from etl_spark.envelope import ROW_OPS, with_sequence
 from etl_spark.schema_registry import ColumnDef, SchemaRegistry
 from etl_spark.sources.cdc import stream_changes
@@ -117,14 +118,19 @@ class Pipeline:
             if entry.state == TableState.ERRORED:
                 continue  # quarantined; manual/timed retry resets to Init
             try:
+                failpoints.hit(failpoints.BEFORE_DATA_SYNC)
                 self.control.transition(cfg.name, TableState.DATA_SYNC)
                 if cfg.snapshot_path:
                     self.sink.truncate(cfg.name)  # drop_table_for_copy
+                    # fires mid-copy: destination already truncated, rows
+                    # not yet written — the partial-copy fault
+                    failpoints.hit(failpoints.DURING_DATA_SYNC)
                     df = self.spark.read.parquet(cfg.snapshot_path)
                     if cfg.row_filter:
                         df = df.filter(F.expr(cfg.row_filter))
                     self.sink.write_snapshot(cfg.name, df)
                 self.control.transition(cfg.name, TableState.FINISHED_COPY)
+                failpoints.hit(failpoints.AFTER_FINISHED_COPY)
                 # snapshot LSN 0 = "before all events" for the sim source;
                 # a real source records the exported snapshot's LSN here
                 self.control.transition(cfg.name, TableState.SYNC_DONE, lsn=0)
@@ -163,6 +169,13 @@ class Pipeline:
             if async_mode:
                 self.sink.await_pending()  # settle pending_flush_result
             self._apply_relations(batch)
+            # FORCE_SCHEMA_CLEANUP: aggressively prune schema versions up to
+            # the durable flush LSN mid-stream (reference forces cleanup to
+            # prove as-of decode never needs a pruned version,
+            # pipeline_with_failpoints.rs:1581)
+            if failpoints.should_skip(failpoints.FORCE_SCHEMA_CLEANUP):
+                for name in self.tables:
+                    self.schemas.prune(name, self.control.flush_lsn)
             max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
             for name, _cfg in self.tables.items():
                 entry = self.control.get(name)
@@ -179,15 +192,25 @@ class Pipeline:
                         error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
                     )
             max_lsn = max_lsn_row["m"]
+            # STORE_REPLICATION_PROGRESS: persisting durable progress fails
+            # → the whole micro-batch fails and the stream errors; a restart
+            # replays it (at-least-once, idempotent sinks absorb the rerun)
+            failpoints.hit(failpoints.STORE_REPLICATION_PROGRESS)
+            # SEND_STATUS_UPDATE: the progress advance is silently LOST
+            # (reference: status update to the source never sent,
+            # pipeline_with_failpoints.rs:759) — data is applied but the
+            # recorded flush LSN lags; replay from the stale LSN must
+            # converge to the same state
+            lost = failpoints.should_skip(failpoints.SEND_STATUS_UPDATE)
             if async_mode:
-                def _durable(lsn=max_lsn, b=batch):
-                    if lsn is not None:
+                def _durable(lsn=max_lsn, b=batch, lost=lost):
+                    if lsn is not None and not lost:
                         self.control.advance_flush_lsn(int(lsn))
                     b.unpersist()
 
                 self.sink.after_flush(_durable)
                 deferred = True
-            elif max_lsn is not None:
+            elif max_lsn is not None and not lost:
                 # durable progress: sink writes above completed synchronously
                 self.control.advance_flush_lsn(int(max_lsn))
         finally:
@@ -310,6 +333,7 @@ class Pipeline:
         what exists and stops (test/batch mode); False runs continuously.
         ``max_files_per_trigger`` bounds each micro-batch (T1)."""
         self.backfill()
+        failpoints.hit(failpoints.BEFORE_STREAMING)
         if self.source_fmt == "pgoutput":
             from etl_spark.sources.pgoutput import FRAME_SCHEMA
 
