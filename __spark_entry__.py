@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": workload_text.corpus_pack_sequences,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_repetition": workload_text.docs_repetition,
+        # --- past the 50-entry window: rotates in next round (COVERAGE.md) ---
+        "docs_contamination": workload_text.docs_contamination,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

@@ -1393,3 +1393,67 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN stats s USING (event_type)
 WHERE abs((e.value - s.mean) / s.sd) > 3.0
 """
+
+ORACLES["docs_pii_redact"] = """
+WITH a AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         AS aug
+  FROM documents
+),
+r AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS red
+  FROM a
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INTEGER) AS n_phones,
+       md5(red) AS redacted_fp,
+       CAST(length(aug) - length(red) AS INTEGER) AS removed_chars
+FROM r
+"""
+
+ORACLES["docs_repetition"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+u AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS w FROM d),
+wc AS (SELECT doc_id, n, w, count(*) AS c FROM u GROUP BY doc_id, n, w),
+wagg AS (SELECT doc_id, n, max(c) AS top_c, count(*) AS n_distinct
+         FROM wc GROUP BY doc_id, n),
+bgu AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS b
+        FROM d WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bgu GROUP BY doc_id, b),
+bagg AS (SELECT doc_id, max(c) AS top_bc, sum(c) AS n_bg FROM bc GROUP BY doc_id)
+SELECT w.doc_id,
+       round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n, 6) AS dup_word_frac,
+       round(CAST(w.top_c AS DOUBLE) / w.n, 6) AS top_word_frac,
+       round(coalesce(CAST(b.top_bc AS DOUBLE) / b.n_bg, 0.0), 6) AS top_bigram_frac,
+       (CAST(w.top_c AS DOUBLE) / w.n <= 0.20
+        AND coalesce(CAST(b.top_bc AS DOUBLE) / b.n_bg, 0.0) <= 0.18) AS gopher_keep
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+"""
+
+ORACLES["docs_contamination"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 3),
+                                   i -> md5(array_to_string(ws[i:i+3], ' ')))) AS sh
+      FROM d WHERE len(ws) >= 4),
+e AS (SELECT DISTINCT doc_id AS eval_doc_id, sh FROM s WHERE doc_id % 97 = 0),
+t AS (SELECT DISTINCT doc_id AS train_doc_id, sh FROM s WHERE doc_id % 97 <> 0),
+tc AS (SELECT train_doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM t GROUP BY train_doc_id),
+ov AS (SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM t JOIN e USING (sh) GROUP BY train_doc_id, eval_doc_id)
+SELECT ov.train_doc_id, ov.eval_doc_id, ov.n_overlap,
+       round(CAST(ov.n_overlap AS DOUBLE) / tc.n_sh, 6) AS overlap_frac
+FROM ov JOIN tc USING (train_doc_id)
+"""

@@ -402,3 +402,134 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy(F.col("lang").alias("lang_true"), F.col("lang_pred"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: e-mails, IPv4 addresses, phone numbers
+    found, counted, and replaced with typed placeholders.
+
+    The synthetic corpus is PII-free, so a deterministic doc_id-derived
+    injection makes the redaction path non-vacuous (and exactly
+    reproducible in the oracle). All regexp work is JVM-side in the scan
+    stage — no shuffle, no Python; patterns stay inside the Java∩RE2
+    subset so DuckDB mirrors them verbatim.
+    """
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com now"))
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1"))
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"))
+        ).otherwise(F.lit("")),
+    )
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    d = docs.select("doc_id", aug.alias("aug"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(ipv4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(phone), F.lit(0))).alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+        (F.length("aug") - F.length(red)).alias("removed_chars"),
+    )
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats per document: duplicate-word
+    fraction, top-word fraction, top-bigram fraction, and a keep flag.
+
+    Two aggregations keyed by doc_id (words, bigrams) — each a single
+    shuffle partitioned by the document key, so the plan scales with the
+    corpus; no per-document driver work.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    u = d.select("doc_id", F.size("ws").alias("n"), F.explode("ws").alias("w"))
+    wagg = (
+        u.groupBy("doc_id", "n", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("c").alias("top_c"), F.count("*").alias("n_distinct"))
+    )
+    bg = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(ws)-1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+        )).alias("b"),
+    )
+    bagg = (
+        bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bc"), F.sum("c").alias("n_bg"))
+    )
+    out = wagg.join(bagg, "doc_id", "left")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n")
+    top_w = F.col("top_c").cast("double") / F.col("n")
+    top_b = F.coalesce(F.col("top_bc").cast("double") / F.col("n_bg"), F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        F.round(top_w, 6).alias("top_word_frac"),
+        F.round(top_b, 6).alias("top_bigram_frac"),
+        ((top_w <= 0.20) & (top_b <= 0.18)).alias("gopher_keep"),
+    )
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: 4-gram shingle overlap between an eval
+    slice (doc_id % 97 == 0) and the training corpus.
+
+    (Production decontamination uses 8-13-grams; the synthetic corpus's
+    random word streams only collide at 4-grams, so that is the
+    non-vacuous choice here — the plan is n-independent.)
+
+    Shingles carry 16-byte md5 digests, not text; the eval side is tiny
+    by construction and broadcast, so the probe never shuffles the train
+    corpus — the canonical decontamination join at 100 TB.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = _docs(spark, sf_dir)
+    d = docs.filter(F.size(F.split("text", " ")) >= 4).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(ws)-3),"
+            " i -> md5(array_join(slice(ws, i, 4), ' ')))"
+        )).alias("sh"),
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    ).distinct()
+    tr = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    ).distinct()
+    totals = tr.groupBy("train_doc_id").agg(F.count("*").alias("n_sh"))
+    ov = (
+        tr.join(broadcast(ev), "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return ov.join(totals, "train_doc_id").select(
+        "train_doc_id",
+        "eval_doc_id",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias("overlap_frac"),
+    )

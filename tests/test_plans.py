@@ -269,3 +269,26 @@ def test_gapfill_grid_is_post_aggregation(spark):
     # range broadcast — never a cartesian over raw events
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # types x broadcast [lo, hi]
+
+
+def test_pii_redact_scan_stage_only(spark):
+    plan = plan_of(workload_text.docs_pii_redact(spark, SF_DIR))
+    # pure column expressions: the only exchange is the deliberate
+    # parallelism spread in _docs; no joins, no aggregation shuffle
+    assert n_shuffles(plan) <= 1
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_repetition_two_keyed_aggs_one_join(spark):
+    plan = plan_of(workload_text.docs_repetition(spark, SF_DIR))
+    # no cartesian, no global window: everything keyed by doc_id
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    plan = plan_of(workload_text.docs_contamination(spark, SF_DIR))
+    # eval shingles broadcast; the train corpus is probed, never
+    # re-shuffled through a sort-merge on the shingle key
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -69,6 +69,9 @@ QUERIES = [
     "cdc_replica_identity",
     "cdc_partition_root",
     "pgoutput_decode",
+    "docs_pii_redact",
+    "docs_repetition",
+    "docs_contamination",
 ]
 
 
