@@ -445,25 +445,21 @@ def decode_frames(
 
     decoded = frames.select(lsn_col, xid_col, frame_col).mapInPandas(run, schema=_DECODED)
 
-    # tx assembly: commit_lsn by broadcast join on xid (Begins are tiny),
-    # ordinal by per-transaction window — both shuffle-free on the big side.
-    # The begins branch pre-filters on the FRAME TAG BYTE so its decode pass
-    # parses only 'B' frames (tx-boundary fraction of the WAL), instead of
-    # re-decoding the whole stream a second time (verified via .explain).
-    begin_frames = frames.filter(
-        F.substring(F.col(frame_col).cast("binary"), 1, 1) == F.lit(b"B")
-    )
-    begins = (
-        begin_frames.select(lsn_col, xid_col, frame_col)
-        .mapInPandas(run, schema=_DECODED)
-        .select(F.col("xid").alias("__bx"), F.col("begin_final_lsn").alias("commit_lsn"))
-        .distinct()
-    )
-    data = decoded.filter(~F.col("op").isin("BEGIN", "COMMIT"))
-    joined = data.join(F.broadcast(begins), data["xid"] == begins["__bx"], "left").drop("__bx")
-    w = Window.partitionBy("xid").orderBy(F.col("wal_start").asc())
+    # tx assembly in ONE pass: BEGIN rows ride the main decode, so the
+    # commit LSN is the xid-partition max of begin_final_lsn (only BEGIN
+    # rows carry it) and the ordinal a row_number over the same
+    # partitioning — a single xid shuffle feeds both windows. The previous
+    # plan evaluated the frame lineage a SECOND time for a begins-only
+    # branch (a full re-encode when the upstream is an encoder, a full
+    # re-scan otherwise) and broadcast-joined it back; verified via
+    # .explain that this version has exactly one Exchange and one Python
+    # decode pass.
+    wp = Window.partitionBy("xid")
+    wo = wp.orderBy(F.col("wal_start").asc())
     env = (
-        joined.withColumn("tx_ordinal", F.row_number().over(w) - 1)
+        decoded.withColumn("commit_lsn", F.max("begin_final_lsn").over(wp))
+        .filter(~F.col("op").isin("BEGIN", "COMMIT"))
+        .withColumn("tx_ordinal", F.row_number().over(wo) - 1)
         .withColumn("commit_lsn", F.coalesce(F.col("commit_lsn"), F.col("xid")))
         .select(
             "op", "table", "commit_lsn",

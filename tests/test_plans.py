@@ -237,14 +237,18 @@ def test_pg_copy_roundtrip_scan_stage_only(spark):
     assert n_shuffles(plan) == 0, plan
 
 
-def test_pgoutput_decode_no_global_sort(spark):
+def test_pgoutput_decode_single_pass_per_xid(spark):
     plan = plan_of(workload.pgoutput_decode(spark, SF_DIR))
-    # tx assembly must stay per-xid: the window partitions by xid and the
-    # begin lookup is broadcast — a global (empty-partition) sort means
-    # the ordered-window fallback regressed into the plan
+    # tx assembly is ONE decode pass: BEGIN rows ride the main decode and
+    # commit_lsn/tx_ordinal come from windows over the same xid partition.
+    # A second MapInPandas subtree or a join means the begins branch (which
+    # re-evaluates the whole frame lineage) regressed into the plan.
     import re
 
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, "tx assembly must not join"
+    # formatted plans list each node twice (tree + details): 3 distinct
+    # MapInPandas = encoder, begin-encoder, ONE decoder
+    assert plan.count("MapInPandas") <= 6
     global_sorts = re.findall(r"Sort \[wal_start[^\]]*\], true", plan)
     assert not global_sorts, plan
     # window partitioning key present
