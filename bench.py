@@ -62,6 +62,16 @@ HEADLINE = [
     "cdc_replica_identity",
     "cdc_partition_root",
     "pgoutput_decode",
+    "pg_copy_roundtrip",
+    # corpus_curation is gate-tested but excluded here: it re-runs the
+    # full MinHash-LSH dedup internally (double-counts dedup_minhash_lsh)
+    # and its shuffle footprint distorts neighboring timings
+    "corpus_pack_sequences",
+    "events_gapfill_locf",
+    "corpus_token_mixture",
+    "docs_pii_redact",
+    "docs_repetition",
+    "docs_contamination",
 ]
 
 
