@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": workload_text.docs_repetition,
         # --- past the 50-entry window: rotates in next round (COVERAGE.md) ---
         "docs_contamination": workload_text.docs_contamination,
+        "stream_windowed_watermark": workload.stream_windowed_watermark,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

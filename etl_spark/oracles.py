@@ -1457,3 +1457,21 @@ SELECT ov.train_doc_id, ov.eval_doc_id, ov.n_overlap,
        round(CAST(ov.n_overlap AS DOUBLE) / tc.n_sh, 6) AS overlap_frac
 FROM ov JOIN tc USING (train_doc_id)
 """
+
+ORACLES["stream_windowed_watermark"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type, value FROM events),
+b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+kept AS (
+  SELECT e.* FROM e, b
+  WHERE NOT (e.us >= b.lo + (b.hi - b.lo) // 4
+             AND e.us <= b.lo + ((b.hi - b.lo) * 35) // 100
+             AND e.event_id % 5 = 0)
+)
+SELECT (kept.us // 86400000000) * 86400000000 AS window_start_us,
+       kept.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(kept.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM kept, b
+GROUP BY (kept.us // 86400000000) * 86400000000, kept.event_type, b.hi
+HAVING (kept.us // 86400000000) * 86400000000 + 86400000000 <= b.hi - 43200000000
+"""

@@ -414,3 +414,84 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation with watermark-dropped late data,
+    run bounded (``availableNow`` over three deterministic batch files).
+
+    The event stream is split into: on-time first half, on-time second
+    half, then a LATE batch (a deterministic slice from the 25-35% band
+    of the time range) that arrives after the watermark — max(ts) - 12h —
+    has passed it, so every late row is dropped. Append-mode emission
+    finalizes exactly the 1-day windows whose end ≤ the final watermark;
+    the trailing windows stay in state and never emit. Both effects (late
+    drop + unemitted tail) are deterministic given the file order, so the
+    final table has an exact SQL oracle. Decimal partial sums keep the
+    value aggregate order-independent.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    # all band arithmetic in MICROS: DuckDB reads TIMESTAMP(NANOS) parquet
+    # truncated to micros, so micro-resolution bounds are the shared grid
+    # both engines compute identically (`ts div 1000` == epoch_us(ts))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr("ts div 1000").alias("us"), "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = hi - lo
+    late_lo, late_hi = lo + span // 4, lo + (span * 35) // 100
+    is_late = (
+        (F.col("us") >= late_lo) & (F.col("us") <= late_hi)
+        & (F.col("event_id") % 5 == 0)
+    )
+    mid = lo + span // 2
+    work = tempfile.mkdtemp(prefix="stream_wm_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(ev.filter(~is_late & (F.col("us") < mid)).drop("us"), "b0")
+    emit(ev.filter(~is_late & (F.col("us") >= mid)).drop("us"), "b1")
+    emit(ev.filter(is_late).drop("us"), "b2")
+
+    stream = (
+        spark.readStream.schema(ev.drop("us").schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        # ts is TIMESTAMP(NANOS) read as long; truncate to micros with
+        # integer div (nanos exceed double precision)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "12 hours")
+    )
+    agg = (
+        stream.groupBy(F.window("event_time", "1 day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
