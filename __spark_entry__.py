@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: rotates in next round (COVERAGE.md) ---
         "docs_contamination": workload_text.docs_contamination,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
         # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,

@@ -1475,3 +1475,21 @@ FROM kept, b
 GROUP BY (kept.us // 86400000000) * 86400000000, kept.event_type, b.hi
 HAVING (kept.us // 86400000000) * 86400000000 + 86400000000 <= b.hi - 43200000000
 """
+
+ORACLES["docs_passage_dedup"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 3),
+                                   i -> md5(array_to_string(ws[i:i+3], ' ')))) AS sh
+      FROM d WHERE len(ws) >= 4),
+freq AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh),
+j AS (SELECT s.doc_id, freq.nd FROM s JOIN freq USING (sh)),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_passages,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        FROM j GROUP BY doc_id)
+SELECT doc_id, n_passages, n_repeated,
+       round(CAST(n_repeated AS DOUBLE) / n_passages, 6) AS repeated_frac,
+       (CAST(n_repeated AS DOUBLE) / n_passages <= 0.3) AS keep_passage
+FROM agg
+"""

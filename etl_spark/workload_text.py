@@ -533,3 +533,39 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias("overlap_frac"),
     )
+
+
+def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage filtering signal (the ExactSubstr-dedup analog of
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of its 4-gram passages that also occur in at
+    least one OTHER document, plus a keep flag.
+
+    Plan: passage digests → distinct-doc counts (one digest-keyed agg,
+    map-side combined) → join back to the per-doc passage stream on the
+    digest → per-doc aggregation. Three keyed shuffles, md5 digests only —
+    no passage text moves after the scan, nothing is quadratic.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.filter(F.size(F.split("text", " ")) >= 4).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(ws)-3),"
+            " i -> md5(array_join(slice(ws, i, 4), ' ')))"
+        )).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+    joined = sh.join(freq, "sh")
+    out = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_repeated"),
+    )
+    frac = F.col("n_repeated").cast("double") / F.col("n_passages")
+    return out.select(
+        "doc_id", "n_passages", "n_repeated",
+        F.round(frac, 6).alias("repeated_frac"),
+        (frac <= 0.3).alias("keep_passage"),
+    )

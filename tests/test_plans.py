@@ -296,3 +296,11 @@ def test_contamination_broadcasts_eval_side(spark):
     # re-shuffled through a sort-merge on the shingle key
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_digest_keyed_shuffles(spark):
+    plan = plan_of(workload_text.docs_passage_dedup(spark, SF_DIR))
+    # digest-frequency agg + join-back + doc agg: everything keyed, no
+    # cartesian, no window, passage text never shuffled (md5 digests only)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
