@@ -97,6 +97,27 @@ class Pipeline:
             )
 
     # ------------------------------------------------------------------
+    def hydrate_schemas(self) -> list[str]:
+        """Restore each table's decode schema (replication mask) from the
+        registry's newest version — the reference re-derives masks from
+        its schema store on restart
+        (pipeline_with_failpoints.rs:1660
+        ``table_schema_replication_masks_are_consistent_after_restart``).
+        Without this, a restarted pipeline would decode with the
+        constructor's (possibly stale) payload_schema until the next
+        RELATION event happened to arrive."""
+        restored = []
+        for name, cfg in self.tables.items():
+            latest = self.schemas.asof(name, 2**62)
+            if latest is None:
+                continue
+            _, cols = latest
+            schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
+            if schema and schema != cfg.payload_schema:
+                cfg.payload_schema = schema
+                restored.append(name)
+        return restored
+
     def reconcile_membership(self) -> list[str]:
         """Purge state + destination data for tables no longer configured
         (publication-membership sync, pipeline.rs:354-421). A later re-add
@@ -109,6 +130,7 @@ class Pipeline:
 
     def backfill(self) -> None:
         """Initial copies for every table not yet streaming (SURVEY §3.3)."""
+        self.hydrate_schemas()
         self.reconcile_membership()
         self.control.restart_reset()
         for cfg in self.tables.values():

@@ -231,3 +231,30 @@ def test_force_schema_cleanup_keeps_asof_boundary(spark, env):
     assert got == {1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}
     # the v2 version (boundary ≥ durable LSN) survived forced pruning
     assert p2.schemas.asof("users", 25) is not None
+
+
+# table_schema_replication_masks_are_consistent_after_restart (rs:1660):
+# a restarted pipeline decodes with the registry's newest schema version,
+# not the constructor's stale mask — even when no RELATION event replays
+def test_replication_mask_consistent_after_restart(spark, env):
+    rel = ev("RELATION", "users", 20, 0, schema_lsn=20)
+    rel = Row(**{**rel.asDict(), "after": json.dumps({"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 0},
+        {"name": "val", "typ": "string"},
+        {"name": "extra", "typ": "string"},
+    ]})})
+    write_events(spark, env["source"], [rel], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    assert "extra" in (p.tables["users"].payload_schema or "")
+    # restart: fresh Pipeline with the ORIGINAL 2-column config; the batch
+    # with the wide row arrives post-restart, no RELATION replay
+    write_events(spark, env["source"],
+                 [ev("INSERT", "users", 30, 0,
+                     after={"pk": 9, "val": "z", "extra": "kept"})],
+                 "b2")
+    p2 = make_pipeline(spark, env)
+    p2.run_until_drained()
+    assert "extra" in (p2.tables["users"].payload_schema or "")
+    row = env["sink"].read("users").filter("pk = 9").collect()[0]
+    assert row.extra == "kept"  # decoded with the restored mask
