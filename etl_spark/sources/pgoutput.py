@@ -163,6 +163,26 @@ def encode_truncate(rel_ids: list[int], options: int = 0) -> bytes:
     return b"".join(out)
 
 
+#: Prefix the reference's DDL event trigger uses for schema-change
+#: messages (event.rs:28 DDL_MESSAGE_PREFIX).
+DDL_MESSAGE_PREFIX = "supabase_etl_ddl"
+
+
+def encode_message(
+    lsn: int, prefix: str, content: str, transactional: bool = True
+) -> bytes:
+    """Logical decoding Message frame (``pg_logical_emit_message``):
+    'M' + flags(1=transactional) + lsn + prefix cstring + content."""
+    body = content.encode()
+    return (
+        b"M"
+        + struct.pack(">BQ", 1 if transactional else 0, lsn)
+        + _cstr(prefix)
+        + struct.pack(">I", len(body))
+        + body
+    )
+
+
 # ---------------------------------------------------------------------------
 # Frame parser (inverse; reference parse_event_from_* event.rs:303-553)
 # ---------------------------------------------------------------------------
@@ -223,6 +243,14 @@ def parse_frame(buf: bytes) -> dict:
         nrels, options = struct.unpack_from(">iB", buf, 1)
         rel_ids = [struct.unpack_from(">I", buf, 6 + 4 * i)[0] for i in range(nrels)]
         return {"kind": "TRUNCATE", "rel_ids": rel_ids, "options": options}
+    if tag == b"M":
+        flags, lsn = struct.unpack_from(">BQ", buf, 1)
+        prefix, pos = _parse_cstr(buf, 10)
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        content = buf[pos : pos + clen].decode()
+        return {"kind": "MESSAGE", "transactional": bool(flags & 1),
+                "lsn": lsn, "prefix": prefix, "content": content}
     raise ValueError(f"unknown pgoutput message tag: {tag!r}")
 
 
@@ -392,8 +420,13 @@ def decode_frames(
                     kind = "NONE"
                     if new is not None:
                         vals, miss = {}, []
+                        nlen = len(new)
                         for i, c in enumerate(cols):
-                            v = new[i]
+                            # tuples narrower than the registry's newest
+                            # schema (pre-DDL rows decoded against a
+                            # post-DDL relation) leave trailing columns
+                            # absent → NULL, never an index error
+                            v = new[i] if i < nlen else None
                             if v is toast or isinstance(v, toast):
                                 miss.append(i)
                             else:
@@ -435,6 +468,12 @@ def decode_frames(
                         if rel:
                             ap((wal, xid, "TRUNCATE", rel["table"],
                                 None, None, "NONE", None, None))
+                elif tag == 77:  # 'M' logical message (pg_logical_emit_message)
+                    p = parse_frame(buf)
+                    ap((wal, xid, "MESSAGE", None,
+                        dumps({"prefix": p["prefix"], "content": p["content"],
+                               "transactional": p["transactional"]}),
+                        None, "NONE", None, None))
                 else:
                     raise ValueError(f"unknown pgoutput message tag: {chr(tag)!r}")
             yield pd.DataFrame(

@@ -255,15 +255,36 @@ class Pipeline:
         import json as _json
 
         rel = (
-            batch.filter(F.col("op") == "RELATION")
-            .select("table", "commit_lsn", "schema_snapshot_lsn", "after")
+            batch.filter(F.col("op").isin("RELATION", "MESSAGE"))
+            .select("op", "table", "commit_lsn", "schema_snapshot_lsn", "after")
             .collect()
         )
         for r in sorted(rel, key=lambda r: r["commit_lsn"]):
-            cfg = self.tables.get(r["table"])
-            if cfg is None or not r["after"]:
+            table = r["table"]
+            payload = r["after"]
+            if r["op"] == "MESSAGE":
+                # logical decoding message (pg_logical_emit_message): only
+                # the reference's DDL prefix is meaningful; unknown prefixes
+                # are discarded (apply.rs:2166-2175). DDL messages must be
+                # transactional (apply.rs:2177-2184) — reject otherwise.
+                from etl_spark.sources.pgoutput import DDL_MESSAGE_PREFIX
+
+                if not payload:
+                    continue
+                msg = _json.loads(payload)
+                if msg.get("prefix") != DDL_MESSAGE_PREFIX:
+                    continue  # unknown prefix: warn-and-drop
+                if not msg.get("transactional", True):
+                    raise ValueError(
+                        "DDL schema change messages must be transactional"
+                    )
+                content = _json.loads(msg["content"])
+                table = content.get("table")
+                payload = _json.dumps(content)
+            cfg = self.tables.get(table)
+            if cfg is None or not payload:
                 continue
-            spec = _json.loads(r["after"])
+            spec = _json.loads(payload)
             cols = [
                 ColumnDef(
                     name=c["name"], typ=c.get("typ", "string"),
@@ -273,7 +294,7 @@ class Pipeline:
                 for i, c in enumerate(spec.get("columns", []))
             ]
             lsn = r["schema_snapshot_lsn"] or r["commit_lsn"]
-            self.schemas.record(r["table"], lsn, cols)
+            self.schemas.record(table, lsn, cols)
             cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
 
     def _decode(self, cfg: TableConfig, rows: DataFrame) -> DataFrame:

@@ -184,3 +184,64 @@ def test_decode_registry(spark):
     reg = pgo.relation_registry(frames)
     assert reg == {7: {"table": "s.t", "columns": ["a", "b"],
                        "key_cols": ["a", "b"], "replident": "f"}}
+
+
+def test_frame_roundtrip_message():
+    f = pgo.encode_message(42, "supabase_etl_ddl", '{"x":1}', transactional=True)
+    p = pgo.parse_frame(f)
+    assert p == {"kind": "MESSAGE", "transactional": True, "lsn": 42,
+                 "prefix": "supabase_etl_ddl", "content": '{"x":1}'}
+    f2 = pgo.encode_message(7, "custom", "", transactional=False)
+    p2 = pgo.parse_frame(f2)
+    assert p2["transactional"] is False and p2["content"] == ""
+
+
+def test_pipeline_ddl_message_evolves_schema(spark, tmp_path):
+    """The reference's DDL protocol (apply.rs:2138-2184): a transactional
+    `supabase_etl_ddl` logical message persists the new schema BEFORE the
+    relcache-refreshed Relation + first post-DDL DML arrive; unknown
+    prefixes are discarded."""
+    import json as _json
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel_v1 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    ddl = _json.dumps({"table": "public.users", "columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 0},
+        {"name": "val", "typ": "string"},
+        {"name": "extra", "typ": "string"},
+    ]})
+    rel_v2 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1),
+                                  (0, "extra", 25, -1)])
+    _write_frames(spark, source, [
+        (-1, -1, rel_v1),
+        (10, 1, pgo.encode_begin(final_lsn=100, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["1", "a"])),
+        # ... -> ddl Message -> Relation(new schema) -> first post-DDL DML
+        (12, 1, pgo.encode_message(12, pgo.DDL_MESSAGE_PREFIX, ddl)),
+        (13, 1, pgo.encode_message(13, "other_tool", "ignored")),  # discard
+        (14, 1, rel_v2),
+        (15, 1, pgo.encode_insert(1, ["2", "b", "wide"])),
+        (16, 1, pgo.encode_commit(100, 101)),
+    ], "b1")
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"),
+                 source_fmt="pgoutput")
+    p.run_until_drained()
+    assert "extra" in cfg.payload_schema
+    rows = {r.pk: (r.val, r.extra)
+            for r in sink.read("public.users").select("pk", "val", "extra").collect()}
+    assert rows == {1: ("a", None), 2: ("b", "wide")}
+    # the DDL version is in the registry at the message LSN
+    assert p.schemas.asof("public.users", 12) is not None
