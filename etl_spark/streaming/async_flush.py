@@ -7,15 +7,23 @@ advances when the destination acknowledges.
 
 Spark shape: :class:`AsyncFlushSink` wraps any :class:`Sink` with a
 single-thread executor. ``write_changes``/``truncate`` dispatch and
-return immediately; the NEXT batch's :meth:`await_pending` (called by the
-pipeline before it dispatches new writes) blocks until the in-flight
-batch resolves and re-raises its failure — so at most one batch is
-unacknowledged, failures surface before any later dispatch, and the
-stream's next micro-batch READ overlaps the previous batch's WRITE.
-A flush failure fails the apply loop (stream error → restart replays from
-the checkpoint; idempotent sinks converge) — same semantics as the
-reference, where per-table quarantine covers apply-time errors and flush
-errors abort the loop.
+return immediately; overlap is confined WITHIN one micro-batch — table
+k+1's routing/decode planning (driver-side Spark jobs: truncate probe,
+isEmpty check) runs while table k's write executes on the flush thread.
+The pipeline settles every dispatched job (:meth:`await_pending`) before
+``foreachBatch`` returns. That boundary is load-bearing for
+at-least-once: Spark's streaming commit log marks a batch done the
+moment ``foreachBatch`` returns, so a write still in flight at return
+time would be unreplayable — a later failure loses the batch (the
+restart resumes AFTER it). Cross-batch pipelining would need durable
+progress tracked outside Spark's commit log; the reference can overlap
+batch N's flush with batch N+1's accumulation precisely because its
+restart point is the destination-acked flush LSN, not a source-side
+offset log (apply.rs:1956-2023 gates the WAL restart LSN on ack).
+A flush failure fails the micro-batch (stream error → restart replays
+it from the checkpoint; idempotent sinks converge) — same semantics as
+the reference, where per-table quarantine covers apply-time errors and
+flush errors abort the loop.
 
 ``write_snapshot`` stays synchronous: the copy path is bulk-throughput
 bound, not latency-pipelined (the reference pipelines only streamed event
@@ -55,10 +63,26 @@ class AsyncFlushSink(Sink):
             raise first_err
 
     def after_flush(self, callback) -> None:
-        """Run ``callback`` after every job dispatched so far completes —
-        the durability hook (flush-LSN advance, unpersist). Executes on the
-        flush thread, in dispatch order."""
-        self._pending.append(self._pool.submit(callback))
+        """Run ``callback`` after every job dispatched so far completes
+        SUCCESSFULLY — the durability hook (flush-LSN advance, unpersist).
+        Executes on the flush thread, in dispatch order. If any prior
+        dispatched job failed, the callback is skipped and the failure is
+        re-raised in its place: durable progress must never advance past
+        an unacknowledged write (reference apply.rs gates the WAL restart
+        LSN on destination ack)."""
+        prior = list(self._pending)
+
+        def _guarded():
+            # on the serial pool every prior future has settled by now
+            for f in prior:
+                exc = f.exception()
+                if exc is not None:
+                    raise RuntimeError(
+                        "durability callback skipped: a dispatched write failed"
+                    ) from exc
+            callback()
+
+        self._pending.append(self._pool.submit(_guarded))
 
     # -- Sink ---------------------------------------------------------------
     def write_snapshot(self, table: str, df: DataFrame) -> None:

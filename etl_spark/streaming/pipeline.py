@@ -168,11 +168,15 @@ class Pipeline:
         micro-batch (SURVEY §3.2 steps 3-6).
 
         With an :class:`~etl_spark.streaming.async_flush.AsyncFlushSink`
-        (T5): the previous batch's flush settles FIRST (its failure fails
-        the loop, apply.rs:1964-1967 pause semantics), this batch's writes
-        dispatch without blocking, and the flush-LSN advance + unpersist
-        ride the durability callback — progress only moves when the
-        destination acknowledges.
+        (T5): per-table writes dispatch without blocking — table k+1's
+        truncate probe / decode planning overlaps table k's write on the
+        flush thread — but every dispatched job settles BEFORE this
+        method returns. Spark's commit log marks the batch done at
+        return, so an unacked write here would be lost on restart (the
+        stream resumes after this batch); settling first keeps
+        at-least-once, and the flush-LSN advance below runs only after
+        the destination acknowledged every write (apply.rs ack-gated
+        restart LSN).
         """
         from etl_spark.streaming.async_flush import AsyncFlushSink
 
@@ -186,10 +190,13 @@ class Pipeline:
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
         async_mode = isinstance(self.sink, AsyncFlushSink)
-        deferred = False
         try:
             if async_mode:
-                self.sink.await_pending()  # settle pending_flush_result
+                # defensive: all of the previous batch's jobs settled
+                # before its foreachBatch returned, so this is a no-op on
+                # the happy path — it only matters for stray dispatches
+                # made outside the apply loop (tests, manual truncates)
+                self.sink.await_pending()
             self._apply_relations(batch)
             # FORCE_SCHEMA_CLEANUP: aggressively prune schema versions up to
             # the durable flush LSN mid-stream (reference forces cleanup to
@@ -225,19 +232,16 @@ class Pipeline:
             # converge to the same state
             lost = failpoints.should_skip(failpoints.SEND_STATUS_UPDATE)
             if async_mode:
-                def _durable(lsn=max_lsn, b=batch, lost=lost):
-                    if lsn is not None and not lost:
-                        self.control.advance_flush_lsn(int(lsn))
-                    b.unpersist()
-
-                self.sink.after_flush(_durable)
-                deferred = True
-            elif max_lsn is not None and not lost:
-                # durable progress: sink writes above completed synchronously
+                # settle THIS batch's dispatched writes; a flush failure
+                # raises here, fails the micro-batch, and the restart
+                # replays it — the commit log never runs ahead of the ack
+                self.sink.await_pending()
+            if max_lsn is not None and not lost:
+                # durable progress: every sink write above has completed
+                # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
         finally:
-            if not deferred:
-                batch.unpersist()
+            batch.unpersist()
 
     def _apply_relations(self, batch: DataFrame) -> None:
         """Schema-change stream (T9, apply.rs:2138-2276 + Relation
