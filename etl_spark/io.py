@@ -2,25 +2,70 @@
 
 The driver's correctness harness builds its own vanilla ``SparkSession``
 — none of the builder configs in :mod:`etl_spark.session` apply there.
-The testdata's ``events.parquet`` carries a TIMESTAMP(NANOS) column,
-which vanilla Spark rejects with ``PARQUET_TYPE_ILLEGAL`` unless
-``spark.sql.legacy.parquet.nanosAsLong`` is set (runtime-settable, so a
-``spark.conf.set`` immediately before the read is sufficient and safe).
-
 Every code path that reads the driver's parquet tables goes through
 :func:`read_table` so the engine works under ANY session, not just
 :func:`etl_spark.session.get_spark`.
+
+Input-type contract for ``events.ts``
+-------------------------------------
+The driver has shipped ``events.parquet`` with ``ts`` as both
+TIMESTAMP(NANOS) (rounds 1–2, read as int64 nanos via ``nanosAsLong``)
+and plain ``timestamp[us]`` (round 3+, read as TIMESTAMP_NTZ).  The
+engine's internal contract is **epoch-nanoseconds as BIGINT** — the same
+value DuckDB's ``epoch_ns(ts)`` yields, so the oracles are unaffected by
+which flavor the parquet carries.  :func:`read_table` normalizes at this
+single choke point; nothing downstream needs a type check.  This mirrors
+the reference's typed decode dispatch (crates/etl/src/postgres/codec/
+text.rs:33-150): wire types are resolved once at ingest, never assumed.
+
+Scale note: deriving ``ts`` blocks parquet row-group pruning for
+time-range filters on the derived long.  At 100 TB the events table
+would be date-partitioned (see SCALE.md) and partition pruning — which
+operates on directory values, not column stats — still applies; the
+per-file derivation itself is a codegen-stage projection with no shuffle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Runtime confs required to read the driver-generated testdata under a
-#: vanilla session. nanosAsLong: events.parquet `ts` is TIMESTAMP(NANOS),
-#: exposed as raw int64 nanos — which is what the workload wants anyway
-#: (raw-long comparisons keep parquet row-group pruning alive).
+#: vanilla session. nanosAsLong: when events.parquet `ts` is
+#: TIMESTAMP(NANOS), expose it as raw int64 nanos (the engine contract).
+#: Harmless no-op when the parquet carries micros.
 _TESTDATA_CONFS = (("spark.sql.legacy.parquet.nanosAsLong", "true"),)
+
+#: Epoch expressed as a timezone-free literal: `timestampdiff` against it
+#: converts TIMESTAMP_NTZ to epoch micros with no session-timezone
+#: dependence, matching DuckDB `epoch_ns(ts) // 1000` exactly.
+_EPOCH_NANOS_EXPR = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+    "cast({col} as timestamp_ntz)) * CAST(1000 AS BIGINT)"
+)
+
+
+def normalize_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp-or-long column to epoch-nanos BIGINT.
+
+    Accepts the column already being a long (TIMESTAMP(NANOS) parquet
+    read under ``nanosAsLong``) — returned unchanged — or any
+    timestamp/timestamp_ntz flavor, converted timezone-free.  Columns of
+    any other type (or absent) raise: silent schema drift is exactly the
+    failure mode this guard exists to prevent.
+    """
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    if isinstance(field.dataType, (T.LongType, T.IntegerType)):
+        return df
+    if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn(col, F.expr(_EPOCH_NANOS_EXPR.format(col=col)))
+    raise TypeError(
+        f"column {col!r} has unsupported type {field.dataType.simpleString()}; "
+        "expected bigint (epoch nanos) or timestamp"
+    )
 
 
 def ensure_testdata_confs(spark: SparkSession) -> None:
@@ -42,5 +87,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table (``{sf_dir}/{name}.parquet``)."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    """Read one driver testdata table (``{sf_dir}/{name}.parquet``).
+
+    ``events.ts`` is normalized to the engine's epoch-nanos BIGINT
+    contract regardless of the parquet's physical timestamp flavor
+    (see module docstring).
+    """
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_ts_nanos(df, "ts")
+    return df
