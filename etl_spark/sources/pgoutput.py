@@ -163,6 +163,16 @@ def encode_truncate(rel_ids: list[int], options: int = 0) -> bytes:
     return b"".join(out)
 
 
+def encode_type(type_oid: int, namespace: str, name: str) -> bytes:
+    """Type message ('Y'): custom type metadata for a column's type OID."""
+    return b"Y" + struct.pack(">I", type_oid) + _cstr(namespace) + _cstr(name)
+
+
+def encode_origin(origin_lsn: int, name: str) -> bytes:
+    """Origin message ('O'): replication origin of the following tx."""
+    return b"O" + struct.pack(">Q", origin_lsn) + _cstr(name)
+
+
 #: Prefix the reference's DDL event trigger uses for schema-change
 #: messages (event.rs:28 DDL_MESSAGE_PREFIX).
 DDL_MESSAGE_PREFIX = "supabase_etl_ddl"
@@ -251,6 +261,15 @@ def parse_frame(buf: bytes) -> dict:
         content = buf[pos : pos + clen].decode()
         return {"kind": "MESSAGE", "transactional": bool(flags & 1),
                 "lsn": lsn, "prefix": prefix, "content": content}
+    if tag == b"Y":
+        (type_oid,) = struct.unpack_from(">I", buf, 1)
+        ns, pos = _parse_cstr(buf, 5)
+        name, _ = _parse_cstr(buf, pos)
+        return {"kind": "TYPE", "type_oid": type_oid, "namespace": ns, "name": name}
+    if tag == b"O":
+        (origin_lsn,) = struct.unpack_from(">Q", buf, 1)
+        name, _ = _parse_cstr(buf, 9)
+        return {"kind": "ORIGIN", "origin_lsn": origin_lsn, "name": name}
     raise ValueError(f"unknown pgoutput message tag: {tag!r}")
 
 
@@ -314,6 +333,84 @@ class PersistentRelationRegistry:
         return dict(self._reg)
 
 
+class PersistentTxRegistry:
+    """In-flight transaction state persisted across micro-batches.
+
+    Long transactions split across micro-batches: the BEGIN frame lands in
+    batch N, DML continues in N+1..N+k, COMMIT in N+k. Batches after the
+    first see no BEGIN for the xid, so ``commit_lsn`` (the BEGIN's
+    final_lsn) and the continuation offset for ``tx_ordinal`` must come
+    from durable state — the reference keeps exactly this begin-state
+    across its apply stream (crates/etl/src/replication/apply.rs:942-965,
+    2311-2321). Same storage pattern as :class:`PersistentRelationRegistry`.
+
+    Entry shape: ``{xid: {"final_lsn": int, "ordinal_offset": int}}`` —
+    ``ordinal_offset`` is the count of envelope rows the transaction has
+    already emitted in prior batches (the next batch's ``tx_ordinal``
+    continues from it). Entries are dropped when the COMMIT frame is seen.
+    State size is bounded by the number of *concurrently open* long
+    transactions, not WAL volume."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._tx: dict[int, dict] = {}
+        try:
+            with open(path) as f:
+                self._tx = {int(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            pass
+
+    def snapshot(self) -> dict[int, dict]:
+        return {k: dict(v) for k, v in self._tx.items()}
+
+    def advance_from(
+        self,
+        frames: DataFrame,
+        frame_col: str = "frame",
+        lsn_col: str = "wal_start",
+        xid_col: str = "xid",
+    ) -> None:
+        """Fold one micro-batch of raw frames into the registry.
+
+        BEGIN/COMMIT frames are catalog-sized (one each per transaction in
+        the batch) → collected and parsed driver-side, like
+        :func:`relation_registry`. Per-xid envelope-row counts come from a
+        distributed aggregation whose result is one row per transaction
+        touched in the batch — never proportional to frame volume.
+        """
+        first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
+        bc = frames.filter(first.isin([b"B", b"C"])).select(xid_col, frame_col).collect()
+        # Envelope-row counts: every frame that emits an envelope row and
+        # participates in tx_ordinal numbering (DML + R/T/M; B/C/Y/O do not).
+        counts = {
+            r[0]: r[1]
+            for r in frames.filter(first.isin([b"I", b"U", b"D", b"R", b"T", b"M"]))
+            .groupBy(xid_col)
+            .count()
+            .collect()
+        }
+        committed: set[int] = set()
+        for r in bc:
+            p = parse_frame(bytes(r[1]))
+            if p["kind"] == "BEGIN":
+                self._tx[int(r[0])] = {"final_lsn": p["final_lsn"], "ordinal_offset": 0}
+            else:
+                committed.add(int(r[0]))
+        for xid, n in counts.items():
+            if int(xid) in self._tx:
+                self._tx[int(xid)]["ordinal_offset"] += int(n)
+        for xid in committed:
+            self._tx.pop(xid, None)
+        import os
+        import tempfile
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump({str(k): v for k, v in self._tx.items()}, f)
+        os.replace(tmp, self.path)
+
+
 #: decode output schema (pre-assembly): one row per data-bearing frame
 _DECODED = (
     "wal_start long, xid long, op string, table string, after string, "
@@ -328,6 +425,7 @@ def decode_frames(
     frame_col: str = "frame",
     lsn_col: str = "wal_start",
     xid_col: str = "xid",
+    carry_tx: dict[int, dict] | None = None,
 ) -> DataFrame:
     """pgoutput frames → GENERIC_ENVELOPE rows (distributed F11 decode).
 
@@ -385,6 +483,7 @@ def decode_frames(
                     raise ValueError(f"unsupported TupleData kind: {chr(kind)!r}")
             return cells, pos
 
+        benign_dropped: dict[str, int] = {}
         for pdf in batches:
             wals = pdf[lsn_col].tolist()
             xids = pdf[xid_col].tolist()
@@ -474,8 +573,21 @@ def decode_frames(
                         dumps({"prefix": p["prefix"], "content": p["content"],
                                "transactional": p["transactional"]}),
                         None, "NONE", None, None))
+                elif tag in (89, 79):  # 'Y' Type / 'O' Origin: benign metadata
+                    # Real WAL feeds interleave these; the reference drops
+                    # them with a warning rather than failing the apply
+                    # loop (apply.rs:2113-2125). P4 policy: drop-and-count.
+                    benign_dropped[chr(tag)] = benign_dropped.get(chr(tag), 0) + 1
                 else:
                     raise ValueError(f"unknown pgoutput message tag: {chr(tag)!r}")
+            if benign_dropped:
+                import warnings
+
+                warnings.warn(
+                    f"pgoutput decode dropped benign frames: {benign_dropped}",
+                    stacklevel=2,
+                )
+                benign_dropped.clear()
             yield pd.DataFrame(
                 rows,
                 columns=["wal_start", "xid", "op", "table", "after", "before",
@@ -493,13 +605,58 @@ def decode_frames(
     # re-scan otherwise) and broadcast-joined it back; verified via
     # .explain that this version has exactly one Exchange and one Python
     # decode pass.
+    #
+    # Cross-batch transactions (apply.rs:942-965,2311-2321): when a BEGIN
+    # landed in an EARLIER micro-batch, ``carry_tx`` (a
+    # :class:`PersistentTxRegistry` snapshot) supplies its final_lsn and
+    # the tx_ordinal continuation offset via a broadcast join — in-flight
+    # transaction state is catalog-sized. An xid with NO begin state in
+    # either the batch or the carry fails loudly: substituting a value
+    # from the wrong numbering domain (the old ``coalesce(..., xid)``
+    # fallback) silently corrupts LWW ordering exactly when WAL volume
+    # forces multi-batch transactions — i.e. exactly at scale.
     wp = Window.partitionBy("xid")
     wo = wp.orderBy(F.col("wal_start").asc())
+    env = decoded.withColumn("commit_lsn", F.max("begin_final_lsn").over(wp))
+    if carry_tx:
+        carried = frames.sparkSession.createDataFrame(
+            [
+                (int(x), int(v["final_lsn"]), int(v.get("ordinal_offset", 0)))
+                for x, v in carry_tx.items()
+            ],
+            "xid long, __carry_final_lsn long, __carry_offset long",
+        )
+        env = (
+            env.join(F.broadcast(carried), "xid", "left")
+            .withColumn(
+                "commit_lsn", F.coalesce("commit_lsn", "__carry_final_lsn")
+            )
+        )
+        offset = F.coalesce(F.col("__carry_offset"), F.lit(0))
+    else:
+        offset = F.lit(0)
     env = (
-        decoded.withColumn("commit_lsn", F.max("begin_final_lsn").over(wp))
-        .filter(~F.col("op").isin("BEGIN", "COMMIT"))
-        .withColumn("tx_ordinal", F.row_number().over(wo) - 1)
-        .withColumn("commit_lsn", F.coalesce(F.col("commit_lsn"), F.col("xid")))
+        env.filter(~F.col("op").isin("BEGIN", "COMMIT"))
+        .withColumn("tx_ordinal", F.row_number().over(wo) - 1 + offset)
+        .withColumn(
+            "commit_lsn",
+            # Strictness applies to transactional DML only: RELATION /
+            # MESSAGE frames legitimately arrive outside any transaction
+            # (xid sentinel) and keep a NULL commit_lsn — never a value
+            # borrowed from the xid domain.
+            F.when(
+                F.col("commit_lsn").isNotNull()
+                | ~F.col("op").isin("INSERT", "UPDATE", "DELETE", "TRUNCATE"),
+                F.col("commit_lsn"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pgoutput: no BEGIN state (batch or carried) for xid "),
+                        F.col("xid").cast("string"),
+                    )
+                )
+            ),
+        )
         .select(
             "op", "table", "commit_lsn",
             F.col("wal_start").alias("start_lsn"),

@@ -63,13 +63,14 @@ class AsyncFlushSink(Sink):
             raise first_err
 
     def after_flush(self, callback) -> None:
-        """Run ``callback`` after every job dispatched so far completes
-        SUCCESSFULLY — the durability hook (flush-LSN advance, unpersist).
-        Executes on the flush thread, in dispatch order. If any prior
-        dispatched job failed, the callback is skipped and the failure is
-        re-raised in its place: durable progress must never advance past
-        an unacknowledged write (reference apply.rs gates the WAL restart
-        LSN on destination ack)."""
+        """AUXILIARY/TEST hook — not on the production path. The pipeline's
+        durability gate is the settle-before-return contract: it calls
+        :meth:`await_pending` before ``foreachBatch`` returns and advances
+        the flush LSN afterward, on the caller thread. This hook remains
+        for tests that assert ordering ON the flush thread: ``callback``
+        runs after every job dispatched so far completes SUCCESSFULLY, in
+        dispatch order; if any prior job failed, the callback is skipped
+        and the failure re-raised in its place."""
         prior = list(self._pending)
 
         def _guarded():
@@ -86,6 +87,13 @@ class AsyncFlushSink(Sink):
 
     # -- Sink ---------------------------------------------------------------
     def write_snapshot(self, table: str, df: DataFrame) -> None:
+        # Settle anything already dispatched FIRST: backfill dispatches
+        # truncate to the flush thread, then writes the snapshot on the
+        # caller thread — without the barrier the truncate could run AFTER
+        # the snapshot write and leave the destination empty while the
+        # table is marked SYNC_DONE. (Synchronous otherwise: the copy path
+        # is bulk-throughput bound, not latency-pipelined.)
+        self.await_pending()
         self.inner.write_snapshot(table, df)
 
     def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:

@@ -89,11 +89,22 @@ class Pipeline:
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.query = None
         self.relations = None
+        self.txs = None
         if source_fmt == "pgoutput":
-            from etl_spark.sources.pgoutput import PersistentRelationRegistry
+            from etl_spark.sources.pgoutput import (
+                PersistentRelationRegistry,
+                PersistentTxRegistry,
+            )
 
             self.relations = PersistentRelationRegistry(
                 os.path.join(work_dir, "pgoutput_relations.json")
+            )
+            # in-flight (BEGIN seen, COMMIT not yet) transaction state:
+            # survives micro-batch boundaries and restarts so multi-batch
+            # transactions keep their commit_lsn / tx_ordinal continuity
+            # (apply.rs:942-965,2311-2321)
+            self.txs = PersistentTxRegistry(
+                os.path.join(work_dir, "pgoutput_txs.json")
             )
 
     # ------------------------------------------------------------------
@@ -123,8 +134,15 @@ class Pipeline:
         (publication-membership sync, pipeline.rs:354-421). A later re-add
         re-copies from a fresh snapshot, exactly like the reference."""
         removed = [n for n in self.control.tables if n not in self.tables]
+        settle = getattr(self.sink, "await_pending", None)
         for name in removed:
             self.sink.truncate(name)
+            # settle the (possibly async-dispatched) truncate BEFORE
+            # dropping the table from control: if the purge fails, the
+            # table stays tracked and the truncate retries on restart —
+            # otherwise stale destination data would survive silently
+            if settle is not None:
+                settle()
             self.control.remove(name)
         return removed
 
@@ -180,22 +198,31 @@ class Pipeline:
         """
         from etl_spark.streaming.async_flush import AsyncFlushSink
 
+        raw_frames = None
         if self.source_fmt == "pgoutput":
             # binary WAL frames → envelope: learn relations first (persisted
-            # across batches/restarts), then decode this batch
+            # across batches/restarts), then decode this batch with carried
+            # in-flight transaction state (BEGINs from earlier batches)
             from etl_spark.sources.pgoutput import decode_frames
 
+            raw_frames = batch
             self.relations.update_from(batch)
-            batch = decode_frames(batch, relations=self.relations.snapshot())
+            batch = decode_frames(
+                batch,
+                relations=self.relations.snapshot(),
+                carry_tx=self.txs.snapshot(),
+            )
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
         async_mode = isinstance(self.sink, AsyncFlushSink)
         try:
             if async_mode:
                 # defensive: all of the previous batch's jobs settled
-                # before its foreachBatch returned, so this is a no-op on
-                # the happy path — it only matters for stray dispatches
-                # made outside the apply loop (tests, manual truncates)
+                # before its foreachBatch returned, and backfill's
+                # dispatches settle inside write_snapshot /
+                # reconcile_membership — so this is a no-op on every
+                # normal path; it only matters for stray dispatches made
+                # directly against the sink (tests, manual truncates)
                 self.sink.await_pending()
             self._apply_relations(batch)
             # FORCE_SCHEMA_CLEANUP: aggressively prune schema versions up to
@@ -240,6 +267,11 @@ class Pipeline:
                 # durable progress: every sink write above has completed
                 # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
+            if raw_frames is not None:
+                # tx-registry advance is deliberately LAST: a batch that
+                # fails above replays on restart, and the replayed decode
+                # must see the same carried state it saw the first time
+                self.txs.advance_from(raw_frames)
         finally:
             batch.unpersist()
 
@@ -260,10 +292,21 @@ class Pipeline:
 
         rel = (
             batch.filter(F.col("op").isin("RELATION", "MESSAGE"))
-            .select("op", "table", "commit_lsn", "schema_snapshot_lsn", "after")
+            .select(
+                "op", "table", "commit_lsn", "schema_snapshot_lsn", "after",
+                "start_lsn",
+            )
             .collect()
         )
-        for r in sorted(rel, key=lambda r: r["commit_lsn"]):
+
+        # RELATION frames can arrive outside any transaction (no BEGIN →
+        # NULL commit_lsn since the wrong-domain xid fallback was removed);
+        # their WAL position (start_lsn) is the correct same-domain
+        # ordering / versioning key in that case.
+        def _lsn(r) -> int:
+            return r["commit_lsn"] if r["commit_lsn"] is not None else r["start_lsn"]
+
+        for r in sorted(rel, key=_lsn):
             table = r["table"]
             payload = r["after"]
             if r["op"] == "MESSAGE":
@@ -297,7 +340,7 @@ class Pipeline:
                 )
                 for i, c in enumerate(spec.get("columns", []))
             ]
-            lsn = r["schema_snapshot_lsn"] or r["commit_lsn"]
+            lsn = r["schema_snapshot_lsn"] or _lsn(r)
             self.schemas.record(table, lsn, cols)
             cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
 

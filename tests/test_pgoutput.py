@@ -245,3 +245,103 @@ def test_pipeline_ddl_message_evolves_schema(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", "wide")}
     # the DDL version is in the registry at the message LSN
     assert p.schemas.asof("public.users", 12) is not None
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch transaction assembly (apply.rs:942-965,2311-2321)
+# ---------------------------------------------------------------------------
+
+def test_cross_batch_transaction_carries_begin_state(spark, tmp_path):
+    """A transaction whose BEGIN landed in an earlier micro-batch keeps its
+    commit_lsn and continues tx_ordinal where the prior batch stopped."""
+    rel = pgo.encode_relation(1, "public", "users", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    reg = pgo.PersistentTxRegistry(str(tmp_path / "tx.json"))
+
+    batch1 = _frames_df(spark, [
+        (-1, -1, rel),
+        (10, 5, pgo.encode_begin(final_lsn=500, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "a"])),
+        (12, 5, pgo.encode_insert(1, ["2", "b"])),
+    ])
+    env1 = pgo.decode_frames(batch1, carry_tx=reg.snapshot())
+    got1 = {r.start_lsn: (r.commit_lsn, r.tx_ordinal)
+            for r in env1.filter("op = 'INSERT'").collect()}
+    assert got1 == {11: (500, 0), 12: (500, 1)}
+    reg.advance_from(batch1)
+    assert reg.snapshot() == {5: {"final_lsn": 500, "ordinal_offset": 2}}
+
+    # restart simulation: a fresh registry instance rehydrates from disk
+    reg2 = pgo.PersistentTxRegistry(str(tmp_path / "tx.json"))
+    batch2 = _frames_df(spark, [
+        (13, 5, pgo.encode_update(1, ["1", "a2"], key=["1"])),
+        (14, 5, pgo.encode_delete(1, key=["2"])),
+        (15, 5, pgo.encode_commit(500, 501)),
+    ])
+    env2 = pgo.decode_frames(
+        batch2, relations={1: {"table": "public.users",
+                               "columns": ["pk", "val"],
+                               "key_cols": ["pk"], "replident": "d"}},
+        carry_tx=reg2.snapshot())
+    got2 = {r.start_lsn: (r.commit_lsn, r.tx_ordinal)
+            for r in env2.filter("op != 'RELATION'").collect()}
+    assert got2 == {13: (500, 2), 14: (500, 3)}
+    reg2.advance_from(batch2)
+    assert reg2.snapshot() == {}  # COMMIT seen -> state dropped
+
+
+def test_missing_begin_state_fails_loudly(spark):
+    """DML for an xid with no BEGIN in-batch or carried must error — never
+    silently borrow the xid as a commit LSN (wrong numbering domain)."""
+    rel = pgo.encode_relation(1, "public", "users", "d", [(1, "pk", 20, -1)])
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        (11, 7, pgo.encode_insert(1, ["1"])),
+    ])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no BEGIN state"):
+        pgo.decode_frames(frames).collect()
+
+
+def test_benign_type_origin_frames_dropped(spark):
+    """'Y' (Type) and 'O' (Origin) frames are dropped with a warning, not a
+    decode failure (P4 policy; apply.rs:2113-2125)."""
+    rel = pgo.encode_relation(1, "public", "users", "d", [(1, "pk", 20, -1)])
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        (9, 5, pgo.encode_origin(42, "region_a")),
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_type(99999, "public", "citext")),
+        (12, 5, pgo.encode_insert(1, ["1"])),
+        (13, 5, pgo.encode_commit(100, 101)),
+    ])
+    rows = pgo.decode_frames(frames).filter("op = 'INSERT'").collect()
+    assert len(rows) == 1
+    # Y/O frames emit no envelope rows and do not consume tx ordinals
+    assert (rows[0].commit_lsn, rows[0].tx_ordinal) == (100, 0)
+
+
+def test_parse_type_and_origin_roundtrip():
+    t = pgo.parse_frame(pgo.encode_type(99999, "public", "citext"))
+    assert t == {"kind": "TYPE", "type_oid": 99999,
+                 "namespace": "public", "name": "citext"}
+    o = pgo.parse_frame(pgo.encode_origin(1234567, "origin_1"))
+    assert o == {"kind": "ORIGIN", "origin_lsn": 1234567, "name": "origin_1"}
+
+
+def test_custom_typed_column_arrives_as_string(spark):
+    """A column with a custom (non-builtin) type OID decodes as its text
+    representation — Cell::String semantics (cell.rs:8-14)."""
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "tags", 99999, -1)])
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "sensitive=>true"])),
+        (12, 5, pgo.encode_commit(100, 101)),
+    ])
+    row = pgo.decode_frames(frames).filter("op = 'INSERT'").collect()[0]
+    import json as _json
+
+    assert _json.loads(row.after)["tags"] == "sensitive=>true"
