@@ -97,6 +97,7 @@ def route_events(
     via_partition_root: bool = True,
     detached: set[str] | None = None,
     row_filters: dict[str, str] | None = None,
+    delete_row_filters: dict[str, str] | None = None,
     table_col: str = "table",
     op_col: str = "op",
 ) -> DataFrame:
@@ -111,6 +112,17 @@ def route_events(
        semantics: the PUBLISHED table's filter, applied post-routing so it
        covers every leaf routed into it). Filters are SQL boolean
        expressions; control events (BEGIN/COMMIT/RELATION/TRUNCATE) pass.
+
+    DELETE semantics: a DELETE carries no after image, so evaluating the
+    after-image predicate would yield NULL and silently drop the event —
+    leaving a stale row at the destination forever. The reference filters
+    deletes source-side against the OLD image where it is in scope
+    (crates/etl/src/replication/transaction.rs:51-55,654-690). Here, the
+    caller may supply ``delete_row_filters`` — the same predicate rewritten
+    over before-image columns — which is applied to DELETEs; when no
+    before-image predicate is given for a destination, its DELETEs PASS
+    THROUGH keyed by identity: deleting a never-replicated row is a
+    destination no-op, whereas dropping the event corrupts state.
     """
     mapping = routing_map(tree, published, via_partition_root, detached)
     src = F.col(table_col)
@@ -128,7 +140,12 @@ def route_events(
 
     for dest_table, predicate in (row_filters or {}).items():
         control = F.col(op_col).isin("BEGIN", "COMMIT", "RELATION", "TRUNCATE")
+        is_delete = F.col(op_col) == "DELETE"
+        before_pred = (delete_row_filters or {}).get(dest_table)
+        delete_keep = F.expr(before_pred) if before_pred is not None else F.lit(True)
         out = out.filter(
-            (F.col(table_col) != dest_table) | control | F.expr(predicate)
+            (F.col(table_col) != dest_table)
+            | control
+            | F.when(is_delete, delete_keep).otherwise(F.expr(predicate))
         )
     return out

@@ -90,10 +90,13 @@ ORACLES["cdc_partition_root"] = f"""
 WITH {ENVELOPE_CTE},
 routed AS (
   -- leaves route to the published root; detached p3 (pk % 4 = 3) purged;
-  -- the ROOT's row filter applies to every routed leaf
+  -- the ROOT's row filter applies to every routed leaf. DELETEs carry no
+  -- after image (value NULL) and pass the filter keyed by identity — a
+  -- pk whose last event is a replicated DELETE must vanish from current
+  -- state, not survive with its stale pre-delete row
   SELECT 'public.users' AS "table", op, commit_lsn, tx_ordinal, pk, value
   FROM env
-  WHERE pk % 4 <> 3 AND value >= 10
+  WHERE pk % 4 <> 3 AND (op = 'DELETE' OR value >= 10)
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn

@@ -219,8 +219,11 @@ def cdc_partition_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior (pipeline_with_partitioned_table.rs): leaf events route to
     the root id, the root's row filter applies to every leaf
     (filter_table_id, copy.rs:100-110), detached-partition events stop
-    replicating. Routing is a broadcast map in the scan stage; the only
-    shuffle is the LWW window.
+    replicating. DELETEs carry no after image, so the filter passes them
+    through keyed by identity (transaction.rs:51-55,654-690 filters
+    deletes against the OLD image; absent one, dropping the event would
+    leave a stale destination row). Routing is a broadcast map in the
+    scan stage; the only shuffle is the LWW window.
     """
     from etl_spark.operators import partitions
 

@@ -98,3 +98,46 @@ def test_root_row_filter_applies_to_leaves(spark):
     assert sorted(r.pk for r in rows) == [2, 3]
     # control events pass the filter untouched
     assert routed.filter(F.col("op") == "TRUNCATE").count() == 1
+
+
+def test_delete_with_null_after_image_passes_filter(spark):
+    """A DELETE's after-image columns are NULL — the after-image predicate
+    must not silently drop it (stale destination row forever). Reference
+    filters deletes against the OLD image where in scope
+    (transaction.rs:51-55,654-690); absent a before-image predicate the
+    DELETE passes through keyed by identity."""
+    rows = [
+        ("INSERT", "public.t_leaf_a", 1, 50.0),
+        ("DELETE", "public.t_leaf_a", 1, None),  # after image absent
+    ]
+    env = spark.createDataFrame(rows, SCHEMA)
+    routed = partitions.route_events(
+        env, TREE, {"public.t_top"},
+        row_filters={"public.t_top": "value >= 10"},
+    )
+    got = [(r.op, r.pk) for r in routed.collect()]
+    assert ("DELETE", 1) in got  # NOT dropped by the NULL-valued predicate
+    assert ("INSERT", 1) in got
+
+
+def test_delete_filtered_by_before_image_predicate(spark):
+    """When the caller supplies the predicate rewritten over before-image
+    columns, DELETEs are filtered source-side exactly like the reference."""
+    rows = [
+        ("INSERT", "public.t_leaf_a", 1, 50.0),
+        ("DELETE", "public.t_leaf_a", 1, None),   # matching row (before 50.0)
+        ("DELETE", "public.t_leaf_b", 2, None),   # row never replicated
+    ]
+    schema = SCHEMA + ", before_value double"
+    env = spark.createDataFrame(
+        [r + (v,) for r, v in zip(rows, [None, 50.0, 5.0])], schema
+    )
+    routed = partitions.route_events(
+        env, TREE, {"public.t_top"},
+        row_filters={"public.t_top": "value >= 10"},
+        delete_row_filters={"public.t_top": "before_value >= 10"},
+    )
+    got = [(r.op, r.pk) for r in routed.collect()]
+    assert ("DELETE", 1) in got      # before image matched → replicated
+    assert ("DELETE", 2) not in got  # before image below threshold → dropped
+    assert ("INSERT", 1) in got
