@@ -28,69 +28,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-2 window = [15 queries that failed r1 on the nanos session bug
-    (now fixed — need green rows)] + [25 entries the r1 gate never reached]
-    + [this round's new queries]. The 35 r1-green entries form the tail.
+    Round-4 window = [3 entries never gate-tested in any round] + [10 that
+    failed r3 on the events.ts type regression, fixed at the io.read_table
+    choke point] + [35 green in r1/r2 but never gated against the r3
+    regenerated testdata] + [2 anchors]. The 38 r3-green entries form the
+    tail — they ran against the current testdata last round.
     """
     return {
-        # --- r1 FAILED (nanos session bug, fixed via etl_spark.io): retest ---
-        "cdc_current_state": workload.cdc_current_state,
-        "cdc_changelog": workload.cdc_changelog,
-        "cdc_tx_metrics": workload.cdc_tx_metrics,
-        "stream_stateful_dedup": workload.stream_stateful_dedup,
-        "stream_incremental_rollup": workload.stream_incremental_rollup,
-        "cdc_toast_lww": workload.cdc_toast_lww,
-        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
-        "cdc_schema_asof": workload.cdc_schema_asof,
-        "cdc_truncate_reset": workload.cdc_truncate_reset,
-        "cdc_pk_change": workload.cdc_pk_change,
-        "sessionize_events": workload_relational.sessionize_events,
-        "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        "events_json_props": workload_relational.events_json_props,
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        # --- never gate-tested in r1 (were entries 51-75): first green shot ---
-        "q21_waiting_orders": workload_relational.q21_waiting_orders,
-        "q9_product_profit": workload_relational.q9_product_profit,
-        "q11_important_parts": workload_relational.q11_important_parts,
-        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
-        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
-        "orders_price_tiers": workload_relational.orders_price_tiers,
-        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
-        "events_funnel": workload_relational.events_funnel,
-        "events_retention_cohorts": workload_relational.events_retention_cohorts,
-        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
-        "events_value_zscores": workload_relational.events_value_zscores,
-        "events_value_percentiles": workload_relational.events_value_percentiles,
-        "events_window_suite": workload_relational.events_window_suite,
-        "events_grouping_sets": workload_relational.events_grouping_sets,
-        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
-        "events_running_total": workload_relational.events_running_total,
-        "events_pivot_daily": workload_relational.events_pivot_daily,
-        "events_error_after_purchase": workload_relational.events_error_after_purchase,
-        "sketch_distinct_users": workload_relational.sketch_distinct_users,
-        "set_ops_customers": workload_relational.set_ops_customers,
-        "mm_features": workload_mm.mm_features,
-        "mm_frame_plan": workload_mm.mm_frame_plan,
-        "mm_payload_dedup": workload_mm.mm_payload_dedup,
-        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
-        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
-        # --- new in round 2 (slots 41+) ---
-        "cdc_replica_identity": workload.cdc_replica_identity,
-        "cdc_partition_root": workload.cdc_partition_root,
-        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        "pgoutput_decode": workload.pgoutput_decode,
-        "corpus_curation": workload_text.corpus_curation,
-        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
-        "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        "corpus_token_mixture": workload_text.corpus_token_mixture,
-        "docs_pii_redact": workload_text.docs_pii_redact,
-        "docs_repetition": workload_text.docs_repetition,
-        # --- past the 50-entry window: rotates in next round (COVERAGE.md) ---
+        # --- never gate-tested in ANY round (COVERAGE.md r3 plan, executed r4) ---
         "docs_contamination": workload_text.docs_contamination,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
         "docs_passage_dedup": workload_text.docs_passage_dedup,
-        # --- r1 GREEN (recorded in CORRECTNESS_r01.json): rotated out ---
+        # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
+        "sessionize_events": workload_relational.sessionize_events,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        "stream_incremental_rollup": workload.stream_incremental_rollup,
+        # --- green in r1/r2 but never gate-tested against the REGENERATED (r3+)
+        # --- testdata; locally green via tests/test_oracle_parity.py — confirm ---
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
@@ -126,6 +87,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": workload_relational.q15_top_supplier,
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        # --- anchors: flagship + highest-risk decode path, re-confirmed each round ---
+        "cdc_current_state": workload.cdc_current_state,
+        "pgoutput_decode": workload.pgoutput_decode,
+        # --- past the 50-entry window: green in r3 against current testdata ---
+        "cdc_changelog": workload.cdc_changelog,
+        "cdc_tx_metrics": workload.cdc_tx_metrics,
+        "stream_stateful_dedup": workload.stream_stateful_dedup,
+        "cdc_toast_lww": workload.cdc_toast_lww,
+        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
+        "cdc_schema_asof": workload.cdc_schema_asof,
+        "cdc_truncate_reset": workload.cdc_truncate_reset,
+        "cdc_pk_change": workload.cdc_pk_change,
+        "events_json_props": workload_relational.events_json_props,
+        "q21_waiting_orders": workload_relational.q21_waiting_orders,
+        "q9_product_profit": workload_relational.q9_product_profit,
+        "q11_important_parts": workload_relational.q11_important_parts,
+        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
+        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
+        "orders_price_tiers": workload_relational.orders_price_tiers,
+        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
+        "events_funnel": workload_relational.events_funnel,
+        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
+        "events_value_zscores": workload_relational.events_value_zscores,
+        "events_value_percentiles": workload_relational.events_value_percentiles,
+        "events_window_suite": workload_relational.events_window_suite,
+        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
+        "events_running_total": workload_relational.events_running_total,
+        "sketch_distinct_users": workload_relational.sketch_distinct_users,
+        "set_ops_customers": workload_relational.set_ops_customers,
+        "mm_features": workload_mm.mm_features,
+        "mm_frame_plan": workload_mm.mm_frame_plan,
+        "mm_payload_dedup": workload_mm.mm_payload_dedup,
+        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
+        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
+        "cdc_replica_identity": workload.cdc_replica_identity,
+        "cdc_partition_root": workload.cdc_partition_root,
+        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
+        "corpus_curation": workload_text.corpus_curation,
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_repetition": workload_text.docs_repetition,
     }
 
 
