@@ -498,8 +498,11 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     random word streams only collide at 4-grams, so that is the
     non-vacuous choice here — the plan is n-independent.)
 
-    Shingles carry 16-byte md5 digests, not text; the eval side is tiny
-    by construction and broadcast, so the probe never shuffles the train
+    Shingles carry 8-byte xxhash64 digests, not text (the digest is a
+    pure internal equality key — the oracle's own hashing keys the same
+    shingle strings, so counts agree independent of hash choice; a long
+    shuffles ~4x less than md5's 32-char hex). The eval side is tiny by
+    construction and broadcast, so the probe never shuffles the train
     corpus — the canonical decontamination join at 100 TB.
     """
     from pyspark.sql.functions import broadcast
@@ -512,7 +515,7 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, size(ws)-3),"
-            " i -> md5(array_join(slice(ws, i, 4), ' ')))"
+            " i -> xxhash64(array_join(slice(ws, i, 4), ' ')))"
         )).alias("sh"),
     )
     ev = sh.filter(F.col("doc_id") % 97 == 0).select(
@@ -543,8 +546,10 @@ def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: passage digests → distinct-doc counts (one digest-keyed agg,
     map-side combined) → join back to the per-doc passage stream on the
-    digest → per-doc aggregation. Three keyed shuffles, md5 digests only —
-    no passage text moves after the scan, nothing is quadratic.
+    digest → per-doc aggregation. Three keyed shuffles, 8-byte xxhash64
+    digests only (internal equality key — counts are hash-agnostic, and
+    a long shuffles ~4x less than md5 hex) — no passage text moves after
+    the scan, nothing is quadratic.
     """
     docs = _docs(spark, sf_dir)
     d = docs.filter(F.size(F.split("text", " ")) >= 4).select(
@@ -554,7 +559,7 @@ def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, size(ws)-3),"
-            " i -> md5(array_join(slice(ws, i, 4), ' ')))"
+            " i -> xxhash64(array_join(slice(ws, i, 4), ' ')))"
         )).alias("sh"),
     )
     freq = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
