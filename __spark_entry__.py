@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": workload_text.docs_contamination,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
         "docs_passage_dedup": workload_text.docs_passage_dedup,
+        # --- new in round 4: first gate shot ---
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

@@ -1496,3 +1496,59 @@ SELECT doc_id, n_passages, n_repeated,
        (CAST(n_repeated AS DOUBLE) / n_passages <= 0.3) AS keep_passage
 FROM agg
 """
+
+ORACLES["docs_bm25_top_terms"] = """
+WITH term AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM term WHERE term <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df_docs,
+         round(ln((stats.n_docs - df.df_docs + 0.5) / (df.df_docs + 0.5) + 1.0)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))),
+               4) AS bm25,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term ASC) AS INTEGER) AS rank
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats
+)
+SELECT doc_id, term, tf, dl, df_docs, bm25, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["docs_rag_chunks"] = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 48)) AS s
+  FROM d WHERE len(ws) >= 1
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS INTEGER) AS chunk_ord,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(ws[s:s+63]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(ws[s:s+63], ' ')) AS chunk_fp
+FROM starts
+"""
+
+ORACLES["docs_semantic_dedup"] = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(a.ev, v -> v * v), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(b.ev, v -> v * v), (x, y) -> x + y))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM scored WHERE sim >= 0.35),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+)
+SELECT node AS vec_id, min(r) AS component, (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+"""

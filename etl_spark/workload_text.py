@@ -574,3 +574,115 @@ def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("repeated_frac"),
         (frac <= 0.3).alias("keep_passage"),
     )
+
+
+def docs_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75) — the retrieval /
+    quality-scoring sibling of :func:`docs_top_terms`.
+
+    Shape: explode(tokens) → (doc, term) counts [shuffle 1] → per-doc
+    length from the SAME aggregate [shuffle 2, doc-keyed] → term document
+    frequency [shuffle 3, map-combined] → corpus stats (N, total length)
+    as a 1-row broadcast — never a driver collect. The doc-length join
+    and the rank window share the doc_id key, so AQE coalesces them onto
+    one exchange. Ranking is by integers (tf DESC, term ASC) so
+    cross-engine float ulps can't reorder it; the BM25 score itself is
+    reported rounded.
+
+    Reference scope: beyond-reference op (SURVEY §2.13); the reference
+    has no text-retrieval scoring.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    term = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    k1, b = 1.2, 0.75
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5) + 1.0
+    )
+    score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "dl", "df_docs",
+            F.round(score, 4).alias("bm25"), "rank",
+        )
+    )
+
+
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping 64-token windows, stride 48
+    (16-token overlap), with a stable per-chunk fingerprint.
+
+    Pure scan-stage column algebra — ``transform(sequence(...))`` builds
+    the window starts, ``slice`` cuts each chunk, one ``explode`` emits
+    the rows; no shuffle, no UDF, so at 100 TB this runs at parquet-scan
+    speed and parallelism. Trailing chunks may be shorter than the window
+    (they are kept: a short tail still carries retrievable content).
+    chunk_fp = md5(chunk text) — the join key for chunk-level dedup and
+    provenance; md5 because the fingerprint is in the OUTPUT and must
+    match the SQL oracle byte-for-byte.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", text.tokens("text").alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws), 48),"
+                " s -> struct(s AS start, slice(ws, s, 64) AS chunk))"
+            )
+        ).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        ((F.col("c.start") - 1) / 48).cast("int").alias("chunk_ord"),
+        F.col("c.start").alias("start_token"),
+        F.size("c.chunk").alias("n_tokens"),
+        F.md5(F.array_join("c.chunk", " ")).alias("chunk_fp"),
+    )
+
+
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: cosine near-dup pairs
+    (sim ≥ 0.35, GEMM-pruned + exact verify) → connected components →
+    canonical representative per cluster (min vec_id).
+
+    The end-to-end semantic-dedup flow a training pipeline runs: X5's
+    pair generation feeds X22's clustering, and the keep decision is
+    ``vec_id == component``. Deterministic, so even the iterative
+    component step has an exact recursive-CTE oracle. Scale shape: pair
+    generation is blocked GEMM (never all-pairs), label propagation
+    shuffles (node, label) pairs only.
+    """
+    from etl_spark.operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.cosine_pairs_fast(emb, threshold=0.35).select("id_a", "id_b")
+    comp = connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("is_canonical"),
+    )
