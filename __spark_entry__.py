@@ -28,11 +28,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [10 that
-    failed r3 on the events.ts type regression, fixed at the io.read_table
-    choke point] + [35 green in r1/r2 but never gated against the r3
-    regenerated testdata] + [2 anchors]. The 38 r3-green entries form the
-    tail — they ran against the current testdata last round.
+    Round-4 window = [3 entries never gate-tested in any round] + [5 new
+    round-4 operators] + [10 that failed r3 on the events.ts type
+    regression, fixed at the io.read_table choke point] + [first 32 of the
+    35 green in r1/r2 but never gated against the r3 regenerated
+    testdata]. The tail = the other 3 of those 35, the two anchors
+    (re-confirmed r3), and the 38 r3-green entries — all verified locally
+    against the current testdata via tools/check_oracle.py this round.
     """
     return {
         # --- never gate-tested in ANY round (COVERAGE.md r3 plan, executed r4) ---
@@ -43,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
         "docs_rag_chunks": workload_text.docs_rag_chunks,
         "docs_semantic_dedup": workload_text.docs_semantic_dedup,
+        "events_promo_range_join": workload_relational.events_promo_range_join,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
@@ -91,7 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": workload_relational.q15_top_supplier,
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
-        # --- anchors: flagship + highest-risk decode path, re-confirmed each round ---
+        # --- anchors: flagship + highest-risk decode path (r3-green; just past
+        # --- the window this round — the 5 new operators took their slots) ---
         "cdc_current_state": workload.cdc_current_state,
         "pgoutput_decode": workload.pgoutput_decode,
         # --- past the 50-entry window: green in r3 against current testdata ---

@@ -1552,3 +1552,27 @@ reach(node, r) AS (
 SELECT node AS vec_id, min(r) AS component, (node = min(r)) AS is_canonical
 FROM reach GROUP BY node
 """
+
+ORACLES["events_promo_range_join"] = """
+WITH e AS (SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value FROM events),
+w AS (
+  SELECT event_id AS window_id, ts AS w_start, ts + 7200000000000 AS w_end
+  FROM e WHERE event_type = 'purchase'
+  ORDER BY value DESC, event_id ASC LIMIT 20
+)
+SELECT w.window_id,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w JOIN e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+ORACLES["stream_click_purchase_join"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events),
+c AS (SELECT event_id AS click_event_id, user_id, us AS c_us FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_event_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_event_id, p.purchase_event_id, p.p_us - c.c_us AS lag_us
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+"""

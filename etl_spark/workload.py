@@ -498,3 +498,93 @@ def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream windowed inner join (clicks ⋈ purchases within 30
+    minutes, per user), run bounded over two deterministic batch files.
+
+    Both sides branch off ONE file stream (self-join), so micro-batches
+    stay aligned; each side carries its own watermark and the join
+    condition bounds purchase_time to [click_time, click_time + 30 min].
+    State-safety argument for an exact oracle: files split at the time
+    midpoint and the 1-hour watermark delay exceeds the 30-minute join
+    window, so a click is only evicted once no future purchase can match
+    it (eviction threshold click_ts + 30min < watermark = mid - 1h, while
+    batch-2 purchases all have ts ≥ mid) — the streamed result equals the
+    batch join row-for-row. At scale this is Spark's canonical bounded-
+    state join: state size is O(events in the watermark horizon), keyed
+    and shuffled on user_id.
+
+    Reference scope: beyond-reference op (SURVEY §2.13, streaming
+    family); the reference's apply loop has no cross-stream correlation.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr("ts div 1000").alias("us"), "user_id", "event_type"
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    work = tempfile.mkdtemp(prefix="stream_ssj_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(ev.filter(F.col("us") < mid).drop("us"), "b0")
+    emit(ev.filter(F.col("us") >= mid).drop("us"), "b1")
+
+    stream = (
+        spark.readStream.schema(ev.drop("us").schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id"
+            " AND purchase_time >= click_time"
+            " AND purchase_time <= click_time + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_event_id",
+        "purchase_event_id",
+        (F.unix_micros("purchase_time") - F.unix_micros("click_time")).alias("lag_us"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1159,3 +1159,54 @@ def events_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3.0)
         .select("event_id", "event_type", "value", F.round("z", 6).alias("z"))
     )
+
+
+def events_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events falling inside promo windows — the
+    top-20 purchases by value each open a 2-hour window, and every event
+    whose ts lands in a window counts toward it.
+
+    Spark has no native range-join optimization, so a naive approach is a
+    broadcast-nested-loop on the ts-range predicate — O(|events|·|windows|)
+    row comparisons even when broadcast. The scale path implemented here
+    is BUCKETED range join: each window explodes to the hour buckets it
+    covers (bounded: 2h window → ≤3 buckets), events carry their own hour
+    bucket (scan-stage arithmetic), and the join becomes an EQUI-join on
+    the bucket with the exact range predicate as a post-filter. Each event
+    has exactly one bucket, so a (event, window) pair can match only once
+    — no dedup pass. At 100 TB this shuffles on a well-distributed time
+    key instead of looping; here the tiny window side rides a broadcast.
+    Window selection is a global top-k (TakeOrderedAndProject — per-
+    partition top-20 + merge, never a full sort), total-ordered by
+    (value DESC, event_id ASC) so ties cannot flip the result.
+    """
+    HOUR = 3600 * NANOS_PER_SEC
+    SPAN = 2 * HOUR
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    win = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.lit(SPAN)).alias("w_end"),
+        )
+    )
+    wb = win.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {HOUR}"), F.expr(f"(w_end - 1) div {HOUR}")
+            )
+        ).alias("bucket"),
+    )
+    evb = ev.withColumn("bucket", F.expr(f"ts div {HOUR}"))
+    j = evb.join(F.broadcast(wb), "bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
