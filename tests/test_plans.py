@@ -304,3 +304,36 @@ def test_passage_dedup_digest_keyed_shuffles(spark):
     # cartesian, no window, passage text never shuffled (md5 digests only)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_rag_chunks_zero_shuffle(spark):
+    # chunking is scan-stage column algebra: sequence/slice/explode only;
+    # the only allowed exchange is the _docs fan-out repartition
+    plan = plan_of(workload_text.docs_rag_chunks(spark, SF_DIR))
+    assert n_shuffles(plan) <= 1, plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "explode(" in plan
+
+
+def test_range_join_is_equi_join_not_bnl(spark):
+    # the bucketed range join must compile to an equi-join on the bucket
+    # (broadcast here; shuffled-hash at scale) — NEVER a nested-loop over
+    # the range predicate
+    plan = plan_of(workload_relational.events_promo_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_topk_not_full_sort(spark):
+    # window selection is TakeOrderedAndProject (per-partition top-k +
+    # merge), not a global Sort of all purchases
+    plan = plan_of(workload_relational.events_promo_range_join(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_corpus_stats_broadcast(spark):
+    # corpus stats (N docs, total length) join via a 1-row broadcast —
+    # no shuffle added for the scalar side
+    plan = plan_of(workload_text.docs_bm25_top_terms(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
