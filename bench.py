@@ -72,6 +72,11 @@ HEADLINE = [
     "docs_pii_redact",
     "docs_repetition",
     "docs_contamination",
+    # round-4 additions (first timed here)
+    "docs_bm25_top_terms",
+    "docs_rag_chunks",
+    "docs_semantic_dedup",
+    "events_promo_range_join",
 ]
 
 

@@ -35,7 +35,12 @@ from etl_spark import failpoints
 from etl_spark.envelope import ROW_OPS, with_sequence
 from etl_spark.schema_registry import ColumnDef, SchemaRegistry
 from etl_spark.sources.cdc import stream_changes
-from etl_spark.state import ControlStore, RetryPolicy, TableState
+from etl_spark.state import (
+    KEEPS_DATA_ON_RESTART,
+    ControlStore,
+    RetryPolicy,
+    TableState,
+)
 from etl_spark.streaming.sinks import Sink
 
 
@@ -527,3 +532,39 @@ class Pipeline:
                 for e in self.control.tables.values()
             },
         }
+
+    def restart(self, **start_kwargs):
+        """POST /pipelines/{id}/restart analog: graceful stop, then start.
+
+        Progress is durable per batch (flush LSN + checkpoint), so the
+        restarted stream resumes where the stopped one left off; tables in
+        ``KEEPS_DATA_ON_RESTART`` states skip re-copy (state.rs semantics
+        via :meth:`backfill`), everything else re-syncs."""
+        self.stop()
+        return self.start(**start_kwargs)
+
+    def replication_status(self) -> dict:
+        """GET /pipelines/{id}/replication-status analog: per-table
+        replication posture — the operator's lag/health view.
+
+        ``apply_lag``: a Ready table rides the shared stream — foreachBatch
+        applies every table before the flush LSN advances, so its lag at
+        the durable flush point is 0 by construction. For a quarantined or
+        still-copying table the lag is the WAL span it has MISSED since
+        its own recorded LSN (snapshot/copy position) — the number an
+        operator pages on. ``replicating`` = past the copy phase and not
+        quarantined."""
+        flush = self.control.flush_lsn or 0
+        out = {}
+        for e in self.control.tables.values():
+            ready = e.state == TableState.READY
+            out[e.table] = {
+                "state": e.state.value,
+                "replicating": ready,
+                "copied": e.state in KEEPS_DATA_ON_RESTART,
+                "table_lsn": e.lsn,
+                "apply_lag": 0 if ready else max(0, flush - (e.lsn or 0)),
+                "error": e.error,
+                "attempts": e.attempts,
+            }
+        return {"flush_lsn": self.control.flush_lsn, "tables": out}

@@ -569,3 +569,27 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_replication_status_and_restart(spark, env):
+    """§2.12 replication-status + restart verbs: a drained pipeline reports
+    its table replicating at zero lag; restart() resumes from the durable
+    checkpoint and applies only the new batch."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 40, 0, after={"pk": 7, "val": "r1"}),
+    ], "b1")
+    p = make_pipeline(spark, env)
+    p.run_until_drained()
+    rs = p.replication_status()
+    u = rs["tables"]["users"]
+    assert u["replicating"] and u["copied"] and u["state"] == "Ready"
+    assert u["apply_lag"] == 0 and u["error"] is None
+    assert rs["flush_lsn"] == 40
+
+    write_events(spark, env["source"], [
+        ev("UPDATE", "users", 41, 0, after={"pk": 7, "val": "r2"}),
+    ], "b2")
+    q = p.restart(available_now=True)
+    q.awaitTermination()
+    assert current(env)[7] == "r2"
+    assert p.replication_status()["flush_lsn"] == 41
