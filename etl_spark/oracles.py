@@ -1576,3 +1576,17 @@ SELECT c.user_id, c.click_event_id, p.purchase_event_id, p.p_us - c.c_us AS lag_
 FROM c JOIN p ON c.user_id = p.user_id
 WHERE p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
 """
+
+ORACLES["mm_resize"] = """
+WITH img AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+),
+r AS (
+  SELECT media_id,
+         substring(repeat(text, CAST(4096 // greatest(length(text), 1) + 1 AS INT)), 1, 4096) AS p
+  FROM img
+)
+SELECT media_id, md5(p) AS payload_md5, CAST(length(p) AS INTEGER) AS n_bytes,
+       CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height
+FROM r
+"""

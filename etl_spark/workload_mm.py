@@ -82,3 +82,25 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.groupBy(F.md5("payload").alias("content_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("keeper_id"))
     )
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing end-to-end (stubbed codec): filter to image
+    media, fake-resize every payload to 64×64 bytes in an Arrow-batched
+    ``mapInPandas``, and report the digest + dimensions of each output.
+
+    The stub deterministically tiles the payload to width*height bytes —
+    the REAL parts exercised at scale are the media-type partition
+    pruning, the Arrow batch shape through Python, and the metadata
+    rewrite; PIL slots into :func:`multimodal.resize_images` behind
+    ``decode_stub``. Output carries md5(payload), not the payload: the
+    gate (and any 100 TB audit) compares digests, never ships media."""
+    media = media_table(spark, sf_dir)
+    out = multimodal.resize_images(media, width=64, height=64)
+    return out.select(
+        "media_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        "width",
+        "height",
+    )
