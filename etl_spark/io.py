@@ -68,6 +68,51 @@ def normalize_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+#: Expected column → type-family contract per testdata table. Families are
+#: deliberately coarse (any int width, any decimal scale, double-or-float)
+#: — the engine tolerates those drifts; the check exists so the NEXT
+#: testdata regeneration that moves a column outside its family produces
+#: ONE pointed warning at the read choke point instead of ten
+#: AnalysisExceptions deep inside query plans (the r3 postmortem).
+_FAMILIES = {
+    "int": (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    "float": (T.DoubleType, T.FloatType, T.DecimalType),
+    "string": (T.StringType,),
+    "array": (T.ArrayType,),
+    # ts is normalized separately; listed so absence still warns
+    "ts": (T.LongType, T.TimestampType, T.TimestampNTZType),
+}
+_CONTRACT = {
+    "events": {"event_id": "int", "ts": "ts", "user_id": "int",
+               "event_type": "string", "value": "float", "props": "string"},
+    "documents": {"doc_id": "int", "text": "string", "lang": "string",
+                  "source": "string", "n_chars": "int"},
+    "embeddings": {"vec_id": "int", "embedding": "array", "label": "int"},
+}
+
+
+def check_contract(df: DataFrame, name: str) -> list[str]:
+    """Return human-readable drift messages for ``df`` vs the table's
+    expected column/type-family contract (empty = conforming)."""
+    expected = _CONTRACT.get(name)
+    if not expected:
+        return []
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    drift = []
+    for col, fam in expected.items():
+        if col not in fields:
+            drift.append(f"{name}.{col}: MISSING (expected {fam} family)")
+        elif not isinstance(fields[col], _FAMILIES[fam]):
+            drift.append(
+                f"{name}.{col}: {fields[col].simpleString()} outside the "
+                f"{fam} family"
+            )
+    return drift
+
+
+_warned_tables: set[str] = set()
+
+
 def ensure_testdata_confs(spark: SparkSession) -> None:
     """Set the runtime confs the testdata requires (idempotent)."""
     for key, value in _TESTDATA_CONFS:
@@ -94,6 +139,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (see module docstring).
     """
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    drift = check_contract(df, name)
+    if drift and name not in _warned_tables:
+        import warnings
+
+        _warned_tables.add(name)
+        warnings.warn(
+            "testdata schema drift (queries touching these columns may "
+            "fail): " + "; ".join(drift),
+            stacklevel=2,
+        )
     if name == "events":
         df = normalize_ts_nanos(df, "ts")
     return df

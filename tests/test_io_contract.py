@@ -86,3 +86,35 @@ def test_normalize_rejects_non_temporal(spark):
 def test_normalize_passthrough_without_ts(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     assert normalize_ts_nanos(df) is df
+
+
+def test_contract_clean_on_shipped_testdata(spark):
+    """The shipped testdata conforms — no drift warnings."""
+    from etl_spark.io import check_contract
+
+    for name in ("events", "documents", "embeddings"):
+        df = read_table(spark, "/root/testdata/sf0.001", name)
+        assert check_contract(df, name) == []
+
+
+def test_contract_flags_drift(spark, tmp_path):
+    """A regenerated table whose column leaves its type family produces a
+    pointed drift message naming table, column, and offending type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.io import check_contract
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(["1", "2"]),        # int family -> string
+            "text": pa.array(["a", "b"]),
+            "lang": pa.array(["en", "en"]),
+            "n_chars": pa.array([1, 1], pa.int64()),  # 'source' missing
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/documents.parquet")
+    df = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    drift = check_contract(df, "documents")
+    assert any("doc_id" in d and "string" in d for d in drift)
+    assert any("source" in d and "MISSING" in d for d in drift)
