@@ -4,19 +4,31 @@ The dedup pipeline's missing last step: near-dup PAIRS (minhash/simhash/
 embedding verify output) → duplicate CLUSTERS, so "keep one per cluster"
 is well-defined even when similarity is not transitive pair-wise.
 
-Implementation is min-label propagation — each iteration every vertex
-adopts the smallest component id among itself and its neighbors:
+Implementation is min-label propagation WITH POINTER DOUBLING — each
+iteration every vertex adopts the smallest id among itself, its
+neighbors, and its current label's own label:
 
-- per iteration: one join (labels × edges) + one groupBy-min — both shuffle
-  on vertex id, so a round costs O(|E|) shuffled bytes;
-- converges in O(graph diameter) rounds; near-dup graphs are
-  small-diameter (clusters are quasi-cliques), so 3-5 rounds typical;
+- per iteration: one join (labels × edges) + one groupBy-min for the
+  neighbor step, plus one labels self-join for the doubling hop — all
+  shuffle on vertex id, so a round costs O(|E| + |V|) shuffled bytes;
+- the doubling hop (comp ← label[comp]) is sound because the label
+  invariant is "comp is a reachable vertex id": reachability is
+  transitive, so the label of my label is also reachable, and it is ≤ my
+  label by the min-propagation invariant;
+- convergence drops from O(diameter) rounds (pure propagation) to
+  O(log diameter) — at 100 TB every round is a full-data pass, so round
+  count IS the cost model. Near-dup graphs are usually quasi-cliques
+  (1-3 rounds either way), but threshold-chain graphs (embedding
+  similarity at low thresholds) have real diameter and the doubling is
+  what keeps them bounded;
 - ``localCheckpoint`` each round truncates the lineage so the plan doesn't
-  grow exponentially — the standard Spark iterative-algorithm pattern.
+  grow exponentially — the standard Spark iterative-algorithm pattern;
+- the convergence probe rides the checkpointed frame (prev label carried
+  as a column, no extra join).
 
-At much larger scale swap the inner loop for alternating small-star/
+At much larger scale the same shape extends to alternating small-star/
 large-star (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — same DataFrame shape, fewer rounds on high-diameter graphs.
+Beyond").
 """
 
 from __future__ import annotations
@@ -39,9 +51,17 @@ def connected_components(
     (``src_col``, ``dst_col``). Returns (id, component). Deterministic:
     component = smallest reachable vertex id.
     """
-    # undirected: propagate both ways
+    # undirected: propagate both ways. Materialize ONCE: the edge list is
+    # near-dup pairs — upstream is candidate generation (GEMM / LSH), and
+    # without the checkpoint every iteration's join re-evaluates that
+    # whole lineage (measured: the pair stage re-ran per round and
+    # dominated the loop).
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
 
     labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("comp"))
     for _ in range(max_iter):
@@ -51,22 +71,33 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "a", "left")
             .select(
                 "a",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("prev"),
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp1"
+                ),
+            )
+        )
+        # pointer doubling: follow my (post-step) label to ITS label
+        hop = labels.select(
+            F.col("a").alias("__root"), F.col("comp").alias("__root_comp")
+        )
+        new_labels = (
+            stepped.join(hop, stepped["comp1"] == hop["__root"], "left")
+            .select(
+                "a",
+                "prev",
+                F.least(
+                    F.col("comp1"), F.coalesce(F.col("__root_comp"), F.col("comp1"))
+                ).alias("comp"),
             )
             .localCheckpoint()  # truncate lineage; one materialization per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("prev")).limit(1).count()
+        labels = new_labels.select("a", "comp")
         if changed == 0:
             break
     return labels.select(F.col("a").alias(id_col), F.col("comp").alias("component"))
