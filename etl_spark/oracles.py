@@ -1590,3 +1590,37 @@ SELECT media_id, md5(p) AS payload_md5, CAST(length(p) AS INTEGER) AS n_bytes,
        CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height
 FROM r
 """
+
+ORACLES["stream_session_window"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id FROM events),
+b AS (SELECT max(us) AS hi FROM e),
+s AS (
+  SELECT user_id, event_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+  FROM e
+),
+-- Spark session windows are gap-EXCLUSIVE at the boundary: an event at
+-- exactly prev + gap starts a new session (merge requires ts < prev end)
+s2 AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM s
+),
+s3 AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM s2
+),
+sess AS (
+  SELECT user_id,
+         min(us) AS session_start_us,
+         max(us) + 1800000000 AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(event_id) AS first_event,
+         max(event_id) AS last_event
+  FROM s3 GROUP BY user_id, session_idx
+)
+SELECT user_id, session_start_us, session_end_us, n_events, first_event, last_event
+FROM sess, b
+WHERE sess.session_end_us <= b.hi - 43200000000
+"""

@@ -588,3 +588,76 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (30-minute gap),
+    run bounded over two deterministic batch files — the streaming twin
+    of the batch ``sessionize_events`` operator.
+
+    Append-mode emission finalizes exactly the sessions whose window end
+    (last event + gap) is at or below the final watermark (max event time
+    - 12h); later sessions stay in state and never emit. Determinism
+    argument: a session that emits has ``last_ts + 30min ≤ wm``, and any
+    subsequent batch's events have ``ts > wm`` (on-time split at the time
+    midpoint), so the gap to the emitted session always exceeds 30
+    minutes — no merge-after-emit is possible and the streamed result
+    equals batch sessionization filtered to the emission horizon. State
+    is per (user, open session) inside the watermark — bounded; the
+    shuffle key is user_id.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr("ts div 1000").alias("us"), "user_id"
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    work = tempfile.mkdtemp(prefix="stream_sw_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(ev.filter(F.col("us") < mid).drop("us"), "b0")
+    emit(ev.filter(F.col("us") >= mid).drop("us"), "b1")
+
+    stream = (
+        spark.readStream.schema(ev.drop("us").schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "12 hours")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("event_time", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events", "first_event", "last_event",
+        )
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
