@@ -1624,3 +1624,28 @@ SELECT user_id, session_start_us, session_end_us, n_events, first_event, last_ev
 FROM sess, b
 WHERE sess.session_end_us <= b.hi - 43200000000
 """
+
+ORACLES["cdc_scd2_history"] = f"""
+WITH {ENVELOPE_CTE},
+h AS (
+  SELECT pk, op, commit_lsn AS valid_from, tx_ordinal,
+         lead(commit_lsn) OVER (PARTITION BY pk ORDER BY commit_lsn, tx_ordinal) AS valid_to,
+         value
+  FROM env
+)
+SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE) AS valid_to,
+       (valid_to IS NULL) AS is_current, value
+FROM h WHERE op <> 'DELETE'
+"""
+
+ORACLES["cdc_state_asof"] = f"""
+WITH {ENVELOPE_CTE},
+b AS (SELECT CAST((min(commit_lsn) + max(commit_lsn)) // 2 AS BIGINT) AS asof_lsn FROM env),
+ranked AS (
+  SELECT env.*, b.asof_lsn,
+         row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM env, b WHERE commit_lsn <= b.asof_lsn
+)
+SELECT pk, op, commit_lsn, tx_ordinal, value, asof_lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
