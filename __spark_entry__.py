@@ -28,14 +28,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [9 new
-    round-4 operators] + [10 that failed r3 on the events.ts type
-    regression, fixed at the io.read_table choke point] + [first 28 of
+    Round-4 window = [3 entries never gate-tested in any round] + [10
+    new round-4 operators] + [10 that failed r3 on the events.ts type
+    regression, fixed at the io.read_table choke point] + [first 27 of
     the 35 green in r1/r2 but never gated against the r3 regenerated
-    testdata]. The tail = the other 7 of those 35
-    (q22/q7/q8/q13/q15/q17/q19), the two anchors (re-confirmed r3), and
-    the 38 r3-green entries — all verified locally against the current
-    testdata via tools/check_oracle.py this round.
+    testdata]. The tail = the other 8 of those 35
+    (q18/q22/q7/q8/q13/q15/q17/q19), the two anchors (re-confirmed r3),
+    and the 38 r3-green entries — all verified locally against the
+    current testdata via tools/check_oracle.py this round.
     """
     return {
         # --- never gate-tested in ANY round (COVERAGE.md r3 plan, executed r4) ---
@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": workload.stream_session_window,
         "cdc_scd2_history": workload.cdc_scd2_history,
         "cdc_state_asof": workload.cdc_state_asof,
+        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

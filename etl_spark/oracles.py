@@ -1649,3 +1649,25 @@ ranked AS (
 SELECT pk, op, commit_lsn, tx_ordinal, value, asof_lsn
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
+
+ORACLES["docs_unigram_logprob"] = """
+WITH term AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM term WHERE term <> '' GROUP BY 1, 2
+),
+cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         sum(CAST(round(tf.tf * ln(CAST(total.n_total AS DOUBLE) / cnt.cnt), 6) AS DECIMAL(28,6))) AS neg_logprob_sum
+  FROM tf JOIN cnt USING (term), total
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(neg_logprob_sum AS DOUBLE) / n_tokens, 6) AS avg_neg_logprob,
+       (CAST(neg_logprob_sum AS DOUBLE) / n_tokens <= 8.0) AS keep_lm
+FROM scored
+"""

@@ -686,3 +686,47 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("vec_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring from a self-trained unigram LM
+    (the CCNet-shape filter: score each document by the average negative
+    log-probability of its tokens under corpus statistics; low = fluent /
+    in-distribution, high = noise).
+
+    Shape: token explode → (doc, term) counts [shuffle 1] → term corpus
+    counts [shuffle 2, map-combined] joined back onto the term table
+    (vocabulary-sized — AQE broadcasts it while it fits) → per-doc
+    aggregation [shuffle 3, doc-keyed]. Corpus total rides a 1-row
+    broadcast. Float-sum determinism: each term's contribution
+    ``tf · ln(N / cnt)`` is rounded to 6 decimals and summed as
+    DECIMAL(28,6) — exact, order-independent, engine-portable — then the
+    average divides in double. All values are ≥ 0, so Spark HALF_UP and
+    DuckDB half-away rounding agree.
+    """
+    docs = _docs(spark, sf_dir)
+    term = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("n_total"))
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("n_total").cast("double") / F.col("cnt")), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(contrib).alias("neg_logprob_sum"),
+        )
+    )
+    avg = F.col("neg_logprob_sum").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg, 6).alias("avg_neg_logprob"),
+        (avg <= 8.0).alias("keep_lm"),
+    )
