@@ -74,11 +74,15 @@ class Pipeline:
         work_dir: str,
         async_flush: bool = False,
         source_fmt: str = "envelope",
+        envelope_fmt: str = "parquet",
     ):
-        #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv);
+        #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv
+        #: per ``envelope_fmt`` — a WAL shipper that flushes JSON lines or
+        #: CSV streams through the same pipeline unchanged);
         #: "pgoutput" = raw binary frame files (FRAME_SCHEMA) from a WAL
         #: shipper, decoded per micro-batch through sources/pgoutput.py
         self.source_fmt = source_fmt
+        self.envelope_fmt = envelope_fmt
         self.spark = spark
         self.source_dir = source_dir
         self.tables = {t.name: t for t in tables}
@@ -438,7 +442,10 @@ class Pipeline:
             stream = reader.parquet(self.source_dir)
         else:
             stream = stream_changes(
-                self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
+                self.spark,
+                self.source_dir,
+                max_files_per_trigger=max_files_per_trigger,
+                fmt=self.envelope_fmt,
             )
         writer = (
             stream.writeStream.foreachBatch(self._apply_batch)

@@ -593,3 +593,32 @@ def test_replication_status_and_restart(spark, env):
     q.awaitTermination()
     assert current(env)[7] == "r2"
     assert p.replication_status()["flush_lsn"] == 41
+
+
+def test_pipeline_over_json_envelope_stream(spark, env, tmp_path):
+    """The same pipeline runs unchanged over a JSON-lines change log (a
+    WAL shipper that flushes JSON instead of parquet) — envelope_fmt is
+    the only knob."""
+    import json as _json
+
+    src = str(tmp_path / "json_source")
+    os.makedirs(src)
+    rows = [
+        ev("INSERT", "users", 10, 0, after={"pk": 4, "val": "j1"}),
+        ev("UPDATE", "users", 11, 0, after={"pk": 4, "val": "j2"}),
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r.asDict()) + "\n")
+
+    cfg = TableConfig(
+        name="users", snapshot_path=env["snap"], keys=["pk"],
+        payload_schema="pk long, val string",
+    )
+    p = Pipeline(
+        spark, src, [cfg], env["sink"], str(tmp_path / "json_work"),
+        envelope_fmt="json",
+    )
+    p.run_until_drained()
+    assert p.status()["tables"]["users"]["state"] == "Ready"
+    assert current(env)[4] == "j2"
