@@ -79,6 +79,10 @@ HEADLINE = [
     "docs_bm25_top_terms",
     "docs_rag_chunks",
     "events_promo_range_join",
+    "cdc_scd2_history",
+    "cdc_state_asof",
+    "docs_unigram_logprob",
+    "mm_resize",
 ]
 
 
