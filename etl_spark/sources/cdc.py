@@ -50,13 +50,35 @@ def read_changes(
 
 
 def _read(reader, path: str, fmt: str) -> DataFrame:
-    reader = reader.schema(GENERIC_ENVELOPE)
     if fmt == "parquet":
-        return reader.parquet(path)
+        return reader.schema(GENERIC_ENVELOPE).parquet(path)
     if fmt == "json":
-        return reader.json(path)
+        return reader.schema(GENERIC_ENVELOPE).json(path)
     if fmt == "csv":
-        return reader.option("header", "true").csv(path)
+        # CSV has no array type: `missing_cols` travels as a JSON string
+        # (e.g. "[1,2]") and is parsed back, so downstream still sees the
+        # exact GENERIC_ENVELOPE shape
+        from pyspark.sql import types as T
+
+        csv_schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name == "missing_cols"
+                else f
+                for f in GENERIC_ENVELOPE.fields
+            ]
+        )
+        # RFC-4180 quoting (embedded quotes doubled) — Spark's default
+        # escape is backslash, which silently corrupts JSON row images
+        df = (
+            reader.schema(csv_schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+        return df.withColumn(
+            "missing_cols", F.from_json("missing_cols", "array<int>")
+        )
     raise ValueError(f"unsupported envelope format: {fmt}")
 
 

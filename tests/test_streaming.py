@@ -622,3 +622,36 @@ def test_pipeline_over_json_envelope_stream(spark, env, tmp_path):
     p.run_until_drained()
     assert p.status()["tables"]["users"]["state"] == "Ready"
     assert current(env)[4] == "j2"
+
+
+def test_pipeline_over_csv_envelope_stream(spark, env, tmp_path):
+    """CSV change-log flavor of the same pipeline (envelope_fmt='csv')."""
+    import csv as _csv
+
+    src = str(tmp_path / "csv_source")
+    os.makedirs(src)
+    rows = [
+        ev("INSERT", "users", 10, 0, after={"pk": 5, "val": "c1"}),
+        ev("DELETE", "users", 11, 0, before={"pk": 1}, before_kind="KEY"),
+    ]
+    cols = [f.name for f in GENERIC_ENVELOPE.fields]
+    with open(os.path.join(src, "b1.csv"), "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for r in rows:
+            d = r.asDict()
+            # CSV has no list type; missing_cols is absent in this feed
+            d["missing_cols"] = None
+            w.writerow(d)
+
+    cfg = TableConfig(
+        name="users", snapshot_path=env["snap"], keys=["pk"],
+        payload_schema="pk long, val string",
+    )
+    p = Pipeline(
+        spark, src, [cfg], env["sink"], str(tmp_path / "csv_work"),
+        envelope_fmt="csv",
+    )
+    p.run_until_drained()
+    cur = current(env)
+    assert cur[5] == "c1" and 1 not in cur
