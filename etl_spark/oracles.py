@@ -1671,3 +1671,7 @@ SELECT doc_id, n_tokens,
        (CAST(neg_logprob_sum AS DOUBLE) / n_tokens <= 8.0) AS keep_lm
 FROM scored
 """
+
+ORACLES["stream_native_dedup"] = """
+SELECT event_id, user_id, event_type, value FROM events
+"""

@@ -721,3 +721,69 @@ def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "op", "commit_lsn", "tx_ordinal", "value",
         F.lit(asof).alias("asof_lsn"),
     )
+
+
+def stream_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup via the BUILT-IN
+    ``dropDuplicatesWithinWatermark`` — the native counterpart of the
+    custom ``applyInPandasWithState`` operator (`stream_stateful_dedup`),
+    demonstrating built-in-first: where Spark grew a native stateful
+    operator, the engine uses it and keeps the Pandas-state path only for
+    semantics the built-in can't express (per-key high-watermark
+    sequencing).
+
+    Setup mirrors the stateful variant: batch 2 fully REPLAYS batch 1
+    before adding the rest (the at-least-once delivery downstream
+    consumers see). The watermark delay exceeds the stream's whole time
+    span, so dedup state is never evicted within the run and every replayed
+    event drops — emitted set = each event exactly once, with an exact SQL
+    oracle (the source table). State is keyed by event_id and bounded by
+    the watermark horizon at scale.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr("ts div 1000").alias("us"),
+        "user_id", "event_type", "value",
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    span_sec = max(1, (bounds["hi"] - bounds["lo"]) // 1_000_000)
+    first = ev.filter(F.col("us") < mid).drop("us")
+    rest = ev.filter(F.col("us") >= mid).drop("us")
+
+    work = tempfile.mkdtemp(prefix="stream_nd_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(first, "b0")
+    emit(first.unionByName(rest), "b1")  # b1 = full replay of b0 + the rest
+
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", f"{2 * span_sec} seconds")
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    name = f"stream_nd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
