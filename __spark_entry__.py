@@ -28,13 +28,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [11
+    Round-4 window = [3 entries never gate-tested in any round] + [12
     new round-4 operators] + [10 that failed r3 on the events.ts type
-    regression, fixed at the io.read_table choke point] + [first 26 of
+    regression, fixed at the io.read_table choke point] + [first 25 of
     the 35 green in r1/r2 but never gated against the r3 regenerated
-    testdata]. The tail = the other 9 of those 35
-    (q14/q18/q22/q7/q8/q13/q15/q17/q19), the two anchors (re-confirmed
-    r3), and the 38 r3-green entries — all verified locally against the
+    testdata]. The tail = the other 10 of those 35
+    (q10/q14/q18/q22/q7/q8/q13/q15/q17/q19), the two anchors
+    (re-confirmed r3), and the 38 r3-green entries — all verified locally against the
     current testdata via tools/check_oracle.py this round.
     """
     return {
@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state_asof": workload.cdc_state_asof,
         "docs_unigram_logprob": workload_text.docs_unigram_logprob,
         "stream_native_dedup": workload.stream_native_dedup,
+        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

@@ -1675,3 +1675,16 @@ FROM scored
 ORACLES["stream_native_dedup"] = """
 SELECT event_id, user_id, event_type, value FROM events
 """
+
+ORACLES["sample_reservoir_per_stratum"] = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(list_sum([(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), x, 1)) - 1)
+                        * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT) AS uh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY uh ASC, doc_id ASC) AS INTEGER) AS rank
+FROM u
+QUALIFY rank <= 25
+"""

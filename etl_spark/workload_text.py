@@ -730,3 +730,32 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_neg_logprob"),
         (avg <= 8.0).alias("keep_lm"),
     )
+
+
+def sample_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sampling (reservoir-k analog): exactly
+    min(k, |stratum|) documents per language, k=25 — the other half of
+    the training-data mixing toolkit next to rate-based
+    :func:`sample_stratified` (fixed budgets per source instead of
+    rates).
+
+    Deterministic reservoir: rank documents inside each stratum by the
+    md5-uniform of doc_id (a random permutation both engines compute
+    identically) and keep rank ≤ k. The rank-filter compiles to
+    WindowGroupLimit, so each map task keeps only its local top-k before
+    the single stratum-keyed shuffle — at 100 TB the shuffle carries
+    O(k × strata × tasks) rows, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    k = 25
+    docs = _docs(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "lang", "rank")
+    )

@@ -337,3 +337,10 @@ def test_bm25_corpus_stats_broadcast(spark):
     plan = plan_of(workload_text.docs_bm25_top_terms(spark, SF_DIR))
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_reservoir_sample_has_window_group_limit(spark):
+    # the rank<=k filter must push map-side (WindowGroupLimit): each task
+    # keeps its local top-k before the stratum shuffle
+    plan = plan_of(workload_text.sample_reservoir_per_stratum(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
