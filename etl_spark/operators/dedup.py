@@ -193,6 +193,105 @@ def minhash_lsh(
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with token-set Jaccard ≥
+    ``threshold``, found without LSH approximation OR an all-pairs join.
+
+    The prefix-filtering principle (Chaudhuri et al. ICDE'06 SSJoin;
+    Bayardo et al. WWW'07 All-Pairs): order the vocabulary by a global
+    total order (document frequency ascending — rarest first — then token);
+    if Jaccard(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` tokens under that order must contain a common
+    token with B's prefix. Candidates therefore come from an EQUI-join on
+    prefix tokens only — and because high-df tokens (stopwords,
+    boilerplate) sort LAST, they almost never enter a prefix, which is
+    precisely what kills the hot-key skew a naive token join would have.
+    A join-local length filter (``min(|A|,|B|) ≥ t·max(|A|,|B|)``,
+    necessary for Jaccard ≥ t) prunes further before the distinct.
+
+    The prefix/length filters use a 1e-9 slack so float rounding can only
+    WIDEN the candidate set; the exact array-intersect verify makes the
+    final answer independent of them — this is the exact-threshold
+    complement to :func:`minhash_lsh` (which trades exactness for a
+    constant candidate rate).
+
+    Shuffle census: token df agg (1, map-combined), per-doc prefix window
+    (1, on id), prefix equi-join (1, on token), pair distinct (1), verify
+    set joins (AQE-sized). No stage is O(n²). Like the LSH bucket
+    self-join, the prefix self-join re-evaluates its lineage on both
+    sides (Spark self-joins don't share subplans); a 100 TB run
+    materializes the prefix table once (a parquet intermediate) and
+    self-joins that — the declarative form here keeps the operator
+    composable and the recompute is two extra scan-stage passes, not an
+    extra shuffle.
+
+    Returns ``(id_a, id_b, inter, union_, jaccard)``.
+    """
+    from pyspark.sql import Window
+
+    t = threshold
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    tokd = base.select("__id", "n", F.explode("toks").alias("tok"))
+    dfreq = tokd.groupBy("tok").agg(F.count("*").alias("df"))
+    # vocabulary-sized side: unhinted — AQE broadcasts while it fits and
+    # falls back to a shuffle join when the vocabulary outgrows it
+    ranked = tokd.join(dfreq, "tok")
+    w = Window.partitionBy("__id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("tok", F.col("__id").alias("pid"), F.col("n").alias("pn"))
+    )
+    a = prefix.select("tok", F.col("pid").alias("id_a"), F.col("pn").alias("n_a"))
+    b = prefix.select("tok", F.col("pid").alias("id_b"), F.col("pn").alias("n_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard ≥ t ⟹ min ≥ t·max (join-local, pre-distinct)
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.greatest("n_a", "n_b") * t - 1e-9
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_ = base.select("__id", "toks", "n")
+    j = (
+        cand.join(
+            sets_.select(
+                F.col("__id").alias("id_a"), F.col("toks").alias("set_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        ).join(
+            sets_.select(
+                F.col("__id").alias("id_b"), F.col("toks").alias("set_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            union.alias("union_"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1688,3 +1688,31 @@ SELECT doc_id, lang,
 FROM u
 QUALIFY rank <= 25
 """
+
+ORACLES["docs_exact_jaccard_join"] = r"""
+-- exact-threshold oracle: the Spark side's prefix filter is a pure
+-- candidate-pruning device (any pair with Jaccard >= t provably shares a
+-- prefix token), so the naive share-any-token candidate set + exact
+-- verify yields the identical final pair set
+WITH tok AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+  FROM documents
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM tok),
+tokd AS (SELECT doc_id, unnest(s) AS t FROM tok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tokd a JOIN tokd b USING (t)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.s, sb.s)) AS inter,
+       sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS union_,
+       round(len(list_intersect(sa.s, sb.s)) /
+             greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1), 6) AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.id_a
+JOIN sets sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.s, sb.s)) /
+      greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1) >= 0.9
+"""

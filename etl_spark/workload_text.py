@@ -759,3 +759,17 @@ def sample_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "lang", "rank")
     )
+
+
+def docs_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard ≥ 0.9 pairs via prefix filtering
+    (:func:`etl_spark.operators.dedup.jaccard_prefix_join`) — the
+    exact-threshold complement to the approximate MinHash-LSH pass, at
+    the same no-all-pairs scale shape. Threshold 0.9: the synthetic corpus
+    is heavily templated (~90k pairs at 0.5 over 500 docs); 0.9 keeps the
+    gate output ~10k rows AND exercises the aggressive-prefix regime
+    (prefix length ≈ 0.1·|doc| + 1) where the filter earns its keep."""
+    out = dedup.jaccard_prefix_join(_docs(spark, sf_dir), threshold=0.9)
+    return out.select(
+        "id_a", "id_b", "inter", "union_", F.round("jaccard", 6).alias("jaccard")
+    )

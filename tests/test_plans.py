@@ -344,3 +344,14 @@ def test_reservoir_sample_has_window_group_limit(spark):
     # keeps its local top-k before the stratum shuffle
     plan = plan_of(workload_text.sample_reservoir_per_stratum(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_exact_jaccard_join_is_equi_not_allpairs(spark):
+    # prefix-filtered exact similarity join: candidates come from an
+    # EQUI-join on prefix tokens (broadcast here, shuffled at scale) —
+    # never a cartesian/theta join over doc pairs; the token-df side is
+    # map-side combined before its exchange
+    plan = plan_of(workload_text.docs_exact_jaccard_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
