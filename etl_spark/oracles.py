@@ -1716,3 +1716,20 @@ JOIN sets sb ON sb.doc_id = c.id_b
 WHERE len(list_intersect(sa.s, sb.s)) /
       greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1) >= 0.9
 """
+
+ORACLES["corpus_temperature_mix"] = f"""
+-- exact-integer keep decision: m*S*c < N*fs*2^52 in HUGEINT mirrors the
+-- Spark side's DECIMAL(38,0) arithmetic digit-for-digit
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+fsq AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS fs FROM cnt),
+tot AS (SELECT CAST(sum(fs) AS BIGINT) AS s_tot FROM fsq),
+u AS (
+  SELECT doc_id, lang,
+         CAST(list_sum([(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), x, 1)) - 1)
+                        * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT) AS m
+  FROM documents
+)
+SELECT u.doc_id, u.lang
+FROM u JOIN fsq USING (lang), tot
+WHERE CAST(u.m AS HUGEINT) * s_tot * c < CAST(200 AS HUGEINT) * fs * 4503599627370496
+"""

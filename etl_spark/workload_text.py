@@ -773,3 +773,44 @@ def docs_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", "inter", "union_", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling — the closed-loop version of
+    :func:`sample_stratified`: per-language keep rates are COMPUTED from
+    the corpus (w_l ∝ c_l^0.5, the α=0.5 temperature smoothing used to
+    up-weight low-resource languages in pretraining mixes), targeting
+    N=200 docs total, then applied as a deterministic md5-uniform keep.
+
+    Determinism across engines is exact-integer: with m = 52-bit
+    md5-uniform numerator, fs_l = floor(sqrt(c_l)) and S = Σ fs_l, keep
+    iff ``m·S·c_l < N·fs_l·2^52`` — DECIMAL(38,0) on the Spark side,
+    HUGEINT in the oracle, so no float rate ever feeds a boundary
+    comparison (a rate computed as a double could flip a keep decision
+    by one ulp between engines).
+
+    Scale shape: the per-lang count agg is map-side combined; the rate
+    table is |langs| rows joined back unhinted (AQE broadcasts it); the
+    keep predicate is scan-stage column algebra.
+    """
+    n_target = 200
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    fs = counts.withColumn("fs", F.floor(F.sqrt(F.col("c"))))
+    tot = fs.agg(F.sum("fs").alias("s_tot"))
+    rates = fs.crossJoin(F.broadcast(tot))
+    m = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("decimal(20,0)")
+    lhs = m * F.col("s_tot").cast("decimal(10,0)") * F.col("c").cast("decimal(12,0)")
+    rhs = (
+        F.lit(n_target).cast("decimal(10,0)")
+        * F.col("fs").cast("decimal(10,0)")
+        * F.lit(1 << 52).cast("decimal(20,0)")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(rates, "lang")
+        .filter(lhs < rhs)
+        .select("doc_id", "lang")
+    )

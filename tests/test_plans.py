@@ -355,3 +355,12 @@ def test_exact_jaccard_join_is_equi_not_allpairs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_temperature_mix_exact_integer_keep(spark):
+    # per-lang counts map-side combined; the |langs|-row rate side joins
+    # back without a cartesian over docs; keep predicate is decimal
+    # integer arithmetic (no float rate comparison anywhere in the plan)
+    plan = plan_of(workload_text.corpus_temperature_mix(spark, SF_DIR))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
