@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "events_zorder_stats": workload_relational.events_zorder_stats,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

@@ -65,3 +65,27 @@ def co_located_join(
     (output partitioning satisfies the join's distribution requirement).
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` bits of two integer
+    columns — the multi-dimensional clustering key behind lakehouse
+    OPTIMIZE ZORDER (Delta/Iceberg) layouts.
+
+    Writing a fact table ``repartitionByRange(zorder_key(dim1, dim2))
+    .sortWithinPartitions(...)`` makes every file a tile in BOTH
+    dimensions, so min/max file statistics prune scans filtered on either
+    dimension (or both) — single-column sort layouts only prune one. Pure
+    column algebra (64 shift/mask terms at bits=16), whole-stage codegen,
+    zero shuffle to compute.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z.cast("long")

@@ -1733,3 +1733,26 @@ SELECT u.doc_id, u.lang
 FROM u JOIN fsq USING (lang), tot
 WHERE CAST(u.m AS HUGEINT) * s_tot * c < CAST(200 AS HUGEINT) * fs * 4503599627370496
 """
+
+ORACLES["events_zorder_stats"] = """
+-- Morton interleave of (user_id & 0xffff, hour & 0xffff); tile = zval
+-- without its low 8 interleaved bits (16x16 boxes); per-tile ranges of
+-- both dims (the data-skipping box)
+WITH z AS (
+  SELECT (user_id & 65535) AS u16,
+         ((epoch_ns(ts) // 3600000000000) & 65535) AS h16
+  FROM events
+),
+zz AS (
+  SELECT u16, h16,
+         CAST(list_sum([((u16 >> x) & 1) * power(2, 2 * x)
+                        + ((h16 >> x) & 1) * power(2, 2 * x + 1)
+                        for x in range(0, 16)]) AS BIGINT) AS zval
+  FROM z
+)
+SELECT zval >> 8 AS z_tile,
+       count(*) AS n_events,
+       min(u16) AS u_min, max(u16) AS u_max,
+       min(h16) AS h_min, max(h16) AS h_max
+FROM zz GROUP BY 1
+"""

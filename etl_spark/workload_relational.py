@@ -1210,3 +1210,40 @@ def events_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering stats: interleave (user_id, hour) into a
+    Morton key (:func:`etl_spark.layout.zorder_key`), tile the key space
+    (drop the low 8 interleaved bits: 16×16 tiles in (user, hour) space), and
+    report per-tile row counts + min/max of BOTH dimensions.
+
+    This is the measurement side of the lakehouse OPTIMIZE ZORDER story:
+    each tile's (u_min..u_max, h_min..h_max) box is provably bounded by
+    the tile size in both dims, which is what makes file-statistics
+    pruning work for filters on either column after a z-ordered write.
+    One map-combined shuffle on the tile id; the key itself is scan-stage
+    bit algebra.
+    """
+    from etl_spark import layout
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    u16 = F.col("user_id").bitwiseAND(F.lit(65535))
+    h16 = F.expr(f"ts div {3600 * NANOS_PER_SEC}").bitwiseAND(F.lit(65535))
+    z = layout.zorder_key(u16, h16)
+    out = (
+        ev.select(
+            F.shiftright(z, 8).alias("z_tile"),
+            u16.alias("u16"),
+            h16.alias("h16"),
+        )
+        .groupBy("z_tile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("u16").alias("u_min"),
+            F.max("u16").alias("u_max"),
+            F.min("h16").alias("h_min"),
+            F.max("h16").alias("h_max"),
+        )
+    )
+    return out

@@ -364,3 +364,12 @@ def test_temperature_mix_exact_integer_keep(spark):
     plan = plan_of(workload_text.corpus_temperature_mix(spark, SF_DIR))
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_stats_single_shuffle_scan_stage_key(spark):
+    # the Morton key is scan-stage bit algebra: exactly one hash exchange
+    # (the tile groupBy), map-side combined, no join/window anywhere
+    plan = plan_of(workload_relational.events_zorder_stats(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
