@@ -83,6 +83,10 @@ HEADLINE = [
     "cdc_state_asof",
     "docs_unigram_logprob",
     "mm_resize",
+    # round-4 late additions (first timed here)
+    "docs_exact_jaccard_join",
+    "corpus_temperature_mix",
+    "events_zorder_stats",
 ]
 
 

@@ -77,6 +77,9 @@ QUERIES = [
     "docs_rag_chunks",
     "docs_semantic_dedup",
     "events_promo_range_join",
+    "docs_exact_jaccard_join",
+    "corpus_temperature_mix",
+    "events_zorder_stats",
 ]
 
 
