@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "corpus_temperature_mix": workload_text.corpus_temperature_mix,
         "events_zorder_stats": workload_relational.events_zorder_stats,
+        "stream_static_enrich": workload.stream_static_enrich,
+        "cdc_gap_audit": workload.cdc_gap_audit,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

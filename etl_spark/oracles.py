@@ -1756,3 +1756,36 @@ SELECT zval >> 8 AS z_tile,
        min(h16) AS h_min, max(h16) AS h_max
 FROM zz GROUP BY 1
 """
+
+ORACLES["stream_static_enrich"] = """
+-- complete-mode stream-static join+agg equals the batch answer exactly
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+"""
+
+ORACLES["cdc_gap_audit"] = f"""
+-- exact-integer 5% loss injection on start_lsn (= event_id), then the
+-- dense-ordinal audit: any transaction with < 10 rows lost events
+WITH env AS (
+  SELECT CAST(event_id // 10 AS BIGINT) AS commit_lsn,
+         CAST(event_id % 10 AS BIGINT) AS tx_ordinal,
+         CAST(event_id AS BIGINT) AS start_lsn
+  FROM events
+),
+kept AS (
+  SELECT * FROM env
+  WHERE CAST(list_sum([(instr('0123456789abcdef', substring(md5(CAST(start_lsn AS VARCHAR)), x, 1)) - 1)
+                       * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT)
+        >= {(1 << 52) // 20}
+)
+SELECT commit_lsn,
+       count(*) AS n_received,
+       max(tx_ordinal) AS max_ordinal,
+       10 - count(*) AS n_missing
+FROM kept
+GROUP BY commit_lsn
+HAVING count(*) < 10
+"""

@@ -787,3 +787,102 @@ def stream_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the most common Structured
+    Streaming production join: a fact stream enriched per micro-batch
+    against a slowly-changing dimension snapshot (reference analog: the
+    destination-side lookups the reference does per batch; Spark analog:
+    stream ⋈ static is stateless, re-planned every micro-batch, and the
+    static side broadcasts).
+
+    Run bounded: the events stream arrives as two deterministic batch
+    files; each micro-batch left-joins the static customer dim
+    (market segment keyed by ``user_id + 1 = c_custkey``) and feeds a
+    complete-mode aggregate per (segment, event_type). The final
+    complete-mode table equals the batch join+agg exactly, independent
+    of the file split — exact SQL oracle. Decimal partial sums keep the
+    value aggregate order-independent.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    emit(ev.filter(F.col("event_id") <= half), "b0")
+    emit(ev.filter(F.col("event_id") > half), "b1")
+
+    dim = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), F.col("c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-integrity audit: transactions that arrived with missing
+    ordinals — the consumer-side check that an at-least-once CDC feed
+    actually delivered every change (reference analog: the dense
+    ``(commit_lsn, tx_ordinal)`` numbering of F13 makes loss DETECTABLE;
+    this operator is the detector).
+
+    A deterministic 5% "loss" is injected by an exact-integer md5-uniform
+    cut on ``start_lsn`` (the same 52-bit numerator both engines compute
+    identically — no float boundary). Each sim transaction carries
+    exactly ``TX_SIZE`` ordinals 0..9, so any transaction observed with
+    fewer rows has lost events, including head/tail loss. One
+    map-combined shuffle on ``commit_lsn``; scan-stage everything else.
+    """
+    from etl_spark.sources.cdc import TX_SIZE
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "commit_lsn", "tx_ordinal", "start_lsn"
+    )
+    m = F.conv(
+        F.substring(F.md5(F.col("start_lsn").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    cut = (1 << 52) // 20  # exactly 5%
+    kept = env.filter(m >= F.lit(cut))
+    per_tx = kept.groupBy("commit_lsn").agg(
+        F.count("*").alias("n_received"),
+        F.max("tx_ordinal").alias("max_ordinal"),
+    )
+    return per_tx.filter(F.col("n_received") < TX_SIZE).select(
+        "commit_lsn",
+        "n_received",
+        "max_ordinal",
+        (F.lit(TX_SIZE) - F.col("n_received")).alias("n_missing"),
+    )

@@ -373,3 +373,12 @@ def test_zorder_stats_single_shuffle_scan_stage_key(spark):
     assert n_shuffles(plan) == 1, plan
     assert "partial_count" in plan, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_gap_audit_single_shuffle(spark):
+    # loss injection + envelope derivation are scan-stage; the only
+    # exchange is the commit_lsn agg, map-side combined
+    plan = plan_of(workload.cdc_gap_audit(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
