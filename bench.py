@@ -83,10 +83,13 @@ HEADLINE = [
     "cdc_state_asof",
     "docs_unigram_logprob",
     "mm_resize",
-    # round-4 late additions (first timed here)
+    # round-4 late additions (first timed here). stream_static_enrich is
+    # gate-tested but excluded like the other stream_* queries: streaming
+    # timings are checkpoint/trigger-setup-dominated, not operator cost
     "docs_exact_jaccard_join",
     "corpus_temperature_mix",
     "events_zorder_stats",
+    "cdc_gap_audit",
 ]
 
 

@@ -80,6 +80,7 @@ QUERIES = [
     "docs_exact_jaccard_join",
     "corpus_temperature_mix",
     "events_zorder_stats",
+    "cdc_gap_audit",
 ]
 
 
