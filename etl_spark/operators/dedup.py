@@ -220,87 +220,135 @@ def jaccard_prefix_join(
     complement to :func:`minhash_lsh` (which trades exactness for a
     constant candidate rate).
 
-    Shuffle census: token df agg (1, map-combined), per-doc prefix window
-    (1, on id), prefix equi-join (1, on token), pair distinct (1), verify
-    set joins (AQE-sized). No stage is O(n²). Like the LSH bucket
-    self-join, the prefix self-join re-evaluates its lineage on both
-    sides (Spark self-joins don't share subplans); a 100 TB run
-    materializes the prefix table once (a parquet intermediate) and
-    self-joins that — the declarative form here keeps the operator
-    composable and the recompute is two extra scan-stage passes, not an
-    extra shuffle.
+    **Distinct-set collapse** (the same move as the SimHash
+    distinct-fingerprint join): identical token SETS collapse to one
+    128-bit set fingerprint before any expensive stage, so the prefix
+    join and the verify run over distinct content only — replicate a
+    duplicate-heavy corpus 10× and the candidate/verify work is
+    UNCHANGED; only the final pair expansion (streamed join output,
+    inherently output-bound) grows. Same-set doc pairs are emitted as
+    Jaccard-1.0 cliques without any intersect at all.
+
+    Verify arrays carry xxhash64(token) longs, not strings: the intersect
+    over millions of candidate pairs is the dominant remaining cost and
+    long compares are ~2× faster (measured 38.8s → 17.1s at sf0.1 / 965k
+    output pairs, pre-collapse). |A∩B| over an injective hash equals
+    |A∩B| over tokens; a 64-bit collision inside one pair's sets is
+    ~|vocab|²/2⁶⁵ — the same digest policy as the contamination/
+    passage-dedup ops.
+
+    Shuffle census: set-fingerprint dedup (1), token df agg (1,
+    map-combined), per-set prefix window (1), prefix equi-join (1), pair
+    distinct (1), verify + expansion joins (AQE-sized, keyed on the
+    fingerprint). No stage is O(n²). Like the LSH bucket self-join, the
+    prefix self-join re-evaluates its lineage on both sides (Spark
+    self-joins don't share subplans); a 100 TB run materializes the
+    distinct-set table once (a parquet intermediate) — the declarative
+    form keeps the operator composable at the cost of scan-stage
+    recompute, not an extra shuffle.
 
     Returns ``(id_a, id_b, inter, union_, jaccard)``.
     """
     from pyspark.sql import Window
 
     t = threshold
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(tokens(text_col)).alias("toks"),
-        )
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn(
+        # md5 over the sorted set: 128 bits, so fingerprint collisions
+        # (which would MERGE two different sets) are out of reach even at
+        # billions of distinct documents
+        "set_fp",
+        F.md5(F.concat_ws("\x1e", F.array_sort("toks"))),
+    )
+    members = docs.select("__id", "set_fp")
+    dsets = (
+        docs.select("set_fp", "toks")
+        .dropDuplicates(["set_fp"])
         .withColumn("n", F.size("toks"))
-        # verify arrays carry xxhash64(token) longs, not strings: the
-        # intersect over millions of candidate pairs is the dominant cost
-        # and long compares are ~2× faster than string compares (measured
-        # 38.8s → 17.1s at sf0.1 / 965k output pairs). |A∩B| over an
-        # injective hash equals |A∩B| over tokens; a 64-bit collision
-        # inside one pair's sets is ~|vocab|²/2⁶⁵ (≈7e-11 at 50k vocab) —
-        # the same digest policy as the contamination/passage-dedup ops.
         .withColumn("hset", F.transform("toks", lambda x: F.xxhash64(x)))
     )
-    tokd = base.select("__id", "n", F.explode("toks").alias("tok"))
+    tokd = dsets.select("set_fp", "n", F.explode("toks").alias("tok"))
+    # df over distinct sets (any consistent global order is correct; this
+    # one still sorts boilerplate tokens out of prefixes). Vocabulary-sized
+    # side: unhinted — AQE broadcasts while it fits
     dfreq = tokd.groupBy("tok").agg(F.count("*").alias("df"))
-    # vocabulary-sized side: unhinted — AQE broadcasts while it fits and
-    # falls back to a shuffle join when the vocabulary outgrows it
     ranked = tokd.join(dfreq, "tok")
-    w = Window.partitionBy("__id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    w = Window.partitionBy("set_fp").orderBy(F.col("df").asc(), F.col("tok").asc())
     prefix_len = F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("tok", F.col("__id").alias("pid"), F.col("n").alias("pn"))
+        .select("tok", F.col("set_fp").alias("pfp"), F.col("n").alias("pn"))
     )
-    a = prefix.select("tok", F.col("pid").alias("id_a"), F.col("pn").alias("n_a"))
-    b = prefix.select("tok", F.col("pid").alias("id_b"), F.col("pn").alias("n_b"))
+    a = prefix.select("tok", F.col("pfp").alias("fp_a"), F.col("pn").alias("n_a"))
+    b = prefix.select("tok", F.col("pfp").alias("fp_b"), F.col("pn").alias("n_b"))
     cand = (
         a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("fp_a") < F.col("fp_b"))
         # length filter: Jaccard ≥ t ⟹ min ≥ t·max (join-local, pre-distinct)
         .filter(
             F.least("n_a", "n_b").cast("double")
             >= F.greatest("n_a", "n_b") * t - 1e-9
         )
-        .select("id_a", "id_b")
+        .select("fp_a", "fp_b")
         .distinct()
     )
-    sets_ = base.select("__id", "hset", "n")
+    sets_ = dsets.select("set_fp", "hset", "n")
     j = (
         cand.join(
             sets_.select(
-                F.col("__id").alias("id_a"), F.col("hset").alias("set_a"), F.col("n").alias("na")
+                F.col("set_fp").alias("fp_a"), F.col("hset").alias("set_a"), F.col("n").alias("na")
             ),
-            "id_a",
+            "fp_a",
         ).join(
             sets_.select(
-                F.col("__id").alias("id_b"), F.col("hset").alias("set_b"), F.col("n").alias("nb")
+                F.col("set_fp").alias("fp_b"), F.col("hset").alias("set_b"), F.col("n").alias("nb")
             ),
-            "id_b",
+            "fp_b",
         )
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.col("na") + F.col("nb") - inter
-    return (
-        j.select(
-            "id_a",
-            "id_b",
-            inter.alias("inter"),
-            union.alias("union_"),
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    fp_pairs = j.select(
+        "fp_a",
+        "fp_b",
+        inter.alias("inter"),
+        union.alias("union_"),
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= t)
+    # expansion 1: cross-set pairs — every (doc of A) × (doc of B), the
+    # similarity computed ONCE per set pair; streamed join output
+    ma = members.select(F.col("set_fp").alias("fp_a"), F.col("__id").alias("id_x"))
+    mb = members.select(F.col("set_fp").alias("fp_b"), F.col("__id").alias("id_y"))
+    cross = (
+        fp_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "inter",
+            "union_",
+            "jaccard",
         )
-        .filter(F.col("jaccard") >= t)
     )
+    # expansion 2: same-set cliques — Jaccard exactly 1.0, no intersect
+    same = (
+        members.join(
+            members.withColumnRenamed("__id", "__id2"), "set_fp"
+        )
+        .filter(F.col("__id") < F.col("__id2"))
+        .join(dsets.select("set_fp", "n"), "set_fp")
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            F.col("n").alias("inter"),
+            F.col("n").alias("union_"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 # ---------------------------------------------------------------------------
