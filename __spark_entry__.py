@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_stats": workload_relational.events_zorder_stats,
         "stream_static_enrich": workload.stream_static_enrich,
         "cdc_gap_audit": workload.cdc_gap_audit,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

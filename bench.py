@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_temperature_mix",
     "events_zorder_stats",
     "cdc_gap_audit",
+    "dedup_minhash_incremental",
 ]
 
 

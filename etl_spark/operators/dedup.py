@@ -462,3 +462,54 @@ def simhash_candidates(
             "hamming",
         )
     )
+
+
+def minhash_lsh_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: dedup a NEW batch against an
+    existing corpus plus itself, never joining old×old.
+
+    The daily-ingestion pattern: a grown corpus is not re-deduped from
+    scratch — the new batch's LSH bands probe the standing band index
+    (in production a persisted table keyed by ``(band, band_hash)``; here
+    derived from ``old_df`` so the operator is self-contained) and
+    self-join within the batch. Join cost scales with
+    ``|new| × bucket_occupancy``, independent of how large the old corpus
+    has grown — the property that keeps ingestion dedup O(day), not
+    O(history). Candidates are canonicalized (least, greatest) so
+    new-new pairs emitted in both orders collapse; verification is the
+    same exact-Jaccard stage as :func:`minhash_lsh`.
+
+    Returns verified pairs ``(id_a, id_b, jaccard)`` with at least one
+    NEW side and ``jaccard >= threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    sh_old = shingles(old_df, id_col, text_col, k)
+    sh_new = shingles(new_df, id_col, text_col, k)
+    b_old = lsh_buckets(minhash_signatures(sh_old, id_col, num_hashes), id_col, bands, rows_per_band)
+    b_new = lsh_buckets(minhash_signatures(sh_new, id_col, num_hashes), id_col, bands, rows_per_band)
+    probe = b_new.select("band", "band_hash", F.col(id_col).alias("id_x"))
+    index = (
+        b_old.unionByName(b_new)
+        .select("band", "band_hash", F.col(id_col).alias("id_y"))
+    )
+    cand = (
+        probe.join(index, ["band", "band_hash"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_all = sh_old.unionByName(sh_new)
+    verified = ngram_jaccard(cand, sh_all, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

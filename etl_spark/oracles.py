@@ -1789,3 +1789,35 @@ FROM kept
 GROUP BY commit_lsn
 HAVING count(*) < 10
 """
+
+ORACLES["dedup_minhash_incremental"] = f"""
+-- same signature/band pipeline as dedup_minhash_lsh; candidates are
+-- restricted to pairs with at least one NEW (doc_id % 4 = 0) side --
+-- the old x old join the incremental operator never performs
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS union_
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(inter / greatest(union_, 1), 6) AS jaccard
+FROM verified WHERE inter / greatest(union_, 1) >= 0.3
+"""

@@ -814,3 +814,15 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lhs < rhs)
         .select("doc_id", "lang")
     )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the NEW quarter of the corpus
+    (doc_id % 4 == 0) deduped against the standing three quarters plus
+    itself — old×old pairs are never generated
+    (:func:`etl_spark.operators.dedup.minhash_lsh_incremental`)."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.minhash_lsh_incremental(old, new, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -382,3 +382,11 @@ def test_gap_audit_single_shuffle(spark):
     assert n_shuffles(plan) == 1, plan
     assert "partial_count" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_incremental_minhash_no_cartesian(spark):
+    # new-batch bands probe the index via equi-join only; no cartesian,
+    # no nested loop anywhere in the incremental path
+    plan = plan_of(workload_text.dedup_minhash_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

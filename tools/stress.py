@@ -81,6 +81,7 @@ QUERIES = [
     "corpus_temperature_mix",
     "events_zorder_stats",
     "cdc_gap_audit",
+    "dedup_minhash_incremental",
 ]
 
 
