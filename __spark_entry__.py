@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": workload.stream_static_enrich,
         "cdc_gap_audit": workload.cdc_gap_audit,
         "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

@@ -91,6 +91,7 @@ HEADLINE = [
     "events_zorder_stats",
     "cdc_gap_audit",
     "dedup_minhash_incremental",
+    "cdc_changelog_compact",
 ]
 
 

@@ -1821,3 +1821,37 @@ verified AS (
 SELECT id_a, id_b, round(inter / greatest(union_, 1), 6) AS jaccard
 FROM verified WHERE inter / greatest(union_, 1) >= 0.3
 """
+
+ORACLES["cdc_changelog_compact"] = f"""
+-- net-effect compaction: one row per (batch, key) with the Flink-style
+-- net op; INSERT..DELETE within a batch cancels entirely
+WITH {ENVELOPE_CTE},
+ranked AS (
+  SELECT CAST(commit_lsn // 10 AS BIGINT) AS batch_id, pk, op, value, props, start_lsn,
+         row_number() OVER (PARTITION BY commit_lsn // 10, pk ORDER BY start_lsn ASC) AS rn_a,
+         row_number() OVER (PARTITION BY commit_lsn // 10, pk ORDER BY start_lsn DESC) AS rn_d
+  FROM env
+),
+agg AS (
+  SELECT batch_id, pk,
+         max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+         max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+         max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+         max(CASE WHEN rn_d = 1 THEN props END) AS last_props,
+         max(start_lsn) AS last_lsn
+  FROM ranked GROUP BY batch_id, pk
+)
+SELECT batch_id, pk,
+       CASE WHEN first_op = 'INSERT' THEN 'INSERT'
+            WHEN last_op = 'DELETE' THEN 'DELETE'
+            ELSE 'UPDATE' END AS net_op,
+       CASE WHEN (CASE WHEN first_op = 'INSERT' THEN 'INSERT'
+                       WHEN last_op = 'DELETE' THEN 'DELETE'
+                       ELSE 'UPDATE' END) <> 'DELETE' THEN last_value END AS value,
+       CASE WHEN (CASE WHEN first_op = 'INSERT' THEN 'INSERT'
+                       WHEN last_op = 'DELETE' THEN 'DELETE'
+                       ELSE 'UPDATE' END) <> 'DELETE' THEN last_props END AS props,
+       last_lsn
+FROM agg
+WHERE NOT (first_op = 'INSERT' AND last_op = 'DELETE')
+"""

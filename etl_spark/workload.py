@@ -886,3 +886,53 @@ def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_ordinal",
         (F.lit(TX_SIZE) - F.col("n_received")).alias("n_missing"),
     )
+
+
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog net-effect compaction — collapse each key's events within
+    a batch to ONE net change before the sink (the Flink/Debezium batch
+    compaction that cuts destination write amplification; reference
+    analog: the per-batch merge reduction the apply loop performs before
+    writing, apply.rs's batch accumulation).
+
+    Net-op rule per (batch, key), with first/last in ``start_lsn`` order:
+    INSERT..DELETE → nothing (the key never existed for downstream);
+    INSERT..non-DELETE → INSERT carrying the last image;
+    other..DELETE → DELETE (no after image);
+    other..non-DELETE → UPDATE carrying the last image.
+
+    Shape: ONE map-combined shuffle — first/last resolve via ``min_by``/
+    ``max_by`` aggregates on the total order, no window, no sort. Batches
+    here are 10-transaction blocks of the sim envelope.
+    """
+    env = envelope_from_events(spark, sf_dir).select(
+        (F.col("commit_lsn") / 10).cast("long").alias("batch_id"),
+        F.col("pk"),
+        "op",
+        "value",
+        "props",
+        "start_lsn",
+    )
+    per_key = env.groupBy("batch_id", "pk").agg(
+        F.min_by("op", "start_lsn").alias("first_op"),
+        F.max_by("op", "start_lsn").alias("last_op"),
+        F.max_by("value", "start_lsn").alias("last_value"),
+        F.max_by("props", "start_lsn").alias("last_props"),
+        F.max("start_lsn").alias("last_lsn"),
+    )
+    net_op = (
+        F.when((F.col("first_op") == "INSERT") & (F.col("last_op") == "DELETE"), F.lit(None))
+        .when(F.col("first_op") == "INSERT", F.lit("INSERT"))
+        .when(F.col("last_op") == "DELETE", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    out = per_key.withColumn("net_op", net_op).filter(F.col("net_op").isNotNull())
+    keep_img = F.col("net_op") != "DELETE"
+    return out.select(
+        "batch_id",
+        "pk",
+        "net_op",
+        F.when(keep_img, F.col("last_value")).alias("value"),
+        F.when(keep_img, F.col("last_props")).alias("props"),
+        "last_lsn",
+    )

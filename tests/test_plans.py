@@ -390,3 +390,12 @@ def test_incremental_minhash_no_cartesian(spark):
     plan = plan_of(workload_text.dedup_minhash_incremental(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_changelog_compact_single_shuffle_no_window(spark):
+    # first/last resolve via min_by/max_by aggregates on the total order:
+    # one map-combined exchange, no window sort anywhere
+    plan = plan_of(workload.cdc_changelog_compact(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan.lower() or "partial_" in plan, plan

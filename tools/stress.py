@@ -82,6 +82,7 @@ QUERIES = [
     "events_zorder_stats",
     "cdc_gap_audit",
     "dedup_minhash_incremental",
+    "cdc_changelog_compact",
 ]
 
 
