@@ -28,14 +28,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [12
+    Round-4 window = [3 entries never gate-tested in any round] + [19
     new round-4 operators] + [10 that failed r3 on the events.ts type
-    regression, fixed at the io.read_table choke point] + [first 25 of
+    regression, fixed at the io.read_table choke point] + [first 18 of
     the 35 green in r1/r2 but never gated against the r3 regenerated
-    testdata]. The tail = the other 10 of those 35
-    (q10/q14/q18/q22/q7/q8/q13/q15/q17/q19), the two anchors
-    (re-confirmed r3), and the 38 r3-green entries — all verified locally against the
-    current testdata via tools/check_oracle.py this round.
+    testdata]. The tail = the other 17 of those 35 (embed_near_dup +
+    the TPC-H retests), the two anchors (re-confirmed r3), and the 38
+    r3-green entries — all verified locally against the current testdata
+    via tools/check_oracle.py this round (see COVERAGE.md).
     """
     return {
         # --- never gate-tested in ANY round (COVERAGE.md r3 plan, executed r4) ---
