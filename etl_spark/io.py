@@ -81,6 +81,8 @@ _FAMILIES = {
     "array": (T.ArrayType,),
     # ts is normalized separately; listed so absence still warns
     "ts": (T.LongType, T.TimestampType, T.TimestampNTZType),
+    # date-ish columns normalized separately (normalize_datetime_ntz)
+    "datetime": (T.LongType, T.DateType, T.TimestampType, T.TimestampNTZType),
 }
 _CONTRACT = {
     "events": {"event_id": "int", "ts": "ts", "user_id": "int",
@@ -88,7 +90,42 @@ _CONTRACT = {
     "documents": {"doc_id": "int", "text": "string", "lang": "string",
                   "source": "string", "n_chars": "int"},
     "embeddings": {"vec_id": "int", "embedding": "array", "label": "int"},
+    "lineitem": {"l_orderkey": "int", "l_shipdate": "datetime"},
+    "orders": {"o_orderkey": "int", "o_orderdate": "datetime"},
 }
+
+#: date-ish columns normalized to TIMESTAMP_NTZ at the read choke point —
+#: the engine contract every relational query compares `_ts()` literals
+#: against. Accepts DATE, TIMESTAMP, TIMESTAMP_NTZ, or (TIMESTAMP(NANOS)
+#: parquet under the global nanosAsLong conf) epoch-nanos longs; the long
+#: path converts with pure NTZ arithmetic so no session timezone applies.
+_DATETIME_COLS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def normalize_datetime_ntz(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a date-or-timestamp-or-nanos-long column to TIMESTAMP_NTZ."""
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df
+    if isinstance(field.dataType, (T.DateType, T.TimestampType)):
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    if isinstance(field.dataType, T.LongType):
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, CAST({col} div 1000 AS BIGINT), "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
+    raise TypeError(
+        f"column {col!r} has unsupported type {field.dataType.simpleString()}; "
+        "expected date/timestamp/timestamp_ntz or bigint (epoch nanos)"
+    )
 
 
 def check_contract(df: DataFrame, name: str) -> list[str]:
@@ -151,4 +188,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     if name == "events":
         df = normalize_ts_nanos(df, "ts")
+    for col in _DATETIME_COLS.get(name, ()):
+        df = normalize_datetime_ntz(df, col)
     return df

@@ -118,3 +118,52 @@ def test_contract_flags_drift(spark, tmp_path):
     drift = check_contract(df, "documents")
     assert any("doc_id" in d and "string" in d for d in drift)
     assert any("source" in d and "MISSING" in d for d in drift)
+
+
+DATE_VALUES = [
+    datetime.date(1995, 3, 15),
+    datetime.date(1996, 7, 1),
+    datetime.date(1998, 12, 1),
+]
+DATE_NANOS = [
+    int(datetime.datetime(d.year, d.month, d.day, tzinfo=EPOCH).timestamp())
+    * 1_000_000_000
+    for d in DATE_VALUES
+]
+
+DATE_FLAVORS = {
+    "date32": pa.array(DATE_VALUES, pa.date32()),
+    "micros": pa.array(
+        [datetime.datetime(d.year, d.month, d.day) for d in DATE_VALUES],
+        pa.timestamp("us"),
+    ),
+    "nanos": pa.array(DATE_NANOS, pa.timestamp("ns")),
+}
+
+
+@pytest.mark.parametrize("flavor", sorted(DATE_FLAVORS))
+def test_read_table_normalizes_orderdate_flavors(spark, tmp_path, flavor):
+    """o_orderdate arrives as TIMESTAMP_NTZ whatever the parquet carried —
+    DATE, timestamp[us], or TIMESTAMP(NANOS) (which the global nanosAsLong
+    conf would otherwise silently turn into a raw long, the r3 failure
+    shape on a different column)."""
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": DATE_FLAVORS[flavor],
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/orders.parquet")
+    df = read_table(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp_ntz"
+    got = {r.o_orderkey: r.o_orderdate for r in df.collect()}
+    expected = dict(
+        zip([1, 2, 3], [datetime.datetime(d.year, d.month, d.day) for d in DATE_VALUES])
+    )
+    assert got == expected
+
+
+def test_real_testdata_dates_are_ntz(spark, sf_dir):
+    for name, col in (("lineitem", "l_shipdate"), ("orders", "o_orderdate")):
+        df = read_table(spark, sf_dir, name)
+        assert dict(df.dtypes)[col] == "timestamp_ntz"
