@@ -256,11 +256,12 @@ def jaccard_prefix_join(
         F.col(id_col).alias("__id"),
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).withColumn(
-        # md5 over the sorted set: 128 bits, so fingerprint collisions
-        # (which would MERGE two different sets) are out of reach even at
-        # billions of distinct documents
+        # md5 over the sorted set, kept as 16-byte BINARY: 128 bits keeps
+        # fingerprint collisions (which would MERGE two different sets)
+        # out of reach at billions of documents, and binary halves every
+        # downstream shuffle/broadcast key vs the hex string
         "set_fp",
-        F.md5(F.concat_ws("\x1e", F.array_sort("toks"))),
+        F.unhex(F.md5(F.concat_ws("\x1e", F.array_sort("toks")))),
     )
     members = docs.select("__id", "set_fp")
     dsets = (
@@ -280,21 +281,43 @@ def jaccard_prefix_join(
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("tok", F.col("set_fp").alias("pfp"), F.col("n").alias("pn"))
+        .select(
+            "tok",
+            F.col("set_fp").alias("pfp"),
+            F.col("n").alias("pn"),
+            F.col("rn").alias("prn"),
+        )
     )
-    a = prefix.select("tok", F.col("pfp").alias("fp_a"), F.col("pn").alias("n_a"))
-    b = prefix.select("tok", F.col("pfp").alias("fp_b"), F.col("pn").alias("n_b"))
+    a = prefix.select(
+        "tok", F.col("pfp").alias("fp_a"), F.col("pn").alias("n_a"), F.col("prn").alias("rn_a")
+    )
+    b = prefix.select(
+        "tok", F.col("pfp").alias("fp_b"), F.col("pn").alias("n_b"), F.col("prn").alias("rn_b")
+    )
     cand = (
         a.join(b, "tok")
         .filter(F.col("fp_a") < F.col("fp_b"))
-        # length filter: Jaccard ≥ t ⟹ min ≥ t·max (join-local, pre-distinct)
+        # length filter: Jaccard ≥ t ⟹ min ≥ t·max (join-local)
         .filter(
             F.least("n_a", "n_b").cast("double")
             >= F.greatest("n_a", "n_b") * t - 1e-9
         )
+        # PPJoin positional filter: a match at prefix positions (rn_a,
+        # rn_b) bounds the achievable overlap by 1 + min(remaining
+        # suffixes); below the required α = t/(1+t)·(n_a+n_b) the pair
+        # can't reach threshold — join-local, prunes before any shuffle
+        .filter(
+            (1 + F.least(F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b"))).cast(
+                "double"
+            )
+            >= (t / (1 + t)) * (F.col("n_a") + F.col("n_b")) - 1e-9
+        )
         .select("fp_a", "fp_b")
-        .distinct()
     )
+    # NO mid-pipeline distinct: pairs sharing several prefix tokens appear
+    # a few times (~13% dupes measured at sf0.1) — verifying duplicates is
+    # cheaper than a corpus-scale pair exchange; the dedup happens on the
+    # ~70× smaller VERIFIED pair set below
     sets_ = dsets.select("set_fp", "hset", "n")
     j = (
         cand.join(
@@ -311,13 +334,17 @@ def jaccard_prefix_join(
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.col("na") + F.col("nb") - inter
-    fp_pairs = j.select(
-        "fp_a",
-        "fp_b",
-        inter.alias("inter"),
-        union.alias("union_"),
-        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
-    ).filter(F.col("jaccard") >= t)
+    fp_pairs = (
+        j.select(
+            "fp_a",
+            "fp_b",
+            inter.alias("inter"),
+            union.alias("union_"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
     # expansion 1: cross-set pairs — every (doc of A) × (doc of B), the
     # similarity computed ONCE per set pair; streamed join output
     ma = members.select(F.col("set_fp").alias("fp_a"), F.col("__id").alias("id_x"))

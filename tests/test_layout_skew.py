@@ -92,3 +92,30 @@ def test_plan_scan_partitions_matches_reference_constants(spark):
     assert layout.plan_scan_partitions(250_000) == 1
     assert layout.plan_scan_partitions(250_001) == 2
     assert layout.plan_scan_partitions(10**12) == layout.MAX_PARTITIONS
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A date/key-partitioned fact joined to a filtered dim must plan a
+    DPP subquery (dynamicpruningexpression): at 100 TB the fact scan reads
+    only the partitions the dim filter selects — the lakehouse layout
+    counterpart of the z-order file-stat pruning."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "shard", (F.col("user_id") % 5).cast("int")
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("shard").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(5)], ["shard", "tag"]
+    )
+    q = fact.join(F.broadcast(dim).filter(F.col("tag") == "keep"), "shard").groupBy(
+        "shard"
+    ).count()
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
