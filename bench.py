@@ -143,11 +143,27 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
+    # Cross-round comparability: the headline GROWS every round (13 new
+    # round-4 queries have no earlier baseline), so the grand total is not
+    # comparable across rounds. r2_comparable_sec sums only the queries
+    # that were in the round-2 headline — compare THAT against r2's 29.86s.
+    r4_new = {
+        "docs_bm25_top_terms", "docs_rag_chunks", "events_promo_range_join",
+        "cdc_scd2_history", "cdc_state_asof", "docs_unigram_logprob",
+        "mm_resize", "docs_exact_jaccard_join", "corpus_temperature_mix",
+        "events_zorder_stats", "cdc_gap_audit", "dedup_minhash_incremental",
+        "cdc_changelog_compact",
+    }
+    r2_comparable = round(
+        sum(v for k, v in timings.items() if k not in r4_new), 3
+    )
+
     result = {
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "r2_comparable_sec": r2_comparable,
         "sf": sf,
         "events_per_second": events_per_sec,
         "copy_rows_per_second": copy_rows_per_sec,
