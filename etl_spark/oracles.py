@@ -1855,3 +1855,16 @@ SELECT batch_id, pk,
 FROM agg
 WHERE NOT (first_op = 'INSERT' AND last_op = 'DELETE')
 """
+
+ORACLES["events_rolling_1h"] = """
+-- trailing 1h time-RANGE frame per user; epoch-nanos ordering mirrors
+-- the Spark rangeBetween(-1h, current) frame exactly (inclusive ends)
+SELECT event_id, user_id, epoch_ns(ts) AS ts,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_ns(ts)
+  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+)
+"""

@@ -1247,3 +1247,34 @@ def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregates: per user, the count and value sum of
+    that user's events in the trailing 1-hour window ENDING at each event
+    — the hypertable/continuous-aggregate rolling feature, distinct from
+    the row-frame suite (``events_window_suite``): the frame is bounded by
+    EVENT TIME, not row offsets, so bursts widen the frame and quiet
+    periods shrink it.
+
+    Plan: ``rangeBetween(-1h, current)`` over the epoch-nanos long — one
+    shuffle on user_id, one sort, a sliding frame the window operator
+    maintains incrementally (add/evict per row, never O(frame²)). Decimal
+    partial sums keep the rolling sum order-independent; ties on ts are
+    disambiguated upstream (event_id is unique per ts in the sim; the
+    RANGE frame itself is ts-inclusive both ends).
+    """
+    HOUR_NS = 3600 * NANOS_PER_SEC
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"))
+        .rangeBetween(-HOUR_NS, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_1h"),
+    )

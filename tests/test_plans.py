@@ -399,3 +399,12 @@ def test_changelog_compact_single_shuffle_no_window(spark):
     assert n_shuffles(plan) == 1, plan
     assert "Window" not in plan, plan
     assert "partial_min_by" in plan.lower() or "partial_" in plan, plan
+
+
+def test_rolling_1h_single_shuffle_range_frame(spark):
+    # one exchange (user_id), one sort, a RANGE frame the window operator
+    # slides incrementally — no self-join reformulation
+    plan = plan_of(workload_relational.events_rolling_1h(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+    assert "Join" not in plan, plan

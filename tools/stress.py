@@ -83,6 +83,7 @@ QUERIES = [
     "cdc_gap_audit",
     "dedup_minhash_incremental",
     "cdc_changelog_compact",
+    "events_rolling_1h",
 ]
 
 
