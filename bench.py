@@ -84,8 +84,10 @@ HEADLINE = [
     "docs_unigram_logprob",
     "mm_resize",
     # round-4 late additions (first timed here). stream_static_enrich is
-    # gate-tested but excluded like the other stream_* queries: streaming
-    # timings are checkpoint/trigger-setup-dominated, not operator cost
+    # gate-tested but excluded like the other stream_* queries (streaming
+    # timings are checkpoint/trigger-setup-dominated, not operator cost);
+    # corpus_drop_audit is excluded like corpus_curation (re-runs the full
+    # MinHash dedup internally — double-counts dedup_minhash_lsh)
     "docs_exact_jaccard_join",
     "corpus_temperature_mix",
     "events_zorder_stats",

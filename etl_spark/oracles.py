@@ -1868,3 +1868,57 @@ WINDOW w AS (
   RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
 )
 """
+
+ORACLES["corpus_drop_audit"] = f"""
+-- per-doc curation verdict, rule order mirroring corpus_curation
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents)
+  GROUP BY fp
+),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+near AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))
+        / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1) >= 0.5
+),
+qtok AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS qtoks FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(least(len(qtoks) / 100.0, 1.0) * 0.4
+               + len(list_filter(qtoks, t -> t IN ('the','a','and','of','to','in','is')))
+                 / greatest(len(qtoks), 1) * 0.3
+               + (1.0 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                        / greatest(length(text), 1)) * 0.3, 6) AS quality
+  FROM qtok
+)
+SELECT d.doc_id, d.lang, s.quality,
+       CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM keepers) THEN 'exact_dup'
+            WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            WHEN s.quality < 0.5 THEN 'low_quality'
+            WHEN {_U13} >= CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                       WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
+                                       WHEN 'zh' THEN 0.1 END THEN 'lang_downsample'
+            ELSE 'kept' END AS verdict
+FROM documents d JOIN scored s USING (doc_id)
+"""

@@ -826,3 +826,51 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 4 != 0)
     out = dedup.minhash_lsh_incremental(old, new, threshold=0.3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation provenance: one verdict per document explaining WHY it
+    left (or stayed in) the curated corpus — the governance/debugging
+    ledger every production curation pipeline keeps next to its output.
+
+    Verdict = first matching rule in pipeline order (mirroring
+    :func:`corpus_curation` exactly): ``exact_dup`` (not the min doc of
+    its content-fingerprint group) → ``near_dup`` (larger id of a
+    verified MinHash pair ≥ 0.5) → ``low_quality`` (rounded score < 0.5)
+    → ``lang_downsample`` (md5-uniform ≥ the language's rate) →
+    ``kept``. Flags arrive as left-join markers; the CASE is scan-stage.
+    """
+    docs = _docs(spark, sf_dir)
+    keepers = dedup.exact_duplicates(docs).select(
+        F.col("min_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    near = (
+        dedup.minhash_lsh(docs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    q = text.quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    rates = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    rate = F.lit(None).cast("double")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    verdict = (
+        F.when(F.col("is_keeper").isNull(), F.lit("exact_dup"))
+        .when(F.col("is_near_dup"), F.lit("near_dup"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .when(u >= rate, F.lit("lang_downsample"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(keepers, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(q, "doc_id")
+        .select("doc_id", "lang", "quality", verdict.alias("verdict"))
+    )
