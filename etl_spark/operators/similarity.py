@@ -438,3 +438,89 @@ def lsh_topk(
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    m: int = 4,
+) -> DataFrame:
+    """Product-quantization encoding — the vector-compression step of
+    IVF-PQ (Jégou et al. '11): split each D-dim vector into ``m``
+    subvectors, train one codebook per subspace, store each vector as
+    ``m`` one-byte codes. At 100 TB vector scale this is what makes the
+    index FIT (64 float32 → 4 bytes here); search then scans codes with
+    per-subspace lookup tables.
+
+    Codebook "training" is one deterministic assignment step: per-subspace
+    centroids are the component means of the existing cell partition
+    (``cell_col``, same reuse as :func:`ivf_topk`'s centroids) — a full
+    k-means adds iterations of exactly this assign+mean pair. Float
+    policy: components widen to double before any arithmetic; centroid
+    means are exact (float32 sums fit double mantissa), distances fold in
+    array order (``F.aggregate`` ≡ the oracle's ``list_reduce``), argmin
+    breaks ties by code ascending — bit-deterministic cross-engine, no
+    rounding needed before the argmin.
+
+    Plan: centroid build = two map-combined aggs over the exploded
+    components (codebook-sized output); assignment = scan-stage slice +
+    broadcast join of ``m × n_cells`` codebook rows + one min-struct agg
+    keyed on (id, subspace) + one wide agg on id. Vectors are never
+    self-joined.
+
+    Returns ``(id, code_0..code_{m-1}, recon_err)``.
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    s = dim // m
+    ev = F.col(vec_col).cast("array<double>")
+    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
+    cent_comp = comp.groupBy("__cell", "pos").agg(F.avg("v").alias("c"))
+    cents = (
+        cent_comp.withColumn("sub", (F.col("pos") / s).cast("int"))
+        .groupBy("__cell", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+    subs = emb.select(F.col(id_col), ev.alias("__ev")).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub"), F.slice("__ev", i * s + 1, s).alias("svec")
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.sub").alias("sub"), F.col("x.svec").alias("svec"))
+    diff2 = F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    scored = subs.join(F.broadcast(cents), "sub").select(
+        id_col, "sub", F.col("__cell").alias("code"), dist.alias("dist")
+    )
+    best = (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"))
+        .select(id_col, "sub", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
+    )
+    code_cols = [
+        F.max(F.when(F.col("sub") == i, F.col("code"))).alias(f"code_{i}")
+        for i in range(m)
+    ]
+    dist_cols = [
+        F.max(F.when(F.col("sub") == i, F.col("dist"))).alias(f"__d{i}")
+        for i in range(m)
+    ]
+    wide = best.groupBy(id_col).agg(*code_cols, *dist_cols)
+    err = F.col("__d0")
+    for i in range(1, m):
+        err = err + F.col(f"__d{i}")
+    return wide.select(
+        id_col, *[f"code_{i}" for i in range(m)], F.round(err, 6).alias("recon_err")
+    )

@@ -1922,3 +1922,47 @@ SELECT d.doc_id, d.lang, s.quality,
             ELSE 'kept' END AS verdict
 FROM documents d JOIN scored s USING (doc_id)
 """
+
+ORACLES["ann_pq_codes"] = """
+-- PQ encode: per-subspace centroid = component means of the label cells
+-- (exact double sums), distances fold in array order (list_reduce ==
+-- F.aggregate), argmin ties by code ascending — bit-deterministic
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
+),
+centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+cent AS (
+  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc GROUP BY 1, 2
+),
+subs AS (
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+),
+scored AS (
+  SELECT s.vec_id, s.sub, c.label AS code,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(s.svec, c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS dist
+  FROM subs s JOIN cent c USING (sub)
+),
+best AS (
+  SELECT vec_id, sub, code, dist,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       max(CASE WHEN sub = 0 THEN code END) AS code_0,
+       max(CASE WHEN sub = 1 THEN code END) AS code_1,
+       max(CASE WHEN sub = 2 THEN code END) AS code_2,
+       max(CASE WHEN sub = 3 THEN code END) AS code_3,
+       round(max(CASE WHEN sub = 0 THEN dist END)
+             + max(CASE WHEN sub = 1 THEN dist END)
+             + max(CASE WHEN sub = 2 THEN dist END)
+             + max(CASE WHEN sub = 3 THEN dist END), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""

@@ -874,3 +874,13 @@ def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "doc_id")
         .select("doc_id", "lang", "quality", verdict.alias("verdict"))
     )
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (4 subspaces × label-derived codebooks)
+    for every embedding — the IVF-PQ compression step
+    (:func:`etl_spark.operators.similarity.pq_codes`)."""
+    out = similarity.pq_codes(_emb(spark, sf_dir), m=4)
+    return out.select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3", "recon_err"
+    )

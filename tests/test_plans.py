@@ -408,3 +408,11 @@ def test_rolling_1h_single_shuffle_range_frame(spark):
     assert n_shuffles(plan) == 1, plan
     assert "specifiedwindowframe(RangeFrame" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pq_codes_broadcast_codebook_no_self_join(spark):
+    # assignment = scan-stage slice + broadcast codebook join; vectors are
+    # never self-joined or shuffled against each other
+    plan = plan_of(workload_text.ann_pq_codes(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -84,6 +84,7 @@ QUERIES = [
     "dedup_minhash_incremental",
     "cdc_changelog_compact",
     "events_rolling_1h",
+    "ann_pq_codes",
 ]
 
 
