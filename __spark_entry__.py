@@ -28,12 +28,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [22
+    Round-4 window = [3 entries never gate-tested in any round] + [23
     new round-4 operators] + [10 that failed r3 on the events.ts type
-    regression, fixed at the io.read_table choke point] + [first 15 of
+    regression, fixed at the io.read_table choke point] + [first 14 of
     the 35 green in r1/r2 but never gated against the r3 regenerated
-    testdata]. The tail = the other 20 of those 35 (docs_langid_confusion,
-    ann_ivf_topk, ann_lsh_topk, embed_near_dup + the TPC-H retests), the two anchors (re-confirmed
+    testdata]. The tail = the other 21 of those 35 (docs_clean,
+    docs_langid_confusion, ann_ivf_topk, ann_lsh_topk, embed_near_dup +
+    the TPC-H retests), the two anchors (re-confirmed
     r3), and the 38 r3-green entries — all verified locally against the
     current testdata via tools/check_oracle.py this round (COVERAGE.md).
     """
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_1h": workload_relational.events_rolling_1h,
         "corpus_drop_audit": workload_text.corpus_drop_audit,
         "ann_pq_codes": workload_text.ann_pq_codes,
+        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

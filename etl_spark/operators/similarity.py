@@ -440,6 +440,77 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_centroids(emb: DataFrame, vec_col: str, cell_col: str, s: int) -> DataFrame:
+    """Per-(cell, subspace) centroid arrays, components ordered by position.
+    Means over float32-representable doubles are EXACT (sums fit the
+    double mantissa), so both engines compute identical centroids in any
+    row order."""
+    ev = F.col(vec_col).cast("array<double>")
+    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
+    return (
+        comp.groupBy("__cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .withColumn("sub", (F.col("pos") / s).cast("int"))
+        .groupBy("__cell", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, s: int) -> DataFrame:
+    """Explode each vector into ``m`` (id, sub, svec) subvector rows —
+    scan-stage slice, no shuffle."""
+    ev = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col), ev.alias("__ev")).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub"), F.slice("__ev", i * s + 1, s).alias("svec")
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.sub").alias("sub"), F.col("x.svec").alias("svec"))
+
+
+def _sq_l2(a: str, b: str):
+    """Ordered-fold squared L2 between two array columns — bit-matches the
+    oracle's ``list_reduce`` left fold."""
+    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    m: int = 4,
+) -> tuple[DataFrame, int]:
+    """Long-form PQ assignment: ``(id, sub, code, dist)`` — one row per
+    vector × subspace with the argmin codebook entry (ties by code asc).
+    Returns ``(DataFrame, m)``."""
+    dim = len(emb.select(vec_col).head()[0])
+    s = dim // m
+    cents = _pq_centroids(emb, vec_col, cell_col, s)
+    subs = _pq_subvectors(emb, id_col, vec_col, m, s)
+    scored = subs.join(F.broadcast(cents), "sub").select(
+        id_col, "sub", F.col("__cell").alias("code"), _sq_l2("svec", "cvec").alias("dist")
+    )
+    best = (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"))
+        .select(id_col, "sub", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
+    )
+    return best, m
+
+
 def pq_codes(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -472,43 +543,7 @@ def pq_codes(
 
     Returns ``(id, code_0..code_{m-1}, recon_err)``.
     """
-    dim = len(emb.select(vec_col).head()[0])
-    s = dim // m
-    ev = F.col(vec_col).cast("array<double>")
-    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
-    cent_comp = comp.groupBy("__cell", "pos").agg(F.avg("v").alias("c"))
-    cents = (
-        cent_comp.withColumn("sub", (F.col("pos") / s).cast("int"))
-        .groupBy("__cell", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-            ).alias("cvec")
-        )
-    )
-    subs = emb.select(F.col(id_col), ev.alias("__ev")).select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("sub"), F.slice("__ev", i * s + 1, s).alias("svec")
-                    )
-                    for i in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select(id_col, F.col("x.sub").alias("sub"), F.col("x.svec").alias("svec"))
-    diff2 = F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-    scored = subs.join(F.broadcast(cents), "sub").select(
-        id_col, "sub", F.col("__cell").alias("code"), dist.alias("dist")
-    )
-    best = (
-        scored.groupBy(id_col, "sub")
-        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"))
-        .select(id_col, "sub", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
-    )
+    best, m = pq_assign(emb, id_col, vec_col, cell_col, m)
     code_cols = [
         F.max(F.when(F.col("sub") == i, F.col("code"))).alias(f"code_{i}")
         for i in range(m)
@@ -523,4 +558,65 @@ def pq_codes(
         err = err + F.col(f"__d{i}")
     return wide.select(
         id_col, *[f"code_{i}" for i in range(m)], F.round(err, 6).alias("recon_err")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ: the corpus is scanned as ``m`` one-byte codes per vector, and
+    each query's distances come from a tiny lookup table (query subvector
+    → every codebook entry) instead of touching raw vectors.
+
+    Plan shape at 100 TB: the code table (4 bytes/vector) is the ONLY
+    corpus-sized input; the LUT (queries × m × n_cells rows) broadcasts;
+    the per-(query, vector) approximate distance assembles via one
+    grouped aggregation with fixed-order subspace addition, then a
+    WindowGroupLimit-prunable top-k. Raw embeddings are read once at
+    encode time, never at search time.
+
+    Exactness note: "approximate" refers to PQ quantization error vs true
+    distances; the computation itself is bit-deterministic (ordered
+    folds, fixed-order adds, id tiebreaks) — hence an exact SQL oracle.
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    s = dim // m
+    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m)
+    cents = _pq_centroids(emb, vec_col, cell_col, s)
+    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s)
+    lut = qsubs.join(F.broadcast(cents), "sub").select(
+        query_id_col,
+        "sub",
+        F.col("__cell").alias("code"),
+        _sq_l2("svec", "cvec").alias("qdist"),
+    )
+    scored = codes.select(id_col, "sub", "code").join(
+        F.broadcast(lut), ["sub", "code"]
+    )
+    dist_cols = [
+        F.max(F.when(F.col("sub") == i, F.col("qdist"))).alias(f"__d{i}")
+        for i in range(m)
+    ]
+    wide = scored.groupBy(query_id_col, id_col).agg(*dist_cols)
+    adist = F.col("__d0")
+    for i in range(1, m):
+        adist = adist + F.col(f"__d{i}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        wide.select(query_id_col, id_col, adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
     )

@@ -1966,3 +1966,67 @@ SELECT vec_id,
 FROM best WHERE rn = 1
 GROUP BY vec_id
 """
+
+ORACLES["ann_pq_adc_topk"] = """
+-- ADC search: corpus as PQ codes, query-side LUT; same centroid/assign
+-- CTEs as ann_pq_codes, then approximate distance = fixed-order sum of
+-- the 4 LUT entries the vector's codes select
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
+),
+centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+cent AS (
+  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc GROUP BY 1, 2
+),
+subs AS (
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+),
+scored AS (
+  SELECT s.vec_id, s.sub, c.label AS code,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(s.svec, c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS dist
+  FROM subs s JOIN cent c USING (sub)
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, c.label AS code,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(s.svec, c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS qdist
+  FROM subs s JOIN cent c USING (sub)
+  WHERE s.vec_id < 10
+),
+joined AS (
+  SELECT l.query_id, k.vec_id, k.sub, l.qdist
+  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+),
+wide AS (
+  SELECT query_id, vec_id,
+         max(CASE WHEN sub = 0 THEN qdist END)
+         + max(CASE WHEN sub = 1 THEN qdist END)
+         + max(CASE WHEN sub = 2 THEN qdist END)
+         + max(CASE WHEN sub = 3 THEN qdist END) AS adist
+  FROM joined GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM wide
+)
+SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

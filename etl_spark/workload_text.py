@@ -884,3 +884,14 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "code_0", "code_1", "code_2", "code_3", "recon_err"
     )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over PQ codes for the first 10 vectors as queries — the
+    search half of IVF-PQ: corpus scanned as codes, per-query lookup
+    tables broadcast (:func:`etl_spark.operators.similarity.pq_adc_topk`)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(emb, queries, m=4, k=5)

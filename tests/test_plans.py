@@ -416,3 +416,11 @@ def test_pq_codes_broadcast_codebook_no_self_join(spark):
     plan = plan_of(workload_text.ann_pq_codes(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_adc_codes_only_corpus_scan(spark):
+    # ADC search never cross-joins raw vectors: the LUT broadcasts, the
+    # code table is the streamed side
+    plan = plan_of(workload_text.ann_pq_adc_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -85,6 +85,7 @@ QUERIES = [
     "cdc_changelog_compact",
     "events_rolling_1h",
     "ann_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 
