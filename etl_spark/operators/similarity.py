@@ -12,6 +12,11 @@ Two paths, as a production ANN stack would have:
   100 TB the corpus is hash-partitioned by cell id so a probe touches only
   matching partitions; the centroid table is broadcast.
 
+Plus the compression tier a 100 TB vector corpus needs:
+:func:`pq_codes` (product-quantization encode, 64 float32 → 4 bytes) and
+:func:`pq_adc_topk` (asymmetric-distance search over the codes — raw
+vectors never read at search time).
+
 Embedding near-duplicate detection = :func:`cosine_pairs` with a high
 threshold (the embedding-cosine variant of the dedup family).
 """
