@@ -97,6 +97,9 @@ HEADLINE = [
     "events_rolling_1h",
     "ann_pq_codes",
     "ann_pq_adc_topk",
+    "cdc_table_diff",
+    "docs_profile",
+    "events_quality_checks",
 ]
 
 
@@ -148,7 +151,7 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
-    # Cross-round comparability: the headline GROWS every round (16 new
+    # Cross-round comparability: the headline GROWS every round (19 new
     # round-4 queries have no earlier baseline), so the grand total is not
     # comparable across rounds. r2_comparable_sec sums only the queries
     # that were in the round-2 headline — compare THAT against r2's 29.86s.
@@ -158,7 +161,8 @@ def main() -> None:
         "mm_resize", "docs_exact_jaccard_join", "corpus_temperature_mix",
         "events_zorder_stats", "cdc_gap_audit", "dedup_minhash_incremental",
         "cdc_changelog_compact", "events_rolling_1h", "ann_pq_codes",
-        "ann_pq_adc_topk",
+        "ann_pq_adc_topk", "cdc_table_diff", "docs_profile",
+        "events_quality_checks",
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new), 3

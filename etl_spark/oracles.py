@@ -2030,3 +2030,89 @@ ranked AS (
 SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+ORACLES["cdc_table_diff"] = f"""
+-- current state vs deterministically corrupted destination copy; only
+-- differing rows survive
+WITH {ENVELOPE_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM env
+),
+cur AS (
+  SELECT pk, value FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+),
+u AS (
+  SELECT pk, value,
+         CAST(list_sum([(instr('0123456789abcdef', substring(md5(CAST(pk AS VARCHAR)), x, 1)) - 1)
+                        * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT) AS m
+  FROM cur
+),
+dest AS (
+  SELECT pk,
+         CASE WHEN m < {(1 << 52) * 30 // 100} THEN value + 1 ELSE value END AS dest_value
+  FROM u WHERE m >= {(1 << 52) * 15 // 100}
+)
+SELECT COALESCE(c.pk, d.pk) AS pk,
+       CASE WHEN d.pk IS NULL THEN 'missing_in_dest'
+            WHEN c.pk IS NULL THEN 'extra_in_dest'
+            WHEN c.value IS DISTINCT FROM d.dest_value THEN 'value_mismatch'
+       END AS diff_kind,
+       c.value, d.dest_value
+FROM cur c FULL OUTER JOIN dest d ON c.pk = d.pk
+WHERE CASE WHEN d.pk IS NULL THEN 'missing_in_dest'
+           WHEN c.pk IS NULL THEN 'extra_in_dest'
+           WHEN c.value IS DISTINCT FROM d.dest_value THEN 'value_mismatch'
+      END IS NOT NULL
+"""
+
+ORACLES["docs_profile"] = """
+-- one stats row per column; exact distincts mirror the Spark side
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val,
+       round(avg(length(CAST(doc_id AS VARCHAR))), 6) AS avg_len
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+       CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR),
+       round(avg(length(text)), 6)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang), round(avg(length(lang)), 6)
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source), max(source), round(avg(length(source)), 6)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       round(avg(length(CAST(n_chars AS VARCHAR))), 6)
+FROM documents
+"""
+
+ORACLES["events_quality_checks"] = """
+WITH agg AS (
+  SELECT count(*) - count(DISTINCT event_id) AS pk_dups,
+         count(*) FILTER (ts IS NULL) AS ts_nulls,
+         count(*) FILTER (value < 0) AS neg_values,
+         count(*) FILTER (event_type NOT IN ('click','error','purchase','signup','view')) AS bad_types
+  FROM events
+),
+orph AS (
+  SELECT count(*) AS orphan_users
+  FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1
+  WHERE c.c_custkey IS NULL
+)
+SELECT 'pk_unique' AS check_name, CAST(pk_dups AS BIGINT) AS n_violations, pk_dups = 0 AS passed FROM agg
+UNION ALL
+SELECT 'ts_not_null', CAST(ts_nulls AS BIGINT), ts_nulls = 0 FROM agg
+UNION ALL
+SELECT 'value_non_negative', CAST(neg_values AS BIGINT), neg_values = 0 FROM agg
+UNION ALL
+SELECT 'event_type_in_domain', CAST(bad_types AS BIGINT), bad_types = 0 FROM agg
+UNION ALL
+SELECT 'user_ref_integrity', CAST(orphan_users AS BIGINT), orphan_users = 0 FROM orph
+"""

@@ -936,3 +936,54 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(keep_img, F.col("last_props")).alias("props"),
         "last_lsn",
     )
+
+
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation: row-level diff of the materialized
+    current state against a (deterministically corrupted) destination
+    copy — the source↔destination consistency audit every CDC operator
+    runs before trusting a pipeline (reference analog: the test suite's
+    destination-equality assertions, made a first-class operator).
+
+    Destination simulation from the same current state: drop pks with
+    md5-uniform < 15% (missing rows) and perturb value by +1 where the
+    uniform lands in [15%, 30%) (mismatches) — exact-integer cuts, so both
+    engines corrupt identically. Diff = full outer join on pk:
+    ``missing_in_dest`` / ``extra_in_dest`` / ``value_mismatch``; equal
+    rows are suppressed (at 100 TB the diff output is the anomaly set,
+    not the table).
+
+    Shape: one shuffle per side on pk (co-partitioned by the join), the
+    comparison is join-local. With both tables bucketed by pk
+    (layout.bucket_table) the exchange disappears entirely.
+    """
+    cur = cdc_current_state(spark, sf_dir).select("pk", "value")
+    m = F.conv(
+        F.substring(F.md5(F.col("pk").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    cut_drop = (1 << 52) * 15 // 100
+    cut_perturb = (1 << 52) * 30 // 100
+    dest = (
+        cur.withColumn("__m", m)
+        .filter(F.col("__m") >= cut_drop)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("__m") < cut_perturb, F.col("value") + F.lit(1).cast("double")
+            ).otherwise(F.col("value")),
+        )
+        .select("pk", F.col("value").alias("dest_value"))
+    )
+    j = cur.join(dest, "pk", "full_outer")
+    diff_kind = (
+        F.when(F.col("dest_value").isNull() & F.col("value").isNotNull(), "missing_in_dest")
+        .when(F.col("value").isNull() & F.col("dest_value").isNotNull(), "extra_in_dest")
+        .when(
+            ~F.col("value").eqNullSafe(F.col("dest_value")), "value_mismatch"
+        )
+    )
+    return (
+        j.withColumn("diff_kind", diff_kind)
+        .filter(F.col("diff_kind").isNotNull())
+        .select("pk", "diff_kind", "value", "dest_value")
+    )

@@ -1278,3 +1278,54 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint validation suite over the events feed: each
+    check emits ``(check_name, n_violations, passed)`` — the acceptance
+    gate a pipeline runs per input drop before publishing.
+
+    Checks: primary-key uniqueness, event-time non-null, non-negative
+    value, event-type domain membership, and user→customer referential
+    integrity (anti-join). All but the anti-join fold into ONE pass over
+    events (map-combined aggregates); the referential check is a
+    broadcast/AQE anti-join against the customer key set.
+    """
+    ev = _t(spark, sf_dir, "events")
+    domain = ["click", "error", "purchase", "signup", "view"]
+    agg = ev.agg(
+        (F.count("*") - F.count_distinct("event_id")).alias("pk_dups"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("ts_nulls"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_values"),
+        F.sum(
+            F.when(~F.col("event_type").isin(*domain), 1).otherwise(0)
+        ).alias("bad_types"),
+    )
+    orphans = (
+        ev.select((F.col("user_id") + 1).alias("c_custkey"))
+        .join(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "left_anti")
+        .agg(F.count("*").alias("orphan_users"))
+    )
+    row = agg.crossJoin(F.broadcast(orphans))
+    checks = [
+        ("pk_unique", "pk_dups"),
+        ("ts_not_null", "ts_nulls"),
+        ("value_non_negative", "neg_values"),
+        ("event_type_in_domain", "bad_types"),
+        ("user_ref_integrity", "orphan_users"),
+    ]
+    melted = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).cast("long").alias("n_violations"),
+                        (F.col(col) == 0).alias("passed"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("c")
+    )
+    return melted.select("c.*")

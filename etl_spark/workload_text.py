@@ -895,3 +895,51 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.pq_adc_topk(emb, queries, m=4, k=5)
+
+
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiler: one stats row per column of the
+    documents table — row/null/distinct counts, min/max (rendered as
+    strings), mean rendered length. The data-profiling pass a pipeline
+    runs before trusting a new input drop.
+
+    Shape: ONE aggregation computes every column's stats (count-distincts
+    expand map-side), then a literal-array explode melts the single stats
+    row — no per-column scans. At 100 TB the exact distincts swap to
+    ``approx_count_distinct`` (HLL, mergeable); exact here so the oracle
+    hash-matches.
+    """
+    docs = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            # min/max on the NATIVE type, rendered to string after — a
+            # string-cast-first min would order numerics lexicographically
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.round(F.avg(F.length(sc)), 6).alias(f"__len_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    melted = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_val"),
+                        F.col(f"__max_{c}").alias("max_val"),
+                        F.col(f"__len_{c}").alias("avg_len"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return melted.select("p.*")

@@ -424,3 +424,25 @@ def test_pq_adc_codes_only_corpus_scan(spark):
     plan = plan_of(workload_text.ann_pq_adc_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_table_diff_no_cartesian(spark):
+    # reconciliation = full outer join on pk; never a cartesian
+    plan = plan_of(workload.cdc_table_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_profile_single_pass(spark):
+    # every column's stats come from ONE aggregation over one scan; the
+    # count-distinct expand is allowed, separate per-column jobs are not
+    import re
+
+    plan = plan_of(workload_text.docs_profile(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_quality_checks_one_pass_plus_anti_join(spark):
+    plan = plan_of(workload_relational.events_quality_checks(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan

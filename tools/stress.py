@@ -86,6 +86,9 @@ QUERIES = [
     "events_rolling_1h",
     "ann_pq_codes",
     "ann_pq_adc_topk",
+    "cdc_table_diff",
+    "docs_profile",
+    "events_quality_checks",
 ]
 
 
