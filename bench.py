@@ -100,6 +100,8 @@ HEADLINE = [
     "cdc_table_diff",
     "docs_profile",
     "events_quality_checks",
+    "cdc_state_diff",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -151,7 +153,7 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
-    # Cross-round comparability: the headline GROWS every round (19 new
+    # Cross-round comparability: the headline GROWS every round (21 new
     # round-4 queries have no earlier baseline), so the grand total is not
     # comparable across rounds. r2_comparable_sec sums only the queries
     # that were in the round-2 headline — compare THAT against r2's 29.86s.
@@ -162,7 +164,7 @@ def main() -> None:
         "events_zorder_stats", "cdc_gap_audit", "dedup_minhash_incremental",
         "cdc_changelog_compact", "events_rolling_1h", "ann_pq_codes",
         "ann_pq_adc_topk", "cdc_table_diff", "docs_profile",
-        "events_quality_checks",
+        "events_quality_checks", "cdc_state_diff", "ann_ivfpq_topk",
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new), 3

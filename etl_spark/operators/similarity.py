@@ -625,3 +625,87 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Full IVF-PQ search: coarse-quantize queries to their ``nprobe``
+    nearest cells (full-vector centroids, squared L2), then run the ADC
+    code scan ONLY over vectors in probed cells — the composition FAISS
+    ships as IndexIVFPQ, and the 100 TB shape: with the code table
+    hash-partitioned by cell, a probe touches nprobe/n_cells of the
+    corpus, each vector costing 4 code-byte LUT lookups.
+
+    Both stages bit-deterministic (ordered folds, fixed-order adds, id
+    tiebreaks) → exact SQL oracle, like :func:`pq_adc_topk`.
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    s = dim // m
+    # coarse centroids: full-vector per-cell means (ordered assembly)
+    ev = F.col(vec_col).cast("array<double>")
+    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
+    coarse = (
+        comp.groupBy("__cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("__cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+    q = queries.select(F.col(query_id_col), ev.alias("qv"))
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("__pdist").asc(), F.col("__cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("__pdist", _sq_l2("qv", "cvec"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, F.col("__cell").alias("cell"))
+    )
+    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m)
+    cellmap = emb.select(F.col(id_col), F.col(cell_col).alias("cell"))
+    cents = _pq_centroids(emb, vec_col, cell_col, s)
+    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s)
+    lut = qsubs.join(F.broadcast(cents), "sub").select(
+        query_id_col,
+        "sub",
+        F.col("__cell").alias("code"),
+        _sq_l2("svec", "cvec").alias("qdist"),
+    )
+    scored = (
+        codes.select(id_col, "sub", "code")
+        .join(cellmap, id_col)
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
+    )
+    dist_cols = [
+        F.max(F.when(F.col("sub") == i, F.col("qdist"))).alias(f"__d{i}")
+        for i in range(m)
+    ]
+    wide = scored.groupBy(query_id_col, id_col).agg(*dist_cols)
+    adist = F.col("__d0")
+    for i in range(1, m):
+        adist = adist + F.col(f"__d{i}")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        wide.select(query_id_col, id_col, adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
+    )

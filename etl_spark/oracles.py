@@ -2116,3 +2116,123 @@ SELECT 'event_type_in_domain', CAST(bad_types AS BIGINT), bad_types = 0 FROM agg
 UNION ALL
 SELECT 'user_ref_integrity', CAST(orphan_users AS BIGINT), orphan_users = 0 FROM orph
 """
+
+ORACLES["cdc_state_diff"] = f"""
+-- LWW states as of the 1/3 and 2/3 LSN points, full-outer diff; only
+-- changed keys survive
+WITH {ENVELOPE_CTE},
+bounds AS (
+  SELECT min(commit_lsn) AS lo, max(commit_lsn) AS hi FROM env
+),
+pts AS (
+  SELECT lo + (hi - lo) // 3 AS lsn_a, lo + (hi - lo) * 2 // 3 AS lsn_b FROM bounds
+),
+sa AS (
+  SELECT pk, value FROM (
+    SELECT pk, op, value,
+           row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+    FROM env, pts WHERE commit_lsn <= lsn_a
+  ) WHERE rn = 1 AND op <> 'DELETE'
+),
+sb AS (
+  SELECT pk, value FROM (
+    SELECT pk, op, value,
+           row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+    FROM env, pts WHERE commit_lsn <= lsn_b
+  ) WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT COALESCE(sa.pk, sb.pk) AS pk,
+       CASE WHEN sa.pk IS NULL THEN 'added'
+            WHEN sb.pk IS NULL THEN 'removed'
+            WHEN sa.value IS DISTINCT FROM sb.value THEN 'changed'
+       END AS diff_kind,
+       sa.value AS value_a, sb.value AS value_b,
+       pts.lsn_a, pts.lsn_b
+FROM sa FULL OUTER JOIN sb ON sa.pk = sb.pk, pts
+WHERE CASE WHEN sa.pk IS NULL THEN 'added'
+           WHEN sb.pk IS NULL THEN 'removed'
+           WHEN sa.value IS DISTINCT FROM sb.value THEN 'changed'
+      END IS NOT NULL
+"""
+
+ORACLES["ann_ivfpq_topk"] = """
+-- IVF-PQ: coarse-probe 2 cells per query (full-vector centroid L2),
+-- then ADC over codes restricted to probed cells
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
+),
+centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+coarse AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centc GROUP BY label),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 10),
+probed AS (
+  SELECT query_id, label AS cell FROM (
+    SELECT q.query_id, co.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_reduce(
+               list_prepend(0.0,
+                 list_transform(list_zip(q.qv, co.cvec),
+                                x -> (x[1] - x[2]) * (x[1] - x[2]))),
+               (x, y) -> x + y) ASC, co.label ASC
+           ) AS pr
+    FROM q CROSS JOIN coarse co
+  ) WHERE pr <= 2
+),
+cent AS (
+  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc GROUP BY 1, 2
+),
+subs AS (
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+),
+scored0 AS (
+  SELECT s.vec_id, s.sub, c.label AS code,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(s.svec, c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS dist
+  FROM subs s JOIN cent c USING (sub)
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+    FROM scored0
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, c.label AS code,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(s.svec, c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS qdist
+  FROM subs s JOIN cent c USING (sub)
+  WHERE s.vec_id < 10
+),
+joined AS (
+  SELECT l.query_id, k.vec_id, k.sub, l.qdist
+  FROM codes k
+  JOIN e ON e.vec_id = k.vec_id
+  JOIN probed p ON p.cell = e.label
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.code = k.code
+),
+wide AS (
+  SELECT query_id, vec_id,
+         max(CASE WHEN sub = 0 THEN qdist END)
+         + max(CASE WHEN sub = 1 THEN qdist END)
+         + max(CASE WHEN sub = 2 THEN qdist END)
+         + max(CASE WHEN sub = 3 THEN qdist END) AS adist
+  FROM joined GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM wide
+)
+SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

@@ -987,3 +987,50 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("diff_kind").isNotNull())
         .select("pk", "diff_kind", "value", "dest_value")
     )
+
+
+def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel state DIFF: what changed between the 1/3- and 2/3-LSN
+    snapshots of the stream — the audit/debug query a changelog makes
+    one join away (Iceberg/Delta expose it as snapshot diff; the
+    reference's changelog semantics are what make it answerable at all).
+
+    Two as-of LWW materializations (each: scan-stage LSN filter + one
+    replica-identity shuffle) full-outer-joined on the key; equal rows
+    are suppressed so the output is the change set, not the table:
+    ``added`` (key only in the later state), ``removed`` (only in the
+    earlier), ``changed`` (value differs).
+    """
+    env = envelope_from_events(spark, sf_dir)
+    bounds = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    lsn_a = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
+    lsn_b = bounds["lo"] + (bounds["hi"] - bounds["lo"]) * 2 // 3
+
+    def state(asof):
+        cur = materialize.current_state(
+            env.filter(F.col("commit_lsn") <= F.lit(asof)), keys=["pk"]
+        )
+        return cur.select("pk", "value")
+
+    a = state(lsn_a).select("pk", F.col("value").alias("value_a"))
+    b = state(lsn_b).select("pk", F.col("value").alias("value_b"))
+    j = a.join(b, "pk", "full_outer")
+    kind = (
+        F.when(F.col("value_a").isNull() & F.col("value_b").isNotNull(), "added")
+        .when(F.col("value_b").isNull() & F.col("value_a").isNotNull(), "removed")
+        .when(~F.col("value_a").eqNullSafe(F.col("value_b")), "changed")
+    )
+    return (
+        j.withColumn("diff_kind", kind)
+        .filter(F.col("diff_kind").isNotNull())
+        .select(
+            "pk",
+            "diff_kind",
+            "value_a",
+            "value_b",
+            F.lit(lsn_a).alias("lsn_a"),
+            F.lit(lsn_b).alias("lsn_b"),
+        )
+    )

@@ -943,3 +943,14 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return melted.select("p.*")
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ search (nprobe=2 coarse cells, then ADC over codes in
+    probed cells only) for the first 10 vectors as queries
+    (:func:`etl_spark.operators.similarity.ivfpq_topk`)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_topk(emb, queries, m=4, k=5, nprobe=2)

@@ -446,3 +446,17 @@ def test_quality_checks_one_pass_plus_anti_join(spark):
     plan = plan_of(workload_relational.events_quality_checks(spark, SF_DIR))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_state_diff_full_outer_no_cartesian(spark):
+    plan = plan_of(workload.cdc_state_diff(spark, SF_DIR))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_probed_cells_only(spark):
+    # codes join the broadcast probe set BEFORE the LUT: un-probed cells
+    # never reach the distance assembly; no cartesian anywhere
+    plan = plan_of(workload_text.ann_ivfpq_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

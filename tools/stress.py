@@ -89,6 +89,8 @@ QUERIES = [
     "cdc_table_diff",
     "docs_profile",
     "events_quality_checks",
+    "cdc_state_diff",
+    "ann_ivfpq_topk",
 ]
 
 
