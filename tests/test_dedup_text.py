@@ -139,3 +139,43 @@ def test_connected_components_chain_and_isolated(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
     got = {r.id: r.component for r in connected_components(verts, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_jaccard_prefix_join_exact_semantics(spark, docs):
+    """The prefix-filtered join returns EXACTLY the pairs with token-set
+    Jaccard >= t: identical sets (1,2) at 1.0, the near-dup (1,3)/(2,3)
+    at 7/9 (8 distinct tokens each, 7 shared), nothing involving 4; at
+    t=1.0 only the identical pair."""
+    out = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.jaccard_prefix_join(docs, threshold=0.7).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == out[(2, 3)] == round(7 / 9, 6)
+    assert all(4 not in p and 5 not in p for p in out) or (1, 5) not in out
+    strict = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_join(docs, threshold=1.0).collect()
+    }
+    assert strict == {(1, 2)}
+
+
+def test_jaccard_prefix_join_empty_and_single(spark):
+    """Empty-text and singleton inputs don't crash and produce no pairs."""
+    d = spark.createDataFrame([(1, ""), (2, "only doc with words")],
+                              "doc_id long, text string")
+    assert dedup.jaccard_prefix_join(d, threshold=0.5).count() == 0
+
+
+def test_minhash_incremental_only_new_pairs(spark, docs):
+    """Incremental dedup emits pairs with >= 1 NEW side only; old x old
+    (1,3) must be absent even though it passes the threshold."""
+    old = docs.filter(F.col("doc_id").isin(1, 3, 4))
+    new = docs.filter(F.col("doc_id").isin(2, 5))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_incremental(old, new, threshold=0.5).collect()
+    }
+    assert all(a in (2, 5) or b in (2, 5) for a, b in pairs)
+    assert (1, 3) not in pairs
+    assert (1, 2) in pairs  # new doc 2 deduped against the standing index
