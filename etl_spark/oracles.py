@@ -1932,13 +1932,14 @@ comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
 centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 cent AS (
-  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
-  FROM centc GROUP BY 1, 2
+  SELECT label, CAST((pos - 1) // sw.s AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc, sw GROUP BY 1, 2
 ),
 subs AS (
-  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
-  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * sw.s + 1, m.sub * sw.s + sw.s) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m, sw
 ),
 scored AS (
   SELECT s.vec_id, s.sub, c.label AS code,
@@ -1976,13 +1977,14 @@ comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
 centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 cent AS (
-  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
-  FROM centc GROUP BY 1, 2
+  SELECT label, CAST((pos - 1) // sw.s AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc, sw GROUP BY 1, 2
 ),
 subs AS (
-  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
-  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * sw.s + 1, m.sub * sw.s + sw.s) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m, sw
 ),
 scored AS (
   SELECT s.vec_id, s.sub, c.label AS code,
@@ -2163,6 +2165,7 @@ comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
 centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 coarse AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centc GROUP BY label),
 q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 10),
 probed AS (
@@ -2180,12 +2183,12 @@ probed AS (
   ) WHERE pr <= 2
 ),
 cent AS (
-  SELECT label, CAST((pos - 1) // 16 AS INT) AS sub, list(c ORDER BY pos) AS cvec
-  FROM centc GROUP BY 1, 2
+  SELECT label, CAST((pos - 1) // sw.s AS INT) AS sub, list(c ORDER BY pos) AS cvec
+  FROM centc, sw GROUP BY 1, 2
 ),
 subs AS (
-  SELECT vec_id, m.sub, list_slice(ev, m.sub * 16 + 1, m.sub * 16 + 16) AS svec
-  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m
+  SELECT vec_id, m.sub, list_slice(ev, m.sub * sw.s + 1, m.sub * sw.s + sw.s) AS svec
+  FROM e CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) m, sw
 ),
 scored0 AS (
   SELECT s.vec_id, s.sub, c.label AS code,
