@@ -386,6 +386,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic planes). The bucket equi-join replaces the brute-force
     cross join — per-query cost is bucket occupancy, not corpus size."""
     emb = _emb(spark, sf_dir)
+    # the sign-plane matrix AND its pre-expanded SQL oracle are built for
+    # 64 components; a regenerated embeddings table with another dim would
+    # silently produce null buckets (zip_with pads) — fail loudly instead
+    # (the io.py schema-drift principle applied to array lengths, which
+    # the schema alone can't carry)
+    dim = len(emb.select("embedding").head()[0])
+    if dim != 64:
+        raise TypeError(
+            f"embeddings dim {dim} != 64: regenerate the LSH sign planes "
+            "(similarity.lsh_sign_matrix) and the ann_lsh_topk oracle"
+        )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
