@@ -102,6 +102,7 @@ HEADLINE = [
     "events_quality_checks",
     "cdc_state_diff",
     "ann_ivfpq_topk",
+    "sketch_merge_global",
 ]
 
 
@@ -153,7 +154,7 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
-    # Cross-round comparability: the headline GROWS every round (21 new
+    # Cross-round comparability: the headline GROWS every round (22 new
     # round-4 queries have no earlier baseline), so the grand total is not
     # comparable across rounds. r2_comparable_sec sums only the queries
     # that were in the round-2 headline — compare THAT against r2's 29.86s.
@@ -165,6 +166,7 @@ def main() -> None:
         "cdc_changelog_compact", "events_rolling_1h", "ann_pq_codes",
         "ann_pq_adc_topk", "cdc_table_diff", "docs_profile",
         "events_quality_checks", "cdc_state_diff", "ann_ivfpq_topk",
+        "sketch_merge_global",
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new), 3

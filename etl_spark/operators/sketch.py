@@ -63,3 +63,51 @@ def kmv_distinct(
         F.round("kth_min_hash", 12).alias("kth_min_hash"),
         "n_sketch",
     )
+
+
+def kmv_sketch_rows(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """The raw per-group KMV sketch CONTENT: the k smallest distinct
+    uniform hashes per group, ``(groups..., __u)`` — what a warehouse
+    PERSISTS per partition/day so estimates merge without rescans."""
+    group_cols = group_cols or []
+    hashed = df.select(*group_cols, _uhash(F.col(value_col)).alias("__u")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__u")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*group_cols, "__u")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """MERGE persisted per-group KMV sketches into ONE estimate — the
+    property that makes the sketch warehouse-grade: the global k smallest
+    distinct hashes are necessarily contained in the union of per-group
+    k-minimums, so the merged estimate EQUALS the estimate of a sketch
+    built directly over the union, with no raw-data rescan.
+
+    Input: ``(…, __u)`` rows from :func:`kmv_sketch_rows` (any number of
+    groups). The global top-k is a no-partition rank — WindowGroupLimit
+    keeps k rows per map task, so the single-task reduce sees
+    O(k × tasks), never the sketch union. Returns one row
+    ``(est_distinct, kth_min_hash, n_sketch)``.
+    """
+    u = sketches.select("__u").distinct()
+    w = Window.orderBy("__u")
+    topk = u.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = topk.agg(
+        F.max("__u").alias("kth_min_hash"), F.count("*").alias("n_sketch")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise((F.lit(k - 1)) / F.col("kth_min_hash"))
+    return agg.select(
+        F.round(est, 4).alias("est_distinct"),
+        F.round("kth_min_hash", 12).alias("kth_min_hash"),
+        "n_sketch",
+    )

@@ -2239,3 +2239,27 @@ ranked AS (
 SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+ORACLES["sketch_merge_global"] = """
+-- merged per-group KMV == global KMV: the global k smallest distinct
+-- hashes are contained in the union of per-group k-minimums
+WITH hashed AS (
+  SELECT DISTINCT
+         list_sum([(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), x, 1)) - 1)
+                   * power(16, 13 - x) for x in range(1, 14)])
+           / 4503599627370496.0 AS u
+  FROM events
+),
+topk AS (
+  SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hashed
+),
+agg AS (
+  SELECT max(u) AS kth, count(*) AS n_sketch FROM topk WHERE rn <= 64
+)
+SELECT round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                  ELSE 63 / kth END, 4) AS est_distinct,
+       round(kth, 12) AS kth_min_hash,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM agg
+"""

@@ -1329,3 +1329,19 @@ def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     return melted.select("c.*")
+
+
+def sketch_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE: per-event-type distinct-user sketches (the
+    persisted per-partition form) merged into ONE global distinct-user
+    estimate without rescanning raw data — the mergeability property
+    that makes sketches warehouse-grade
+    (:func:`etl_spark.operators.sketch.kmv_merge`). Output also carries
+    the exact global distinct for the error story."""
+    from etl_spark.operators import sketch as sk
+
+    ev = _t(spark, sf_dir, "events")
+    per_group = sk.kmv_sketch_rows(ev, "user_id", ["event_type"], k=64)
+    merged = sk.kmv_merge(per_group, k=64)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return merged.crossJoin(F.broadcast(exact))

@@ -460,3 +460,10 @@ def test_ivfpq_probed_cells_only(spark):
     plan = plan_of(workload_text.ann_ivfpq_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sketch_merge_global_window_group_limit(spark):
+    # the global top-k rank must prune map-side (WindowGroupLimit): the
+    # single-task reduce sees O(k x tasks) rows, never the sketch union
+    plan = plan_of(workload_relational.sketch_merge_global(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan

@@ -91,6 +91,7 @@ QUERIES = [
     "events_quality_checks",
     "cdc_state_diff",
     "ann_ivfpq_topk",
+    "sketch_merge_global",
 ]
 
 
