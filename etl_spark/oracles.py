@@ -2263,3 +2263,40 @@ SELECT round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
        (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
 FROM agg
 """
+
+ORACLES["bloom_prune_probe"] = """
+-- k=3, m=4096 Bloom over customer keys; probes alternate present/absent
+-- by event parity; a probe passes iff all 3 md5-seeded positions are set
+WITH pos AS (
+  SELECT DISTINCT
+         CAST(list_sum([(instr('0123456789abcdef', substring(md5(s.s || ':' || CAST(c_custkey AS VARCHAR)), x, 1)) - 1)
+                        * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT) % 4096 AS bit
+  FROM customer CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS VARCHAR) AS s) s
+),
+probes AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN user_id + 1 ELSE user_id + 1000000 END AS probe_key,
+         event_id % 2 = 0 AS is_present
+  FROM events
+),
+pb AS (
+  SELECT p.event_id, p.is_present,
+         CAST(list_sum([(instr('0123456789abcdef', substring(md5(s.s || ':' || CAST(p.probe_key AS VARCHAR)), x, 1)) - 1)
+                        * power(16, 13 - x) for x in range(1, 14)]) AS BIGINT) % 4096 AS bit
+  FROM probes p CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS VARCHAR) AS s) s
+),
+per_probe AS (
+  SELECT pb.event_id, pb.is_present,
+         count(pos.bit) = 3 AS passed
+  FROM pb LEFT JOIN pos USING (bit)
+  GROUP BY pb.event_id, pb.is_present
+)
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN NOT is_present THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+       CAST(sum(CASE WHEN passed AND NOT is_present THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN is_present AND NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       round(sum(CASE WHEN passed AND NOT is_present THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN NOT is_present THEN 1 ELSE 0 END), 1), 6) AS fp_rate
+FROM per_probe
+"""

@@ -1345,3 +1345,67 @@ def sketch_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sk.kmv_merge(per_group, k=64)
     exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
     return merged.crossJoin(F.broadcast(exact))
+
+
+def bloom_prune_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, made inspectable: build a k=3,
+    m=4096 filter over the customer key set, probe a mixed stream of
+    present keys and deterministically absent ones, and report the
+    pass/false-positive accounting — the data-level form of the runtime
+    bloom pruning Spark injects into large joins (and what a 100 TB
+    pipeline ships to prune a fact scan BEFORE the shuffle; the filter
+    is ~m bits however big the build side is).
+
+    The filter is represented as its distinct bit-position set (a real
+    impl packs the same positions into a bitset); positions come from
+    md5-seeded hashes so both engines compute them identically. A probe
+    passes iff all k of its positions are set — present keys always pass
+    (no false negatives, the Bloom guarantee); absent passes are the
+    false positives. Shape: build = tiny distinct agg (≤ m rows,
+    broadcast); probe = scan-stage position explode + broadcast join +
+    per-probe count. One map-combined final agg.
+    """
+    m_bits, k = 4096, 3
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def positions(key_col):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(s)), key_col.cast("string"))), 1, 13),
+                16, 10,
+            ).cast("long") % m_bits
+            for s in range(k)
+        ]
+
+    built = (
+        cust.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(True))
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    probes = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.col("user_id") + 1)
+        .otherwise(F.col("user_id") + 1_000_000)
+        .alias("probe_key"),
+        (F.col("event_id") % 2 == 0).alias("is_present"),
+    )
+    probe_bits = probes.select(
+        "event_id", "is_present",
+        F.explode(F.array(*positions(F.col("probe_key")))).alias("bit"),
+    )
+    per_probe = (
+        probe_bits.join(F.broadcast(built), "bit", "left")
+        .groupBy("event_id", "is_present")
+        .agg((F.count(F.when(F.col("set_"), 1)) == k).alias("passed"))
+    )
+    return per_probe.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(~F.col("is_present"), 1).otherwise(0)).alias("n_absent"),
+        F.sum(F.when(F.col("passed") & ~F.col("is_present"), 1).otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when(F.col("is_present") & ~F.col("passed"), 1).otherwise(0)).alias("n_false_neg"),
+    ).select(
+        "n_probes", "n_pass", "n_absent", "n_false_pos", "n_false_neg",
+        F.round(F.col("n_false_pos") / F.greatest(F.col("n_absent"), F.lit(1)), 6).alias("fp_rate"),
+    )

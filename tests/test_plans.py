@@ -467,3 +467,11 @@ def test_sketch_merge_global_window_group_limit(spark):
     # single-task reduce sees O(k x tasks) rows, never the sketch union
     plan = plan_of(workload_relational.sketch_merge_global(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_probe_broadcast_filter(spark):
+    # the built filter (<= m distinct positions) must broadcast; probes
+    # stream through it — no shuffle of the probe side on the bit key
+    plan = plan_of(workload_relational.bloom_prune_probe(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -92,6 +92,7 @@ QUERIES = [
     "cdc_state_diff",
     "ann_ivfpq_topk",
     "sketch_merge_global",
+    "bloom_prune_probe",
 ]
 
 
