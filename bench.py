@@ -104,6 +104,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "sketch_merge_global",
     "bloom_prune_probe",
+    "events_winsorize",
 ]
 
 
@@ -155,7 +156,7 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
-    # Cross-round comparability: the headline GROWS every round (23 new
+    # Cross-round comparability: the headline GROWS every round (24 new
     # round-4 queries have no earlier baseline), so the grand total is not
     # comparable across rounds. r2_comparable_sec sums only the queries
     # that were in the round-2 headline — compare THAT against r2's 29.86s.
@@ -167,7 +168,7 @@ def main() -> None:
         "cdc_changelog_compact", "events_rolling_1h", "ann_pq_codes",
         "ann_pq_adc_topk", "cdc_table_diff", "docs_profile",
         "events_quality_checks", "cdc_state_diff", "ann_ivfpq_topk",
-        "sketch_merge_global", "bloom_prune_probe",
+        "sketch_merge_global", "bloom_prune_probe", "events_winsorize",
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new), 3

@@ -2300,3 +2300,29 @@ SELECT count(*) AS n_probes,
              / greatest(sum(CASE WHEN NOT is_present THEN 1 ELSE 0 END), 1), 6) AS fp_rate
 FROM per_probe
 """
+
+ORACLES["events_winsorize"] = """
+-- clamp to per-type [p05, p95]; quantile_cont matches Spark's exact
+-- interpolated percentile; decimal-quantized clamped sum is
+-- order-independent
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, b.p05, b.p95, e.value,
+         least(greatest(e.value, b.p05), b.p95) AS w
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n,
+       round(any_value(p05), 6) AS p05,
+       round(any_value(p95), 6) AS p95,
+       CAST(sum(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       round(CAST(sum(CAST(round(w, 6) AS DECIMAL(20,6))) AS DOUBLE), 4) AS wsum,
+       round(avg(value), 6) AS raw_mean,
+       round(CAST(sum(CAST(round(w, 6) AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS wmean
+FROM c GROUP BY event_type
+"""

@@ -1409,3 +1409,38 @@ def bloom_prune_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probes", "n_pass", "n_absent", "n_false_pos", "n_false_neg",
         F.round(F.col("n_false_pos") / F.greatest(F.col("n_absent"), F.lit(1)), 6).alias("fp_rate"),
     )
+
+
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clamp each event type's values to its
+    own [p05, p95] band and report the robust aggregates — the standard
+    outlier-taming step before a metric goes on a dashboard (one heavy
+    whale stops dominating the mean).
+
+    Shape: exact per-group percentiles (one shuffle, sort-agg inside the
+    aggregate buffer — the same exact-percentile engine the oracle uses,
+    so interpolation matches bit-for-bit), bounds joined back unhinted
+    (|event types| rows, AQE broadcasts), clamp + re-aggregate
+    map-combined. At 100 TB the bounds swap to ``approx_percentile``
+    (t-digest); the clamp/re-agg stages are unchanged.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = ev.join(bounds, "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("w"),
+        F.col("value"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.sum(F.when((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1).otherwise(0)).alias("n_clamped"),
+        F.round(F.sum(F.col("w").cast("decimal(20,6)")).cast("double"), 4).alias("wsum"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+    ).withColumn("wmean", F.round(F.col("wsum") / F.col("n"), 6))

@@ -93,6 +93,7 @@ QUERIES = [
     "ann_ivfpq_topk",
     "sketch_merge_global",
     "bloom_prune_probe",
+    "events_winsorize",
 ]
 
 
