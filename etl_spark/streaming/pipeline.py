@@ -75,6 +75,7 @@ class Pipeline:
         async_flush: bool = False,
         source_fmt: str = "envelope",
         envelope_fmt: str = "parquet",
+        compact_batches: bool = False,
     ):
         #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv
         #: per ``envelope_fmt`` — a WAL shipper that flushes JSON lines or
@@ -83,6 +84,10 @@ class Pipeline:
         #: shipper, decoded per micro-batch through sources/pgoutput.py
         self.source_fmt = source_fmt
         self.envelope_fmt = envelope_fmt
+        #: last-image per-key batch compaction before sink writes (see
+        #: _compact); safe for the key-merge sinks this engine ships,
+        #: NOT for changelog-fidelity destinations
+        self.compact_batches = compact_batches
         self.spark = spark
         self.source_dir = source_dir
         self.tables = {t.name: t for t in tables}
@@ -424,7 +429,35 @@ class Pipeline:
         rows = t_rows.filter(F.col("op").isin(*ROW_OPS))
         if rows.isEmpty():
             return
-        self.sink.write_changes(name, self._decode(cfg, rows), batch_id)
+        decoded = self._decode(cfg, rows)
+        if self.compact_batches:
+            decoded = self._compact(cfg, decoded)
+        self.sink.write_changes(name, decoded, batch_id)
+
+    def _compact(self, cfg: TableConfig, decoded: DataFrame) -> DataFrame:
+        """Last-image batch compaction: ONE event per key per micro-batch
+        (the highest ``event_seq``), DELETEs kept as tombstones.
+
+        Every sink in this engine merges by key with LWW-by-sequence, so
+        dropping a key's superseded intra-batch events cannot change the
+        destination state — it only cuts write amplification (the
+        reference's batch accumulation achieves the same reduction by
+        merging in memory before the destination write). This is
+        deliberately WEAKER than full net-effect cancellation
+        (:func:`etl_spark.workload.cdc_changelog_compact` drops
+        INSERT..DELETE pairs entirely): cancellation is only safe when
+        INSERT provably means "key did not exist before this batch",
+        which an at-least-once replayed stream cannot promise. Not for
+        changelog-fidelity destinations — those need every event.
+        """
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*cfg.keys).orderBy(F.col("event_seq").desc())
+        return (
+            decoded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     # ------------------------------------------------------------------
     def start(self, available_now: bool = True, max_files_per_trigger: int | None = None):

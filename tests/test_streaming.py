@@ -655,3 +655,58 @@ def test_pipeline_over_csv_envelope_stream(spark, env, tmp_path):
     p.run_until_drained()
     cur = current(env)
     assert cur[5] == "c1" and 1 not in cur
+
+
+def test_compact_batches_same_state_fewer_writes(spark, env, tmp_path):
+    """Last-image batch compaction: final destination state identical to
+    the uncompacted run; the sink sees ONE row per (key, batch) instead
+    of every intra-batch event (write amplification cut)."""
+    rows = [
+        ev("INSERT", "users", 30, 0, after={"pk": 5, "val": "v0"}),
+        ev("UPDATE", "users", 30, 1, after={"pk": 5, "val": "v1"}),
+        ev("UPDATE", "users", 30, 2, after={"pk": 5, "val": "v2"}),
+        ev("UPDATE", "users", 31, 0, after={"pk": 1, "val": "a9"}),
+        ev("INSERT", "users", 32, 0, after={"pk": 6, "val": "t0"}),
+        ev("DELETE", "users", 33, 0, before={"pk": 6}, before_kind="KEY"),
+    ]
+    write_events(spark, env["source"], rows, "b1")
+
+    seen = []
+    orig = env["sink"].write_changes
+
+    def counting_write(table, df, batch_id):
+        pdf = df.cache()
+        seen.append(pdf.count())
+        orig(table, pdf, batch_id)
+
+    env["sink"].write_changes = counting_write
+    cfg = TableConfig(name="users", snapshot_path=env["snap"], keys=["pk"],
+                      payload_schema=PAYLOAD)
+    p = Pipeline(spark, env["source"], [cfg], env["sink"], env["work"],
+                 compact_batches=True)
+    p.run_until_drained()
+    # one surviving row per touched key: pk5 (last image v2), pk1, pk6
+    # (DELETE tombstone kept — never cancelled against its INSERT)
+    assert sum(seen) == 3
+    assert current(env) == {1: "a9", 2: "b", 3: "c", 5: "v2"}
+
+
+def test_compact_batches_replay_idempotent(spark, env):
+    """Compaction composes with at-least-once replay: wipe the checkpoint,
+    rerun compacted — state unchanged (the tombstone re-applies)."""
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 40, 0, after={"pk": 7, "val": "q0"}),
+        ev("UPDATE", "users", 40, 1, after={"pk": 7, "val": "q1"}),
+        ev("DELETE", "users", 41, 0, before={"pk": 2}, before_kind="KEY"),
+    ], "b1")
+    cfg = TableConfig(name="users", snapshot_path=env["snap"], keys=["pk"],
+                      payload_schema=PAYLOAD)
+    p = Pipeline(spark, env["source"], [cfg], env["sink"], env["work"],
+                 compact_batches=True)
+    p.run_until_drained()
+    first = current(env)
+    shutil.rmtree(p.checkpoint_dir)
+    p2 = Pipeline(spark, env["source"], [cfg], env["sink"], env["work"],
+                  compact_batches=True)
+    p2.run_until_drained()
+    assert current(env) == first == {1: "a", 3: "c", 7: "q1"}
