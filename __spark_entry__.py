@@ -28,14 +28,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     without a recorded green CORRECTNESS row in any round come first; the
     already-proven tail rotates out until every query has a green row.
 
-    Round-4 window = [3 entries never gate-tested in any round] + [31
+    Round-4 window = [3 entries never gate-tested in any round] + [32
     new round-4 operators] + [10 that failed r3 on the events.ts type
-    regression, fixed at the io.read_table choke point] + [first 6 of
+    regression, fixed at the io.read_table choke point] + [first 5 of
     the 35 green in r1/r2 but never gated against the r3 regenerated
-    testdata]. The tail = the other 29 of those 35 (text_quality,
-    text_tokens, text_fingerprint, dedup_keep_list, dedup_components,
-    sample_stratified, docs_top_terms, docs_clean, docs_langid_confusion,
-    ann_ivf_topk, ann_lsh_topk, embed_near_dup + the TPC-H retests), the two anchors (re-confirmed
+    testdata]. The tail = the other 30 of those 35 (text_langid,
+    text_quality, text_tokens, text_fingerprint, dedup_keep_list,
+    dedup_components, sample_stratified, docs_top_terms, docs_clean,
+    docs_langid_confusion, ann_ivf_topk, ann_lsh_topk, embed_near_dup +
+    the TPC-H retests), the two anchors (re-confirmed
     r3), and the 38 r3-green entries — all verified locally against the
     current testdata via tools/check_oracle.py this round (COVERAGE.md).
     """
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_merge_global": workload_relational.sketch_merge_global,
         "bloom_prune_probe": workload_relational.bloom_prune_probe,
         "events_winsorize": workload_relational.events_winsorize,
+        "cdc_changed_columns": workload.cdc_changed_columns,
         # --- FAILED r3 on the ts-type regression (fixed in etl_spark.io): retest ---
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,

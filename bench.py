@@ -105,6 +105,7 @@ HEADLINE = [
     "sketch_merge_global",
     "bloom_prune_probe",
     "events_winsorize",
+    "cdc_changed_columns",
 ]
 
 
@@ -156,7 +157,7 @@ def main() -> None:
         if timings.get("cdc_snapshot_handoff") else None
     )
 
-    # Cross-round comparability: the headline GROWS every round (24 new
+    # Cross-round comparability: the headline GROWS every round (25 new
     # round-4 queries have no earlier baseline), so the grand total is not
     # comparable across rounds. r2_comparable_sec sums only the queries
     # that were in the round-2 headline — compare THAT against r2's 29.86s.
@@ -169,6 +170,7 @@ def main() -> None:
         "ann_pq_adc_topk", "cdc_table_diff", "docs_profile",
         "events_quality_checks", "cdc_state_diff", "ann_ivfpq_topk",
         "sketch_merge_global", "bloom_prune_probe", "events_winsorize",
+        "cdc_changed_columns",
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new), 3

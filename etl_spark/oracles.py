@@ -2326,3 +2326,22 @@ SELECT event_type,
        round(CAST(sum(CAST(round(w, 6) AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS wmean
 FROM c GROUP BY event_type
 """
+
+ORACLES["cdc_changed_columns"] = f"""
+-- per-UPDATE column diff against the key's previous image (lag over the
+-- same total order every LWW materialization uses)
+WITH {ENVELOPE_CTE},
+with_prev AS (
+  SELECT op, pk, start_lsn, value, props,
+         lag(value) OVER (PARTITION BY pk ORDER BY commit_lsn, tx_ordinal) AS prev_value,
+         lag(props) OVER (PARTITION BY pk ORDER BY commit_lsn, tx_ordinal) AS prev_props
+  FROM env
+)
+SELECT start_lsn, pk,
+       value IS DISTINCT FROM prev_value AS value_changed,
+       props IS DISTINCT FROM prev_props AS props_changed,
+       CAST(value IS DISTINCT FROM prev_value AS INT)
+       + CAST(props IS DISTINCT FROM prev_props AS INT) AS n_changed
+FROM with_prev
+WHERE op = 'UPDATE' AND (prev_value IS NOT NULL OR prev_props IS NOT NULL)
+"""

@@ -1034,3 +1034,47 @@ def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(lsn_b).alias("lsn_b"),
         )
     )
+
+
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level change tracking (Debezium ``updated_fields`` /
+    column-masking analog): for every UPDATE that has a prior image of
+    its key, report WHICH payload columns actually changed — what lets
+    a downstream do selective column updates (and skip no-op writes)
+    instead of whole-row rewrites.
+
+    The before image is the key's previous event (lag over the total
+    order per key — the same LWW ordering every materialization uses),
+    so the diff needs no stored snapshot: one window shuffle on the
+    replica identity, null-safe comparisons, scan-stage everything else.
+    """
+    from pyspark.sql import Window
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "pk", "start_lsn", "event_seq", "value", "props"
+    )
+    w = Window.partitionBy("pk").orderBy("event_seq")
+    with_prev = env.select(
+        "op",
+        "pk",
+        "start_lsn",
+        "value",
+        "props",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("props").over(w).alias("prev_props"),
+    )
+    vc = ~F.col("value").eqNullSafe(F.col("prev_value"))
+    pc = ~F.col("props").eqNullSafe(F.col("prev_props"))
+    return (
+        with_prev.filter(
+            (F.col("op") == "UPDATE")
+            & (F.col("prev_value").isNotNull() | F.col("prev_props").isNotNull())
+        )
+        .select(
+            "start_lsn",
+            "pk",
+            vc.alias("value_changed"),
+            pc.alias("props_changed"),
+            (vc.cast("int") + pc.cast("int")).alias("n_changed"),
+        )
+    )

@@ -475,3 +475,10 @@ def test_bloom_probe_broadcast_filter(spark):
     plan = plan_of(workload_relational.bloom_prune_probe(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_changed_columns_single_shuffle(spark):
+    # one lag window on the replica identity; comparisons scan-stage
+    plan = plan_of(workload.cdc_changed_columns(spark, SF_DIR))
+    assert n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan

@@ -94,6 +94,7 @@ QUERIES = [
     "sketch_merge_global",
     "bloom_prune_probe",
     "events_winsorize",
+    "cdc_changed_columns",
 ]
 
 
