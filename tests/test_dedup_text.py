@@ -179,3 +179,35 @@ def test_minhash_incremental_only_new_pairs(spark, docs):
     assert all(a in (2, 5) or b in (2, 5) for a, b in pairs)
     assert (1, 3) not in pairs
     assert (1, 2) in pairs  # new doc 2 deduped against the standing index
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_jaccard_prefix_join_matches_bruteforce_random(spark, seed):
+    """Property: on random corpora with a SMALL vocabulary (forcing heavy
+    token overlap — the regime where the prefix/positional/length filters
+    actually prune), the operator's pair set equals the brute-force
+    all-pairs answer exactly. Guards the filter math (prefix length,
+    overlap bound, length ratio) against future edits."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(24)
+    ]
+    t = 0.6
+    sets = {i: frozenset(text.split()) for i, text in docs}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            expected.add((a, b))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
+    }
+    assert got == expected
