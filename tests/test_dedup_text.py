@@ -211,3 +211,52 @@ def test_jaccard_prefix_join_matches_bruteforce_random(spark, seed):
         for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_pq_codes_match_python_mirror(spark, seed):
+    """Property: PQ assignment equals a pure-Python mirror that replicates
+    the ordered left-fold distance and the (dist, code) argmin tiebreak —
+    bit-for-bit, on random integer-valued vectors (exact in double)."""
+    import random
+
+    rng = random.Random(seed)
+    dim, m, n_cells = 8, 2, 3
+    rows = [
+        (i, [float(rng.randint(-4, 4)) for _ in range(dim)], i % n_cells)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    # python mirror: per-(cell, pos) mean; per (vec, sub) argmin by
+    # (left-fold dist, code)
+    by_cell = {}
+    for _, v, c in rows:
+        by_cell.setdefault(c, []).append(v)
+    cents = {
+        (c, s): [
+            sum(v[s * (dim // m) + j] for v in vs) / len(vs)
+            for j in range(dim // m)
+        ]
+        for c, vs in by_cell.items()
+        for s in range(m)
+    }
+
+    def fold_dist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    expected = {}
+    for i, v, _ in rows:
+        for s in range(m):
+            sub = v[s * (dim // m): (s + 1) * (dim // m)]
+            best = min(
+                (fold_dist(sub, cents[(c, s)]), c) for c in by_cell
+            )
+            expected[(i, s)] = best[1]
+
+    got_rows, got_m = similarity.pq_assign(emb, m=m)
+    got = {(r.vec_id, r.sub): r.code for r in got_rows.collect()}
+    assert got == expected and got_m == m
