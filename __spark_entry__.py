@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         # --- green in r1/r2 but never gate-tested against the REGENERATED (r3+)
         # --- testdata; locally green via tests/test_oracle_parity.py — confirm ---
+        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,

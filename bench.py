@@ -106,6 +106,8 @@ HEADLINE = [
     "bloom_prune_probe",
     "events_winsorize",
     "cdc_changed_columns",
+    # round-5 additions (first timed here)
+    "dedup_simhash_clusters",
 ]
 
 
@@ -172,8 +174,9 @@ def main() -> None:
         "sketch_merge_global", "bloom_prune_probe", "events_winsorize",
         "cdc_changed_columns",
     }
+    r5_new = {"dedup_simhash_clusters"}
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k not in r4_new), 3
+        sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
     )
 
     result = {
@@ -192,7 +195,26 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         },
     }
+    # Durable copy first: the driver's capture keeps only the output TAIL,
+    # and the full per-query JSON line can exceed it (BENCH_r04 recorded
+    # "parsed": null with the head truncated). Write the complete record
+    # to BENCH_LOCAL.json, then print the full line, then LAST a short
+    # summary line that always fits any tail window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(result, f)
+        f.write("\n")
     print(json.dumps(result))
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": result["value"],
+        "unit": "sec",
+        "r2_comparable_sec": r2_comparable,
+        "sf": sf,
+        "n_queries": len(timings),
+        "events_per_second": events_per_sec,
+        "copy_rows_per_second": copy_rows_per_sec,
+        "full_record": "BENCH_LOCAL.json",
+    }))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,12 @@ def zorder_key(a, b, bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    # Widen both inputs to 64-bit BEFORE shifting: shiftleft on an
+    # IntegerType operand wraps at bit 31 (b=32768 at bits=16 would yield
+    # z=-2^31), producing negative, non-monotonic Morton keys that break
+    # range-partitioned tiling. Long-side shifts keep every term positive.
+    a = a.cast("long")
+    b = b.cast("long")
     z = F.lit(0).cast("long")
     for j in range(bits):
         z = (

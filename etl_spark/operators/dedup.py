@@ -240,12 +240,15 @@ def jaccard_prefix_join(
     Shuffle census: set-fingerprint dedup (1), token df agg (1,
     map-combined), per-set prefix window (1), prefix equi-join (1), pair
     distinct (1), verify + expansion joins (AQE-sized, keyed on the
-    fingerprint). No stage is O(n²). Like the LSH bucket self-join, the
-    prefix self-join re-evaluates its lineage on both sides (Spark
-    self-joins don't share subplans); a 100 TB run materializes the
-    distinct-set table once (a parquet intermediate) — the declarative
-    form keeps the operator composable at the cost of scan-stage
-    recompute, not an extra shuffle.
+    fingerprint). No stage is O(n²). Because Spark self-joins don't share
+    subplans, the three reused intermediates (tokenized docs, the
+    distinct-set table, the ranked prefix table) are MATERIALIZED with an
+    eager ``localCheckpoint`` before fan-out: the tokenize/md5/xxhash
+    scan, the set dedup, and the df-agg + prefix window each run exactly
+    ONCE; every join side afterwards reads the materialized partitions
+    (executor memory spilling to local disk). At 100 TB the same three
+    cut points become parquet intermediates — same plan shape, durable
+    storage.
 
     Returns ``(id_a, id_b, inter, union_, jaccard)``.
     """
@@ -263,12 +266,17 @@ def jaccard_prefix_join(
         "set_fp",
         F.unhex(F.md5(F.concat_ws("\x1e", F.array_sort("toks")))),
     )
+    # cut point 1: one tokenize/md5 scan, reused by members (3×) and dsets
+    docs = docs.localCheckpoint(eager=True)
     members = docs.select("__id", "set_fp")
     dsets = (
         docs.select("set_fp", "toks")
         .dropDuplicates(["set_fp"])
         .withColumn("n", F.size("toks"))
         .withColumn("hset", F.transform("toks", lambda x: F.xxhash64(x)))
+        # cut point 2: one set-dedup + xxhash pass, reused by the token
+        # exploder, both verify sides, and the same-set clique join
+        .localCheckpoint(eager=True)
     )
     tokd = dsets.select("set_fp", "n", F.explode("toks").alias("tok"))
     # df over distinct sets (any consistent global order is correct; this
@@ -287,6 +295,9 @@ def jaccard_prefix_join(
             F.col("n").alias("pn"),
             F.col("rn").alias("prn"),
         )
+        # cut point 3: the df agg + join + prefix window run once; the
+        # prefix SELF-join below reads this materialization on both sides
+        .localCheckpoint(eager=True)
     )
     a = prefix.select(
         "tok", F.col("pfp").alias("fp_a"), F.col("pn").alias("n_a"), F.col("prn").alias("rn_a")
@@ -313,6 +324,14 @@ def jaccard_prefix_join(
             >= (t / (1 + t)) * (F.col("n_a") + F.col("n_b")) - 1e-9
         )
         .select("fp_a", "fp_b")
+        # The prefix table is tiny (|distinct sets| · prefix_len rows), so
+        # AQE coalesces the self-join output to ~1 partition — but the
+        # JOIN OUTPUT is millions of candidate pairs, and the expensive
+        # array-intersect verify would then run single-threaded in that
+        # stage. A round-robin exchange of the skinny (fp_a, fp_b) pairs
+        # (32 bytes/row) restores full parallelism for the verify:
+        # measured 8.9s → 0.9s at sf0.1 (1.96M candidates, 32 cores).
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     # NO mid-pipeline distinct: pairs sharing several prefix tokens appear
     # a few times (~13% dupes measured at sf0.1) — verifying duplicates is
@@ -487,6 +506,102 @@ def simhash_candidates(
             F.least("id_x", "id_y").alias("id_a"),
             F.greatest("id_x", "id_y").alias("id_b"),
             "hamming",
+        )
+    )
+
+
+def simhash_clusters(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    preview_k: int = 5,
+) -> DataFrame:
+    """Clique-aggregated SimHash dedup output: ONE row per distinct
+    fingerprint instead of O(|clique|²) pairs.
+
+    The pair-emitting endpoint (:func:`simhash_candidates`) is inherently
+    quadratic in clique size on duplicate-heavy corpora — emitting every
+    intra-clique pair of a 10k-replica template is 50M output rows that a
+    downstream keep-list immediately re-collapses. This operator returns
+    the collapsed form directly (the form ``dedup_keep_list`` consumes,
+    and the reference's bounded-batch output philosophy,
+    `etl/src/replication/apply.rs:645-695`): per fingerprint-clique the
+    member count, the canonical representative (min id), a bounded
+    ``preview_k``-member preview, the pair count the clique WOULD have
+    expanded to, and its Hamming-≤``max_hamming`` neighborhood stats over
+    DISTINCT fingerprints (how many near fingerprints, how many docs they
+    hold) so near-dup pressure is still visible without pair expansion.
+
+    Scale shape: output is |distinct fingerprints| rows — LINEAR in
+    corpus structure regardless of clique depth (replicate the corpus 10×
+    and the row count is unchanged; only counts grow). Two shuffles on
+    ``simhash`` (count-agg + WindowGroupLimit preview), then the
+    byte-block pigeonhole self-join over distinct fingerprints only —
+    identical join shape to :func:`simhash_candidates` but with
+    clique-size aggregation instead of two member-expansion joins.
+    """
+    from pyspark.sql import Window
+
+    cliq = fp.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("rep_id")
+    )
+    w = Window.partitionBy("simhash").orderBy(F.col(id_col).asc())
+    prev = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= preview_k)
+        .groupBy("simhash")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members_preview")
+        )
+    )
+    # Hamming-≤k adjacency over distinct fingerprints (pigeonhole blocks,
+    # single-block emission — the simhash_candidates join, both directions)
+    blocks = cliq.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk")
+    ).withColumn("blk_val", F.expr("shiftright(simhash, blk * 8) & 255"))
+    a = blocks.select("blk", "blk_val", F.col("simhash").alias("sh_a"))
+    b = blocks.select("blk", "blk_val", F.col("simhash").alias("sh_b"))
+    first_match = F.expr(
+        " AND ".join(
+            f"(blk <= {j} OR (shiftright(sh_a, {j * 8}) & 255) != (shiftright(sh_b, {j * 8}) & 255))"
+            for j in range(3)
+        )
+    )
+    adj = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("sh_a") != F.col("sh_b"))
+        .filter(first_match)
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+        .select("sh_a", "sh_b")
+    )
+    nstats = (
+        adj.join(
+            cliq.select(F.col("simhash").alias("sh_b"), F.col("n_docs").alias("nb_docs")),
+            "sh_b",
+        )
+        .groupBy("sh_a")
+        .agg(
+            F.count("*").alias("n_neighbor_fps"),
+            F.sum("nb_docs").alias("neighbor_docs"),
+        )
+        .withColumnRenamed("sh_a", "simhash")
+    )
+    return (
+        cliq.join(prev, "simhash")
+        .join(nstats, "simhash", "left")
+        .select(
+            "simhash",
+            "n_docs",
+            F.expr("CAST(n_docs * (n_docs - 1) DIV 2 AS BIGINT)").alias("intra_pairs"),
+            "rep_id",
+            "members_preview",
+            F.coalesce("n_neighbor_fps", F.lit(0).cast("long")).alias("n_neighbor_fps"),
+            F.coalesce("neighbor_docs", F.lit(0).cast("long")).alias("neighbor_docs"),
         )
     )
 

@@ -447,14 +447,25 @@ def lsh_topk(
 
 def _pq_centroids(emb: DataFrame, vec_col: str, cell_col: str, s: int) -> DataFrame:
     """Per-(cell, subspace) centroid arrays, components ordered by position.
-    Means over float32-representable doubles are EXACT (sums fit the
-    double mantissa), so both engines compute identical centroids in any
-    row order."""
+
+    Centroid means accumulate through DECIMAL(38,15): decimal addition is
+    EXACT, so the sum — and therefore the argmin assignment downstream —
+    is independent of Spark's partition/accumulation order (a plain
+    double ``avg`` is not: float addition is order-dependent, and near-tie
+    assignments could flip between runs or diverge from the oracle).
+    The one deterministic rounding is the per-value double→decimal cast;
+    for values with ≤15 fractional decimal digits (all integer-valued and
+    2^-k-quantized fixtures, k ≤ 15·log2(10)) it is exact in both engines.
+    """
     ev = F.col(vec_col).cast("array<double>")
     comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
     return (
         comp.groupBy("__cell", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
+            ).alias("c")
+        )
         .withColumn("sub", (F.col("pos") / s).cast("int"))
         .groupBy("__cell", "sub")
         .agg(

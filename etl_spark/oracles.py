@@ -368,6 +368,41 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
+ORACLES["dedup_simhash_clusters"] = f"""
+-- clique-aggregated simhash: one row per distinct fingerprint; neighbor
+-- stats by brute-force fp×fp (distinct-fingerprint-sized — the Spark side
+-- uses the pigeonhole join; both compute the same Hamming-≤3 adjacency)
+WITH {SIMHASH_CTE},
+cliq AS (
+  SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS rep_id
+  FROM fp GROUP BY simhash
+),
+prev AS (
+  SELECT simhash,
+         array_to_string(
+           list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 5),
+                          x -> CAST(x AS VARCHAR)), ',') AS members_preview
+  FROM fp GROUP BY simhash
+),
+nstats AS (
+  SELECT a.simhash AS simhash,
+         CAST(count(*) AS BIGINT) AS n_neighbor_fps,
+         CAST(sum(b.n_docs) AS BIGINT) AS neighbor_docs
+  FROM cliq a JOIN cliq b
+    ON a.simhash <> b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= 3
+  GROUP BY a.simhash
+)
+SELECT c.simhash, c.n_docs,
+       CAST(c.n_docs * (c.n_docs - 1) // 2 AS BIGINT) AS intra_pairs,
+       c.rep_id, p.members_preview,
+       COALESCE(n.n_neighbor_fps, 0) AS n_neighbor_fps,
+       COALESCE(n.neighbor_docs, 0) AS neighbor_docs
+FROM cliq c JOIN prev p USING (simhash)
+LEFT JOIN nstats n ON n.simhash = c.simhash
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []
@@ -1931,7 +1966,9 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
 comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
-centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+centc AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(v) AS c
+          FROM comp GROUP BY label, pos),
 sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 cent AS (
   SELECT label, CAST((pos - 1) // sw.s AS INT) AS sub, list(c ORDER BY pos) AS cvec
@@ -1976,7 +2013,9 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
 comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
-centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+centc AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(v) AS c
+          FROM comp GROUP BY label, pos),
 sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 cent AS (
   SELECT label, CAST((pos - 1) // sw.s AS INT) AS sub, list(c ORDER BY pos) AS cvec
@@ -2164,7 +2203,9 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
 comp AS (
   SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
 ),
-centc AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+centc AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(v) AS c
+          FROM comp GROUP BY label, pos),
 sw AS (SELECT CAST(max(len(ev)) // 4 AS INT) AS s FROM e),
 coarse AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centc GROUP BY label),
 q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 10),

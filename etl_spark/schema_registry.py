@@ -33,6 +33,11 @@ class ColumnDef:
     default: str | None = None
     ordinal: int = 0
     pk_ordinal: int | None = None
+    #: custom/extension PG type name ("namespace.name", from a pgoutput
+    #: TYPE frame) — set when the column's type OID is not builtin; its
+    #: values are string pass-through (reference cell.rs:8-14) and ``typ``
+    #: stays "string"
+    pg_type: str | None = None
 
 
 @dataclass

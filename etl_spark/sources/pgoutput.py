@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import struct
+import uuid as _uuid_mod
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
@@ -63,14 +64,32 @@ def _unchanged_toast() -> "_UnchangedToast":
 UNCHANGED_TOAST = _UnchangedToast()
 
 
+class BinaryCell:
+    """Raw binary-format tuple cell ('b' kind) awaiting OID-directed
+    decode — produced by publications created WITH (binary = true)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<BinaryCell {self.data!r}>"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, BinaryCell) and other.data == self.data
+
+
 def _encode_tuple(cells: list) -> bytes:
-    """int16 ncols, then per cell: 'n' | 'u' | 't' + int32 len + bytes."""
+    """int16 ncols, then per cell: 'n' | 'u' | 't'/'b' + int32 len + bytes."""
     out = [struct.pack(">h", len(cells))]
     for c in cells:
         if c is None:
             out.append(b"n")
         elif isinstance(c, _UnchangedToast):
             out.append(b"u")
+        elif isinstance(c, BinaryCell):
+            out.append(b"b" + struct.pack(">i", len(c.data)) + c.data)
         else:
             b = c.encode() if isinstance(c, str) else bytes(c)
             out.append(b"t" + struct.pack(">i", len(b)) + b)
@@ -88,14 +107,129 @@ def _parse_tuple(buf: bytes, pos: int) -> tuple[list, int]:
             cells.append(None)
         elif kind == b"u":
             cells.append(UNCHANGED_TOAST)
-        elif kind == b"t":
+        elif kind in (b"t", b"b"):
             (ln,) = struct.unpack_from(">i", buf, pos)
             pos += 4
-            cells.append(buf[pos : pos + ln].decode())
+            raw = buf[pos : pos + ln]
+            cells.append(raw.decode() if kind == b"t" else BinaryCell(raw))
             pos += ln
-        else:  # 'b' binary-format cell: not produced without binary option
+        else:
             raise ValueError(f"unsupported TupleData kind: {kind!r}")
     return cells, pos
+
+
+# ---------------------------------------------------------------------------
+# Binary-format cell codecs (publications WITH (binary = true)); wire
+# layouts per PG send/recv functions, mirroring reference
+# event.rs:552-680 TupleData::Binary. Decode target is the TEXT
+# representation, so the downstream envelope and the F1–F10 text codecs
+# are format-agnostic. OIDs without a decoder FAIL LOUDLY (same policy
+# as the reference's unsupported-type error, not silent corruption).
+# ---------------------------------------------------------------------------
+
+def _bin_float_text(v: float) -> str:
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(v)
+
+
+def _bin_date_text(days: int) -> str:
+    import datetime as _dt
+
+    return (_dt.date(2000, 1, 1) + _dt.timedelta(days=days)).isoformat()
+
+
+def _bin_ts_text(us: int, tz_suffix: str = "") -> str:
+    import datetime as _dt
+
+    base = _dt.datetime(2000, 1, 1, tzinfo=_dt.timezone.utc)
+    dt = base + _dt.timedelta(microseconds=us)
+    return dt.strftime("%Y-%m-%d %H:%M:%S.%f") + tz_suffix
+
+
+BINARY_DECODERS = {
+    16: lambda d: "t" if d[0] else "f",                                   # bool
+    21: lambda d: str(struct.unpack(">h", d)[0]),                         # int2
+    23: lambda d: str(struct.unpack(">i", d)[0]),                         # int4
+    20: lambda d: str(struct.unpack(">q", d)[0]),                         # int8
+    700: lambda d: _bin_float_text(struct.unpack(">f", d)[0]),            # float4
+    701: lambda d: _bin_float_text(struct.unpack(">d", d)[0]),            # float8
+    25: lambda d: d.decode(),                                             # text
+    19: lambda d: d.decode(),                                             # name
+    1042: lambda d: d.decode(),                                           # bpchar
+    1043: lambda d: d.decode(),                                           # varchar
+    17: lambda d: "\\x" + d.hex(),                                        # bytea
+    2950: lambda d: str(_uuid_mod.UUID(bytes=d)),                         # uuid
+    1082: lambda d: _bin_date_text(struct.unpack(">i", d)[0]),            # date
+    1114: lambda d: _bin_ts_text(struct.unpack(">q", d)[0]),              # timestamp
+    1184: lambda d: _bin_ts_text(struct.unpack(">q", d)[0], "+00"),       # timestamptz
+    114: lambda d: d.decode(),                                            # json
+    3802: lambda d: d[1:].decode(),                                       # jsonb (ver byte)
+}
+
+
+#: OIDs whose TEXT representation the F1–F10 codecs parse natively; any
+#: other OID is a custom/extension type whose values stay Cell::String
+#: pass-through (reference cell.rs:8-14 semantics)
+BUILTIN_TYPE_OIDS = frozenset(BINARY_DECODERS) | {
+    1700,  # numeric
+    1083,  # time
+    1266,  # timetz
+    18,    # char
+    26,    # oid
+}
+
+
+def decode_binary_cell(type_oid: int, data: bytes) -> str:
+    """Binary wire cell → canonical text form for the envelope."""
+    dec = BINARY_DECODERS.get(type_oid)
+    if dec is None:
+        raise ValueError(
+            f"no binary-format decoder for type OID {type_oid}; "
+            "create the publication without (binary = true) for this type"
+        )
+    return dec(data)
+
+
+def encode_binary_cell(type_oid: int, value) -> BinaryCell:
+    """Python value → PG binary wire form (the test-harness encoder side
+    of the binary round-trip; layouts match the decoders above)."""
+    if type_oid == 16:
+        return BinaryCell(b"\x01" if value else b"\x00")
+    if type_oid == 21:
+        return BinaryCell(struct.pack(">h", value))
+    if type_oid == 23:
+        return BinaryCell(struct.pack(">i", value))
+    if type_oid == 20:
+        return BinaryCell(struct.pack(">q", value))
+    if type_oid == 700:
+        return BinaryCell(struct.pack(">f", value))
+    if type_oid == 701:
+        return BinaryCell(struct.pack(">d", value))
+    if type_oid in (25, 19, 1042, 1043, 114):
+        return BinaryCell(value.encode())
+    if type_oid == 3802:
+        return BinaryCell(b"\x01" + value.encode())
+    if type_oid == 17:
+        return BinaryCell(bytes(value))
+    if type_oid == 2950:
+        u = value if isinstance(value, _uuid_mod.UUID) else _uuid_mod.UUID(str(value))
+        return BinaryCell(u.bytes)
+    if type_oid == 1082:
+        import datetime as _dt
+
+        return BinaryCell(struct.pack(">i", (value - _dt.date(2000, 1, 1)).days))
+    if type_oid in (1114, 1184):
+        import datetime as _dt
+
+        base = _dt.datetime(2000, 1, 1, tzinfo=_dt.timezone.utc)
+        v = value if value.tzinfo else value.replace(tzinfo=_dt.timezone.utc)
+        return BinaryCell(struct.pack(">q", round((v - base).total_seconds() * 1e6)))
+    raise ValueError(f"no binary-format encoder for type OID {type_oid}")
 
 
 def _cstr(s: str) -> bytes:
@@ -290,8 +424,28 @@ def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, 
             "table": f"{p['namespace']}.{p['name']}",
             "columns": [c["name"] for c in p["columns"]],
             "key_cols": [c["name"] for c in p["columns"] if c["flags"] & 1],
+            "type_oids": [c["type_oid"] for c in p["columns"]],
+            "key_oids": [c["type_oid"] for c in p["columns"] if c["flags"] & 1],
             "replident": p["replident"],
         }
+    return reg
+
+
+def type_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, str]:
+    """Collect TYPE ('Y') frames driver-side (catalog-metadata-sized: one
+    per custom type per connection) → ``{type_oid: "namespace.name"}``.
+
+    The reference surfaces these so custom-typed columns keep their type
+    identity while their VALUES stay text pass-through
+    (cell.rs:8-14 ``Cell::String``); see :data:`BUILTIN_TYPE_OIDS`.
+    """
+    rows = frames.filter(
+        F.substring(F.col(frame_col).cast("binary"), 1, 1) == F.lit(b"Y")
+    ).select(frame_col).collect()
+    reg: dict[int, str] = {}
+    for r in rows:
+        p = parse_frame(bytes(r[0]))
+        reg[p["type_oid"]] = f"{p['namespace']}.{p['name']}"
     return reg
 
 
@@ -330,6 +484,40 @@ class PersistentRelationRegistry:
             os.replace(tmp, self.path)
 
     def snapshot(self) -> dict[int, dict]:
+        return dict(self._reg)
+
+
+class PersistentTypeRegistry:
+    """Custom-type names persisted across micro-batches and restarts.
+
+    TYPE ('Y') frames arrive once per custom type per connection — like
+    RELATION frames, a restart with an intact checkpoint will not
+    re-deliver them, so ``{type_oid: "ns.name"}`` must outlive the
+    stream. Same storage pattern as :class:`PersistentRelationRegistry`."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._reg: dict[int, str] = {}
+        try:
+            with open(path) as f:
+                self._reg = {int(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            pass
+
+    def update_from(self, frames: DataFrame, frame_col: str = "frame") -> None:
+        new = type_registry(frames, frame_col)
+        if new:
+            self._reg.update(new)
+            import os
+            import tempfile
+
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+            with os.fdopen(fd, "w") as f:
+                json.dump({str(k): v for k, v in self._reg.items()}, f)
+            os.replace(tmp, self.path)
+
+    def snapshot(self) -> dict[int, str]:
         return dict(self._reg)
 
 
@@ -479,9 +667,27 @@ def decode_frames(
                     ap(None)
                 elif kind == 117:  # 'u'
                     ap(UNCHANGED_TOAST)
+                elif kind == 98:  # 'b' binary-format cell (binary = true)
+                    (ln,) = u_i(buf, pos)
+                    pos += 4
+                    ap(BinaryCell(buf[pos : pos + ln]))
+                    pos += ln
                 else:
                     raise ValueError(f"unsupported TupleData kind: {chr(kind)!r}")
             return cells, pos
+
+        bcell = BinaryCell
+
+        def bdecode(oids, i, v):
+            # oids may be absent from registry snapshots persisted before
+            # binary-format support: fail with the cause, not IndexError
+            if i < len(oids):
+                return decode_binary_cell(oids[i], v.data)
+            raise ValueError(
+                "binary-format cell but the relation registry entry has no "
+                "type_oids (stale persisted registry snapshot? re-snapshot "
+                "the RELATION frame)"
+            )
 
         benign_dropped: dict[str, int] = {}
         for pdf in batches:
@@ -500,6 +706,7 @@ def decode_frames(
                     if rel is None:
                         continue  # unknown relation: P4 drop-with-warning
                     cols = rel["columns"]
+                    oids = rel.get("type_oids") or ()
                     old = key = new = None
                     pos = 5
                     blen = len(buf)
@@ -528,23 +735,33 @@ def decode_frames(
                             v = new[i] if i < nlen else None
                             if v is toast or isinstance(v, toast):
                                 miss.append(i)
+                            elif type(v) is bcell:
+                                vals[c] = bdecode(oids, i, v)
                             else:
                                 vals[c] = v
                         after = dumps(vals)
                         missing = miss or None
                     if old is not None:
                         before = dumps({
-                            c: (None if isinstance(v, toast) else v)
-                            for c, v in zip(cols, old)})
+                            cols[i]: (None if isinstance(v, toast)
+                                      else bdecode(oids, i, v) if type(v) is bcell
+                                      else v)
+                            for i, v in enumerate(old)})
                         kind = "FULL"
                     elif key is not None:
                         # dense key tuple (len == identity cols) or
                         # full-width with nulls (event.rs:887-911)
                         if len(key) == len(rel["key_cols"]):
-                            before = dumps(dict(zip(rel["key_cols"], key)))
+                            koids = rel.get("key_oids") or ()
+                            before = dumps({
+                                rel["key_cols"][i]: (
+                                    bdecode(koids, i, v) if type(v) is bcell else v)
+                                for i, v in enumerate(key)})
                         else:
                             before = dumps({
-                                c: v for c, v in zip(cols, key) if v is not None})
+                                cols[i]: (bdecode(oids, i, v) if type(v) is bcell else v)
+                                for i, v in enumerate(key)
+                                if v is not None})
                         kind = "KEY"
                     ap((wal, xid, op, rel["table"], after, before, kind,
                         missing, None))
@@ -557,7 +774,8 @@ def decode_frames(
                     p = parse_frame(buf)
                     ap((wal, xid, "RELATION", f"{p['namespace']}.{p['name']}",
                         dumps({"columns": [
-                            {"name": c["name"], "pk_ordinal": i if c["flags"] & 1 else None}
+                            {"name": c["name"], "pk_ordinal": i if c["flags"] & 1 else None,
+                             "type_oid": c["type_oid"]}
                             for i, c in enumerate(p["columns"])]}),
                         None, "NONE", None, None))
                 elif tag == 84:  # 'T'

@@ -104,14 +104,22 @@ class Pipeline:
         self.query = None
         self.relations = None
         self.txs = None
+        self.types = None
         if source_fmt == "pgoutput":
             from etl_spark.sources.pgoutput import (
                 PersistentRelationRegistry,
                 PersistentTxRegistry,
+                PersistentTypeRegistry,
             )
 
             self.relations = PersistentRelationRegistry(
                 os.path.join(work_dir, "pgoutput_relations.json")
+            )
+            # custom-type names from TYPE ('Y') frames: {oid: "ns.name"},
+            # persisted like relations so restarts keep type identity for
+            # string-pass-through columns (cell.rs:8-14)
+            self.types = PersistentTypeRegistry(
+                os.path.join(work_dir, "pgoutput_types.json")
             )
             # in-flight (BEGIN seen, COMMIT not yet) transaction state:
             # survives micro-batch boundaries and restarts so multi-batch
@@ -221,6 +229,7 @@ class Pipeline:
 
             raw_frames = batch
             self.relations.update_from(batch)
+            self.types.update_from(batch)
             batch = decode_frames(
                 batch,
                 relations=self.relations.snapshot(),
@@ -346,11 +355,25 @@ class Pipeline:
             if cfg is None or not payload:
                 continue
             spec = _json.loads(payload)
+            # custom type OIDs (not builtin, named by a TYPE frame) keep
+            # typ "string" — pass-through values — with the PG type name
+            # preserved in pg_type (cell.rs:8-14 Cell::String semantics)
+            from etl_spark.sources.pgoutput import BUILTIN_TYPE_OIDS
+
+            type_names = self.types.snapshot() if self.types is not None else {}
+
+            def _pg_type(c: dict) -> str | None:
+                oid = c.get("type_oid")
+                if oid is None or oid in BUILTIN_TYPE_OIDS:
+                    return None
+                return type_names.get(oid, f"oid:{oid}")
+
             cols = [
                 ColumnDef(
                     name=c["name"], typ=c.get("typ", "string"),
                     nullable=c.get("nullable", True), ordinal=i,
                     pk_ordinal=c.get("pk_ordinal"),
+                    pg_type=_pg_type(c),
                 )
                 for i, c in enumerate(spec.get("columns", []))
             ]

@@ -972,12 +972,15 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__m") < cut_perturb, F.col("value") + F.lit(1).cast("double")
             ).otherwise(F.col("value")),
         )
-        .select("pk", F.col("value").alias("dest_value"))
+        .select("pk", F.col("value").alias("dest_value"), F.lit(True).alias("__in_dest"))
     )
-    j = cur.join(dest, "pk", "full_outer")
+    # Classify by SIDE PRESENCE (explicit per-side markers), not value
+    # nullness: a key present with a NULL value must classify as a
+    # mismatch/equal row, never as missing/extra.
+    j = cur.withColumn("__in_src", F.lit(True)).join(dest, "pk", "full_outer")
     diff_kind = (
-        F.when(F.col("dest_value").isNull() & F.col("value").isNotNull(), "missing_in_dest")
-        .when(F.col("value").isNull() & F.col("dest_value").isNotNull(), "extra_in_dest")
+        F.when(F.col("__in_dest").isNull(), "missing_in_dest")
+        .when(F.col("__in_src").isNull(), "extra_in_dest")
         .when(
             ~F.col("value").eqNullSafe(F.col("dest_value")), "value_mismatch"
         )
@@ -1014,12 +1017,19 @@ def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return cur.select("pk", "value")
 
-    a = state(lsn_a).select("pk", F.col("value").alias("value_a"))
-    b = state(lsn_b).select("pk", F.col("value").alias("value_b"))
+    a = state(lsn_a).select(
+        "pk", F.col("value").alias("value_a"), F.lit(True).alias("__in_a")
+    )
+    b = state(lsn_b).select(
+        "pk", F.col("value").alias("value_b"), F.lit(True).alias("__in_b")
+    )
     j = a.join(b, "pk", "full_outer")
+    # Presence markers, not value nullness: a key whose value is NULL in
+    # one snapshot is still PRESENT there and must classify as changed /
+    # equal, never added/removed.
     kind = (
-        F.when(F.col("value_a").isNull() & F.col("value_b").isNotNull(), "added")
-        .when(F.col("value_b").isNull() & F.col("value_a").isNotNull(), "removed")
+        F.when(F.col("__in_a").isNull(), "added")
+        .when(F.col("__in_b").isNull(), "removed")
         .when(~F.col("value_a").eqNullSafe(F.col("value_b")), "changed")
     )
     return (

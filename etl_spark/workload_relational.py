@@ -1443,4 +1443,11 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1).otherwise(0)).alias("n_clamped"),
         F.round(F.sum(F.col("w").cast("decimal(20,6)")).cast("double"), 4).alias("wsum"),
         F.round(F.avg("value"), 6).alias("raw_mean"),
-    ).withColumn("wmean", F.round(F.col("wsum") / F.col("n"), 6))
+        # wmean from the UNROUNDED decimal sum (sum/n, then round 6) so the
+        # definition matches the oracle expression exactly; dividing the
+        # 4-decimal-rounded wsum instead can flip the 6th decimal near a
+        # rounding boundary (up to 5e-5/n divergence).
+        F.round(
+            F.sum(F.col("w").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+        ).alias("wmean"),
+    )

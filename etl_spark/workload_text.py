@@ -69,6 +69,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(fp, max_hamming=3)
 
 
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clique-aggregated SimHash dedup: one row per distinct fingerprint
+    (count, representative, bounded preview, would-be pair count,
+    Hamming-≤3 neighborhood stats) — the LINEAR-output form of
+    ``dedup_simhash_pairs`` that 100 TB duplicate-heavy corpora should
+    use (pair enumeration is quadratic in clique size; see SCALE.md)."""
+    fp = dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash_clusters(fp, max_hamming=3, preview_k=5)
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID + per-language scores."""
     out = text.lang_id(_docs(spark, sf_dir))

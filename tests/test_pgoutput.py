@@ -183,7 +183,8 @@ def test_decode_registry(spark):
     frames = _frames_df(spark, [(-1, -1, rel)])
     reg = pgo.relation_registry(frames)
     assert reg == {7: {"table": "s.t", "columns": ["a", "b"],
-                       "key_cols": ["a", "b"], "replident": "f"}}
+                       "key_cols": ["a", "b"], "type_oids": [20, 25],
+                       "key_oids": [20, 25], "replident": "f"}}
 
 
 def test_frame_roundtrip_message():
@@ -345,3 +346,165 @@ def test_custom_typed_column_arrives_as_string(spark):
     import json as _json
 
     assert _json.loads(row.after)["tags"] == "sensitive=>true"
+
+
+# ---------------------------------------------------------------------------
+# binary-format tuple cells (publications WITH (binary = true); F11,
+# reference event.rs:552-680 TupleData::Binary)
+# ---------------------------------------------------------------------------
+
+def test_binary_cell_codec_roundtrip():
+    """encode_binary_cell → decode_binary_cell lands on the canonical text
+    form for every core OID."""
+    import datetime as dt
+    import uuid
+
+    cases = [
+        (16, True, "t"), (16, False, "f"),
+        (21, -7, "-7"), (23, 123456, "123456"), (20, 2**40, str(2**40)),
+        (701, 1.5, "1.5"), (701, float("inf"), "Infinity"),
+        (701, float("nan"), "NaN"),
+        (25, "héllo", "héllo"), (1043, "v", "v"), (1042, "c", "c"),
+        (17, b"\x01\xab", "\\x01ab"),
+        (2950, uuid.UUID("12345678-1234-5678-1234-567812345678"),
+         "12345678-1234-5678-1234-567812345678"),
+        (1082, dt.date(2024, 2, 29), "2024-02-29"),
+        (1114, dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+         "2024-01-02 03:04:05.123456"),
+        (1184, dt.datetime(2024, 1, 2, 3, 4, 5, 0, tzinfo=dt.timezone.utc),
+         "2024-01-02 03:04:05.000000+00"),
+        (114, '{"a": 1}', '{"a": 1}'), (3802, '{"b": 2}', '{"b": 2}'),
+    ]
+    for oid, val, want in cases:
+        cell = pgo.encode_binary_cell(oid, val)
+        assert pgo.decode_binary_cell(oid, cell.data) == want, (oid, val)
+    # float4: value survives the float32 round trip
+    f4 = pgo.encode_binary_cell(700, 0.25)
+    assert pgo.decode_binary_cell(700, f4.data) == "0.25"
+
+
+def test_binary_cell_unsupported_oid_fails_loudly():
+    with pytest.raises(ValueError, match="no binary-format decoder"):
+        pgo.decode_binary_cell(99999, b"\x00")
+    with pytest.raises(ValueError, match="no binary-format encoder"):
+        pgo.encode_binary_cell(99999, "x")
+
+
+def test_parse_tuple_binary_cells():
+    """Frame-level parse: 'b' cells round-trip through _encode_tuple /
+    parse_frame as BinaryCell wrappers."""
+    cells = ["1", pgo.encode_binary_cell(20, 42), None]
+    frame = pgo.encode_insert(1, cells)
+    p = pgo.parse_frame(frame)
+    assert p["new"] == ["1", pgo.BinaryCell(b"\x00" * 7 + b"\x2a"), None]
+
+
+def test_decode_frames_binary_cells(spark):
+    """Distributed decode: binary-format cells in new/old/key tuples are
+    decoded via the RELATION frame's type OIDs into the same envelope text
+    the text-format path produces."""
+    import json as _json
+
+    rel = pgo.encode_relation(1, "public", "m", "d",
+                              [(1, "pk", 20, -1), (0, "flag", 16, -1),
+                               (0, "score", 701, -1)])
+    b = pgo.encode_binary_cell
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_insert(1, [b(20, 7), b(16, True), b(701, 2.5)])),
+        # mixed text + binary in one tuple; binary key-only old row
+        (12, 5, pgo.encode_update(1, ["7", b(16, False), "3.5"],
+                                  key=[b(20, 7)])),
+        (13, 5, pgo.encode_delete(1, old=[b(20, 7), b(16, False), b(701, 3.5)])),
+        (14, 5, pgo.encode_commit(100, 101)),
+    ])
+    rows = {r.start_lsn: r for r in pgo.decode_frames(frames).collect()}
+    assert _json.loads(rows[11].after) == {"pk": "7", "flag": "t", "score": "2.5"}
+    upd = rows[12]
+    assert _json.loads(upd.after) == {"pk": "7", "flag": "f", "score": "3.5"}
+    assert _json.loads(upd.before) == {"pk": "7"} and upd.before_kind == "KEY"
+    dele = rows[13]
+    assert _json.loads(dele.before) == {"pk": "7", "flag": "f", "score": "3.5"}
+    assert dele.before_kind == "FULL"
+
+
+def test_decode_frames_binary_unsupported_oid_fails_loudly(spark):
+    """A binary cell whose OID has no decoder fails the decode (reference
+    errors on unsupported binary types rather than corrupting)."""
+    rel = pgo.encode_relation(1, "public", "m", "d", [(1, "pk", 99999, -1)])
+    frames = _frames_df(spark, [
+        (-1, -1, rel),
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_insert(1, [pgo.BinaryCell(b"\xde\xad")])),
+        (12, 5, pgo.encode_commit(100, 101)),
+    ])
+    with pytest.raises(Exception, match="no binary-format decoder"):
+        pgo.decode_frames(frames).collect()
+
+
+# ---------------------------------------------------------------------------
+# TYPE ('Y') frames → type registry → schema pg_type (cell.rs:8-14)
+# ---------------------------------------------------------------------------
+
+def test_type_registry_collects_type_frames(spark):
+    frames = _frames_df(spark, [
+        (9, 5, pgo.encode_type(99999, "public", "citext")),
+        (10, 5, pgo.encode_type(88888, "public", "hstore")),
+        (11, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+    ])
+    assert pgo.type_registry(frames) == {
+        99999: "public.citext", 88888: "public.hstore"}
+
+
+def test_persistent_type_registry_survives_restart(spark, tmp_path):
+    path = str(tmp_path / "types.json")
+    reg = pgo.PersistentTypeRegistry(path)
+    reg.update_from(_frames_df(spark, [
+        (9, 5, pgo.encode_type(99999, "public", "citext"))]))
+    # fresh instance (simulated restart) still knows the type
+    reg2 = pgo.PersistentTypeRegistry(path)
+    assert reg2.snapshot() == {99999: "public.citext"}
+
+
+def test_pipeline_records_custom_type_in_schema(spark, tmp_path):
+    """End-to-end 'Y' surfacing: a custom-typed column arrives as a string
+    AND its schema-registry ColumnDef carries the PG type name from the
+    TYPE frame (the r3/r4 stretch item; cell.rs:8-14 semantics)."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    src = str(tmp_path / "frames")
+    os.makedirs(src)
+    work = str(tmp_path / "work")
+    rel = pgo.encode_relation(
+        1, "public", "t", "d",
+        [(1, "pk", 20, -1), (0, "tags", 99999, -1)])
+    _write_frames(spark, src, [
+        (1, 0, pgo.encode_type(99999, "public", "hstore")),
+        (2, 0, rel),
+        (10, 5, pgo.encode_begin(final_lsn=100, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "a=>1"])),
+        (12, 5, pgo.encode_commit(100, 101)),
+    ], "b0")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, tags string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, tags string")
+    p = Pipeline(spark, src, [cfg], sink, work, source_fmt="pgoutput")
+    p.run_until_drained()
+    # value passed through as its text form
+    got = {r.pk: r.tags for r in sink.read("public.t").select("pk", "tags").collect()}
+    assert got == {1: "a=>1"}
+    # type registry persisted the TYPE frame
+    assert p.types.snapshot() == {99999: "public.hstore"}
+    # schema registry marks the column string-pass-through with its PG
+    # type name from the TYPE frame
+    ver = p.schemas.asof("public.t", 10**9)
+    assert ver is not None
+    cols = {c.name: c for c in ver[1]}
+    assert cols["tags"].pg_type == "public.hstore"
+    assert cols["pk"].pg_type is None        # builtin OID untouched

@@ -348,13 +348,16 @@ def test_reservoir_sample_has_window_group_limit(spark):
 
 def test_exact_jaccard_join_is_equi_not_allpairs(spark):
     # prefix-filtered exact similarity join: candidates come from an
-    # EQUI-join on prefix tokens (broadcast here, shuffled at scale) —
-    # never a cartesian/theta join over doc pairs; the token-df side is
-    # map-side combined before its exchange
+    # EQUI-join on prefix tokens — never a cartesian/theta join over doc
+    # pairs. The three reused intermediates (tokenized docs, distinct
+    # sets, ranked prefixes) are MATERIALIZED (eager localCheckpoint), so
+    # the final plan reads existing RDDs and contains NO parquet rescan:
+    # the tokenize/md5/xxhash scan ran exactly once.
     plan = plan_of(workload_text.docs_exact_jaccard_join(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "partial_count" in plan, plan
+    assert "Scan parquet" not in plan, plan          # lineage cut: no rescan
+    assert "Scan ExistingRDD" in plan, plan          # reads the checkpoints
 
 
 def test_temperature_mix_exact_integer_keep(spark):
