@@ -119,3 +119,39 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         q._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_full_outer_diff_has_no_exchange(spark):
+    """cdc_table_diff's claim (workload.py): with both sides pk-bucketed
+    (layout.bucket_table), the full-outer reconciliation diff is
+    EXCHANGE-FREE — the anti-entropy audit becomes a per-bucket local
+    merge at any scale."""
+    cur = spark.range(0, 5_000).select(
+        F.col("id").alias("pk"), (F.col("id") * 2.0).alias("value")
+    )
+    dest = spark.range(0, 5_000).filter(F.col("id") % 7 != 0).select(
+        F.col("id").alias("pk"),
+        (F.col("id") * 2.0 + (F.col("id") % 11 == 0).cast("double")).alias("dest_value"),
+    )
+    try:
+        layout.bucket_table(cur, "b_cur", ["pk"], n_buckets=8, sort_cols=["pk"])
+        layout.bucket_table(dest, "b_dest", ["pk"], n_buckets=8, sort_cols=["pk"])
+        j = layout.co_located_join(spark, "b_cur", "b_dest", ["pk"], how="full_outer")
+        diff = (
+            j.withColumn(
+                "diff_kind",
+                F.when(F.col("dest_value").isNull(), "missing_in_dest")
+                .when(F.col("value").isNull(), "extra_in_dest")
+                .when(~F.col("value").eqNullSafe(F.col("dest_value")), "value_mismatch"),
+            )
+            .filter(F.col("diff_kind").isNotNull())
+        )
+        plan = plan_of(diff)
+        assert n_shuffles(plan) == 0, plan  # zero Exchange on either side
+        kinds = {r.diff_kind for r in diff.collect()}
+        assert kinds == {"missing_in_dest", "value_mismatch"}
+        # counts match the logical definitions
+        assert diff.filter("diff_kind = 'missing_in_dest'").count() == 5_000 // 7 + 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_cur")
+        spark.sql("DROP TABLE IF EXISTS b_dest")
