@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
         # --- new in round 5: first gate shot ---
         "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
+        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
+        "docs_length_histogram": workload_text.docs_length_histogram,
+        "ann_kmeans_step": workload_text.ann_kmeans_step,
+        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
         # --- implementation/oracle CHANGED in round 5 (advisory fixes,
         # --- jaccard materialization, PQ decimal centroids, pgoutput
         # --- binary cells): re-record ---

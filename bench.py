@@ -108,6 +108,10 @@ HEADLINE = [
     "cdc_changed_columns",
     # round-5 additions (first timed here)
     "dedup_simhash_clusters",
+    "vocab_topk_coverage",
+    "docs_length_histogram",
+    "ann_kmeans_step",
+    "ann_ivfpq_rerank",
 ]
 
 
@@ -174,7 +178,8 @@ def main() -> None:
         "sketch_merge_global", "bloom_prune_probe", "events_winsorize",
         "cdc_changed_columns",
     }
-    r5_new = {"dedup_simhash_clusters"}
+    r5_new = {"dedup_simhash_clusters", "vocab_topk_coverage",
+              "docs_length_histogram", "ann_kmeans_step", "ann_ivfpq_rerank"}
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
     )

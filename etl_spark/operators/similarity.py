@@ -661,12 +661,18 @@ def ivfpq_topk(
     """
     dim = len(emb.select(vec_col).head()[0])
     s = dim // m
-    # coarse centroids: full-vector per-cell means (ordered assembly)
+    # coarse centroids: full-vector per-cell means (ordered assembly).
+    # Same DECIMAL(38,15) accumulation as _pq_centroids: probe selection
+    # is discrete (cell ids), so the mean must be order-independent
     ev = F.col(vec_col).cast("array<double>")
     comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
     coarse = (
         comp.groupBy("__cell", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
+            ).alias("c")
+        )
         .groupBy("__cell")
         .agg(
             F.transform(
@@ -719,4 +725,117 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
+    )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    assign-to-nearest-mean step that IVF/PQ codebook training repeats to
+    convergence (the representative ITERATIVE algorithm of the vector
+    stack; a full training loop is this operator driven by an external
+    for-loop, each pass reading the previous assignment column).
+
+    Centroids are the current partition's per-cell component means
+    (DECIMAL(38,15) sums — order-independent, see :func:`_pq_centroids`),
+    assignment is argmin squared-L2 over an ordered fold with ties broken
+    by cell ascending — bit-deterministic, exact SQL oracle.
+
+    Scale shape: centroid build is two map-combined aggs with
+    codebook-sized output; assignment is one broadcast of |cells|
+    centroids against a scan of the corpus — no shuffle of vectors, no
+    pairwise join. Returns ``(id, cell_prev, cell_new, dist, moved)``;
+    ``moved`` counts drive the convergence check.
+    """
+    from pyspark.sql import Window
+
+    ev = F.col(vec_col).cast("array<double>")
+    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
+    cents = (
+        comp.groupBy("__cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
+            ).alias("c")
+        )
+        .groupBy("__cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+    vecs = emb.select(
+        F.col(id_col), F.col(cell_col).alias("cell_prev"), ev.alias("__v")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cell_prev",
+        F.col("__cell").alias("cell"),
+        _sq_l2("__v", "cvec").alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "cell_prev",
+            F.col("cell").alias("cell_new"),
+            F.round("dist", 6).alias("dist"),
+            (F.col("cell_prev") != F.col("cell")).alias("moved"),
+        )
+    )
+
+
+def ivfpq_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    k: int = 5,
+    k_cand: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search with EXACT re-ranking (the FAISS ``IndexRefineFlat``
+    pattern): the compressed index proposes ``k_cand`` candidates per
+    query via ADC over 4-byte codes, then ONLY those candidates' raw
+    vectors are fetched and re-scored with true squared L2 — quantization
+    error is corrected at the cost of |queries| × k_cand raw-vector
+    reads, not a corpus scan.
+
+    Scale shape: stage 1 is :func:`ivfpq_topk` (codes-only, probed cells
+    only); stage 2 joins the candidate list (queries × k_cand rows —
+    broadcast) against the raw-embedding table on vec_id, so the heavy
+    table is touched via an equi-join that prunes to candidate rows.
+    Deterministic folds + id tiebreaks → exact SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    cand = ivfpq_topk(
+        emb, queries, id_col, vec_col, cell_col, query_id_col,
+        m=m, k=k_cand, nprobe=nprobe,
+    ).select(query_id_col, id_col)
+    ev = F.col(vec_col).cast("array<double>")
+    qv = queries.select(F.col(query_id_col), ev.alias("__qv"))
+    cv = emb.select(F.col(id_col), ev.alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, id_col)
+        .select(query_id_col, id_col, _sq_l2("__cv", "__qv").alias("dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("dist", 6).alias("dist"), "rank")
     )

@@ -403,6 +403,91 @@ LEFT JOIN nstats n ON n.simhash = c.simhash
 """
 
 
+ORACLES["vocab_topk_coverage"] = r"""
+-- vocabulary prep: global token counts, top-200 by (count desc, term
+-- asc), cumulative corpus coverage; mirrors TakeOrderedAndProject + the
+-- 200-row cumulative window
+WITH term AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM term WHERE term <> '' GROUP BY 1
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cnt),
+ranked AS (
+  SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
+  FROM cnt
+)
+SELECT rank, term, n,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / total.n_total, 6) AS cum_coverage
+FROM ranked, total WHERE rank <= 200
+"""
+
+ORACLES["docs_length_histogram"] = r"""
+-- power-of-two token-length histogram; buckets via integer bit length
+-- (length(bin(n)) - 1 == floor(log2)), never float log2
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+n_tok AS (
+  SELECT doc_id, CAST(len(list_filter(toks, t -> t <> '')) AS INT) AS n_tokens FROM tok
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(length(bin(n_tokens)) - 1 AS INT)
+              ELSE -1 END AS bucket
+  FROM n_tok
+),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM b GROUP BY bucket
+),
+total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs FROM hist)
+SELECT bucket,
+       CASE WHEN bucket >= 0 THEN CAST(1 AS BIGINT) << bucket ELSE 0 END AS bucket_lo,
+       n_docs, total_tokens,
+       round(CAST(n_docs AS DOUBLE) / total.all_docs, 6) AS doc_share,
+       round(CAST(sum(n_docs) OVER (ORDER BY bucket
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / total.all_docs, 6) AS cum_doc_share
+FROM hist, total
+"""
+
+
+ORACLES["ann_kmeans_step"] = """
+-- one Lloyd iteration: per-label decimal-exact centroids, argmin squared
+-- L2 (ordered fold), ties by cell ascending
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+comp AS (
+  SELECT label, unnest(ev) AS v, generate_subscripts(ev, 1) AS pos FROM e
+),
+centc AS (SELECT label, pos,
+                 CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(v) AS c
+          FROM comp GROUP BY label, pos),
+cents AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centc GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label AS cell_prev, ct.label AS cell,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(e.ev, ct.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS dist
+  FROM e CROSS JOIN cents ct
+),
+best AS (
+  SELECT vec_id, cell_prev, cell, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cell_prev, cell AS cell_new, round(dist, 6) AS dist,
+       (cell_prev <> cell) AS moved
+FROM best WHERE rn = 1
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []
@@ -2386,3 +2471,35 @@ SELECT start_lsn, pk,
 FROM with_prev
 WHERE op = 'UPDATE' AND (prev_value IS NOT NULL OR prev_props IS NOT NULL)
 """
+
+
+# IVF-PQ + exact rerank (FAISS IndexRefineFlat pattern): reuse the
+# ann_ivfpq_topk body verbatim, widen the ADC cut to rank <= 20
+# candidates, then re-rank those by TRUE squared L2 (ordered fold) and
+# keep the top 5 — derived programmatically so the two oracles can never
+# drift apart in their shared coarse-probe/ADC stages.
+ORACLES["ann_ivfpq_rerank"] = ORACLES["ann_ivfpq_topk"].replace(
+    """SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5""",
+    """, cand AS (
+  SELECT query_id, vec_id FROM ranked WHERE rank <= 20
+),
+rr AS (
+  SELECT c.query_id, c.vec_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_zip(ce.ev, qe.ev),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (x, y) -> x + y) AS dist
+  FROM cand c
+  JOIN e ce ON ce.vec_id = c.vec_id
+  JOIN e qe ON qe.vec_id = c.query_id
+),
+rranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM rranked WHERE rank <= 5""",
+)

@@ -975,3 +975,113 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivfpq_topk(emb, queries, m=4, k=5, nprobe=2)
+
+
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction prep (the BPE/tokenizer-training first
+    pass): global token frequencies, top-200 by count, each with its rank
+    and the CUMULATIVE corpus coverage fraction — the curve that decides
+    vocab size ("how many types cover 95% of tokens?").
+
+    Scale shape: token counts are one map-combined shuffle; the global
+    top-K compiles to TakeOrderedAndProject (each task keeps a local
+    top-K before the single ordered collect — never a corpus-wide sort);
+    the cumulative window then runs over K=200 rows only. The corpus
+    total rides a 1-row broadcast. Ties break by term ascending so both
+    engines rank identically.
+    """
+    from pyspark.sql import Window
+
+    k = 200
+    docs = _docs(spark, sf_dir)
+    term = docs.select(F.explode(text.tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    cnt = term.groupBy("term").agg(F.count("*").alias("n"))
+    total = cnt.agg(F.sum("n").alias("n_total"))
+    topk = cnt.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc())))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "rank",
+            "term",
+            "n",
+            F.round(F.col("cum_n") / F.col("n_total"), 6).alias("cum_coverage"),
+        )
+    )
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution: per-document token counts binned into
+    power-of-two buckets, with document share and cumulative share — the
+    histogram that sizes packing windows and max-sequence-length cutoffs
+    before a training run.
+
+    Buckets come from INTEGER bit-length (floor(log2) via base-2 digit
+    count), never float log2 — a power-of-two boundary computed through
+    libm could land on either side in different engines. One doc-keyed
+    count (map-combined), a bucket-keyed agg over |buckets| rows, then
+    windows over that tiny table.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tok = docs.select(
+        "doc_id",
+        F.size(F.filter(text.tokens("text"), lambda t: t != "")).alias("n_tokens"),
+    )
+    # floor(log2(n)) for n ≥ 1 as length(base-2 digits) - 1; n = 0 → bucket -1
+    bucket = F.when(
+        F.col("n_tokens") > 0, F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1
+    ).otherwise(F.lit(-1))
+    hist = (
+        n_tok.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    total = hist.agg(F.sum("n_docs").alias("all_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum_docs", F.sum("n_docs").over(w))
+        .select(
+            "bucket",
+            F.when(
+                F.col("bucket") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") / F.col("all_docs"), 6).alias("doc_share"),
+            F.round(F.col("cum_docs") / F.col("all_docs"), 6).alias("cum_doc_share"),
+        )
+    )
+
+
+def ann_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embeddings (assign to nearest
+    per-label centroid; ``moved`` flags drive convergence) —
+    :func:`etl_spark.operators.similarity.kmeans_step`."""
+    return similarity.kmeans_step(_emb(spark, sf_dir))
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ candidates (k_cand=20, nprobe=2) exact-reranked to top-5 by
+    true squared L2 — the FAISS refine pattern
+    (:func:`etl_spark.operators.similarity.ivfpq_rerank`)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_rerank(emb, queries, m=4, k=5, k_cand=20, nprobe=2)

@@ -485,3 +485,45 @@ def test_changed_columns_single_shuffle(spark):
     plan = plan_of(workload.cdc_changed_columns(spark, SF_DIR))
     assert n_shuffles(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_vocab_topk_take_ordered_not_global_sort(spark):
+    # the global top-K must compile to TakeOrderedAndProject (per-task
+    # local top-K) — never a corpus-wide Sort; token counts map-combined
+    plan = plan_of(workload_text.vocab_topk_coverage(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_length_histogram_integer_buckets(spark):
+    # bucketing is integer bit-length (conv base-2), never float log2; the
+    # doc-count agg is map-combined; no join over docs
+    plan = plan_of(workload_text.docs_length_histogram(spark, SF_DIR))
+    assert "log(" not in plan.lower().replace("log2", "log("), plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_step_broadcast_quantizer(spark):
+    # centroids broadcast against a corpus scan: no shuffle of vectors,
+    # no pairwise vector join
+    plan = plan_of(workload_text.ann_kmeans_step(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_rerank_candidates_equi_join(spark):
+    # the exact rerank touches raw vectors ONLY via an equi-join against
+    # the broadcast candidate list — no cartesian over the corpus
+    plan = plan_of(workload_text.ann_ivfpq_rerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simhash_clusters_no_member_expansion_join(spark):
+    # clique aggregation: the pigeonhole join runs over DISTINCT
+    # fingerprints; member ids appear only through the bounded
+    # WindowGroupLimit preview — no doc×doc pair expansion anywhere
+    plan = plan_of(workload_text.dedup_simhash_clusters(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
