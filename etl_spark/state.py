@@ -102,6 +102,13 @@ class ControlStore:
     flush_lsn: int = 0
 
     def __post_init__(self):
+        import threading
+
+        # cross-batch flush acks advance the LSN from the flush thread
+        # while the driver thread runs table transitions — mutations
+        # serialize on this lock (each _save is already atomic via
+        # temp+rename; the lock prevents lost updates between them)
+        self._mu = threading.Lock()
         os.makedirs(self.root, exist_ok=True)
         self._load()
 
@@ -176,7 +183,8 @@ class ControlStore:
         elif to in (TableState.SYNC_DONE, TableState.READY):
             e.errored_at = None
             e.attempts = 0  # healthy again: the failure streak resets
-        self._save()
+        with self._mu:
+            self._save()
         return e
 
     def restart_reset(self) -> list[str]:
@@ -208,8 +216,10 @@ class ControlStore:
 
     # -- progress ----------------------------------------------------------
     def advance_flush_lsn(self, lsn: int) -> int:
-        """Monotonic upsert (store/state/base.rs:81-89): never regresses."""
-        if lsn > self.flush_lsn:
-            self.flush_lsn = lsn
-            self._save()
-        return self.flush_lsn
+        """Monotonic upsert (store/state/base.rs:81-89): never regresses.
+        Thread-safe: may be called from the cross-batch flush thread."""
+        with self._mu:
+            if lsn > self.flush_lsn:
+                self.flush_lsn = lsn
+                self._save()
+            return self.flush_lsn

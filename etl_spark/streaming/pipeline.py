@@ -219,6 +219,7 @@ class Pipeline:
         restart LSN).
         """
         from etl_spark.streaming.async_flush import AsyncFlushSink
+        from etl_spark.streaming.cross_batch_flush import CrossBatchFlushSink
 
         raw_frames = None
         if self.source_fmt == "pgoutput":
@@ -238,6 +239,7 @@ class Pipeline:
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
         async_mode = isinstance(self.sink, AsyncFlushSink)
+        cross_mode = isinstance(self.sink, CrossBatchFlushSink)
         try:
             if async_mode:
                 # defensive: all of the previous batch's jobs settled
@@ -256,6 +258,11 @@ class Pipeline:
                 for name in self.tables:
                     self.schemas.prune(name, self.control.flush_lsn)
             max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
+            if cross_mode:
+                # settle batch N-1 (one in flight — apply.rs
+                # pending_flush_result), then open batch N in the ledger
+                # before any op is dispatched
+                self.sink.begin_batch(batch_id, max_lsn_row["m"])
             for name, _cfg in self.tables.items():
                 entry = self.control.get(name)
                 if entry.state == TableState.ERRORED:
@@ -286,7 +293,13 @@ class Pipeline:
                 # raises here, fails the micro-batch, and the restart
                 # replays it — the commit log never runs ahead of the ack
                 self.sink.await_pending()
-            if max_lsn is not None and not lost:
+            if cross_mode:
+                # do NOT settle: foreachBatch returns while the flush
+                # continues; the flush LSN advances on the destination ack
+                # (ledger marker job), and a crash before ack replays the
+                # batch from the ledger's staged payloads (sink.recover)
+                self.sink.end_batch(advance_lsn=not lost)
+            elif max_lsn is not None and not lost:
                 # durable progress: every sink write above has completed
                 # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
@@ -487,6 +500,21 @@ class Pipeline:
         """Backfill, then start the stream. ``available_now=True`` drains
         what exists and stops (test/batch mode); False runs continuously.
         ``max_files_per_trigger`` bounds each micro-batch (T1)."""
+        from etl_spark.streaming.cross_batch_flush import CrossBatchFlushSink
+
+        if isinstance(self.sink, CrossBatchFlushSink):
+            # ack-gated restart (apply.rs:1956-2023): wire the flush LSN to
+            # the destination ack, then replay any dispatched-but-unacked
+            # batch from the ledger BEFORE consuming new input — the commit
+            # log may have run ahead of the destination across the crash
+            self.sink.on_acked = self.control.advance_flush_lsn
+            replayed = self.sink.recover()
+            if replayed:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cross-batch flush recovery replayed batches %s", replayed
+                )
         self.backfill()
         failpoints.hit(failpoints.BEFORE_STREAMING)
         if self.source_fmt == "pgoutput":
@@ -520,6 +548,12 @@ class Pipeline:
         processed — the deterministic test/batch entry point."""
         q = self.start(available_now=True)
         q.awaitTermination()
+        from etl_spark.streaming.cross_batch_flush import CrossBatchFlushSink
+
+        if isinstance(self.sink, CrossBatchFlushSink):
+            # drain the LAST batch's in-flight flush so "drained" means
+            # destination-acked, not merely commit-logged
+            self.sink.settle_previous()
 
     def stop(self) -> None:
         """Graceful stop (POST /pipelines/{id}/stop analog): halt the
