@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_histogram": workload_text.docs_length_histogram,
         "ann_kmeans_step": workload_text.ann_kmeans_step,
         "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
+        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
         # --- implementation/oracle CHANGED in round 5 (advisory fixes,
         # --- jaccard materialization, PQ decimal centroids, pgoutput
         # --- binary cells): re-record ---

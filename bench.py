@@ -112,6 +112,7 @@ HEADLINE = [
     "docs_length_histogram",
     "ann_kmeans_step",
     "ann_ivfpq_rerank",
+    "docs_bigram_logprob",
 ]
 
 
@@ -179,7 +180,8 @@ def main() -> None:
         "cdc_changed_columns",
     }
     r5_new = {"dedup_simhash_clusters", "vocab_topk_coverage",
-              "docs_length_histogram", "ann_kmeans_step", "ann_ivfpq_rerank"}
+              "docs_length_histogram", "ann_kmeans_step", "ann_ivfpq_rerank",
+              "docs_bigram_logprob"}
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
     )

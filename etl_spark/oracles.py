@@ -488,6 +488,45 @@ FROM best WHERE rn = 1
 """
 
 
+ORACLES["docs_bigram_logprob"] = r"""
+-- bigram LM with add-one smoothing; decimal-quantized contributions so
+-- the per-doc sum is order-independent cross-engine
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, greatest(len(ts), 1)),
+                   i -> ts[i] || chr(31) || ts[i + 1])) AS bg
+  FROM tok
+),
+tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM big GROUP BY 1, 2),
+cnt AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cbg FROM tf GROUP BY 1),
+ctx AS (
+  SELECT string_split(bg, chr(31))[1] AS w1, CAST(sum(cbg) AS BIGINT) AS cw1
+  FROM cnt GROUP BY 1
+),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cnt),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         sum(CAST(round(tf.tf * -ln(CAST(cnt.cbg + 1 AS DOUBLE) / (ctx.cw1 + vsize.v)), 6)
+                  AS DECIMAL(28,6))) AS neg_logprob_sum
+  FROM tf
+  JOIN cnt USING (bg)
+  JOIN ctx ON ctx.w1 = string_split(tf.bg, chr(31))[1]
+  CROSS JOIN vsize
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(neg_logprob_sum AS DOUBLE) / n_bigrams, 6) AS avg_neg_logprob,
+       (CAST(neg_logprob_sum AS DOUBLE) / n_bigrams <= 5.0) AS keep_lm
+FROM scored
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []

@@ -1085,3 +1085,68 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivfpq_rerank(emb, queries, m=4, k=5, k_cand=20, nprobe=2)
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (the KenLM-filter shape one order up
+    from :func:`docs_unigram_logprob`): each document scored by the
+    average negative log of its bigrams' corpus conditional probability
+    ``P(w2|w1) = c(w1 w2) / c(w1·)`` with add-one smoothing over the
+    corpus bigram vocabulary — repeated boilerplate scores low (fluent),
+    scrambled text scores high.
+
+    Shape: one scan builds per-doc bigram lists (scan-stage
+    ``transform`` over the token array — no second explode pass), then
+    (doc, bigram) counts [shuffle 1], corpus bigram counts [shuffle 2,
+    map-combined], left-context totals [shuffle 3, map-combined, output
+    |vocab| rows], joins back (AQE broadcasts the vocabulary-sized
+    sides), and a doc-keyed aggregation. Same float policy as the
+    unigram op: per-bigram contribution rounds to 6 decimals and sums as
+    DECIMAL(28,6) — exact, order-independent, engine-portable.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.filter(text.tokens("text"), lambda t: t != "").alias("ts")
+    )
+    # bigrams as "w1\x1fw2" strings: slice+zip_with in the scan stage
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("\x1f", a, b),
+            )
+        ).alias("bg"),
+    )
+    tf = big.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    left = cnt.withColumn("w1", F.split("bg", "\x1f").getItem(0))
+    ctx = left.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vsize = cnt.agg(F.count("*").alias("v"))
+    # add-one smoothing: P = (c(w1w2) + 1) / (c(w1.) + V)
+    contrib = F.round(
+        F.col("tf")
+        * -F.log(
+            (F.col("cbg") + 1).cast("double") / (F.col("cw1") + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        tf.join(cnt, "bg")
+        .withColumn("w1", F.split("bg", "\x1f").getItem(0))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(contrib).alias("neg_logprob_sum"),
+        )
+    )
+    avg = F.col("neg_logprob_sum").cast("double") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_neg_logprob"),
+        (avg <= 5.0).alias("keep_lm"),
+    )
