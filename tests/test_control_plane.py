@@ -1,0 +1,118 @@
+"""Control-plane verbs (§2.12, reference etl-api routes/pipelines.rs):
+CRUD + validate + lifecycle over the durable pipeline registry."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+
+from etl_spark.control_plane import (
+    InvalidConfig,
+    PipelineActive,
+    PipelineNotFound,
+    PipelineRegistry,
+    validate_config,
+)
+from etl_spark.envelope import GENERIC_ENVELOPE
+
+PAYLOAD = "pk long, val string"
+
+
+def _config(src, sink_root, snap=None):
+    return {
+        "source_dir": src,
+        "tables": [{"name": "users", "keys": ["pk"],
+                    "payload_schema": PAYLOAD, "snapshot_path": snap}],
+        "sink": {"kind": "parquet_current_state", "root": sink_root},
+    }
+
+
+def test_validate_config_catches_problems():
+    assert validate_config({"source_dir": "", "tables": [], "sink": {}}) != []
+    bad_key = {
+        "source_dir": "/x",
+        "tables": [{"name": "t", "keys": ["nope"], "payload_schema": PAYLOAD}],
+        "sink": {"kind": "memory"},
+    }
+    assert any("missing from payload_schema" in p for p in validate_config(bad_key))
+    good = {
+        "source_dir": "/x",
+        "tables": [{"name": "t", "keys": ["pk"], "payload_schema": PAYLOAD}],
+        "sink": {"kind": "memory"},
+    }
+    assert validate_config(good) == []
+
+
+def test_crud_version_and_guards(tmp_path):
+    reg = PipelineRegistry(str(tmp_path / "cp"), max_pipelines=2)
+    pid = reg.create_pipeline(_config("/src", str(tmp_path / "s")))
+    assert reg.read_pipeline(pid)["version"] == 1
+    assert reg.get_version(pid) == 1
+    v2 = reg.update_pipeline(pid, _config("/src2", str(tmp_path / "s")))
+    assert v2 == 2 and reg.read_pipeline(pid)["source_dir"] == "/src2"
+    with pytest.raises(InvalidConfig):
+        reg.create_pipeline({"source_dir": "", "tables": [], "sink": {}})
+    pid2 = reg.create_pipeline(_config("/other", str(tmp_path / "s2")))
+    # max-per-tenant guard (pipelines.rs MAX_PIPELINES_PER_TENANT)
+    with pytest.raises(Exception, match="max pipelines"):
+        reg.create_pipeline(_config("/third", str(tmp_path / "s3")))
+    assert [p["id"] for p in reg.read_all_pipelines()] == [pid, pid2]
+    reg.delete_pipeline(pid2)
+    with pytest.raises(PipelineNotFound):
+        reg.read_pipeline(pid2)
+    # registry state survives restart
+    reg2 = PipelineRegistry(str(tmp_path / "cp"))
+    assert reg2.get_version(pid) == 2
+
+
+def _write_env(spark, src, rows, name):
+    staging = os.path.join(src, f".__stage_{name}")
+    spark.createDataFrame(rows, schema=GENERIC_ENVELOPE) \
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(staging)
+
+
+def _ev(op, commit, after=None, before=None, kind=None):
+    return Row(op=op, table="users", commit_lsn=commit, start_lsn=commit,
+               tx_ordinal=0,
+               after=json.dumps(after) if after else None,
+               before=json.dumps(before) if before else None,
+               before_kind=kind, missing_cols=None, schema_snapshot_lsn=None)
+
+
+def test_lifecycle_start_status_stop_delete(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [
+        _ev("INSERT", 10, after={"pk": 2, "val": "b"}),
+        _ev("UPDATE", 11, after={"pk": 1, "val": "a1"}),
+    ], "b1")
+
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(_config(src, str(tmp_path / "sink"), snap=snap))
+    p = reg.start_pipeline(pid, spark)          # availableNow: drains
+    with pytest.raises(PipelineActive):
+        reg.update_pipeline(pid, _config(src, str(tmp_path / "sink"), snap=snap))
+    with pytest.raises(PipelineActive):
+        reg.delete_pipeline(pid)
+    st = reg.pipeline_status(pid)
+    assert st["flush_lsn"] == 11
+    got = {r.pk: r.val for r in p.sink.read("users").select("pk", "val").collect()}
+    assert got == {1: "a1", 2: "b"}
+
+    assert reg.stop_all_pipelines() == [pid]
+    # stopped: durable status still readable (from the work dir)
+    st2 = reg.pipeline_status(pid)
+    assert st2["flush_lsn"] == 11 and st2["active"] is False
+    work = reg._work_dir(pid)
+    assert os.path.exists(work)
+    reg.delete_pipeline(pid)                    # removes durable state too
+    assert not os.path.exists(work)

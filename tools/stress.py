@@ -95,6 +95,13 @@ QUERIES = [
     "bloom_prune_probe",
     "events_winsorize",
     "cdc_changed_columns",
+    # round-5 additions
+    "dedup_simhash_clusters",
+    "vocab_topk_coverage",
+    "docs_length_histogram",
+    "ann_kmeans_step",
+    "ann_ivfpq_rerank",
+    "docs_bigram_logprob",
 ]
 
 
