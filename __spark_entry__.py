@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_step": workload_text.ann_kmeans_step,
         "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
         "docs_bigram_logprob": workload_text.docs_bigram_logprob,
+        "events_anomaly_mad": workload_relational.events_anomaly_mad,
+        "docs_quality_calibration": workload_text.docs_quality_calibration,
         # --- implementation/oracle CHANGED in round 5 (advisory fixes,
         # --- jaccard materialization, PQ decimal centroids, pgoutput
         # --- binary cells): re-record ---

@@ -527,6 +527,61 @@ FROM scored
 """
 
 
+ORACLES["events_anomaly_mad"] = """
+-- robust outlier gate: median + MAD per type, 3*1.4826*MAD band;
+-- quantile_cont interpolates exactly like Spark's percentile
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(any_value(m.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_rate
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type
+"""
+
+ORACLES["docs_quality_calibration"] = r"""
+-- per-language percentile ladder of the heuristic quality score + keep
+-- stats at a global 0.5 cutoff (same feature algebra as text_quality)
+WITH tok AS (
+  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT lang,
+         least(len(toks) / 100.0, 1.0) * 0.4
+         + (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+            / greatest(len(toks), 1)) * 0.3
+         + (1.0 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                  / greatest(length(text), 1)) * 0.3 AS q
+  FROM tok
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(q, 0.10), 6) AS p10,
+       round(quantile_cont(q, 0.25), 6) AS p25,
+       round(quantile_cont(q, 0.50), 6) AS p50,
+       round(quantile_cont(q, 0.75), 6) AS p75,
+       round(quantile_cont(q, 0.90), 6) AS p90,
+       CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM feat GROUP BY lang
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []

@@ -1150,3 +1150,33 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_neg_logprob"),
         (avg <= 5.0).alias("keep_lm"),
     )
+
+
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language calibration of the heuristic quality score: the
+    percentile ladder (p10/p25/p50/p75/p90) plus the keep count and rate
+    at a global 0.5 cutoff — the table that decides whether one threshold
+    fits all languages or per-language cutoffs are needed (the FineWeb /
+    CCNet filter-calibration step).
+
+    Shape: the quality features are scan-stage column algebra
+    (:func:`etl_spark.operators.text.quality_score`); one |langs|-keyed
+    aggregation computes the exact percentile ladder and keep stats
+    map-combined. Exact percentiles interpolate identically to the
+    oracle's quantile_cont; swap to approx_percentile at 100 TB.
+    """
+    scored = text.quality_score(_docs(spark, sf_dir)).select(
+        "lang", F.col("quality").cast("double").alias("q")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.round(F.percentile("q", p / 100.0), 6).alias(f"p{p}")
+                for p in (10, 25, 50, 75, 90)
+            ],
+            F.sum((F.col("q") >= 0.5).cast("long")).alias("n_keep"),
+        )
+        .withColumn("keep_rate", F.round(F.col("n_keep") / F.col("n_docs"), 6))
+    )

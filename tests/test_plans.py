@@ -527,3 +527,18 @@ def test_simhash_clusters_no_member_expansion_join(spark):
     plan = plan_of(workload_text.dedup_simhash_clusters(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_anomaly_mad_no_cartesian_broadcast_stats(spark):
+    # the |event types|-row stat tables join back broadcast; no cartesian
+    plan = plan_of(workload_relational.events_anomaly_mad(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_calibration_single_keyed_agg(spark):
+    # quality features are scan-stage; one lang-keyed aggregation,
+    # map-combined, no join anywhere
+    plan = plan_of(workload_text.docs_quality_calibration(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan

@@ -102,6 +102,8 @@ QUERIES = [
     "ann_kmeans_step",
     "ann_ivfpq_rerank",
     "docs_bigram_logprob",
+    "events_anomaly_mad",
+    "docs_quality_calibration",
 ]
 
 
