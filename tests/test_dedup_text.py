@@ -260,3 +260,92 @@ def test_pq_codes_match_python_mirror(spark, seed):
     got_rows, got_m = similarity.pq_assign(emb, m=m)
     got = {(r.vec_id, r.sub): r.code for r in got_rows.collect()}
     assert got == expected and got_m == m
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_simhash_clusters_match_python_mirror(spark, seed):
+    """Property: the clique aggregation equals a pure-Python mirror built
+    from the operator's own fingerprints — counts, representative,
+    bounded preview, intra-pair count, and the brute-force Hamming-<=3
+    neighborhood stats over distinct fingerprints."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = dedup.simhash(df)
+    fps = {r.doc_id: r.simhash for r in fp.collect()}
+
+    cliques: dict[int, list[int]] = {}
+    for d, s in fps.items():
+        cliques.setdefault(s, []).append(d)
+    distinct = sorted(cliques)
+    expected = {}
+    for s in distinct:
+        members = sorted(cliques[s])
+        nbrs = [o for o in distinct if o != s and bin(o ^ s).count("1") <= 3]
+        expected[s] = {
+            "n_docs": len(members),
+            "intra_pairs": len(members) * (len(members) - 1) // 2,
+            "rep_id": members[0],
+            "members_preview": ",".join(str(m) for m in members[:5]),
+            "n_neighbor_fps": len(nbrs),
+            "neighbor_docs": sum(len(cliques[o]) for o in nbrs),
+        }
+
+    got = {
+        r.simhash: {
+            "n_docs": r.n_docs, "intra_pairs": r.intra_pairs,
+            "rep_id": r.rep_id, "members_preview": r.members_preview,
+            "n_neighbor_fps": r.n_neighbor_fps, "neighbor_docs": r.neighbor_docs,
+        }
+        for r in dedup.simhash_clusters(fp, max_hamming=3, preview_k=5).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_kmeans_step_matches_python_mirror(spark, seed):
+    """Property: the Lloyd step equals a pure-Python mirror (integer
+    vectors → exact arithmetic in both paths): per-cell means, ordered
+    left-fold squared L2, argmin with (dist, cell) tiebreak."""
+    import random
+
+    from etl_spark.operators import similarity
+
+    rng = random.Random(seed)
+    dim, n_cells = 6, 3
+    rows = [
+        (i, [float(rng.randint(-5, 5)) for _ in range(dim)], i % n_cells)
+        for i in range(36)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    by_cell: dict[int, list] = {}
+    for _, v, c in rows:
+        by_cell.setdefault(c, []).append(v)
+    cents = {
+        c: [sum(v[j] for v in vs) / len(vs) for j in range(dim)]
+        for c, vs in by_cell.items()
+    }
+
+    def fold(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    expected = {}
+    for i, v, prev in rows:
+        best = min((fold(v, cents[c]), c) for c in cents)
+        expected[i] = (prev, best[1], best[1] != prev)
+
+    got = {
+        r.vec_id: (r.cell_prev, r.cell_new, r.moved)
+        for r in similarity.kmeans_step(emb).collect()
+    }
+    assert got == expected
