@@ -228,7 +228,11 @@ def encode_binary_cell(type_oid: int, value) -> BinaryCell:
 
         base = _dt.datetime(2000, 1, 1, tzinfo=_dt.timezone.utc)
         v = value if value.tzinfo else value.replace(tzinfo=_dt.timezone.utc)
-        return BinaryCell(struct.pack(">q", round((v - base).total_seconds() * 1e6)))
+        td = v - base
+        # exact integer micros from timedelta components — total_seconds()
+        # is a float and loses sub-µs precision past ~±270 years
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        return BinaryCell(struct.pack(">q", us))
     raise ValueError(f"no binary-format encoder for type OID {type_oid}")
 
 

@@ -308,3 +308,93 @@ def test_event_seq_hex_format(spark):
         [(255, 16)], "commit_lsn long, start_lsn long"
     ).select(event_seq_hex().alias("h"))
     assert df.first()["h"] == "00000000000000ff/0000000000000010"
+
+
+# ---------------------------------------------------------------------------
+# pgoutput binary-format cell codec (reference fuzz-layer analog for the
+# 'b' TupleData path, event.rs:552-680): encode → decode lands on the
+# text form the F1-F10 codecs parse, for arbitrary values per OID
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_binary_int8_roundtrip(v):
+    from etl_spark.sources import pgoutput as pgo
+
+    assert pgo.decode_binary_cell(20, pgo.encode_binary_cell(20, v).data) == str(v)
+
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+       st.integers(min_value=-(2**15), max_value=2**15 - 1))
+def test_binary_int4_int2_roundtrip(v4, v2):
+    from etl_spark.sources import pgoutput as pgo
+
+    assert pgo.decode_binary_cell(23, pgo.encode_binary_cell(23, v4).data) == str(v4)
+    assert pgo.decode_binary_cell(21, pgo.encode_binary_cell(21, v2).data) == str(v2)
+
+
+@settings(**SETTINGS)
+@given(st.floats(allow_subnormal=False))
+def test_binary_float8_roundtrip_exact(v):
+    """Text form parses back to the bit-identical double (repr is
+    shortest-roundtrip; Infinity/NaN take the PG spellings)."""
+    import math
+
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(701, pgo.encode_binary_cell(701, v).data)
+    if math.isnan(v):
+        assert txt == "NaN"
+    elif math.isinf(v):
+        assert txt == ("Infinity" if v > 0 else "-Infinity")
+    else:
+        assert float(txt) == v
+
+
+@settings(**SETTINGS)
+@given(st.binary(max_size=64))
+def test_binary_bytea_roundtrip(b):
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(17, pgo.encode_binary_cell(17, b).data)
+    assert txt == "\\x" + b.hex()
+    assert bytes.fromhex(txt[2:]) == b
+
+
+@settings(**SETTINGS)
+@given(st.text(max_size=80))
+def test_binary_text_roundtrip(s):
+    from etl_spark.sources import pgoutput as pgo
+
+    assert pgo.decode_binary_cell(25, pgo.encode_binary_cell(25, s).data) == s
+
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=0, max_value=2**128 - 1))
+def test_binary_uuid_roundtrip(n):
+    import uuid
+
+    from etl_spark.sources import pgoutput as pgo
+
+    u = uuid.UUID(int=n)
+    assert pgo.decode_binary_cell(2950, pgo.encode_binary_cell(2950, u).data) == str(u)
+
+
+@settings(**SETTINGS)
+@given(st.dates(min_value=__import__("datetime").date(1, 1, 1),
+                max_value=__import__("datetime").date(9999, 12, 31)))
+def test_binary_date_roundtrip(d):
+    from etl_spark.sources import pgoutput as pgo
+
+    assert pgo.decode_binary_cell(1082, pgo.encode_binary_cell(1082, d).data) == d.isoformat()
+
+
+@settings(**SETTINGS)
+@given(st.datetimes(min_value=__import__("datetime").datetime(1, 1, 1),
+                    max_value=__import__("datetime").datetime(9999, 12, 28)))
+def test_binary_timestamp_roundtrip(ts):
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(1114, pgo.encode_binary_cell(1114, ts).data)
+    assert txt == ts.strftime("%Y-%m-%d %H:%M:%S.%f")
