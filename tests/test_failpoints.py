@@ -258,3 +258,63 @@ def test_replication_mask_consistent_after_restart(spark, env):
     assert "extra" in (p2.tables["users"].payload_schema or "")
     row = env["sink"].read("users").filter("pk = 9").collect()[0]
     assert row.extra == "kept"  # decoded with the restored mask
+
+
+# ---------------------------------------------------------------------------
+# chaos runner (reference: crates/xtask/src/commands/chaos/ — randomized
+# fault schedules over the failpoint set, asserting convergence)
+# ---------------------------------------------------------------------------
+
+#: stream-level faults: a failed/stalled batch is replayed from the
+#: checkpoint on restart, so convergence is guaranteed end-to-end. The
+#: copy-phase faults (BEFORE/DURING_DATA_SYNC, AFTER_FINISHED_COPY) are
+#: deliberately excluded here: they quarantine the table, the shared
+#: stream then legitimately drops its events (P3), and recovery relies
+#: on re-copying a LIVE source — in this sim the snapshot is static, so
+#: those faults are exercised with the proper retry sequencing by the
+#: dedicated matrix above instead.
+_CHAOS_POINTS = (
+    ("raise", fp.BEFORE_STREAMING),
+    ("raise", fp.STORE_REPLICATION_PROGRESS),
+    ("skip", fp.SEND_STATUS_UPDATE),
+    ("skip", fp.FORCE_SCHEMA_CLEANUP),
+)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_chaos_random_fault_schedule_converges(spark, env, seed):
+    """Seeded chaos (reference chaos-runner analog): each phase appends
+    new change files, then runs the pipeline under a RANDOM stream-fault
+    schedule. After the fault budget drains, one clean incarnation must
+    land on exactly the fault-free final state — faults may delay
+    progress, never corrupt it."""
+    import random
+
+    rng = random.Random(seed)
+    phases = [
+        [ev("INSERT", "users", 10, 0, after={"pk": 4, "val": "d"}),
+         ev("UPDATE", "users", 11, 0, after={"pk": 1, "val": "a1"})],
+        [ev("DELETE", "users", 12, 0, before={"pk": 2}, before_kind="KEY"),
+         ev("UPDATE", "users", 13, 0, after={"pk": 4, "val": "d2"})],
+        [ev("INSERT", "users", 14, 0, after={"pk": 5, "val": "e"})],
+    ]
+    expected = {1: "a1", 3: "c", 4: "d2", 5: "e"}
+
+    for i, batch in enumerate(phases):
+        write_events(spark, env["source"], batch, f"b{i}")
+        for _ in range(rng.randint(0, 2)):  # chaos incarnations this phase
+            mode, point = rng.choice(_CHAOS_POINTS)
+            if mode == "raise":
+                fp.arm(point, times=rng.randint(1, 2))
+            else:
+                fp.arm_skip(point, times=rng.randint(1, 2))
+            try:
+                make_pipeline(spark, env).run_until_drained()
+            except Exception:
+                pass  # injected fault: a later incarnation must recover
+            finally:
+                fp.disarm_all()
+
+    # clean final incarnation: faults drained, state must converge
+    make_pipeline(spark, env).run_until_drained()
+    assert current(env) == expected
