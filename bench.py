@@ -115,6 +115,7 @@ HEADLINE = [
     "docs_bigram_logprob",
     "events_anomaly_mad",
     "docs_quality_calibration",
+    "docs_ngram_novelty",
 ]
 
 
@@ -184,7 +185,8 @@ def main() -> None:
     r5_new = {"dedup_simhash_clusters", "vocab_topk_coverage",
               "docs_length_histogram", "ann_kmeans_step", "ann_ivfpq_rerank",
               "docs_bigram_logprob",
-              "events_anomaly_mad", "docs_quality_calibration"}
+              "events_anomaly_mad", "docs_quality_calibration",
+              "docs_ngram_novelty"}
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
     )

@@ -582,6 +582,21 @@ FROM feat GROUP BY lang
 """
 
 
+ORACLES["docs_ngram_novelty"] = f"""
+-- novel-shingle fraction per doc: first occurrence = min doc_id over the
+-- corpus shingle table (distinct shingles per doc)
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh s JOIN first f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []

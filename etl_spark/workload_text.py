@@ -1180,3 +1180,36 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep_rate", F.round(F.col("n_keep") / F.col("n_docs"), 6))
     )
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-word shingles
+    that have NEVER appeared in an earlier document (doc_id order) — the
+    streaming-corpus "new information density" metric that separates
+    genuinely fresh content from recombined boilerplate (near-zero
+    novelty = the document is stitched from seen fragments even if no
+    single dedup pair fires).
+
+    Shape: distinct shingles per doc (scan-stage explode), a
+    shingle-keyed min(doc_id) aggregation (map-combined — the
+    first-occurrence index), joined back onto the shingle table (same
+    key, same partitioning — AQE reuses the exchange), then a doc-keyed
+    count. No windows over the corpus, no self-join; the first-occurrence
+    table IS the novelty oracle for any later batch, so the incremental
+    form (new batch vs standing index) reuses it unchanged.
+    """
+    sh = dedup.shingles(_docs(spark, sf_dir), k=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "shingle")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )

@@ -542,3 +542,11 @@ def test_quality_calibration_single_keyed_agg(spark):
     plan = plan_of(workload_text.docs_quality_calibration(spark, SF_DIR))
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_ngram_novelty_no_cartesian_map_combined(spark):
+    # first-occurrence agg is map-combined; the join back is equi on the
+    # shingle key; per-doc count is the only other shuffle
+    plan = plan_of(workload_text.docs_ngram_novelty(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan, plan

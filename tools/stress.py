@@ -104,6 +104,7 @@ QUERIES = [
     "docs_bigram_logprob",
     "events_anomaly_mad",
     "docs_quality_calibration",
+    "docs_ngram_novelty",
 ]
 
 
