@@ -116,6 +116,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "docs_quality_calibration",
     "docs_ngram_novelty",
+    "events_ks_drift",
 ]
 
 
@@ -186,7 +187,7 @@ def main() -> None:
               "docs_length_histogram", "ann_kmeans_step", "ann_ivfpq_rerank",
               "docs_bigram_logprob",
               "events_anomaly_mad", "docs_quality_calibration",
-              "docs_ngram_novelty"}
+              "docs_ngram_novelty", "events_ks_drift"}
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
     )

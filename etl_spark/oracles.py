@@ -597,6 +597,42 @@ GROUP BY s.doc_id
 """
 
 
+ORACLES["events_ks_drift"] = """
+-- exact two-sample KS per event type (event_id-parity split): per-value
+-- counts, ordered cumulative fractions, max absolute CDF gap
+WITH per_val AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type,
+         CAST(sum(n_a) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / greatest(sum(n_a) OVER (PARTITION BY event_type), 1) AS f_a,
+         CAST(sum(n_b) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / greatest(sum(n_b) OVER (PARTITION BY event_type), 1) AS f_b,
+         sum(n_a) OVER (PARTITION BY event_type) AS na,
+         sum(n_b) OVER (PARTITION BY event_type) AS nb
+  FROM per_val
+),
+ks AS (
+  SELECT event_type,
+         CAST(any_value(na) AS BIGINT) AS n_a,
+         CAST(any_value(nb) AS BIGINT) AS n_b,
+         max(abs(f_a - f_b)) AS ks_raw
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(ks_raw, 6) AS ks,
+       round(1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6) AS crit_95,
+       (ks_raw > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))) AS drifted
+FROM ks
+"""
+
+
 def _langid_scores_sql() -> str:
     from etl_spark.operators.text import LANG_PROFILES
     parts = []

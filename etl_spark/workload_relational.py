@@ -1488,3 +1488,56 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate", F.round(F.col("n_outliers") / F.col("n"), 6)
         )
     )
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type: split each
+    type's values into two deterministic halves (event_id parity — stand-in
+    for any A/B tag: old batch vs new batch, pipeline vs shadow pipeline)
+    and report the exact KS statistic ``max |F_A(v) - F_B(v)|`` with the
+    95% critical value — the distribution-drift gate a training pipeline
+    runs before accepting a new data drop.
+
+    Exact, not sampled: per-(type, value) counts [shuffle 1, map-combined]
+    → one ordered cumulative window per type [shuffle 2] → per-type max
+    [shuffle 3, tiny]. The parity split is integer arithmetic, so both
+    engines partition identically (a timestamp-median split would compare
+    a bigint against an interpolated double — a cross-engine boundary
+    hazard this op deliberately avoids).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2 == 0).cast("long").alias("in_a"),
+    )
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        (F.sum("n_a").over(w) / F.greatest(F.sum("n_a").over(tot), F.lit(1))).alias("f_a"),
+        (F.sum("n_b").over(w) / F.greatest(F.sum("n_b").over(tot), F.lit(1))).alias("f_b"),
+        F.sum("n_a").over(tot).alias("na"),
+        F.sum("n_b").over(tot).alias("nb"),
+    )
+    out = cum.groupBy("event_type").agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.max(F.abs(F.col("f_a") - F.col("f_b"))).alias("__ks"),
+    )
+    crit = 1.36 * F.sqrt((F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b")))
+    return out.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("__ks", 6).alias("ks"),
+        F.round(crit, 6).alias("crit_95"),
+        (F.col("__ks") > crit).alias("drifted"),
+    )

@@ -550,3 +550,11 @@ def test_ngram_novelty_no_cartesian_map_combined(spark):
     plan = plan_of(workload_text.docs_ngram_novelty(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_ks_drift_map_combined_counts(spark):
+    # per-(type,value) counts combine map-side before the one ordered
+    # cumulative window per type; no join, no cartesian
+    plan = plan_of(workload_relational.events_ks_drift(spark, SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan

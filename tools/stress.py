@@ -105,6 +105,7 @@ QUERIES = [
     "events_anomaly_mad",
     "docs_quality_calibration",
     "docs_ngram_novelty",
+    "events_ks_drift",
 ]
 
 
