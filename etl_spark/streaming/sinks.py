@@ -23,6 +23,7 @@ import tempfile
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_spark.operators import materialize
 
@@ -180,3 +181,112 @@ class MemorySink(Sink):
 
     def truncate(self, table: str) -> None:
         self.truncated.append(table)
+
+
+class ParquetScd2Sink(Sink):
+    """Versioned-dimension (SCD type-2) destination: one row per key
+    VERSION with ``valid_from`` / ``valid_to`` / ``is_current``,
+    maintained INCREMENTALLY per micro-batch — the warehouse shape
+    :func:`etl_spark.workload.cdc_scd2_history` computes as a batch
+    query, kept continuously up to date by the stream (beyond-reference
+    destination semantics: the reference emits the changelog; versioned
+    assembly is left to the warehouse).
+
+    Semantics (identical to the batch query): every INSERT/UPDATE opens a
+    version at its commit LSN; the key's next event — update OR delete —
+    closes it; DELETE rows emit no version but persist internally as
+    TOMBSTONES so later batches and replays keep closure correct.
+
+    Incremental merge per batch: split the stored table into untouched
+    keys (left anti on the batch's key set — scanned, never recomputed)
+    and touched keys, union the touched keys' stored EVENT history with
+    the batch, drop duplicate (key, event_seq) rows — the replay/
+    idempotence guard — and recompute validity bounds with the same
+    per-key lead window over the total event order. Work per batch is
+    O(batch + touched-key history); at warehouse scale with the table
+    bucketed by key the anti/semi joins are bucket-local.
+
+    Same versioned-directory swap + applied-batch fast path as
+    :class:`ParquetCurrentStateSink`.
+    """
+
+    def __init__(self, root: str, keys: list[str], spark: SparkSession):
+        self.root = root
+        self.keys = keys
+        self.spark = spark
+
+    _vpath = ParquetCurrentStateSink._vpath
+    _current_meta = ParquetCurrentStateSink._current_meta
+    _current_version = ParquetCurrentStateSink._current_version
+    _point = ParquetCurrentStateSink._point
+    _data_dir = ParquetCurrentStateSink._data_dir
+
+    def _derive(self, events: DataFrame) -> DataFrame:
+        """Validity bounds from raw events (the cdc_scd2_history window)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy("event_seq")
+        return (
+            events.withColumn("valid_to", F.lead("commit_lsn").over(w))
+            .withColumn(
+                "is_current",
+                F.col("valid_to").isNull() & (F.col("op") != "DELETE"),
+            )
+        )
+
+    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
+        for col, expr in {
+            "op": F.lit("INSERT"),
+            "commit_lsn": F.lit(snapshot_lsn).cast("long"),
+            "tx_ordinal": F.lit(0).cast("long"),
+            "event_seq": F.lit(snapshot_lsn).cast("decimal(38,0)")
+            * F.lit("18446744073709551616").cast("decimal(38,0)"),
+        }.items():
+            if col not in df.columns:
+                df = df.withColumn(col, expr)
+        v = self._current_version(table) + 1
+        self._derive(df).write.mode("overwrite").parquet(self._data_dir(table, v))
+        self._point(table, v, None)
+
+    def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
+        meta = self._current_meta(table)
+        v = meta["version"]
+        if v < 0:
+            raise RuntimeError(f"no snapshot for {table}; run write_snapshot first")
+        if meta.get("batch_id") == batch_id:
+            return  # applied-batches fast path (replayed delivery)
+        target = self.spark.read.parquet(self._data_dir(table, v))
+        touched = df.select(*self.keys).distinct()
+        untouched = target.join(touched, self.keys, "left_anti")
+        event_cols = [c for c in target.columns if c not in ("valid_to", "is_current")]
+        touched_hist = target.join(touched, self.keys, "left_semi").select(*event_cols)
+        batch_events = df.select(
+            *[c if c in df.columns else F.lit(None).alias(c) for c in event_cols]
+        )
+        merged_events = touched_hist.unionByName(batch_events).dropDuplicates(
+            [*self.keys, "event_seq"]
+        )
+        out = untouched.unionByName(self._derive(merged_events))
+        nv = v + 1
+        out.write.mode("overwrite").parquet(self._data_dir(table, nv))
+        self._point(table, nv, batch_id)
+
+    def truncate(self, table: str) -> None:
+        v = self._current_version(table)
+        if v < 0:
+            return
+        cur = self.spark.read.parquet(self._data_dir(table, v))
+        cur.limit(0).write.mode("overwrite").parquet(self._data_dir(table, v + 1))
+        self._point(table, v + 1, None)
+
+    def read(self, table: str) -> DataFrame:
+        """The SCD2 surface: version rows only (tombstones are internal
+        closure bookkeeping, not versions)."""
+        v = self._current_version(table)
+        if v < 0:
+            raise RuntimeError(f"no data for {table}")
+        return (
+            self.spark.read.parquet(self._data_dir(table, v))
+            .filter(F.col("op") != "DELETE")
+            .withColumnRenamed("commit_lsn", "valid_from")
+        )
