@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_calibration": workload_text.docs_quality_calibration,
         "docs_ngram_novelty": workload_text.docs_ngram_novelty,
         "events_ks_drift": workload_relational.events_ks_drift,
+        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
         # --- implementation/oracle CHANGED in round 5 (advisory fixes,
         # --- jaccard materialization, PQ decimal centroids, pgoutput
         # --- binary cells): re-record ---

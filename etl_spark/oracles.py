@@ -2648,3 +2648,7 @@ rranked AS (
 SELECT query_id, vec_id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
 FROM rranked WHERE rank <= 5""",
 )
+
+# incremental SCD2 destination must equal the one-shot batch window —
+# the SAME oracle, so the gate proves incremental == batch maintenance
+ORACLES["cdc_scd2_incremental"] = ORACLES["cdc_scd2_history"]

@@ -1088,3 +1088,44 @@ def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vc.cast("int") + pc.cast("int")).alias("n_changed"),
         )
     )
+
+
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-grade SCD2: the INCREMENTAL destination
+    (:class:`etl_spark.streaming.sinks.ParquetScd2Sink`) fed the sim
+    envelope as three LSN-range micro-batches must land on exactly the
+    state the one-shot batch window computes — same oracle as
+    ``cdc_scd2_history``, so the gate hash-checks incremental==batch
+    version maintenance (closures across batch boundaries, tombstone
+    persistence, replay dedup) end-to-end.
+    """
+    import tempfile
+
+    from etl_spark.streaming.sinks import ParquetScd2Sink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    sink = ParquetScd2Sink(
+        tempfile.mkdtemp(prefix="scd2_sink_"), keys=["pk"], spark=spark
+    )
+    sink.write_snapshot("users", spark.createDataFrame([], "pk long, value double"))
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    for i, (lo, hi) in enumerate(ranges):
+        sink.write_changes(
+            "users", env.filter(F.col("commit_lsn").between(lo, hi)), batch_id=i
+        )
+    return sink.read("users").select(
+        "pk",
+        "op",
+        "valid_from",
+        "tx_ordinal",
+        F.col("valid_to").cast("double").alias("valid_to"),
+        "is_current",
+        "value",
+    )
