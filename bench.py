@@ -106,7 +106,10 @@ HEADLINE = [
     "bloom_prune_probe",
     "events_winsorize",
     "cdc_changed_columns",
-    # round-5 additions (first timed here)
+    # round-5 additions (first timed here). cdc_scd2_incremental is
+    # gate-tested but excluded like the stream_* queries: it drives the
+    # ParquetScd2Sink through three sink-parquet write/read cycles, so
+    # its timing measures harness I/O, not operator cost
     "dedup_simhash_clusters",
     "vocab_topk_coverage",
     "docs_length_histogram",
