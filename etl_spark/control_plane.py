@@ -79,18 +79,24 @@ def validate_config(config: dict) -> list[str]:
                 if k not in cols:
                     problems.append(f"{name}: key {k!r} missing from payload_schema")
     sink = config.get("sink") or {}
-    if sink.get("kind") not in ("parquet_current_state", "memory"):
+    if sink.get("kind") not in ("parquet_current_state", "parquet_scd2", "memory"):
         problems.append(f"unknown sink kind: {sink.get('kind')!r}")
-    if sink.get("kind") == "parquet_current_state" and not sink.get("root"):
-        problems.append("parquet_current_state sink requires root")
+    if sink.get("kind") in ("parquet_current_state", "parquet_scd2") and not sink.get("root"):
+        problems.append(f"{sink.get('kind')} sink requires root")
     return problems
 
 
 def _build_sink(spec: dict, keys: list[str], spark: SparkSession):
-    from etl_spark.streaming.sinks import MemorySink, ParquetCurrentStateSink
+    from etl_spark.streaming.sinks import (
+        MemorySink,
+        ParquetCurrentStateSink,
+        ParquetScd2Sink,
+    )
 
     if spec["kind"] == "memory":
         return MemorySink()
+    if spec["kind"] == "parquet_scd2":
+        return ParquetScd2Sink(spec["root"], keys=keys, spark=spark)
     return ParquetCurrentStateSink(spec["root"], keys=keys, spark=spark)
 
 

@@ -116,3 +116,25 @@ def test_lifecycle_start_status_stop_delete(spark, tmp_path):
     assert os.path.exists(work)
     reg.delete_pipeline(pid)                    # removes durable state too
     assert not os.path.exists(work)
+
+
+def test_lifecycle_with_scd2_sink(spark, tmp_path):
+    """The declarative config materializes an SCD2 destination: after a
+    run, read() returns version rows with validity bounds."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [
+        _ev("UPDATE", 10, after={"pk": 1, "val": "a1"}),
+    ], "b1")
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    cfg = _config(src, str(tmp_path / "sink"), snap=snap)
+    cfg["sink"]["kind"] = "parquet_scd2"
+    pid = reg.create_pipeline(cfg)
+    p = reg.start_pipeline(pid, spark)
+    rows = {(r.pk, r.valid_from): (r.val, r.valid_to, bool(r.is_current))
+            for r in p.sink.read("users").collect()}
+    assert rows[(1, 0)] == ("a", 10, False)       # snapshot version closed
+    assert rows[(1, 10)] == ("a1", None, True)    # stream version current
+    reg.stop_all_pipelines()
