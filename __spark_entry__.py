@@ -24,125 +24,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
-    tests only the FIRST 50 entries. Rotation policy (COVERAGE.md): entries
-    without a recorded green CORRECTNESS row in any round come first; the
-    already-proven tail rotates out until every query has a green row.
+    tests only the FIRST 50 entries.
 
-    Round-5 window = [the 30 r1-era retests — green in r1/r2 but never
-    gate-recorded against the r3-regenerated testdata; after this round
-    every registered query has a recorded green row against CURRENT
-    testdata] + [new round-5 operators] + [queries whose implementation
-    or oracle changed this round — advisory fixes, jaccard
-    materialization, PQ decimal centroids — so their green rows are
-    re-recorded against the new code] + [the flagship anchor]. The tail
-    is everything with a green r3/r4 gate row against current testdata.
-    All 121 entries verified locally via tools/check_oracle.py at sf0.01
-    this round (COVERAGE.md).
+    STANDING ROTATION POLICY (COVERAGE.md): the window each round is
+    (1) queries NEW this round, then (2) queries whose implementation or
+    oracle CHANGED this round, then (3) the queries with the OLDEST
+    recorded green rows, refreshed oldest-first — so recorded evidence
+    never goes stale. The tail is everything with a newer green row.
+
+    Round-6 window = [cdc_xbatch_recovery — new: crash-recovery of the
+    cross-batch flush ledger, hash-checked against the batch oracle] +
+    [4 changed: events_ks_drift (two-pass range-partitioned CDF),
+    cdc_scd2_incremental (bucket-manifest incremental sink rewrite),
+    pgoutput_decode (binary numeric/time/timetz/array decoders +
+    PG-canonical float4/timestamp text + before-image wideness guard),
+    dedup_simhash_pairs (max_pairs_per_clique guard)] + [the 39 queries
+    whose latest green row is r3 — the oldest evidence, incl. the
+    flagship cdc_current_state which also exercises the rewritten merge]
+    + [the 6 oldest r4 rows]. All 132 entries verified locally via
+    tools/check_oracle.py at sf0.01 this round (COVERAGE.md).
     """
     return {
-        # --- round-5 window slots 1-30: the 30 r1-era retests (green in
-        # --- r1/r2, never gate-recorded against the r3+ regenerated
-        # --- testdata; all locally green via tools/check_oracle.py) ---
-        "text_langid": workload_text.text_langid,
-        "text_quality": workload_text.text_quality,
-        "text_tokens": workload_text.text_tokens,
-        "text_fingerprint": workload_text.text_fingerprint,
-        "ann_cosine_topk": workload_text.ann_cosine_topk,
-        "dedup_keep_list": workload_text.dedup_keep_list,
-        "dedup_components": workload_text.dedup_components,
-        "sample_stratified": workload_text.sample_stratified,
-        "docs_top_terms": workload_text.docs_top_terms,
-        "docs_clean": workload_text.docs_clean,
-        "docs_langid_confusion": workload_text.docs_langid_confusion,
-        "ann_ivf_topk": workload_text.ann_ivf_topk,
-        "ann_lsh_topk": workload_text.ann_lsh_topk,
-        "embed_near_dup": workload_text.embed_near_dup,
-        "q1_pricing_summary": workload_relational.q1_pricing_summary,
-        "q3_shipping_priority": workload_relational.q3_shipping_priority,
-        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
-        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
-        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
-        "q4_order_priority": workload_relational.q4_order_priority,
-        "q10_returned_items": workload_relational.q10_returned_items,
-        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
-        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
-        "q22_dormant_customers": workload_relational.q22_dormant_customers,
-        "q7_volume_shipping": workload_relational.q7_volume_shipping,
-        "q8_market_share": workload_relational.q8_market_share,
-        "q13_customer_distribution": workload_relational.q13_customer_distribution,
-        "q15_top_supplier": workload_relational.q15_top_supplier,
-        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
-        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
-        # --- new in round 5: first gate shot ---
-        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
-        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
-        "docs_length_histogram": workload_text.docs_length_histogram,
-        "ann_kmeans_step": workload_text.ann_kmeans_step,
-        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
-        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
-        "events_anomaly_mad": workload_relational.events_anomaly_mad,
-        "docs_quality_calibration": workload_text.docs_quality_calibration,
-        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
+        # --- round-6 NEW: first gate shot ---
+        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        # --- implementation CHANGED in round 6: re-record ---
         "events_ks_drift": workload_relational.events_ks_drift,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,
-        # --- implementation/oracle CHANGED in round 5 (advisory fixes,
-        # --- jaccard materialization, PQ decimal centroids, pgoutput
-        # --- binary cells): re-record ---
-        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
-        "events_winsorize": workload_relational.events_winsorize,
-        "cdc_table_diff": workload.cdc_table_diff,
-        "cdc_state_diff": workload.cdc_state_diff,
-        "events_zorder_stats": workload_relational.events_zorder_stats,
-        "ann_pq_codes": workload_text.ann_pq_codes,
-        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
-        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
         "pgoutput_decode": workload.pgoutput_decode,
-        # --- anchor: flagship (r3-green; re-confirm each round) ---
-        "cdc_current_state": workload.cdc_current_state,
-        # --- past the window as declared: every entry below has a green
-        # --- gate row from r3 or r4 against the current testdata ---
-        "docs_contamination": workload_text.docs_contamination,
-        "stream_windowed_watermark": workload.stream_windowed_watermark,
-        "docs_passage_dedup": workload_text.docs_passage_dedup,
-        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
-        "docs_rag_chunks": workload_text.docs_rag_chunks,
-        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
-        "events_promo_range_join": workload_relational.events_promo_range_join,
-        "stream_click_purchase_join": workload.stream_click_purchase_join,
-        "mm_resize": workload_mm.mm_resize,
-        "stream_session_window": workload.stream_session_window,
-        "cdc_scd2_history": workload.cdc_scd2_history,
-        "cdc_state_asof": workload.cdc_state_asof,
-        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
-        "stream_native_dedup": workload.stream_native_dedup,
-        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
-        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
-        "stream_static_enrich": workload.stream_static_enrich,
-        "cdc_gap_audit": workload.cdc_gap_audit,
-        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
-        "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "events_rolling_1h": workload_relational.events_rolling_1h,
-        "corpus_drop_audit": workload_text.corpus_drop_audit,
-        "docs_profile": workload_text.docs_profile,
-        "events_quality_checks": workload_relational.events_quality_checks,
-        "sketch_merge_global": workload_relational.sketch_merge_global,
-        "bloom_prune_probe": workload_relational.bloom_prune_probe,
-        "cdc_changed_columns": workload.cdc_changed_columns,
-        "sessionize_events": workload_relational.sessionize_events,
-        "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        "events_retention_cohorts": workload_relational.events_retention_cohorts,
-        "events_grouping_sets": workload_relational.events_grouping_sets,
-        "events_pivot_daily": workload_relational.events_pivot_daily,
-        "events_error_after_purchase": workload_relational.events_error_after_purchase,
-        "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        "stream_incremental_rollup": workload.stream_incremental_rollup,
-        "dedup_exact": workload_text.dedup_exact,
-        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
-        "dedup_simhash": workload_text.dedup_simhash,
         "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        # --- oldest green rows (r3) refreshed oldest-first ---
+        "cdc_current_state": workload.cdc_current_state,
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
         "stream_stateful_dedup": workload.stream_stateful_dedup,
@@ -181,6 +92,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_mixture": workload_text.corpus_token_mixture,
         "docs_pii_redact": workload_text.docs_pii_redact,
         "docs_repetition": workload_text.docs_repetition,
+        # --- oldest r4 rows: refresh continues ---
+        "docs_contamination": workload_text.docs_contamination,
+        "stream_windowed_watermark": workload.stream_windowed_watermark,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
+        # --- past the window: every entry below has a green r4/r5 gate row ---
+        "text_langid": workload_text.text_langid,
+        "text_quality": workload_text.text_quality,
+        "text_tokens": workload_text.text_tokens,
+        "text_fingerprint": workload_text.text_fingerprint,
+        "ann_cosine_topk": workload_text.ann_cosine_topk,
+        "dedup_keep_list": workload_text.dedup_keep_list,
+        "dedup_components": workload_text.dedup_components,
+        "sample_stratified": workload_text.sample_stratified,
+        "docs_top_terms": workload_text.docs_top_terms,
+        "docs_clean": workload_text.docs_clean,
+        "docs_langid_confusion": workload_text.docs_langid_confusion,
+        "ann_ivf_topk": workload_text.ann_ivf_topk,
+        "ann_lsh_topk": workload_text.ann_lsh_topk,
+        "embed_near_dup": workload_text.embed_near_dup,
+        "q1_pricing_summary": workload_relational.q1_pricing_summary,
+        "q3_shipping_priority": workload_relational.q3_shipping_priority,
+        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
+        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
+        "q4_order_priority": workload_relational.q4_order_priority,
+        "q10_returned_items": workload_relational.q10_returned_items,
+        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
+        "q22_dormant_customers": workload_relational.q22_dormant_customers,
+        "q7_volume_shipping": workload_relational.q7_volume_shipping,
+        "q8_market_share": workload_relational.q8_market_share,
+        "q13_customer_distribution": workload_relational.q13_customer_distribution,
+        "q15_top_supplier": workload_relational.q15_top_supplier,
+        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
+        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
+        "docs_length_histogram": workload_text.docs_length_histogram,
+        "ann_kmeans_step": workload_text.ann_kmeans_step,
+        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
+        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
+        "events_anomaly_mad": workload_relational.events_anomaly_mad,
+        "docs_quality_calibration": workload_text.docs_quality_calibration,
+        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
+        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
+        "events_winsorize": workload_relational.events_winsorize,
+        "cdc_table_diff": workload.cdc_table_diff,
+        "cdc_state_diff": workload.cdc_state_diff,
+        "events_zorder_stats": workload_relational.events_zorder_stats,
+        "ann_pq_codes": workload_text.ann_pq_codes,
+        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
+        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
+        "events_promo_range_join": workload_relational.events_promo_range_join,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
+        "mm_resize": workload_mm.mm_resize,
+        "stream_session_window": workload.stream_session_window,
+        "cdc_scd2_history": workload.cdc_scd2_history,
+        "cdc_state_asof": workload.cdc_state_asof,
+        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
+        "stream_native_dedup": workload.stream_native_dedup,
+        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
+        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "stream_static_enrich": workload.stream_static_enrich,
+        "cdc_gap_audit": workload.cdc_gap_audit,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
+        "events_rolling_1h": workload_relational.events_rolling_1h,
+        "corpus_drop_audit": workload_text.corpus_drop_audit,
+        "docs_profile": workload_text.docs_profile,
+        "events_quality_checks": workload_relational.events_quality_checks,
+        "sketch_merge_global": workload_relational.sketch_merge_global,
+        "bloom_prune_probe": workload_relational.bloom_prune_probe,
+        "cdc_changed_columns": workload.cdc_changed_columns,
+        "sessionize_events": workload_relational.sessionize_events,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        "stream_incremental_rollup": workload.stream_incremental_rollup,
+        "dedup_exact": workload_text.dedup_exact,
+        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
+        "dedup_simhash": workload_text.dedup_simhash,
     }
 
 

@@ -79,25 +79,43 @@ def validate_config(config: dict) -> list[str]:
                 if k not in cols:
                     problems.append(f"{name}: key {k!r} missing from payload_schema")
     sink = config.get("sink") or {}
-    if sink.get("kind") not in ("parquet_current_state", "parquet_scd2", "memory"):
+    kinds = ("parquet_current_state", "parquet_scd2", "parquet_changelog", "memory")
+    if sink.get("kind") not in kinds:
         problems.append(f"unknown sink kind: {sink.get('kind')!r}")
-    if sink.get("kind") in ("parquet_current_state", "parquet_scd2") and not sink.get("root"):
+    if sink.get("kind", "").startswith("parquet_") and not sink.get("root"):
         problems.append(f"{sink.get('kind')} sink requires root")
     return problems
 
 
-def _build_sink(spec: dict, keys: list[str], spark: SparkSession):
+def _build_sink(spec: dict, tables: list[dict], spark: SparkSession):
+    """Materialize the declarative sink spec. Keyed sinks (current-state,
+    SCD2) are built PER TABLE with that table's replica-identity keys —
+    a multi-table pipeline whose tables declare different keys must never
+    merge a non-first table on the first table's keys (the reference keeps
+    one key mapping per table inside one destination)."""
     from etl_spark.streaming.sinks import (
         MemorySink,
+        ParquetChangelogSink,
         ParquetCurrentStateSink,
         ParquetScd2Sink,
+        TableRoutingSink,
     )
 
     if spec["kind"] == "memory":
         return MemorySink()
-    if spec["kind"] == "parquet_scd2":
-        return ParquetScd2Sink(spec["root"], keys=keys, spark=spark)
-    return ParquetCurrentStateSink(spec["root"], keys=keys, spark=spark)
+    if spec["kind"] == "parquet_changelog":
+        return ParquetChangelogSink(spec["root"])
+    cls = ParquetScd2Sink if spec["kind"] == "parquet_scd2" else ParquetCurrentStateSink
+    per_table = {
+        t["name"]: cls(
+            spec["root"], keys=t["keys"], spark=spark,
+            n_buckets=spec.get("n_buckets"),
+        )
+        for t in tables
+    }
+    if len(per_table) == 1:
+        return next(iter(per_table.values()))
+    return TableRoutingSink(per_table)
 
 
 class PipelineRegistry:
@@ -208,8 +226,7 @@ class PipelineRegistry:
             )
             for t in cfg["tables"]
         ]
-        keys = cfg["tables"][0]["keys"]
-        sink = _build_sink(cfg["sink"], keys, spark)
+        sink = _build_sink(cfg["sink"], cfg["tables"], spark)
         return Pipeline(
             spark, cfg["source_dir"], tables, sink,
             self._work_dir(pipeline_id),

@@ -72,18 +72,51 @@ def compact_parquet_dir(
 
 
 def expire_versions(table_root: str, keep: int = 2) -> list[str]:
-    """Delete superseded current-state version directories, newest ``keep``
+    """Delete superseded version directories, newest ``keep`` versions
     retained (the snapshot-expiry half of D4 maintenance). Never touches
     the live pointer's version (keep is clamped to ≥ 1). Returns the
-    removed dir names."""
+    removed dir names.
+
+    Manifest-aware: bucket-manifest tables
+    (:class:`etl_spark.streaming.sinks.ParquetCurrentStateSink` layout)
+    reference OLD version dirs from the current manifest (untouched
+    buckets are carried forward, never rewritten), so a dir is removable
+    only when NO retained manifest references it. Plain version-dir
+    tables fall back to newest-``keep``-dirs retention."""
+    import json
+
     keep = max(1, keep)
     versions = sorted(
-        (d for d in os.listdir(table_root) if d.startswith("v")),
+        (d for d in os.listdir(table_root)
+         if d.startswith("v") and d[1:].isdigit()),
         key=lambda d: int(d[1:]),
     )
-    doomed = versions[:-keep]
+    manifests = sorted(
+        (f for f in os.listdir(table_root)
+         if f.startswith("manifest_v") and f.endswith(".json")),
+        key=lambda f: int(f[len("manifest_v"):-len(".json")]),
+    )
     removed = []
-    for d in doomed:
-        shutil.rmtree(os.path.join(table_root, d))
-        removed.append(d)
+    if manifests:
+        retained = manifests[-keep:]
+        live: set[str] = set()
+        for m in retained:
+            with open(os.path.join(table_root, m)) as f:
+                data = json.load(f)
+            live |= set(data["buckets"].values())
+            if data.get("empty"):
+                live.add(data["empty"].split("/", 1)[0])
+        newest = int(retained[-1][len("manifest_v"):-len(".json")])
+        for d in versions:
+            # never touch dirs newer than the newest retained manifest
+            # (an in-flight uncommitted write) or any referenced dir
+            if int(d[1:]) <= newest and d not in live:
+                shutil.rmtree(os.path.join(table_root, d))
+                removed.append(d)
+        for m in manifests[:-keep]:
+            os.remove(os.path.join(table_root, m))
+    else:
+        for d in versions[:-keep]:
+            shutil.rmtree(os.path.join(table_root, d))
+            removed.append(d)
     return removed

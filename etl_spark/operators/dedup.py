@@ -442,7 +442,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_candidates(
-    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_pairs_per_clique: int | None = None,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ ``max_hamming``.
 
@@ -463,7 +467,44 @@ def simhash_candidates(
     mega-clusters a production pipeline keeps counts + exemplar ids
     instead of materializing every pair; cap that by pre-limiting docs
     per fingerprint.)
+
+    ``max_pairs_per_clique`` is that cap made explicit — the guard rail
+    for the endpoint's inherent |clique|² output (prefer
+    :func:`simhash_clusters`, one row per fingerprint, for 100 TB runs;
+    SCALE.md steers there). When a same-fingerprint clique would emit
+    more pairs than the budget: ``on_overflow='error'`` (default) fails
+    loudly BEFORE the expansion join runs, naming the worst clique, so a
+    caller can't trip the quadratic path by accident;
+    ``on_overflow='truncate'`` keeps only the lowest-id members per
+    fingerprint that fit the budget (deterministic, documented loss).
     """
+    if max_pairs_per_clique is not None:
+        import math
+
+        from pyspark.sql import Window
+
+        # largest clique size whose m(m-1)/2 pairs fit the budget
+        cap = (1 + math.isqrt(1 + 8 * max_pairs_per_clique)) // 2
+        counts = fp.groupBy("simhash").agg(F.count("*").alias("__m"))
+        if on_overflow == "error":
+            worst = counts.agg(F.max("__m").alias("mx")).collect()[0]["mx"] or 0
+            if worst > cap:
+                raise ValueError(
+                    f"simhash clique of {worst} docs would emit "
+                    f"{worst * (worst - 1) // 2} pairs "
+                    f"(> max_pairs_per_clique={max_pairs_per_clique}); use "
+                    "simhash_clusters for linear output, or "
+                    "on_overflow='truncate' to cap members per fingerprint"
+                )
+        elif on_overflow == "truncate":
+            w = Window.partitionBy("simhash").orderBy(id_col)
+            fp = (
+                fp.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cap)
+                .drop("__rn")
+            )
+        else:
+            raise ValueError(f"unknown on_overflow mode {on_overflow!r}")
     distinct_fp = fp.select("simhash").distinct()
     blocks = distinct_fp.select(
         "simhash",

@@ -2652,3 +2652,7 @@ FROM rranked WHERE rank <= 5""",
 # incremental SCD2 destination must equal the one-shot batch window —
 # the SAME oracle, so the gate proves incremental == batch maintenance
 ORACLES["cdc_scd2_incremental"] = ORACLES["cdc_scd2_history"]
+
+# crash-recovered cross-batch flush must land on exactly the one-shot
+# batch LWW state — the same oracle as cdc_current_state by construction
+ORACLES["cdc_xbatch_recovery"] = ORACLES["cdc_current_state"]

@@ -137,10 +137,32 @@ def _bin_float_text(v: float) -> str:
     return repr(v)
 
 
+def _bin_float4_text(v: float) -> str:
+    """float4 → PG-compatible text: the SHORTEST decimal that round-trips
+    to the same float32 (PG's float4out with extra_float_digits≥1), so
+    binary=true and text publications of the same value land on identical
+    destination strings — repr(double(float32)) would print
+    '0.10000000149011612' where PG emits '0.1'."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return _bin_float_text(v)
+    import numpy as _np
+
+    return repr(_np.float32(v))
+
+
 def _bin_date_text(days: int) -> str:
     import datetime as _dt
 
     return (_dt.date(2000, 1, 1) + _dt.timedelta(days=days)).isoformat()
+
+
+def _trim_frac(us_frac: int) -> str:
+    """'.ffffff' with trailing zeros trimmed, '' when zero — PG's
+    timestamp/time output style (binary and text paths must canonicalize
+    identically)."""
+    if not us_frac:
+        return ""
+    return (".%06d" % us_frac).rstrip("0")
 
 
 def _bin_ts_text(us: int, tz_suffix: str = "") -> str:
@@ -148,7 +170,98 @@ def _bin_ts_text(us: int, tz_suffix: str = "") -> str:
 
     base = _dt.datetime(2000, 1, 1, tzinfo=_dt.timezone.utc)
     dt = base + _dt.timedelta(microseconds=us)
-    return dt.strftime("%Y-%m-%d %H:%M:%S.%f") + tz_suffix
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + _trim_frac(dt.microsecond) + tz_suffix
+
+
+def _bin_time_text(us: int) -> str:
+    """time wire (µs since midnight, int64) → 'HH:MM:SS[.ffffff]'."""
+    s, frac = divmod(us, 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return "%02d:%02d:%02d%s" % (h, m, sec, _trim_frac(frac))
+
+
+def _bin_timetz_text(d: bytes) -> str:
+    """timetz wire (int64 µs since midnight + int32 zone seconds WEST of
+    UTC, timetz_send) → 'HH:MM:SS[.f]±HH[:MM[:SS]]'. Display offset is the
+    NEGATION of the stored west-positive zone (PG convention;
+    etl-postgres/src/time.rs:81-95 models the same fixed offset)."""
+    us, zone_west = struct.unpack(">qi", d)
+    off = -zone_west  # seconds east of UTC, as displayed
+    sign = "-" if off < 0 else "+"
+    a = abs(off)
+    oh, rem = divmod(a, 3600)
+    om, osec = divmod(rem, 60)
+    out = "%s%02d" % (sign, oh)
+    if om or osec:
+        out += ":%02d" % om
+    if osec:
+        out += ":%02d" % osec
+    return _bin_time_text(us) + out
+
+
+_NUMERIC_POS, _NUMERIC_NEG = 0x0000, 0x4000
+_NUMERIC_NAN, _NUMERIC_PINF, _NUMERIC_NINF = 0xC000, 0xD000, 0xF000
+
+
+def _bin_numeric_text(d: bytes) -> str:
+    """numeric wire (numeric_send: ndigits, weight, sign, dscale, then
+    base-10000 digit words) → PG text form with exactly ``dscale``
+    fractional digits. Mirrors the reference's base-10000 model
+    (etl-postgres/src/numeric.rs:70-100) incl. NaN/±Infinity words."""
+    ndigits, weight, sign, dscale = struct.unpack(">hhHH", d[:8])
+    if sign == _NUMERIC_NAN:
+        return "NaN"
+    if sign == _NUMERIC_PINF:
+        return "Infinity"
+    if sign == _NUMERIC_NINF:
+        return "-Infinity"
+    digits = struct.unpack(">%dH" % ndigits, d[8 : 8 + 2 * ndigits])
+    # integer part: digit words 0..weight (omitted trailing words are 0)
+    if weight >= 0:
+        ip = str(digits[0]) if ndigits > 0 else "0"
+        for i in range(1, weight + 1):
+            ip += "%04d" % (digits[i] if i < ndigits else 0)
+    else:
+        ip = "0"
+    # fractional part: words after the units word, left-padded when the
+    # first nonzero word sits below 10^-4 (weight < -1)
+    frac = "0000" * max(0, -weight - 1)
+    for i in range(max(weight + 1, 0), ndigits):
+        frac += "%04d" % digits[i]
+    frac = (frac + "0" * dscale)[:dscale]
+    out = ip + ("." + frac if dscale else "")
+    return "-" + out if sign == _NUMERIC_NEG else out
+
+
+def _numeric_wire_from_text(s: str) -> bytes:
+    """Inverse of :func:`_bin_numeric_text` (test-harness encoder)."""
+    s = s.strip()
+    if s == "NaN":
+        return struct.pack(">hhHH", 0, 0, _NUMERIC_NAN, 0)
+    if s in ("Infinity", "+Infinity", "inf"):
+        return struct.pack(">hhHH", 0, 0, _NUMERIC_PINF, 0)
+    if s in ("-Infinity", "-inf"):
+        return struct.pack(">hhHH", 0, 0, _NUMERIC_NINF, 0)
+    sign = _NUMERIC_NEG if s.startswith("-") else _NUMERIC_POS
+    s = s.lstrip("+-")
+    ip, _, fp = s.partition(".")
+    dscale = len(fp)
+    ip = ip.lstrip("0")
+    n_int_words = (len(ip) + 3) // 4
+    ip_padded = ip.zfill(n_int_words * 4)
+    fp_padded = fp + "0" * (-len(fp) % 4)
+    words = [int(ip_padded[i : i + 4]) for i in range(0, len(ip_padded), 4)]
+    words += [int(fp_padded[i : i + 4]) for i in range(0, len(fp_padded), 4)]
+    weight = n_int_words - 1
+    while words and words[0] == 0:
+        words.pop(0)
+        weight -= 1
+    while words and words[-1] == 0:
+        words.pop()
+    if not words:
+        sign, weight = _NUMERIC_POS, 0
+    return struct.pack(">hhHH%dH" % len(words), len(words), weight, sign, dscale, *words)
 
 
 BINARY_DECODERS = {
@@ -156,7 +269,7 @@ BINARY_DECODERS = {
     21: lambda d: str(struct.unpack(">h", d)[0]),                         # int2
     23: lambda d: str(struct.unpack(">i", d)[0]),                         # int4
     20: lambda d: str(struct.unpack(">q", d)[0]),                         # int8
-    700: lambda d: _bin_float_text(struct.unpack(">f", d)[0]),            # float4
+    700: lambda d: _bin_float4_text(struct.unpack(">f", d)[0]),           # float4
     701: lambda d: _bin_float_text(struct.unpack(">d", d)[0]),            # float8
     25: lambda d: d.decode(),                                             # text
     19: lambda d: d.decode(),                                             # name
@@ -169,16 +282,75 @@ BINARY_DECODERS = {
     1184: lambda d: _bin_ts_text(struct.unpack(">q", d)[0], "+00"),       # timestamptz
     114: lambda d: d.decode(),                                            # json
     3802: lambda d: d[1:].decode(),                                       # jsonb (ver byte)
+    1700: _bin_numeric_text,                                              # numeric
+    1083: lambda d: _bin_time_text(struct.unpack(">q", d)[0]),            # time
+    1266: _bin_timetz_text,                                               # timetz
 }
+
+#: array type OID → element type OID (pg_type.dat typarray pairs) for the
+#: 1-D binary array format (array_send); multidim rejected like the text
+#: parser (value_roundtrip.rs:17-18)
+ARRAY_ELEM_OIDS = {
+    1000: 16, 1005: 21, 1007: 23, 1016: 20, 1021: 700, 1022: 701,
+    1009: 25, 1003: 19, 1014: 1042, 1015: 1043, 1001: 17, 2951: 2950,
+    1182: 1082, 1115: 1114, 1185: 1184, 199: 114, 3807: 3802,
+    1231: 1700, 1183: 1083, 1270: 1266,
+}
+
+_ARRAY_QUOTE_NEEDED = set(' {},"\\\t\n\r')
+
+
+def _array_elem_text(txt: str) -> str:
+    """Quote an element for a PG array literal exactly as array_out does:
+    empty strings, NULL-lookalikes, and elements containing delimiters /
+    braces / quotes / backslashes / whitespace get double-quoted with
+    backslash escapes."""
+    if txt == "" or txt.upper() == "NULL" or any(c in _ARRAY_QUOTE_NEEDED for c in txt):
+        return '"' + txt.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return txt
+
+
+def _bin_array_text(array_oid: int, d: bytes) -> str:
+    """1-D binary array (array_send: ndim, hasnull, elem oid, dim len +
+    lower bound, then per-element length-prefixed binary cells) → the text
+    literal the F9 parser consumes. Explicit non-1 lower bounds keep the
+    ``[lb:ub]=`` prefix (text.rs tests :320-415)."""
+    ndim, _hasnull, elem_oid = struct.unpack(">iii", d[:12])
+    if ndim == 0:
+        return "{}"
+    if ndim != 1:
+        raise ValueError(
+            f"multidimensional binary array (ndim={ndim}) not supported; "
+            "reference rejects multidim arrays (value_roundtrip.rs:17-18)"
+        )
+    want_elem = ARRAY_ELEM_OIDS.get(array_oid)
+    if want_elem is not None and elem_oid != want_elem:
+        raise ValueError(
+            f"array OID {array_oid} carries element OID {elem_oid}, expected {want_elem}"
+        )
+    n, lbound = struct.unpack(">ii", d[12:20])
+    pos = 20
+    out = []
+    for _ in range(n):
+        (elen,) = struct.unpack(">i", d[pos : pos + 4])
+        pos += 4
+        if elen == -1:
+            out.append("NULL")
+        else:
+            out.append(
+                _array_elem_text(decode_binary_cell(elem_oid, d[pos : pos + elen]))
+            )
+            pos += elen
+    body = "{" + ",".join(out) + "}"
+    if lbound != 1:
+        return f"[{lbound}:{lbound + n - 1}]={body}"
+    return body
 
 
 #: OIDs whose TEXT representation the F1–F10 codecs parse natively; any
 #: other OID is a custom/extension type whose values stay Cell::String
 #: pass-through (reference cell.rs:8-14 semantics)
-BUILTIN_TYPE_OIDS = frozenset(BINARY_DECODERS) | {
-    1700,  # numeric
-    1083,  # time
-    1266,  # timetz
+BUILTIN_TYPE_OIDS = frozenset(BINARY_DECODERS) | frozenset(ARRAY_ELEM_OIDS) | {
     18,    # char
     26,    # oid
 }
@@ -187,12 +359,14 @@ BUILTIN_TYPE_OIDS = frozenset(BINARY_DECODERS) | {
 def decode_binary_cell(type_oid: int, data: bytes) -> str:
     """Binary wire cell → canonical text form for the envelope."""
     dec = BINARY_DECODERS.get(type_oid)
-    if dec is None:
-        raise ValueError(
-            f"no binary-format decoder for type OID {type_oid}; "
-            "create the publication without (binary = true) for this type"
-        )
-    return dec(data)
+    if dec is not None:
+        return dec(data)
+    if type_oid in ARRAY_ELEM_OIDS:
+        return _bin_array_text(type_oid, data)
+    raise ValueError(
+        f"no binary-format decoder for type OID {type_oid}; "
+        "create the publication without (binary = true) for this type"
+    )
 
 
 def encode_binary_cell(type_oid: int, value) -> BinaryCell:
@@ -233,6 +407,40 @@ def encode_binary_cell(type_oid: int, value) -> BinaryCell:
         # is a float and loses sub-µs precision past ~±270 years
         us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
         return BinaryCell(struct.pack(">q", us))
+    if type_oid == 1700:
+        return BinaryCell(_numeric_wire_from_text(str(value)))
+    if type_oid == 1083:
+        import datetime as _dt
+
+        if isinstance(value, _dt.time):
+            value = (
+                (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
+                + value.microsecond
+            )
+        return BinaryCell(struct.pack(">q", value))
+    if type_oid == 1266:
+        import datetime as _dt
+
+        if isinstance(value, _dt.time):
+            off = int(value.utcoffset().total_seconds())
+            us = (
+                (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
+                + value.microsecond
+            )
+            value = (us, off)
+        us, off_east = value
+        return BinaryCell(struct.pack(">qi", us, -off_east))  # wire is west-positive
+    if type_oid in ARRAY_ELEM_OIDS:
+        elem_oid = ARRAY_ELEM_OIDS[type_oid]
+        parts = [struct.pack(">iiiii", 1, int(any(v is None for v in value)),
+                             elem_oid, len(value), 1)]
+        for v in value:
+            if v is None:
+                parts.append(struct.pack(">i", -1))
+            else:
+                payload = encode_binary_cell(elem_oid, v).data
+                parts.append(struct.pack(">i", len(payload)) + payload)
+        return BinaryCell(b"".join(parts))
     raise ValueError(f"no binary-format encoder for type OID {type_oid}")
 
 
@@ -746,11 +954,15 @@ def decode_frames(
                         after = dumps(vals)
                         missing = miss or None
                     if old is not None:
+                        # i < len(cols): a tuple WIDER than the registry
+                        # snapshot (pre-DDL row decoded after a column drop
+                        # in the same batch) drops the extra trailing cells
+                        # — same tolerance as the 'after' path above
                         before = dumps({
                             cols[i]: (None if isinstance(v, toast)
                                       else bdecode(oids, i, v) if type(v) is bcell
                                       else v)
-                            for i, v in enumerate(old)})
+                            for i, v in enumerate(old) if i < len(cols)})
                         kind = "FULL"
                     elif key is not None:
                         # dense key tuple (len == identity cols) or
@@ -765,7 +977,7 @@ def decode_frames(
                             before = dumps({
                                 cols[i]: (bdecode(oids, i, v) if type(v) is bcell else v)
                                 for i, v in enumerate(key)
-                                if v is not None})
+                                if v is not None and i < len(cols)})
                         kind = "KEY"
                     ap((wal, xid, op, rel["table"], after, before, kind,
                         missing, None))

@@ -167,25 +167,29 @@ class ControlStore:
     def transition(self, table: str, to: TableState, lsn: int | None = None,
                    error: str | None = None,
                    retry_policy: RetryPolicy | None = None) -> TableEntry:
-        e = self.get(table)
-        if to not in TRANSITIONS[e.state] and to != e.state:
-            raise IllegalTransition(f"{e.table}: {e.state.value} → {to.value}")
-        e.state = to
-        if lsn is not None:
-            e.lsn = lsn
-        e.error = error
-        e.retry_policy = retry_policy
-        if to == TableState.ERRORED:
-            import time as _time
-
-            e.errored_at = _time.time()
-            e.attempts += 1
-        elif to in (TableState.SYNC_DONE, TableState.READY):
-            e.errored_at = None
-            e.attempts = 0  # healthy again: the failure streak resets
+        # hold the lock for the WHOLE mutation + save, not just the save:
+        # advance_flush_lsn on the flush thread serializes behind it, so a
+        # half-applied transition (new state, stale attempts) can never be
+        # persisted to disk
         with self._mu:
+            e = self.get(table)
+            if to not in TRANSITIONS[e.state] and to != e.state:
+                raise IllegalTransition(f"{e.table}: {e.state.value} → {to.value}")
+            e.state = to
+            if lsn is not None:
+                e.lsn = lsn
+            e.error = error
+            e.retry_policy = retry_policy
+            if to == TableState.ERRORED:
+                import time as _time
+
+                e.errored_at = _time.time()
+                e.attempts += 1
+            elif to in (TableState.SYNC_DONE, TableState.READY):
+                e.errored_at = None
+                e.attempts = 0  # healthy again: the failure streak resets
             self._save()
-        return e
+            return e
 
     def restart_reset(self) -> list[str]:
         """Apply restart semantics: tables not yet SyncDone/Ready fall back

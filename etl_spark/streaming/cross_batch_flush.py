@@ -46,6 +46,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,13 @@ class FlushLedger:
     def __init__(self, path: str):
         self.path = path
         self._b: dict[int, dict] = {}
+        # add_op/open_batch run on the driver thread while
+        # mark_op_acked/mark_batch_acked run on the flush thread, each
+        # persisting the SHARED dict — without a lock an interleaved save
+        # could durably drop a just-recorded per-op ack (redundant replay)
+        # and integrity would rest on GIL atomicity. Same reason
+        # ControlStore holds _mu for its whole mutation+save.
+        self._mu = threading.Lock()
         try:
             with open(path) as f:
                 self._b = {int(k): v for k, v in json.load(f).items()}
@@ -77,38 +85,46 @@ class FlushLedger:
         os.replace(tmp, self.path)
 
     def open_batch(self, batch_id: int, max_lsn: int | None) -> None:
-        self._b[batch_id] = {
-            "max_lsn": max_lsn, "ops": [], "complete": False, "acked": False,
-        }
-        self._save()
+        with self._mu:
+            self._b[batch_id] = {
+                "max_lsn": max_lsn, "ops": [], "complete": False, "acked": False,
+            }
+            self._save()
 
     def add_op(self, batch_id: int, kind: str, table: str, path: str | None) -> int:
-        ops = self._b[batch_id]["ops"]
-        ops.append({"kind": kind, "table": table, "path": path, "acked": False})
-        self._save()
-        return len(ops) - 1
+        with self._mu:
+            ops = self._b[batch_id]["ops"]
+            ops.append({"kind": kind, "table": table, "path": path, "acked": False})
+            self._save()
+            return len(ops) - 1
 
     def mark_op_acked(self, batch_id: int, op_idx: int) -> None:
-        self._b[batch_id]["ops"][op_idx]["acked"] = True
-        self._save()
+        with self._mu:
+            self._b[batch_id]["ops"][op_idx]["acked"] = True
+            self._save()
 
     def mark_dispatch_complete(self, batch_id: int) -> None:
-        self._b[batch_id]["complete"] = True
-        self._save()
+        with self._mu:
+            self._b[batch_id]["complete"] = True
+            self._save()
 
     def mark_batch_acked(self, batch_id: int) -> None:
-        self._b[batch_id]["acked"] = True
-        self._save()
+        with self._mu:
+            self._b[batch_id]["acked"] = True
+            self._save()
 
     def drop(self, batch_id: int) -> None:
-        self._b.pop(batch_id, None)
-        self._save()
+        with self._mu:
+            self._b.pop(batch_id, None)
+            self._save()
 
     def unacked_batches(self) -> list[int]:
-        return sorted(b for b, v in self._b.items() if not v["acked"])
+        with self._mu:
+            return sorted(b for b, v in self._b.items() if not v["acked"])
 
     def batch(self, batch_id: int) -> dict:
-        return self._b[batch_id]
+        with self._mu:
+            return self._b[batch_id]
 
 
 class CrossBatchFlushSink(Sink):

@@ -9,14 +9,37 @@ every write is the reference's ``Durable`` result — the ``Accepted``
 drop (SURVEY T5: "simplest correct port is synchronous Durable-only").
 
 Two parquet materializations mirror the two destination semantics
-(SURVEY §2.10): changelog-append and current-state. Current state uses a
-versioned-directory swap (write new version, atomically repoint a VERSION
-file) because plain parquet has no MERGE; on Delta/Iceberg the same class
-shape becomes a real ``MERGE INTO``.
+(SURVEY §2.10): changelog-append and current-state. The state sinks apply
+CHANGES, not the world — the reference's core destination property
+(BigQuery CDC upserts only the batch's rows, bigquery/core.rs:1409-1478;
+DuckLake's staging merge touches only affected rows,
+ducklake/core.rs:1133-1216). Plain parquet has no MERGE, so the same
+property is achieved with a bucket layout + manifest swap:
+
+* every row is hashed into one of ``n_buckets`` key-buckets
+  (``pmod(xxhash64(keys), n)``) — all versions of a key share a bucket;
+* each committed version is a tiny JSON MANIFEST mapping bucket id →
+  the physical directory holding that bucket's current rows;
+* ``write_changes`` reads ONLY the batch's touched buckets, merges, and
+  writes ONLY those buckets into a fresh ``v{N}`` directory; the new
+  manifest points touched buckets at ``v{N}`` and carries every
+  untouched bucket's entry forward — those files are never read, never
+  rewritten (byte-identical across the batch);
+* readers resolve ``VERSION`` → manifest → bucket paths, so the swap of
+  the VERSION pointer stays the single atomic commit: snapshot
+  isolation without a table format, replay-idempotent (LWW / event_seq
+  dedup converges), O(batch + touched buckets) per micro-batch instead
+  of O(table).
+
+At 100 TB, size ``n_buckets`` so a bucket is a few GB (e.g. 4096+): a
+micro-batch touching k keys rewrites ≤ k buckets ≈ k·(table/n), not the
+table. On Delta/Iceberg the same class shape becomes a real ``MERGE
+INTO``; the manifest here plays the role of their snapshot metadata.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -74,22 +97,38 @@ class ParquetChangelogSink(Sink):
         )
 
 
-class ParquetCurrentStateSink(Sink):
-    """Current-state (LWW) table with versioned-directory swap.
+def _stamp_snapshot(df: DataFrame, snapshot_lsn: int) -> DataFrame:
+    """Stamp snapshot rows as INSERTs at the snapshot LSN so stream
+    batches merge against them by event_seq (overlap-safe, SURVEY T6)."""
+    for col, expr in {
+        "op": F.lit("INSERT"),
+        "commit_lsn": F.lit(snapshot_lsn).cast("long"),
+        "tx_ordinal": F.lit(0).cast("long"),
+        "event_seq": F.lit(snapshot_lsn).cast("decimal(38,0)")
+        * F.lit("18446744073709551616").cast("decimal(38,0)"),
+    }.items():
+        if col not in df.columns:
+            df = df.withColumn(col, expr)
+    return df
 
-    Each ``write_changes`` merges the batch into the live version via
-    :func:`etl_spark.operators.materialize.merge_current_state` and writes
-    version N+1, then atomically repoints ``VERSION``. Readers resolve
-    ``VERSION`` first → snapshot isolation without a table format; replays
-    of the same batch converge to the same content (LWW by event_seq).
-    """
 
-    def __init__(self, root: str, keys: list[str], spark: SparkSession):
+class _BucketedVersionedTable:
+    """Shared plumbing for the bucket-manifest state sinks (see module
+    docstring): VERSION pointer, per-version manifests, bucket-pruned
+    reads, touched-bucket-only commits."""
+
+    #: default key-bucket count; a real deployment sizes this so one
+    #: bucket ≈ a few GB (manifest pins it per table after first write)
+    DEFAULT_BUCKETS = 32
+
+    def __init__(self, root: str, keys: list[str], spark: SparkSession,
+                 n_buckets: int | None = None):
         self.root = root
         self.keys = keys
         self.spark = spark
+        self.n_buckets = n_buckets or self.DEFAULT_BUCKETS
 
-    # -- version plumbing --------------------------------------------------
+    # -- version pointer (the atomic commit) --------------------------------
     def _vpath(self, table: str) -> str:
         return os.path.join(self.root, table, "VERSION")
 
@@ -113,29 +152,209 @@ class ParquetCurrentStateSink(Sink):
     def _data_dir(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, f"v{version}")
 
-    # -- Sink --------------------------------------------------------------
-    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
-        from pyspark.sql import functions as F
+    # -- manifests -----------------------------------------------------------
+    def _mpath(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"manifest_v{version}.json")
 
-        # stamp snapshot rows as INSERTs at the snapshot LSN so stream
-        # batches merge against them by event_seq (overlap-safe, SURVEY T6)
-        for col, expr in {
-            "op": F.lit("INSERT"),
-            "commit_lsn": F.lit(snapshot_lsn).cast("long"),
-            "tx_ordinal": F.lit(0).cast("long"),
-            "event_seq": F.lit(snapshot_lsn).cast("decimal(38,0)")
-            * F.lit("18446744073709551616").cast("decimal(38,0)"),
-        }.items():
-            if col not in df.columns:
-                df = df.withColumn(col, expr)
-        v = self._current_version(table) + 1
-        df.write.mode("overwrite").parquet(self._data_dir(table, v))
-        self._point(table, v, None)
+    def _manifest(self, table: str, version: int) -> dict:
+        with open(self._mpath(table, version)) as f:
+            return json.load(f)
+
+    def _bucket_expr(self, n_buckets: int):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(n_buckets)
+        ).cast("int")
+
+    def _touched_buckets(self, df: DataFrame, n_buckets: int) -> list[int]:
+        """Distinct bucket ids in a batch — bounded by n_buckets, so the
+        collect is a small driver-side list (the rollup.py pattern)."""
+        return sorted(
+            r[0]
+            for r in df.select(self._bucket_expr(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+
+    # -- read ----------------------------------------------------------------
+    def _read_buckets(
+        self, table: str, bucket_ids: list[int] | None = None
+    ) -> DataFrame | None:
+        """Rows for ``bucket_ids`` (None = all) at the current version.
+
+        Reads ONLY the referenced ``v*/__bucket=b`` directories — an
+        untouched bucket costs nothing, a pruned read costs only its own
+        buckets. Returns None when no stored rows match (new buckets);
+        returns the schema-bearing empty frame when the table is empty.
+        """
+        meta = self._current_meta(table)
+        manifest = self._manifest(table, meta["version"])
+        buckets: dict[str, str] = manifest["buckets"]
+        if bucket_ids is not None:
+            want = {str(b) for b in bucket_ids}
+            buckets = {b: vd for b, vd in buckets.items() if b in want}
+        if not buckets:
+            if bucket_ids is None and manifest.get("empty"):
+                return self.spark.read.parquet(
+                    os.path.join(self.root, table, manifest["empty"])
+                )
+            return None
+        by_vdir: dict[str, list[str]] = {}
+        for b, vd in buckets.items():
+            by_vdir.setdefault(vd, []).append(b)
+        parts = []
+        for vd, bs in sorted(by_vdir.items()):
+            base = os.path.join(self.root, table, vd)
+            paths = [os.path.join(base, f"__bucket={b}") for b in sorted(bs, key=int)]
+            parts.append(
+                self.spark.read.option("basePath", base).parquet(*paths)
+            )
+        # allowMissingColumns: schema evolution — a column added by DDL
+        # exists only in buckets rewritten since (older buckets read NULL)
+        df = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        return df.drop("__bucket")
+
+    def _schema_frame(self, table: str) -> DataFrame | None:
+        """limit(0) frame with the table's STORED schema (a parquet footer
+        read, no data scan). Used as the type anchor when a batch touches
+        only brand-new buckets: the merge union coerces text-decoded batch
+        columns to the stored types, exactly as merging into a populated
+        bucket would."""
+        meta = self._current_meta(table)
+        manifest = self._manifest(table, meta["version"])
+        if manifest["buckets"]:
+            b, vd = min(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+            base = os.path.join(self.root, table, vd)
+            return (
+                self.spark.read.option("basePath", base)
+                .parquet(os.path.join(base, f"__bucket={b}"))
+                .drop("__bucket")
+                .limit(0)
+            )
+        if manifest.get("empty"):
+            return self.spark.read.parquet(
+                os.path.join(self.root, table, manifest["empty"])
+            ).limit(0)
+        return None
+
+    def _canonicalize_keys(self, table: str, df: DataFrame) -> DataFrame:
+        """Cast the batch's key columns to the STORED key types before any
+        bucket hashing. ``xxhash64('2' as string) != xxhash64(2 as long)``
+        — a text-decoded key would bucket away from its stored row and the
+        merge would never see it. The stored schema is the canonical type
+        (one parquet footer read, no data scan)."""
+        anchor = self._schema_frame(table)
+        if anchor is None:
+            return df
+        stored_types = dict(anchor.dtypes)
+        batch_types = dict(df.dtypes)
+        for k in self.keys:
+            want = stored_types.get(k)
+            if want is not None and batch_types.get(k) != want:
+                df = df.withColumn(k, F.col(k).cast(want))
+        return df
+
+    # -- commit ---------------------------------------------------------------
+    def _commit(
+        self,
+        table: str,
+        out: DataFrame,
+        touched: list[int] | None,
+        batch_id: int | None,
+    ) -> None:
+        """Write ``out``'s buckets into a fresh v{N} dir and publish the
+        manifest: touched buckets repoint to v{N}, untouched entries carry
+        forward untouched (their files are never rewritten). ``touched``
+        None = full rewrite (snapshot / truncate / compaction)."""
+        meta = self._current_meta(table)
+        old = (
+            self._manifest(table, meta["version"])
+            if meta["version"] >= 0
+            else {"n_buckets": self.n_buckets, "buckets": {}, "empty": None}
+        )
+        n = old["n_buckets"]
+        nv = meta["version"] + 1
+        vname = f"v{nv}"
+        vdir = self._data_dir(table, nv)
+        # mode=overwrite: a crash-then-replay that re-attempts the same
+        # version number replaces the torn dir wholesale
+        (
+            out.withColumn("__bucket", self._bucket_expr(n))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(vdir)
+        )
+        present = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("__bucket=")
+        )
+        buckets = {} if touched is None else dict(old["buckets"])
+        if touched is not None:
+            for b in touched:
+                buckets.pop(str(b), None)  # touched-and-now-empty: drop
+        for b in present:
+            buckets[str(b)] = vname
+        manifest = {"n_buckets": n, "buckets": buckets, "empty": old.get("empty")}
+        if not buckets:
+            # keep a schema-bearing empty frame readable (truncate / all
+            # rows deleted); plain parquet write of limit(0) stores schema
+            empty_dir = os.path.join(vdir, "_empty")
+            out.limit(0).write.mode("overwrite").parquet(empty_dir)
+            manifest["empty"] = f"{vname}/_empty"
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._vpath(table)))
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._mpath(table, nv))
+        # the ONE atomic commit: readers never see a half-written version
+        self._point(table, nv, batch_id)
+
+    def _truncate(self, table: str) -> None:
+        cur_v = self._current_version(table)
+        if cur_v < 0:
+            return  # nothing to drop (fresh table pre-copy)
+        cur = self._read_buckets(table)
+        self._commit(table, cur.limit(0), touched=None, batch_id=None)
+
+    def compact(self, table: str) -> None:
+        """Full rewrite into a single fresh version (the OPTIMIZE analog):
+        folds a long manifest chain so reads touch one version dir again.
+        Run with :func:`etl_spark.maintenance.expire_versions` to reclaim
+        the superseded dirs."""
+        self._commit(table, self._read_buckets(table), touched=None, batch_id=None)
+
+    def live_dirs(self, table: str) -> set[str]:
+        """Version-dir names referenced by the CURRENT manifest (for
+        manifest-aware version expiry)."""
+        manifest = self._manifest(table, self._current_version(table))
+        live = {vd for vd in manifest["buckets"].values()}
+        if manifest.get("empty"):
+            live.add(manifest["empty"].split("/", 1)[0])
+        return live
+
+
+class ParquetCurrentStateSink(_BucketedVersionedTable, Sink):
+    """Current-state (LWW) table with bucket-manifest incremental writes.
+
+    Each ``write_changes`` merges the batch into ONLY its touched key
+    buckets via :func:`etl_spark.operators.materialize.merge_current_state`
+    and commits a manifest + VERSION swap (see module docstring). Readers
+    resolve ``VERSION`` first → snapshot isolation without a table format;
+    replays of the same batch converge to the same content (LWW by
+    event_seq). Work per batch: O(batch + touched-bucket data), never
+    O(table) — the reference's apply-changes-only destination property
+    (bigquery/core.rs:1409-1478, ducklake/core.rs:1133-1216).
+    """
+
+    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
+        self._commit(
+            table, _stamp_snapshot(df, snapshot_lsn), touched=None, batch_id=None
+        )
 
     def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
         meta = self._current_meta(table)
-        v = meta["version"]
-        if v < 0:
+        if meta["version"] < 0:
             raise RuntimeError(f"no snapshot for {table}; run write_snapshot first")
         if meta.get("batch_id") == batch_id:
             # replayed delivery of the already-applied batch (restart between
@@ -143,25 +362,30 @@ class ParquetCurrentStateSink(Sink):
             # anyway — this is the applied-batches fast path
             # (ducklake/core.rs:74-80)
             return
-        target = self.spark.read.parquet(self._data_dir(table, v))
-        merged = materialize.merge_current_state(target, df, self.keys)
-        nv = v + 1
-        merged.write.mode("overwrite").parquet(self._data_dir(table, nv))
-        self._point(table, nv, batch_id)
+        df = self._canonicalize_keys(table, df)
+        n = self._manifest(table, meta["version"])["n_buckets"]
+        touched = self._touched_buckets(df, n)
+        if not touched:
+            self._point(table, meta["version"], batch_id)
+            return
+        stored = self._read_buckets(table, touched)
+        if stored is None:
+            # brand-new buckets: still merge against the stored SCHEMA so
+            # the union coerces batch columns to the table's types
+            stored = self._schema_frame(table)
+        if stored is None:
+            merged = materialize.current_state(df, self.keys)
+        else:
+            merged = materialize.merge_current_state(stored, df, self.keys)
+        self._commit(table, merged, touched, batch_id)
 
     def truncate(self, table: str) -> None:
-        v = self._current_version(table)
-        if v < 0:
-            return  # nothing to drop (fresh table pre-copy)
-        cur = self.spark.read.parquet(self._data_dir(table, v))
-        cur.limit(0).write.mode("overwrite").parquet(self._data_dir(table, v + 1))
-        self._point(table, v + 1, None)
+        self._truncate(table)
 
     def read(self, table: str) -> DataFrame:
-        v = self._current_version(table)
-        if v < 0:
+        if self._current_version(table) < 0:
             raise RuntimeError(f"no data for {table}")
-        return self.spark.read.parquet(self._data_dir(table, v))
+        return self._read_buckets(table)
 
 
 class MemorySink(Sink):
@@ -183,7 +407,37 @@ class MemorySink(Sink):
         self.truncated.append(table)
 
 
-class ParquetScd2Sink(Sink):
+class TableRoutingSink(Sink):
+    """Route each table to its own inner sink (per-table replica-identity
+    keys). The reference keeps per-table destination state the same way —
+    one schema/key mapping per table inside one destination
+    (bigquery/core.rs table-id routing). Tables absent from the map fall
+    back to ``default`` (or raise)."""
+
+    def __init__(self, sinks: dict[str, Sink], default: Sink | None = None):
+        self.sinks = sinks
+        self.default = default
+
+    def _route(self, table: str) -> Sink:
+        s = self.sinks.get(table, self.default)
+        if s is None:
+            raise KeyError(f"no sink registered for table {table!r}")
+        return s
+
+    def write_snapshot(self, table: str, df: DataFrame) -> None:
+        self._route(table).write_snapshot(table, df)
+
+    def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
+        self._route(table).write_changes(table, df, batch_id)
+
+    def truncate(self, table: str) -> None:
+        self._route(table).truncate(table)
+
+    def read(self, table: str) -> DataFrame:
+        return self._route(table).read(table)
+
+
+class ParquetScd2Sink(_BucketedVersionedTable, Sink):
     """Versioned-dimension (SCD type-2) destination: one row per key
     VERSION with ``valid_from`` / ``valid_to`` / ``is_current``,
     maintained INCREMENTALLY per micro-batch — the warehouse shape
@@ -197,29 +451,18 @@ class ParquetScd2Sink(Sink):
     closes it; DELETE rows emit no version but persist internally as
     TOMBSTONES so later batches and replays keep closure correct.
 
-    Incremental merge per batch: split the stored table into untouched
-    keys (left anti on the batch's key set — scanned, never recomputed)
-    and touched keys, union the touched keys' stored EVENT history with
-    the batch, drop duplicate (key, event_seq) rows — the replay/
-    idempotence guard — and recompute validity bounds with the same
-    per-key lead window over the total event order. Work per batch is
-    O(batch + touched-key history); at warehouse scale with the table
-    bucketed by key the anti/semi joins are bucket-local.
+    Incremental merge per batch: the batch's touched key-buckets are read
+    (manifest-pruned — untouched buckets are never read OR rewritten, see
+    module docstring), the touched keys' stored EVENT history is unioned
+    with the batch, duplicate (key, event_seq) rows dropped — the replay/
+    idempotence guard — and validity bounds recomputed with the same
+    per-key lead window over the total event order. All versions of a key
+    share a bucket, so the window never spans buckets. Work per batch —
+    compute AND write — is O(batch + touched-bucket data).
 
-    Same versioned-directory swap + applied-batch fast path as
+    Same manifest + VERSION swap and applied-batch fast path as
     :class:`ParquetCurrentStateSink`.
     """
-
-    def __init__(self, root: str, keys: list[str], spark: SparkSession):
-        self.root = root
-        self.keys = keys
-        self.spark = spark
-
-    _vpath = ParquetCurrentStateSink._vpath
-    _current_meta = ParquetCurrentStateSink._current_meta
-    _current_version = ParquetCurrentStateSink._current_version
-    _point = ParquetCurrentStateSink._point
-    _data_dir = ParquetCurrentStateSink._data_dir
 
     def _derive(self, events: DataFrame) -> DataFrame:
         """Validity bounds from raw events (the cdc_scd2_history window)."""
@@ -235,58 +478,53 @@ class ParquetScd2Sink(Sink):
         )
 
     def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
-        for col, expr in {
-            "op": F.lit("INSERT"),
-            "commit_lsn": F.lit(snapshot_lsn).cast("long"),
-            "tx_ordinal": F.lit(0).cast("long"),
-            "event_seq": F.lit(snapshot_lsn).cast("decimal(38,0)")
-            * F.lit("18446744073709551616").cast("decimal(38,0)"),
-        }.items():
-            if col not in df.columns:
-                df = df.withColumn(col, expr)
-        v = self._current_version(table) + 1
-        self._derive(df).write.mode("overwrite").parquet(self._data_dir(table, v))
-        self._point(table, v, None)
+        self._commit(
+            table,
+            self._derive(_stamp_snapshot(df, snapshot_lsn)),
+            touched=None,
+            batch_id=None,
+        )
 
     def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
         meta = self._current_meta(table)
-        v = meta["version"]
-        if v < 0:
+        if meta["version"] < 0:
             raise RuntimeError(f"no snapshot for {table}; run write_snapshot first")
         if meta.get("batch_id") == batch_id:
             return  # applied-batches fast path (replayed delivery)
-        target = self.spark.read.parquet(self._data_dir(table, v))
-        touched = df.select(*self.keys).distinct()
-        untouched = target.join(touched, self.keys, "left_anti")
-        event_cols = [c for c in target.columns if c not in ("valid_to", "is_current")]
-        touched_hist = target.join(touched, self.keys, "left_semi").select(*event_cols)
-        batch_events = df.select(
-            *[c if c in df.columns else F.lit(None).alias(c) for c in event_cols]
-        )
-        merged_events = touched_hist.unionByName(batch_events).dropDuplicates(
-            [*self.keys, "event_seq"]
-        )
-        out = untouched.unionByName(self._derive(merged_events))
-        nv = v + 1
-        out.write.mode("overwrite").parquet(self._data_dir(table, nv))
-        self._point(table, nv, batch_id)
+        df = self._canonicalize_keys(table, df)
+        n = self._manifest(table, meta["version"])["n_buckets"]
+        touched = self._touched_buckets(df, n)
+        if not touched:
+            self._point(table, meta["version"], batch_id)
+            return
+        stored = self._read_buckets(table, touched)
+        if stored is None:
+            stored = self._schema_frame(table)  # type anchor (see above)
+        if stored is None:
+            merged_events = df.dropDuplicates([*self.keys, "event_seq"])
+        else:
+            event_cols = [
+                c for c in stored.columns if c not in ("valid_to", "is_current")
+            ]
+            touched_hist = stored.select(*event_cols)
+            batch_events = df.select(
+                *[c if c in df.columns else F.lit(None).alias(c) for c in event_cols]
+            )
+            merged_events = touched_hist.unionByName(batch_events).dropDuplicates(
+                [*self.keys, "event_seq"]
+            )
+        self._commit(table, self._derive(merged_events), touched, batch_id)
 
     def truncate(self, table: str) -> None:
-        v = self._current_version(table)
-        if v < 0:
-            return
-        cur = self.spark.read.parquet(self._data_dir(table, v))
-        cur.limit(0).write.mode("overwrite").parquet(self._data_dir(table, v + 1))
-        self._point(table, v + 1, None)
+        self._truncate(table)
 
     def read(self, table: str) -> DataFrame:
         """The SCD2 surface: version rows only (tombstones are internal
         closure bookkeeping, not versions)."""
-        v = self._current_version(table)
-        if v < 0:
+        if self._current_version(table) < 0:
             raise RuntimeError(f"no data for {table}")
         return (
-            self.spark.read.parquet(self._data_dir(table, v))
+            self._read_buckets(table)
             .filter(F.col("op") != "DELETE")
             .withColumnRenamed("commit_lsn", "valid_from")
         )

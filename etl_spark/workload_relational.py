@@ -1490,6 +1490,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: range-bucket fan-out for the two-pass KS CDF — parallelism per event
+#: type; raise with data volume so one bucket's distinct values ≈ one task
+KS_RANGE_BUCKETS = 64
+
+
 def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift test per event type: split each
     type's values into two deterministic halves (event_id parity — stand-in
@@ -1498,15 +1503,30 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     95% critical value — the distribution-drift gate a training pipeline
     runs before accepting a new data drop.
 
-    Exact, not sampled: per-(type, value) counts [shuffle 1, map-combined]
-    → one ordered cumulative window per type [shuffle 2] → per-type max
-    [shuffle 3, tiny]. The parity split is integer arithmetic, so both
-    engines partition identically (a timestamp-median split would compare
-    a bigint against an interpolated double — a cross-engine boundary
-    hazard this op deliberately avoids).
+    Exact, not sampled — and scale-safe: the naive form (ONE cumulative
+    window per event type over every distinct value) makes each type a
+    single sort task; with double-typed values distinct-count approaches
+    row count at scale. Instead this is a TWO-PASS range-partitioned CDF:
+
+    1. per-(type, value) counts [shuffle 1, map-combined];
+    2. each value is range-bucketed inside its type (min/max from a tiny
+       broadcast stat join — any monotone, tie-preserving assignment
+       works, the bucket is only a partition boundary);
+    3. per-(type, bucket) subtotals → bucket PREFIX offsets via a window
+       over ≤``KS_RANGE_BUCKETS`` rows per type [tiny];
+    4. the cumulative sum runs per (type, bucket) — parallelism is
+       types × buckets, each task sorting only its bucket's values — and
+       adds the broadcast bucket offset to land on the exact global CDF.
+
+    The parity split is integer arithmetic, so both engines partition
+    identically (a timestamp-median split would compare a bigint against
+    an interpolated double — a cross-engine boundary hazard this op
+    deliberately avoids). At 100 TB, raise ``KS_RANGE_BUCKETS`` so a
+    bucket's distinct values fit one task.
     """
     from pyspark.sql import Window
 
+    B = KS_RANGE_BUCKETS
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         "value",
@@ -1516,16 +1536,59 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("n_a"),
         F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
     )
-    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+    rng = per_val.groupBy("event_type").agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    bkt = (
+        F.when(F.col("value").isNull(), F.lit(-1))  # nulls sort first
+        .when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor((F.col("value") - F.col("__lo")) / (span / B)).cast("int"),
+            )
+        )
+    )
+    bucketed = (
+        per_val.join(F.broadcast(rng), "event_type")
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__hi")
+    )
+    per_bucket = bucketed.groupBy("event_type", "__bkt").agg(
+        F.sum("n_a").alias("__ba"), F.sum("n_b").alias("__bb")
+    )
+    wb = Window.partitionBy("event_type").orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "event_type",
+        "__bkt",
+        F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__off_a"),
+        F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__off_b"),
+    )
+    tots = per_bucket.groupBy("event_type").agg(
+        F.sum("__ba").alias("na"), F.sum("__bb").alias("nb")
+    )
+    wv = Window.partitionBy("event_type", "__bkt").orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = Window.partitionBy("event_type")
-    cum = per_val.select(
-        "event_type",
-        (F.sum("n_a").over(w) / F.greatest(F.sum("n_a").over(tot), F.lit(1))).alias("f_a"),
-        (F.sum("n_b").over(w) / F.greatest(F.sum("n_b").over(tot), F.lit(1))).alias("f_b"),
-        F.sum("n_a").over(tot).alias("na"),
-        F.sum("n_b").over(tot).alias("nb"),
+    cum = (
+        bucketed.join(F.broadcast(offsets), ["event_type", "__bkt"])
+        .join(F.broadcast(tots), "event_type")
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            (
+                (F.sum("n_a").over(wv) + F.col("__off_a"))
+                / F.greatest("na", F.lit(1))
+            ).alias("f_a"),
+            (
+                (F.sum("n_b").over(wv) + F.col("__off_b"))
+                / F.greatest("nb", F.lit(1))
+            ).alias("f_b"),
+        )
     )
     out = cum.groupBy("event_type").agg(
         F.first("na").alias("n_a"),

@@ -397,4 +397,92 @@ def test_binary_timestamp_roundtrip(ts):
     from etl_spark.sources import pgoutput as pgo
 
     txt = pgo.decode_binary_cell(1114, pgo.encode_binary_cell(1114, ts).data)
-    assert txt == ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # PG trims trailing fractional zeros (binary and text publications of
+    # the same value must produce identical destination strings)
+    want = ts.strftime("%Y-%m-%d %H:%M:%S")
+    if ts.microsecond:
+        want += (".%06d" % ts.microsecond).rstrip("0")
+    assert txt == want
+
+
+@settings(**SETTINGS)
+@given(st.decimals(allow_nan=False, allow_infinity=False,
+                   min_value=Decimal("-1e45"), max_value=Decimal("1e45"),
+                   places=None))
+def test_binary_numeric_roundtrip(d):
+    """Base-10000 numeric wire (numeric.rs:70-100): decode(encode(text))
+    reproduces the canonical text, incl. >38-digit magnitudes the Spark
+    decimal path would overflow (they stay exact as text)."""
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = format(d, "f")  # canonical: no exponent, minimal digits
+    got = pgo.decode_binary_cell(1700, pgo.encode_binary_cell(1700, txt).data)
+    assert Decimal(got) == Decimal(txt)
+    # dscale preserved: same number of fractional digits as the input
+    want_scale = len(txt.partition(".")[2])
+    assert len(got.partition(".")[2]) == want_scale
+
+
+def test_binary_numeric_specials_and_scale():
+    from etl_spark.sources import pgoutput as pgo
+
+    rt = lambda s: pgo.decode_binary_cell(1700, pgo.encode_binary_cell(1700, s).data)
+    assert rt("NaN") == "NaN"
+    assert rt("Infinity") == "Infinity"
+    assert rt("-Infinity") == "-Infinity"
+    assert rt("0.000") == "0.000"          # dscale survives zero
+    assert rt("-0.00012000") == "-0.00012000"
+    assert rt("10000") == "10000"          # word-boundary magnitudes
+    assert rt("99999999") == "99999999"
+    assert rt("0.0001") == "0.0001"
+    assert rt("0.00009999") == "0.00009999"
+
+
+@settings(**SETTINGS)
+@given(st.times())
+def test_binary_time_roundtrip(t):
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(1083, pgo.encode_binary_cell(1083, t).data)
+    want = t.strftime("%H:%M:%S")
+    if t.microsecond:
+        want += (".%06d" % t.microsecond).rstrip("0")
+    assert txt == want
+
+
+@settings(**SETTINGS)
+@given(st.times(), st.integers(min_value=-16 * 60, max_value=16 * 60))
+def test_binary_timetz_roundtrip_via_text_codec(spark, t, off_min):
+    """The decoded timetz text must parse through the text-path codec
+    (pg_timetz) to the same (micros, offset) the wire carried — the
+    format-agnosticism contract of the binary layer."""
+    from etl_spark.sources import pgoutput as pgo
+
+    us = (t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond
+    off = off_min * 60
+    txt = pgo.decode_binary_cell(1266, pgo.encode_binary_cell(1266, (us, off)).data)
+    got = decode(spark, [txt], codec.pg_timetz)[0]
+    assert (got["micros"], got["offset_secs"]) == (us, off)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+                max_size=12))
+def test_binary_int4_array_roundtrip_via_text_codec(spark, vals):
+    """Binary 1-D array decode emits the literal the F9 text parser
+    consumes — values and NULLs survive the full wire→literal→typed trip."""
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(1007, pgo.encode_binary_cell(1007, vals).data)
+    got = decode(spark, [txt], lambda c: codec.pg_array_simple(c, "int4"))[0]
+    assert got == vals
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=10))
+def test_binary_text_array_roundtrip_via_text_codec(spark, vals):
+    from etl_spark.sources import pgoutput as pgo
+
+    txt = pgo.decode_binary_cell(1009, pgo.encode_binary_cell(1009, vals).data)
+    got = decode(spark, [txt], codec.pg_array_full)[0]
+    assert got == vals

@@ -138,3 +138,80 @@ def test_lifecycle_with_scd2_sink(spark, tmp_path):
     assert rows[(1, 0)] == ("a", 10, False)       # snapshot version closed
     assert rows[(1, 10)] == ("a1", None, True)    # stream version current
     reg.stop_all_pipelines()
+
+
+def _ev_t(table, op, commit, ordinal=0, after=None, before=None, kind=None):
+    return Row(op=op, table=table, commit_lsn=commit, start_lsn=commit,
+               tx_ordinal=ordinal,
+               after=json.dumps(after) if after else None,
+               before=json.dumps(before) if before else None,
+               before_kind=kind, missing_cols=None, schema_snapshot_lsn=None)
+
+
+def test_multi_table_pipeline_per_table_keys(spark, tmp_path):
+    """A multi-table config whose tables declare DIFFERENT replica-identity
+    keys must merge each table on ITS OWN keys — one keyed sink per table
+    (the round-5 bug merged every non-first table on table[0]'s keys)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap_u = str(tmp_path / "snap_u")
+    snap_o = str(tmp_path / "snap_o")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap_u)
+    spark.createDataFrame([(1, 2, 5.0), (1, 3, 7.0)],
+                          "oid long, line long, amt double").write.parquet(snap_o)
+    _write_env(spark, src, [
+        _ev_t("users", "UPDATE", 10, 0, after={"pk": 1, "val": "a1"}),
+        # composite-key upsert: replaces (1,2) ONLY — with the wrong keys
+        # (pk absent → users' keys) this would corrupt or collapse rows
+        _ev_t("orders", "UPDATE", 11, 0, after={"oid": 1, "line": 2, "amt": 9.0}),
+        _ev_t("orders", "INSERT", 12, 0, after={"oid": 2, "line": 1, "amt": 1.0}),
+    ], "b1")
+    cfg = {
+        "source_dir": src,
+        "tables": [
+            {"name": "users", "keys": ["pk"], "payload_schema": PAYLOAD,
+             "snapshot_path": snap_u},
+            {"name": "orders", "keys": ["oid", "line"],
+             "payload_schema": "oid long, line long, amt double",
+             "snapshot_path": snap_o},
+        ],
+        "sink": {"kind": "parquet_current_state", "root": str(tmp_path / "sink")},
+    }
+    assert validate_config(cfg) == []
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(cfg)
+    p = reg.start_pipeline(pid, spark)
+    users = {r.pk: r.val for r in p.sink.read("users").select("pk", "val").collect()}
+    orders = {(r.oid, r.line): r.amt
+              for r in p.sink.read("orders").select("oid", "line", "amt").collect()}
+    assert users == {1: "a1"}
+    assert orders == {(1, 2): 9.0, (1, 3): 7.0, (2, 1): 1.0}
+    reg.stop_all_pipelines()
+
+
+def test_lifecycle_with_changelog_sink(spark, tmp_path):
+    """`parquet_changelog` as a declarative sink kind: config round-trip,
+    start/stop, and the append-only changelog shape on read."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [
+        _ev("UPDATE", 10, after={"pk": 1, "val": "a1"}),
+        _ev("DELETE", 11, before={"pk": 1}, kind="KEY"),
+    ], "b1")
+    cfg = _config(src, str(tmp_path / "sink"), snap=snap)
+    cfg["sink"]["kind"] = "parquet_changelog"
+    assert validate_config(cfg) == []
+    bad = dict(cfg, sink={"kind": "parquet_changelog"})
+    assert any("requires root" in p for p in validate_config(bad))
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(cfg)
+    p = reg.start_pipeline(pid, spark)
+    # registry round-trip preserved the sink kind
+    assert reg.read_pipeline(pid)["sink"]["kind"] == "parquet_changelog"
+    log = p.sink.read(spark, "users")
+    ops = [r.cdc_operation for r in log.orderBy("cdc_sequence").collect()
+           if r.cdc_operation in ("UPDATE", "DELETE")]
+    assert ops == ["UPDATE", "DELETE"]   # every event kept, ordered
+    reg.stop_all_pipelines()

@@ -65,6 +65,27 @@ def test_simhash_candidates(spark, docs):
     assert (1, 3) in pairs
 
 
+def test_simhash_candidates_max_pairs_guard(spark):
+    """The quadratic-output guard: a clique bigger than the pair budget
+    fails loudly before the expansion join (default), or truncates to the
+    lowest-id members deterministically."""
+    import pytest
+
+    fp = spark.createDataFrame(
+        [(i, 7) for i in range(1, 6)] + [(10, 0xFFFF0000)],
+        "doc_id long, simhash long",
+    )  # clique of 5 → 10 pairs; the far fingerprint pairs with nobody
+    with pytest.raises(ValueError, match="max_pairs_per_clique"):
+        dedup.simhash_candidates(fp, max_pairs_per_clique=3)
+    # budget 10 fits the clique exactly: no error, all 10 pairs emitted
+    full = dedup.simhash_candidates(fp, max_pairs_per_clique=10).collect()
+    assert len(full) == 10
+    # truncate: keep members 1..3 (3·2/2 = 3 ≤ 3 pairs), drop 4 and 5
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_candidates(
+        fp, max_pairs_per_clique=3, on_overflow="truncate").collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of the house"),

@@ -112,19 +112,73 @@ def test_incremental_rollup_untouched_partitions_preserved(spark, tmp_path):
     assert dict(roll.read().dtypes)["sum_value"] == "decimal(20,2)"
 
 
-def test_compact_live_sink_version(spark, tmp_path):
-    """Compacting the LIVE current-state version dir must preserve content
-    and leave the VERSION pointer valid (the reference's external
-    maintenance runs against live destination tables the same way)."""
-    from etl_spark.maintenance import compact_parquet_dir
+def test_compact_live_sink_and_manifest_expiry(spark, tmp_path):
+    """Sink-level compaction folds the manifest chain into one fresh
+    version; manifest-aware expiry then reclaims every superseded dir but
+    NEVER a dir still referenced by the live manifest (untouched buckets
+    carry old-dir references forward)."""
+    from etl_spark.envelope import with_sequence
     from etl_spark.streaming.sinks import ParquetCurrentStateSink
 
     sink = ParquetCurrentStateSink(str(tmp_path / "wh"), keys=["pk"], spark=spark)
     df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "pk long, val string")
-    sink.write_snapshot("t", df.repartition(16))  # fragmented snapshot
-    v = sink._current_version("t")
-    stats = compact_parquet_dir(spark, sink._data_dir("t", v), target_mb=128, sort_col="pk")
-    assert stats["files_after"] < stats["files_before"]
-    assert sink._current_version("t") == v  # pointer untouched
+    sink.write_snapshot("t", df)
+    for b in range(3):  # three incremental batches -> manifest spans dirs
+        batch = with_sequence(spark.createDataFrame(
+            [("UPDATE", 10 + b, 0, b, f"u{b}")],
+            "op string, commit_lsn long, tx_ordinal long, pk long, val string"))
+        sink.write_changes("t", batch, batch_id=b)
+    assert len(sink.live_dirs("t")) > 1  # untouched buckets still in v0
+    # expiry while the manifest spans dirs must keep every referenced dir
+    removed = expire_versions(str(tmp_path / "wh" / "t"), keep=1)
+    assert "v0" not in removed and sink.read("t").count() == 100
+    sink.compact("t")
+    assert sink.live_dirs("t") == {f"v{sink._current_version('t')}"}
+    removed = expire_versions(str(tmp_path / "wh" / "t"), keep=1)
+    assert removed  # superseded dirs reclaimed after the fold
     got = {r.pk: r.val for r in sink.read("t").collect()}
-    assert got == {i: f"v{i}" for i in range(100)}
+    want = {i: f"v{i}" for i in range(100)} | {b: f"u{b}" for b in range(3)}
+    assert got == want
+
+
+def test_sink_untouched_buckets_not_rewritten(spark, tmp_path):
+    """The core incremental-write property: a batch rewrites ONLY its
+    touched key-buckets — every untouched bucket's files are byte-identical
+    (same paths, same bytes) across the batch. This is the reference's
+    apply-changes-not-the-world destination behavior
+    (bigquery/core.rs:1409-1478, ducklake/core.rs:1133-1216)."""
+    import hashlib
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink, ParquetScd2Sink
+
+    def dir_digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    for cls in (ParquetCurrentStateSink, ParquetScd2Sink):
+        root = str(tmp_path / cls.__name__)
+        sink = cls(root, keys=["pk"], spark=spark, n_buckets=8)
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(64)], "pk long, val string")
+        sink.write_snapshot("t", df)
+        v0 = os.path.join(root, "t", "v0")
+        before = dir_digest(v0)
+        batch = with_sequence(spark.createDataFrame(
+            [("UPDATE", 10, 0, 7, "u7")],
+            "op string, commit_lsn long, tx_ordinal long, pk long, val string"))
+        sink.write_changes("t", batch, batch_id=0)
+        # v0 files (incl. the untouched buckets' data) are untouched bytes
+        assert dir_digest(v0) == before
+        # exactly one bucket repointed to the new version dir
+        manifest = sink._manifest("t", sink._current_version("t"))
+        moved = [b for b, vd in manifest["buckets"].items() if vd != "v0"]
+        assert len(moved) == 1
+        # and the merged content is correct
+        got = {r.pk: r.val for r in sink.read("t").select("pk", "val").collect()}
+        assert got[7] == "u7" and got[3] == "v3" and len(got) == 64

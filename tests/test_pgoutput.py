@@ -371,16 +371,51 @@ def test_binary_cell_codec_roundtrip():
         (1082, dt.date(2024, 2, 29), "2024-02-29"),
         (1114, dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
          "2024-01-02 03:04:05.123456"),
+        # PG trims trailing fractional zeros (binary + text paths must
+        # land on the same destination string)
         (1184, dt.datetime(2024, 1, 2, 3, 4, 5, 0, tzinfo=dt.timezone.utc),
-         "2024-01-02 03:04:05.000000+00"),
+         "2024-01-02 03:04:05+00"),
+        (1114, dt.datetime(2024, 1, 2, 3, 4, 5, 500000),
+         "2024-01-02 03:04:05.5"),
         (114, '{"a": 1}', '{"a": 1}'), (3802, '{"b": 2}', '{"b": 2}'),
+        # numeric: base-10000 words incl. specials (numeric.rs:70-100)
+        (1700, "12345.6789", "12345.6789"),
+        (1700, "-0.00012000", "-0.00012000"),
+        (1700, "0", "0"), (1700, "NaN", "NaN"),
+        (1700, "Infinity", "Infinity"), (1700, "-Infinity", "-Infinity"),
+        (1700, "1" + "0" * 40, "1" + "0" * 40),  # >38 digits survives as text
+        # time / timetz (µs since midnight; west-positive wire zone)
+        (1083, dt.time(13, 14, 15, 123456), "13:14:15.123456"),
+        (1083, dt.time(4, 5, 6), "04:05:06"),
+        (1266, dt.time(4, 5, 6, 0, tzinfo=dt.timezone(dt.timedelta(hours=-8))),
+         "04:05:06-08"),
+        (1266, dt.time(23, 0, 0, 250000,
+                       tzinfo=dt.timezone(dt.timedelta(hours=5, minutes=45))),
+         "23:00:00.25+05:45"),
+        # 1-D arrays: quoting, NULLs, empties (array_send wire)
+        (1007, [1, None, 3], "{1,NULL,3}"),
+        (1007, [], "{}"),
+        (1009, ["a b", "", 'q"t', "x\\y", "NULL"],
+         '{"a b","","q\\"t","x\\\\y","NULL"}'),
+        (1231, ["1.50", None], "{1.50,NULL}"),
+        (1016, [2**40], "{" + str(2**40) + "}"),
     ]
     for oid, val, want in cases:
         cell = pgo.encode_binary_cell(oid, val)
         assert pgo.decode_binary_cell(oid, cell.data) == want, (oid, val)
-    # float4: value survives the float32 round trip
-    f4 = pgo.encode_binary_cell(700, 0.25)
-    assert pgo.decode_binary_cell(700, f4.data) == "0.25"
+    # float4: shortest round-trip repr, PG-style ('0.1', not the double
+    # expansion '0.10000000149011612')
+    for v, want in [(0.25, "0.25"), (0.1, "0.1"), (3.14, "3.14")]:
+        f4 = pgo.encode_binary_cell(700, v)
+        assert pgo.decode_binary_cell(700, f4.data) == want
+
+
+def test_binary_array_rejects_multidim():
+    import struct
+
+    wire = struct.pack(">iii", 2, 0, 23) + struct.pack(">iiii", 2, 1, 2, 1)
+    with pytest.raises(ValueError, match="multidim"):
+        pgo.decode_binary_cell(1007, wire)
 
 
 def test_binary_cell_unsupported_oid_fails_loudly():
@@ -508,3 +543,23 @@ def test_pipeline_records_custom_type_in_schema(spark, tmp_path):
     cols = {c.name: c for c in ver[1]}
     assert cols["tags"].pg_type == "public.hstore"
     assert cols["pk"].pg_type is None        # builtin OID untouched
+
+    # --- RESTART: the r5 stretch item. A fresh pipeline incarnation over
+    # the same work dir sees NO TYPE frame and NO RELATION frame in the
+    # new batch — the PersistentTypeRegistry + relation registry must
+    # carry the ns.name so a post-restart DML batch still records the
+    # custom type on the stored ColumnDef and decodes pass-through.
+    _write_frames(spark, src, [
+        (20, 6, pgo.encode_begin(final_lsn=200, xid=6)),
+        (21, 6, pgo.encode_insert(1, ["2", "b=>2"])),
+        (22, 6, pgo.encode_commit(200, 201)),
+    ], "b1")
+    p2 = Pipeline(spark, src, [cfg], sink, work, source_fmt="pgoutput")
+    p2.run_until_drained()
+    got = {r.pk: r.tags for r in sink.read("public.t").select("pk", "tags").collect()}
+    assert got == {1: "a=>1", 2: "b=>2"}
+    # registry reloaded from disk, not from a frame in this incarnation
+    assert p2.types.snapshot() == {99999: "public.hstore"}
+    ver2 = p2.schemas.asof("public.t", 10**9)
+    cols2 = {c.name: c for c in ver2[1]}
+    assert cols2["tags"].pg_type == "public.hstore"

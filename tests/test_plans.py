@@ -553,8 +553,24 @@ def test_ngram_novelty_no_cartesian_map_combined(spark):
 
 
 def test_ks_drift_map_combined_counts(spark):
-    # per-(type,value) counts combine map-side before the one ordered
-    # cumulative window per type; no join, no cartesian
+    # per-(type,value) counts combine map-side; the range stats / bucket
+    # offsets / totals join back as BROADCASTS (never a shuffle join)
     plan = plan_of(workload_relational.events_ks_drift(spark, SF_DIR))
     assert "partial_sum" in plan, plan
-    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_ks_drift_cumulative_window_range_partitioned(spark):
+    # the scale lock: the big cumulative-CDF window partitions by
+    # (event_type, __bkt) — types × buckets tasks, never one sort task
+    # per event type over all distinct values (the 100 TB killer)
+    plan = plan_of(workload_relational.events_ks_drift(spark, SF_DIR))
+    import re
+
+    cum_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and re.search(r"sum\(n_a#", ln)
+    ]
+    assert cum_windows, plan
+    assert all("__bkt" in w for w in cum_windows), cum_windows

@@ -343,9 +343,18 @@ def test_replayed_batch_id_skips_rewrite(spark, env):
     sink.write_changes("users", df.limit(0), applied_batch)
     assert sink._current_version("users") == v_after
 
-    # a different batch id applies normally
+    # a different batch id applies normally: it is RECORDED as applied
+    # (so its own replay is then skipped) — but an empty batch touches no
+    # buckets, so no data version is written (incremental no-op)
     sink.write_changes("users", df.limit(0), applied_batch + 1)
+    assert sink._current_meta("users")["batch_id"] == applied_batch + 1
+    assert sink._current_version("users") == v_after
+    # and a non-empty new batch advances the data version
+    upd = df.withColumn("val", F.lit("h2")).withColumn(
+        "event_seq", (F.col("event_seq") + 1).cast("decimal(38,0)"))
+    sink.write_changes("users", upd, applied_batch + 2)
     assert sink._current_version("users") == v_after + 1
+    assert {r.val for r in sink.read("users").filter(F.col("pk") == 8).collect()} == {"h2"}
 
 
 def test_json_envelope_source(spark, env, tmp_path):
