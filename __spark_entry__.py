@@ -32,21 +32,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-6 window = [cdc_xbatch_recovery — new: crash-recovery of the
-    cross-batch flush ledger, hash-checked against the batch oracle] +
-    [4 changed: events_ks_drift (two-pass range-partitioned CDF),
+    Round-6 window (exactly 50) = [7 NEW: cdc_xbatch_recovery
+    (crash-recovery of the cross-batch flush ledger, hash-checked against
+    the batch oracle), lineitem_rollup_metrics, events_regression,
+    events_markov_transitions, orders_decile_bands,
+    customer_fuzzy_name_join, docs_char_pair_merge] + [4 CHANGED:
+    events_ks_drift (two-pass range-partitioned CDF),
     cdc_scd2_incremental (bucket-manifest incremental sink rewrite),
     pgoutput_decode (binary numeric/time/timetz/array decoders +
     PG-canonical float4/timestamp text + before-image wideness guard),
     dedup_simhash_pairs (max_pairs_per_clique guard)] + [the 39 queries
     whose latest green row is r3 — the oldest evidence, incl. the
-    flagship cdc_current_state which also exercises the rewritten merge]
-    + [the 6 oldest r4 rows]. All 132 entries verified locally via
-    tools/check_oracle.py at sf0.01 this round (COVERAGE.md).
+    flagship cdc_current_state which also exercises the rewritten merge].
+    All 138 entries verified locally via tools/check_oracle.py at sf0.01
+    this round (COVERAGE.md).
     """
     return {
         # --- round-6 NEW: first gate shot ---
         "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
+        "events_regression": workload_relational.events_regression,
+        "events_markov_transitions": workload_relational.events_markov_transitions,
+        "orders_decile_bands": workload_relational.orders_decile_bands,
+        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
+        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
         # --- implementation CHANGED in round 6: re-record ---
         "events_ks_drift": workload_relational.events_ks_drift,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,
@@ -92,7 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_mixture": workload_text.corpus_token_mixture,
         "docs_pii_redact": workload_text.docs_pii_redact,
         "docs_repetition": workload_text.docs_repetition,
-        # --- oldest r4 rows: refresh continues ---
+        # --- slots 51+ (window full at 50: 7 new + 4 changed + 39 r3):
+        # --- these oldest-r4 rows lead the NEXT round's refresh queue ---
         "docs_contamination": workload_text.docs_contamination,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
         "docs_passage_dedup": workload_text.docs_passage_dedup,

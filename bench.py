@@ -120,6 +120,16 @@ HEADLINE = [
     "docs_quality_calibration",
     "docs_ngram_novelty",
     "events_ks_drift",
+    # round-6 additions (first timed here). cdc_xbatch_recovery is
+    # gate-tested but excluded like cdc_scd2_incremental: it drives sink
+    # parquet write/read cycles plus a simulated crash-recovery, so its
+    # timing measures harness I/O, not operator cost
+    "lineitem_rollup_metrics",
+    "events_regression",
+    "events_markov_transitions",
+    "orders_decile_bands",
+    "customer_fuzzy_name_join",
+    "docs_char_pair_merge",
 ]
 
 
@@ -140,20 +150,28 @@ def main() -> None:
     # Warm the JVM/codegen path outside the timed region.
     materialize(queries["cdc_current_state"](spark, sf_dir))
 
-    # Three runs per query, report the min: run 1 pays one-time plan
-    # compilation + whole-stage codegen; later runs are the sustained rate,
-    # which is what the reference's long-stream benchmark measures
-    # (BASELINE.md); min-of-3 damps same-machine load variance.
+    # N runs per query (SPARK_GRAFT_BENCH_REPS, default 3): run 1 pays
+    # one-time plan compilation + whole-stage codegen; later runs are the
+    # sustained rate, which is what the reference's long-stream benchmark
+    # measures (BASELINE.md). "queries" reports the MIN (damps same-machine
+    # load variance, comparable across rounds); "queries_median" reports
+    # the per-query median so sub-1.3× cross-round drifts are resolvable
+    # against noise (raise reps to 5+ when investigating one).
+    import statistics
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
         # ContextCleaner only reclaims finished queries' shuffle/broadcast
         # state on a JVM GC; without this, leftovers from query N slow
         # query N+1 by up to 3× (measurement hygiene, not a speedup)
@@ -191,8 +209,12 @@ def main() -> None:
               "docs_bigram_logprob",
               "events_anomaly_mad", "docs_quality_calibration",
               "docs_ngram_novelty", "events_ks_drift"}
+    r6_new = {"lineitem_rollup_metrics", "events_regression",
+              "events_markov_transitions", "orders_decile_bands",
+              "customer_fuzzy_name_join", "docs_char_pair_merge"}
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k not in r4_new | r5_new), 3
+        sum(v for k, v in timings.items() if k not in r4_new | r5_new | r6_new),
+        3,
     )
 
     result = {
@@ -200,12 +222,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "r2_comparable_sec": r2_comparable,
         "sf": sf,
         "events_per_second": events_per_sec,
         "copy_rows_per_second": copy_rows_per_sec,
         "conf": {
-            "runs_per_query": 3,
+            "runs_per_query": reps,
             "cpus": cpus,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),

@@ -2656,3 +2656,82 @@ ORACLES["cdc_scd2_incremental"] = ORACLES["cdc_scd2_history"]
 # crash-recovered cross-batch flush must land on exactly the one-shot
 # batch LWW state — the same oracle as cdc_current_state by construction
 ORACLES["cdc_xbatch_recovery"] = ORACLES["cdc_current_state"]
+
+# --- round-6 operators -------------------------------------------------------
+
+ORACLES["lineitem_rollup_metrics"] = """
+SELECT l_returnflag, l_linestatus,
+       2 * grouping(l_returnflag) + grouping(l_linestatus) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLES["events_regression"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, CAST(event_id AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(event_id AS DOUBLE)), 6) AS intercept,
+       round(regr_r2(value, CAST(event_id AS DOUBLE)), 6) AS r2
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["events_markov_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT event_type, sum(n) AS t FROM pairs GROUP BY event_type
+)
+SELECT p.event_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
+FROM pairs p JOIN tot t USING (event_type)
+"""
+
+ORACLES["orders_decile_bands"] = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM ranked GROUP BY decile
+"""
+
+ORACLES["customer_fuzzy_name_join"] = """
+-- exact quadratic reference for the deletion-neighborhood blocked join:
+-- every distance-<=1 pair, found the brute-force way
+SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["docs_char_pair_merge"] = """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""

@@ -1604,3 +1604,143 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_95"),
         (F.col("__ks") > crit).alias("drifted"),
     )
+
+
+def lineitem_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (X91): the Q1 metric set at every prefix level
+    of (returnflag, linestatus) — detail rows, per-flag subtotals, and the
+    grand total in ONE pass. Spark compiles ``rollup`` to a single Expand +
+    hash aggregate (each input row contributes to 3 grouping sets
+    map-side), so the cube costs one scan and one shuffle — the classic
+    warehouse subtotal report without self-union re-scans. ``gid``
+    disambiguates a real NULL group from a rolled-up level.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            # exact decimal SUM, surfaced as double (oracle-portable —
+            # the module docstring's numeric policy)
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.max(_dec("l_extendedprice")).cast("double").alias("max_price"),
+        )
+    )
+
+
+def events_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (X92): ``regr_slope`` / ``regr_
+    intercept`` / ``regr_r2`` of event value against event_id per event
+    type — the drift-direction estimator behind data-freshness monitors.
+    Built-in regression aggregates are single-pass map-combined moment
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) — one scan, one tiny shuffle, no
+    window, no second pass; identical closed form in every engine.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (X93): per user, order events
+    by event_id and count event_type → next-event_type transitions, then
+    the global transition probability per source state — the
+    behavioral-model fit behind funnel/attribution analyses. One window
+    (partitioned by user — millions of small partitions, embarrassingly
+    parallel) + one map-combined pair count; probabilities from a
+    broadcast per-source total join.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        )
+    )
+
+
+def orders_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding (X94): ``ntile(10)`` over order value (orderkey
+    tiebreak for engine-identical tie placement) with per-decile count /
+    bounds / exact decimal sum. The global sort is rank-only — at scale
+    swap the window for pre-computed percentile cut points
+    (``approx_percentile`` + ``width_bucket``) and the banding becomes a
+    scan-stage expression; the decile stats themselves are one
+    map-combined agg either way.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.sum(_dec("o_totalprice", 18, 2)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def customer_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 self-join (X95) WITHOUT the O(n²) cross join: the
+    FastSS deletion-neighborhood blocking (Bocek et al. '07). Two strings
+    within edit distance 1 share a variant in their deletion neighborhoods
+    (the string itself + every single-character deletion), so candidates
+    come from an equi-join on |s|+1 generated variants per row; the exact
+    ``levenshtein`` check then runs ONLY on candidates. Per-key join work
+    is (block size)², where blocks are near-identical name stems — the
+    same bucket-join shape as MinHash-LSH, here for typo-level entity
+    resolution (duplicate customer records differing by one keystroke).
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    variants = c.select(
+        "k",
+        "name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)), "
+                    "i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("k").alias("k_a"), F.col("name").alias("name_a"), "v")
+    b = variants.select(F.col("k").alias("k_b"), F.col("name").alias("name_b"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("k_a") < F.col("k_b"))
+        .select("k_a", "k_b", "name_a", "name_b")
+        .distinct()  # a pair can share several deletion variants
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "k_a",
+            "k_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )

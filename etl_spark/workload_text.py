@@ -1213,3 +1213,34 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
         )
     )
+
+
+def docs_char_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge candidates (X96): corpus-wide adjacent
+    character-pair frequencies within words — the statistic the first
+    byte-pair-encoding merge step maximizes (Sennrich et al. '16,
+    tokenizer induction). Top-20 pairs with deterministic (count desc,
+    pair asc) tiebreak.
+
+    Scale shape: the pair generation is a scan-stage ``transform`` over
+    ``sequence`` (no Python, no join); the count is one map-combined agg
+    on a tiny key space (≤26² pairs after lowercasing), and the top-k
+    compiles to TakeOrderedAndProject — per-task local top-k, no global
+    sort of the corpus. An iterated BPE trainer is this query in a loop
+    with the winning pair folded into the token stream.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -574,3 +574,43 @@ def test_ks_drift_cumulative_window_range_partitioned(spark):
     ]
     assert cum_windows, plan
     assert all("__bkt" in w for w in cum_windows), cum_windows
+
+
+def test_rollup_single_expand_no_union(spark):
+    # ROLLUP compiles to one Expand + hash agg — never a unioned re-scan
+    plan = plan_of(workload_relational.lineitem_rollup_metrics(spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_regression_map_combined_single_agg(spark):
+    # regr_* are single-pass moment sums: partial agg map-side, one shuffle
+    plan = plan_of(workload_relational.events_regression(spark, SF_DIR))
+    assert "partial_regr_slope" in plan or "partial" in plan, plan
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_markov_broadcast_totals_no_extra_shuffle(spark):
+    # pair counts reuse the window's user partitioning where possible; the
+    # per-source totals join back as a broadcast, never a shuffle join
+    plan = plan_of(workload_relational.events_markov_transitions(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark):
+    # deletion-neighborhood blocking: candidates from an equi-join on the
+    # variant key — the O(n²) cross join must never appear
+    plan = plan_of(workload_relational.customer_fuzzy_name_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_char_pair_topk_take_ordered(spark):
+    # corpus top-k compiles to TakeOrderedAndProject (per-task local
+    # top-k), never a global sort of the pair table
+    plan = plan_of(workload_text.docs_char_pair_merge(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan

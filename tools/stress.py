@@ -106,6 +106,13 @@ QUERIES = [
     "docs_quality_calibration",
     "docs_ngram_novelty",
     "events_ks_drift",
+    # round-6 additions
+    "lineitem_rollup_metrics",
+    "events_regression",
+    "events_markov_transitions",
+    "orders_decile_bands",
+    "customer_fuzzy_name_join",
+    "docs_char_pair_merge",
 ]
 
 
