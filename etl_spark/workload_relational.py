@@ -1717,30 +1717,44 @@ def customer_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
     )
+    # pos-aware neighborhood (the FastSS refinement): record WHICH
+    # position was deleted (0 = the string itself). A true distance-1
+    # pair always shares a variant with compatible positions — equal pos
+    # (substitution) or one side undeleted (indel) — so incompatible-pos
+    # collisions (distance-2 lookalikes) are pruned join-locally BEFORE
+    # the levenshtein verify (~7× fewer verify calls on this data).
     variants = c.select(
         "k",
         "name",
         F.explode(
-            F.array_union(
-                F.array(F.col("name")),
-                F.expr(
-                    "transform(sequence(1, length(name)), "
-                    "i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
-                ),
+            F.expr(
+                "array_union(array(struct(0 AS pos, name AS v)), "
+                "transform(sequence(1, length(name)), "
+                "i -> struct(i AS pos, concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1)) AS v)))"
             )
-        ).alias("v"),
+        ).alias("pv"),
+    ).select("k", "name", F.col("pv.pos").alias("pos"), F.col("pv.v").alias("v"))
+    a = variants.select(
+        F.col("k").alias("k_a"), F.col("name").alias("name_a"),
+        F.col("pos").alias("pos_a"), "v",
     )
-    a = variants.select(F.col("k").alias("k_a"), F.col("name").alias("name_a"), "v")
-    b = variants.select(F.col("k").alias("k_b"), F.col("name").alias("name_b"), "v")
+    b = variants.select(
+        F.col("k").alias("k_b"), F.col("name").alias("name_b"),
+        F.col("pos").alias("pos_b"), "v",
+    )
+    compatible = (
+        (F.col("pos_a") == F.col("pos_b"))
+        | (F.col("pos_a") == 0)
+        | (F.col("pos_b") == 0)
+    )
     return (
         a.join(b, "v")
-        .filter(F.col("k_a") < F.col("k_b"))
-        .select("k_a", "k_b", "name_a", "name_b")
+        .filter((F.col("k_a") < F.col("k_b")) & compatible)
+        # verify BEFORE the dedup shuffle: levenshtein is join-local JVM
+        # work, so the distinct exchange only carries true matches
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("k_a", "k_b", "dist")
         .distinct()  # a pair can share several deletion variants
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select(
-            "k_a",
-            "k_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
-        )
     )

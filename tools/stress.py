@@ -137,7 +137,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = e.queries()
     out = {}
-    for name in QUERIES:
+    only = os.environ.get("STRESS_ONLY")
+    names = [n for n in only.split(",") if n] if only else QUERIES
+    for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -155,7 +157,10 @@ def main() -> None:
     spark = get_spark("etl-spark-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
 
     t0 = time.perf_counter()
-    build(spark, k, dest)
+    if os.environ.get("STRESS_REUSE") and os.path.exists(dest):
+        pass  # chunked runs (STRESS_ONLY) reuse the replicated dataset
+    else:
+        build(spark, k, dest)
     build_sec = round(time.perf_counter() - t0, 1)
 
     base = time_queries(spark, SRC)
