@@ -118,8 +118,29 @@ def _build_sink(spec: dict, tables: list[dict], spark: SparkSession):
     return TableRoutingSink(per_table)
 
 
+class ResourceNotFound(ControlPlaneError):
+    pass
+
+
+class ResourceInUse(ControlPlaneError):
+    """Source/destination referenced by a pipeline, or tenant with
+    pipelines — CONFLICT in the reference (sources.rs:68,436,
+    destinations.rs:73,393)."""
+
+
 class PipelineRegistry:
-    """Durable multi-pipeline registry + lifecycle verbs."""
+    """Durable multi-pipeline registry + lifecycle verbs.
+
+    Also carries the reference API's RESOURCE routes at library level
+    (tenants.rs / sources.rs / destinations.rs): tenants are named
+    scopes (per-tenant pipeline cap = MAX_PIPELINES_PER_TENANT), sources
+    and destinations are named declarative configs a pipeline may
+    reference by id (``source_id`` / ``destination_id``) instead of
+    inlining ``source_dir`` / ``sink`` — resolution happens at
+    validate/start, so updating a source re-points every referencing
+    pipeline on its next start, exactly like the reference's
+    stored-config model. k8s/image routes stay out of scope (no
+    orchestrator in a library engine)."""
 
     def __init__(self, root: str, max_pipelines: int = MAX_PIPELINES):
         self.root = root
@@ -128,6 +149,10 @@ class PipelineRegistry:
         self._configs: dict[int, dict] = {}
         self._live: dict[int, object] = {}  # id → running Pipeline
         self._next_id = 1
+        self._tenants: dict[str, dict] = {}
+        self._sources: dict[int, dict] = {}
+        self._destinations: dict[int, dict] = {}
+        self._next_resource_id = 1
         self._load()
 
     # -- persistence --------------------------------------------------------
@@ -141,6 +166,15 @@ class PipelineRegistry:
                 raw = json.load(f)
             self._configs = {int(k): v for k, v in raw["pipelines"].items()}
             self._next_id = raw.get("next_id", max(self._configs, default=0) + 1)
+            self._tenants = raw.get("tenants", {})
+            self._sources = {int(k): v for k, v in raw.get("sources", {}).items()}
+            self._destinations = {
+                int(k): v for k, v in raw.get("destinations", {}).items()
+            }
+            self._next_resource_id = raw.get(
+                "next_resource_id",
+                max([*self._sources, *self._destinations], default=0) + 1,
+            )
         except FileNotFoundError:
             pass
 
@@ -149,18 +183,157 @@ class PipelineRegistry:
         with os.fdopen(fd, "w") as f:
             json.dump(
                 {"pipelines": {str(k): v for k, v in self._configs.items()},
-                 "next_id": self._next_id}, f, indent=1)
+                 "next_id": self._next_id,
+                 "tenants": self._tenants,
+                 "sources": {str(k): v for k, v in self._sources.items()},
+                 "destinations": {str(k): v for k, v in self._destinations.items()},
+                 "next_resource_id": self._next_resource_id}, f, indent=1)
         os.replace(tmp, self._path)
+
+    # -- tenants (tenants.rs: caller-supplied id + display name) -------------
+    def create_tenant(self, tenant_id: str, name: str) -> str:
+        if tenant_id in self._tenants:
+            raise ControlPlaneError(f"tenant {tenant_id!r} already exists")
+        self._tenants[tenant_id] = {"name": name}
+        self._save()
+        return tenant_id
+
+    def read_tenant(self, tenant_id: str) -> dict:
+        if tenant_id not in self._tenants:
+            raise ResourceNotFound(f"tenant {tenant_id}")
+        return {"id": tenant_id, **self._tenants[tenant_id]}
+
+    def read_all_tenants(self) -> list[dict]:
+        return [self.read_tenant(t) for t in sorted(self._tenants)]
+
+    def update_tenant(self, tenant_id: str, name: str) -> None:
+        if tenant_id not in self._tenants:
+            raise ResourceNotFound(f"tenant {tenant_id}")
+        self._tenants[tenant_id]["name"] = name
+        self._save()
+
+    def delete_tenant(self, tenant_id: str) -> None:
+        if tenant_id not in self._tenants:
+            raise ResourceNotFound(f"tenant {tenant_id}")
+        owned = [p for p, e in self._configs.items()
+                 if e["config"].get("tenant_id") == tenant_id]
+        if owned:
+            raise ResourceInUse(f"tenant {tenant_id} owns pipelines {owned}")
+        del self._tenants[tenant_id]
+        self._save()
+
+    # -- sources / destinations (sources.rs:123-129, destinations.rs:133-139:
+    # -- {name, config}; delete guarded by referencing pipelines) ------------
+    def _create_resource(self, store: dict, name: str, config: dict) -> int:
+        rid = self._next_resource_id
+        self._next_resource_id += 1
+        store[rid] = {"name": name, "config": config}
+        self._save()
+        return rid
+
+    def _read_resource(self, store: dict, kind: str, rid: int) -> dict:
+        if rid not in store:
+            raise ResourceNotFound(f"{kind} {rid}")
+        return {"id": rid, **store[rid]}
+
+    def _referencing(self, key: str, rid: int) -> list[int]:
+        return [p for p, e in self._configs.items() if e["config"].get(key) == rid]
+
+    def _delete_resource(self, store: dict, kind: str, key: str, rid: int) -> None:
+        if rid not in store:
+            raise ResourceNotFound(f"{kind} {rid}")
+        refs = self._referencing(key, rid)
+        active = [p for p in refs if p in self._live]
+        if active:
+            raise PipelineActive(f"{kind} {rid} used by running pipelines {active}")
+        if refs:
+            # the reference cascades only with explicit pipeline deletion;
+            # a referenced resource is a CONFLICT (sources.rs:436)
+            raise ResourceInUse(f"{kind} {rid} referenced by pipelines {refs}")
+        del store[rid]
+        self._save()
+
+    def create_source(self, name: str, config: dict) -> int:
+        if not config.get("source_dir"):
+            raise InvalidConfig("source config requires source_dir")
+        return self._create_resource(self._sources, name, config)
+
+    def read_source(self, source_id: int) -> dict:
+        return self._read_resource(self._sources, "source", source_id)
+
+    def read_all_sources(self) -> list[dict]:
+        return [self.read_source(r) for r in sorted(self._sources)]
+
+    def update_source(self, source_id: int, name: str, config: dict) -> None:
+        if source_id not in self._sources:
+            raise ResourceNotFound(f"source {source_id}")
+        if not config.get("source_dir"):
+            raise InvalidConfig("source config requires source_dir")
+        self._sources[source_id] = {"name": name, "config": config}
+        self._save()
+
+    def delete_source(self, source_id: int) -> None:
+        self._delete_resource(self._sources, "source", "source_id", source_id)
+
+    def create_destination(self, name: str, config: dict) -> int:
+        probe = {"source_dir": "/x", "tables": [{"name": "t", "keys": ["k"]}],
+                 "sink": config}
+        sink_problems = [p for p in validate_config(probe) if "sink" in p]
+        if sink_problems:
+            raise InvalidConfig("; ".join(sink_problems))
+        return self._create_resource(self._destinations, name, config)
+
+    def read_destination(self, destination_id: int) -> dict:
+        return self._read_resource(self._destinations, "destination", destination_id)
+
+    def read_all_destinations(self) -> list[dict]:
+        return [self.read_destination(r) for r in sorted(self._destinations)]
+
+    def update_destination(self, destination_id: int, name: str, config: dict) -> None:
+        if destination_id not in self._destinations:
+            raise ResourceNotFound(f"destination {destination_id}")
+        self._destinations[destination_id] = {"name": name, "config": config}
+        self._save()
+
+    def delete_destination(self, destination_id: int) -> None:
+        self._delete_resource(
+            self._destinations, "destination", "destination_id", destination_id
+        )
+
+    # -- reference resolution -------------------------------------------------
+    def resolve_config(self, config: dict) -> dict:
+        """Inline any ``source_id`` / ``destination_id`` references —
+        the stored-config → deployed-config step the reference performs
+        when it builds a replicator deployment from resource rows."""
+        out = dict(config)
+        sid = out.pop("source_id", None)
+        if sid is not None:
+            src = self.read_source(sid)["config"]
+            out.setdefault("source_dir", src["source_dir"])
+            if "source_fmt" in src:
+                out.setdefault("source_fmt", src["source_fmt"])
+        did = out.pop("destination_id", None)
+        if did is not None:
+            out.setdefault("sink", self.read_destination(did)["config"])
+        tid = out.get("tenant_id")
+        if tid is not None and tid not in self._tenants:
+            raise ResourceNotFound(f"tenant {tid}")
+        return out
 
     def _work_dir(self, pipeline_id: int) -> str:
         return os.path.join(self.root, f"pipeline_{pipeline_id}")
 
     # -- CRUD (POST/GET/POST/DELETE /pipelines[/{id}]) ----------------------
     def create_pipeline(self, config: dict) -> int:
-        if len(self._configs) >= self.max_pipelines:
+        # cap is PER TENANT (MAX_PIPELINES_PER_TENANT, pipelines.rs:702);
+        # pipelines without a tenant share the default scope
+        tid = config.get("tenant_id")
+        scope = [p for p, e in self._configs.items()
+                 if e["config"].get("tenant_id") == tid]
+        if len(scope) >= self.max_pipelines:
             raise ControlPlaneError(
                 f"max pipelines reached ({self.max_pipelines})")
-        problems = validate_config(config)
+        problems = validate_config(self.resolve_config(config))
         if problems:
             raise InvalidConfig("; ".join(problems))
         pid = self._next_id
@@ -186,7 +359,7 @@ class PipelineRegistry:
             raise PipelineNotFound(str(pipeline_id))
         if pipeline_id in self._live:
             raise PipelineActive("stop the pipeline before updating it")
-        problems = validate_config(config)
+        problems = validate_config(self.resolve_config(config))
         if problems:
             raise InvalidConfig("; ".join(problems))
         entry = self._configs[pipeline_id]
@@ -217,7 +390,7 @@ class PipelineRegistry:
     def _materialize(self, pipeline_id: int, spark: SparkSession):
         from etl_spark.streaming.pipeline import Pipeline, TableConfig
 
-        cfg = self._configs[pipeline_id]["config"]
+        cfg = self.resolve_config(self._configs[pipeline_id]["config"])
         tables = [
             TableConfig(
                 name=t["name"], snapshot_path=t.get("snapshot_path"),

@@ -215,3 +215,98 @@ def test_lifecycle_with_changelog_sink(spark, tmp_path):
            if r.cdc_operation in ("UPDATE", "DELETE")]
     assert ops == ["UPDATE", "DELETE"]   # every event kept, ordered
     reg.stop_all_pipelines()
+
+
+def test_tenant_source_destination_registries(spark, tmp_path):
+    """Resource routes (tenants.rs / sources.rs / destinations.rs):
+    CRUD, per-tenant pipeline caps, reference resolution at start, and
+    the in-use delete guards (SourceInUse / DestinationInUse analog)."""
+    from etl_spark.control_plane import ResourceInUse, ResourceNotFound
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [_ev("UPDATE", 10, after={"pk": 1, "val": "a1"})], "b1")
+
+    reg = PipelineRegistry(str(tmp_path / "cp"), max_pipelines=1)
+    # tenants
+    reg.create_tenant("acme", "Acme Inc")
+    with pytest.raises(Exception, match="already exists"):
+        reg.create_tenant("acme", "dup")
+    reg.update_tenant("acme", "Acme Renamed")
+    assert reg.read_tenant("acme")["name"] == "Acme Renamed"
+    # sources + destinations
+    sid = reg.create_source("events feed", {"source_dir": src})
+    did = reg.create_destination("warehouse", {
+        "kind": "parquet_current_state", "root": str(tmp_path / "sink")})
+    with pytest.raises(Exception, match="requires root"):
+        reg.create_destination("bad", {"kind": "parquet_scd2"})
+    assert reg.read_all_sources()[0]["name"] == "events feed"
+    # pipeline BY REFERENCE: no inline source_dir/sink
+    cfg = {
+        "tenant_id": "acme", "source_id": sid, "destination_id": did,
+        "tables": [{"name": "users", "keys": ["pk"],
+                    "payload_schema": PAYLOAD, "snapshot_path": snap}],
+    }
+    pid = reg.create_pipeline(cfg)
+    # per-tenant cap: a DIFFERENT tenant still has room at max_pipelines=1
+    reg.create_tenant("other", "Other")
+    cfg2 = dict(cfg, tenant_id="other")
+    pid2 = reg.create_pipeline(cfg2)
+    with pytest.raises(Exception, match="max pipelines"):
+        reg.create_pipeline(dict(cfg))  # acme is full
+    # resolution at start: the referenced source/destination materialize
+    p = reg.start_pipeline(pid, spark)
+    got = {r.pk: r.val for r in p.sink.read("users").select("pk", "val").collect()}
+    assert got == {1: "a1"}
+    # in-use guards
+    with pytest.raises(Exception):           # active pipeline
+        reg.delete_source(sid)
+    reg.stop_all_pipelines()
+    with pytest.raises(ResourceInUse):       # still referenced
+        reg.delete_source(sid)
+    with pytest.raises(ResourceInUse):
+        reg.delete_destination(did)
+    with pytest.raises(ResourceInUse):       # tenant owns pipelines
+        reg.delete_tenant("acme")
+    reg.delete_pipeline(pid)
+    reg.delete_pipeline(pid2)
+    reg.delete_source(sid)
+    reg.delete_destination(did)
+    reg.delete_tenant("acme")
+    with pytest.raises(ResourceNotFound):
+        reg.read_source(sid)
+    # registry state (incl. resources) survives restart
+    reg2 = PipelineRegistry(str(tmp_path / "cp"))
+    assert reg2.read_all_tenants() == [{"id": "other", "name": "Other"}]
+
+
+def test_source_update_repoints_referencing_pipeline(spark, tmp_path):
+    """The stored-config model: updating a source re-points every
+    referencing pipeline on its NEXT start (resolution is deploy-time,
+    like the reference building a replicator from resource rows)."""
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src1), os.makedirs(src2)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src1, [_ev("UPDATE", 10, after={"pk": 1, "val": "from1"})], "b1")
+    _write_env(spark, src2, [_ev("UPDATE", 20, after={"pk": 1, "val": "from2"})], "b1")
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    sid = reg.create_source("feed", {"source_dir": src1})
+    pid = reg.create_pipeline({
+        "source_id": sid,
+        "tables": [{"name": "users", "keys": ["pk"],
+                    "payload_schema": PAYLOAD, "snapshot_path": snap}],
+        "sink": {"kind": "memory"},
+    })
+    p1 = reg.start_pipeline(pid, spark)
+    vals1 = {r["val"] for _t, _b, rows in p1.sink.batches for r in rows}
+    assert vals1 == {"from1"}
+    reg.stop_pipeline(pid)
+    reg.update_source(sid, "feed", {"source_dir": src2})
+    # fresh work dir via delete/create would re-sync; here the checkpoint
+    # is per-pipeline, so just verify materialization sees the new dir
+    p2 = reg._materialize(pid, spark)
+    assert p2.source_dir == src2
