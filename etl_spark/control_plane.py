@@ -464,6 +464,50 @@ class PipelineRegistry:
             raise PipelineNotFound(f"{pipeline_id} not running")
         return p.replication_status()
 
+    def run_maintenance(self, pipeline_id: int, spark: SparkSession,
+                        keep_versions: int = 2) -> dict:
+        """External maintenance verb (the reference runs compaction +
+        snapshot expiry as a scheduled job against DuckLake destinations,
+        ducklake/external_maintenance.rs): for every table of the
+        pipeline's PARQUET STATE destination, fold the bucket-manifest
+        chain into one fresh version (``sink.compact``) and expire
+        version dirs no retained manifest references. Refused while the
+        pipeline runs (maintenance is external by design — it must never
+        race a live micro-batch's commit). Returns per-table
+        ``{compacted: bool, removed_dirs: [..]}``."""
+        from etl_spark.maintenance import expire_versions
+        from etl_spark.streaming.sinks import _BucketedVersionedTable
+
+        if pipeline_id in self._live:
+            raise PipelineActive("stop the pipeline before maintenance")
+        if pipeline_id not in self._configs:
+            raise PipelineNotFound(str(pipeline_id))
+        cfg = self.resolve_config(self._configs[pipeline_id]["config"])
+        sink_spec = cfg["sink"]
+        report: dict[str, dict] = {}
+        if not sink_spec.get("kind", "").startswith("parquet_") or \
+                sink_spec["kind"] == "parquet_changelog":
+            return report  # nothing to fold (changelog batches are append-only)
+        root = sink_spec["root"]
+        for t in cfg["tables"]:
+            name = t["name"]
+            tdir = os.path.join(root, name)
+            if not os.path.exists(os.path.join(tdir, "VERSION")):
+                report[name] = {"compacted": False, "removed_dirs": []}
+                continue
+            cls_kind = sink_spec["kind"]
+            from etl_spark.streaming.sinks import (
+                ParquetCurrentStateSink,
+                ParquetScd2Sink,
+            )
+
+            cls = ParquetScd2Sink if cls_kind == "parquet_scd2" else ParquetCurrentStateSink
+            sink: _BucketedVersionedTable = cls(root, keys=t["keys"], spark=spark)
+            sink.compact(name)
+            removed = expire_versions(tdir, keep=keep_versions)
+            report[name] = {"compacted": True, "removed_dirs": removed}
+        return report
+
     def rollback_tables(self, pipeline_id: int, target: str = "errored",
                         force: bool = True) -> list[str]:
         """POST /pipelines/{id}/rollback-tables with an explicit target

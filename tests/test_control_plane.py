@@ -310,3 +310,33 @@ def test_source_update_repoints_referencing_pipeline(spark, tmp_path):
     # is per-pipeline, so just verify materialization sees the new dir
     p2 = reg._materialize(pid, spark)
     assert p2.source_dir == src2
+
+
+def test_run_maintenance_verb(spark, tmp_path):
+    """External maintenance (ducklake/external_maintenance.rs analog):
+    compaction folds the manifest chain, expiry reclaims superseded dirs,
+    content survives, and the verb is refused while the pipeline runs."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(i, f"s{i}") for i in range(20)], PAYLOAD).write.parquet(snap)
+    for b in range(3):  # three files -> three micro-batches of updates
+        _write_env(spark, src, [
+            _ev("UPDATE", 10 + b, after={"pk": b, "val": f"u{b}"})], f"b{b}")
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(_config(src, str(tmp_path / "sink"), snap=snap))
+    p = reg.start_pipeline(pid, spark)
+    with pytest.raises(PipelineActive):
+        reg.run_maintenance(pid, spark)
+    reg.stop_pipeline(pid)
+    sink_tdir = str(tmp_path / "sink" / "users")
+    dirs_before = sorted(d for d in os.listdir(sink_tdir) if d.startswith("v"))
+    report = reg.run_maintenance(pid, spark, keep_versions=1)
+    assert report["users"]["compacted"]
+    assert report["users"]["removed_dirs"]  # superseded dirs reclaimed
+    # restart the pipeline: it reads the compacted table and still works
+    p2 = reg.start_pipeline(pid, spark)
+    got = {r.pk: r.val for r in p2.sink.read("users").select("pk", "val").collect()}
+    want = {i: f"s{i}" for i in range(20)} | {b: f"u{b}" for b in range(3)}
+    assert got == want
+    reg.stop_all_pipelines()
