@@ -130,6 +130,9 @@ HEADLINE = [
     "orders_decile_bands",
     "customer_fuzzy_name_join",
     "docs_char_pair_merge",
+    "nation_top_customers_agg",
+    "lineitem_metrics_unpivot",
+    "events_time_weighted_value",
 ]
 
 
@@ -211,7 +214,9 @@ def main() -> None:
               "docs_ngram_novelty", "events_ks_drift"}
     r6_new = {"lineitem_rollup_metrics", "events_regression",
               "events_markov_transitions", "orders_decile_bands",
-              "customer_fuzzy_name_join", "docs_char_pair_merge"}
+              "customer_fuzzy_name_join", "docs_char_pair_merge",
+              "nation_top_customers_agg", "lineitem_metrics_unpivot",
+              "events_time_weighted_value"}
     r2_comparable = round(
         sum(v for k, v in timings.items() if k not in r4_new | r5_new | r6_new),
         3,

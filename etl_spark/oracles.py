@@ -2735,3 +2735,54 @@ FROM pairs GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """
+
+ORACLES["nation_top_customers_agg"] = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_name ASC) AS rnk
+  FROM customer
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_top,
+       string_agg(c_name, ',' ORDER BY rnk) AS top_names
+FROM ranked WHERE rnk <= 5
+GROUP BY c_nationkey
+"""
+
+ORACLES["lineitem_metrics_unpivot"] = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         avg(l_discount) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, metric, round(value, 6) AS value FROM (
+  SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM agg
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'avg_disc', avg_disc FROM agg
+)
+"""
+
+ORACLES["events_time_weighted_value"] = """
+WITH gaps AS (
+  SELECT user_id, value,
+         (epoch_ns(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+          - epoch_ns(ts)) // 1000000000 AS gap_sec
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(gap_sec) AS BIGINT) AS held_sec,
+         sum(CAST(value AS DECIMAL(18,6)) * gap_sec) AS wsum
+  FROM gaps WHERE gap_sec IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, held_sec,
+       round(CAST(wsum AS DOUBLE) / held_sec, 6) AS twa
+FROM agg WHERE held_sec > 0
+"""

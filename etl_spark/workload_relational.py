@@ -1758,3 +1758,89 @@ def customer_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k_a", "k_b", "dist")
         .distinct()  # a pair can share several deletion variants
     )
+
+
+def nation_top_customers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (X97): per nation, the comma-joined
+    top-5 customer names by account balance — LISTAGG/STRING_AGG WITHIN
+    GROUP, the classic warehouse report cell. Spark has no ordered
+    string_agg, so the deterministic form is rank-prune (WindowGroupLimit
+    pushes rank<=5 map-side) → collect_list of (rank, name) structs →
+    array_sort — struct field order gives rank order — → join. The prune
+    bounds the collected list at 5 per group, so the agg state is O(k),
+    never O(group).
+    """
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_name", "c_acctbal")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name").asc()
+    )
+    ranked = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_names"),
+        )
+    )
+
+
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (X98): the Q1-style metric block turned into long
+    form ``(flag, status, metric, value)`` — the shape BI tools and
+    metric stores consume. ``stack`` is a scan-stage Expand (rows × 3,
+    no shuffle beyond the one agg); the wide agg happens FIRST so the
+    expansion runs over the tiny aggregate, never the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.avg(F.col("l_discount")).alias("avg_disc"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+            "'avg_disc', avg_disc) AS (metric, value)"
+        ),
+    ).withColumn("value", F.round("value", 6))
+
+
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (X99): per user, each event's value weighted
+    by how long it remained current (gap to the next event) — the
+    sensor/metric TWA every monitoring store computes, where plain AVG
+    over-counts bursts. One lead window per user (event_id total order
+    breaks ts ties), decimal-exact weighted sums, single-event users
+    (no held interval) drop out.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "gap_sec",
+            ((F.col("next_ts") - F.col("ts")) / F.lit(NANOS_PER_SEC)).cast("long"),
+        )
+    )
+    out = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("gap_sec").alias("held_sec"),
+        F.sum(
+            F.col("value").cast("decimal(18,6)") * F.col("gap_sec")
+        ).alias("__wsum"),
+    )
+    return out.filter(F.col("held_sec") > 0).select(
+        "user_id",
+        "n_intervals",
+        "held_sec",
+        F.round(F.col("__wsum").cast("double") / F.col("held_sec"), 6).alias("twa"),
+    )

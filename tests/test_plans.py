@@ -614,3 +614,34 @@ def test_char_pair_topk_take_ordered(spark):
     plan = plan_of(workload_text.docs_char_pair_merge(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_string_agg_rank_pruned_bounded_state(spark):
+    # the rank<=5 prune runs map-side (WindowGroupLimit) so collect_list
+    # state is O(k) per group, never O(group)
+    plan = plan_of(workload_relational.nation_top_customers_agg(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_unpivot_expands_aggregate_not_fact(spark):
+    # stack (Expand) must sit ABOVE the aggregate: the 3x expansion runs
+    # over the tiny metric block, never over the lineitem scan
+    plan = plan_of(workload_relational.lineitem_metrics_unpivot(spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    gen_pos = max(plan.find("Expand"), plan.find("Generate"))
+    assert gen_pos != -1 and agg_pos != -1, plan
+    # formatted plans list operators bottom-up in the detail section:
+    # the scan/agg appear before (lower id than) the expansion
+    import re
+
+    ids = {m.group(2): int(m.group(1))
+           for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.M)}
+    assert ids.get("Expand", ids.get("Generate", 99)) > ids["HashAggregate"], ids
+
+
+def test_time_weighted_single_user_shuffle(spark):
+    # lead window + per-user agg share the user_id partitioning: one
+    # exchange total (AQE may add none beyond it)
+    plan = plan_of(workload_relational.events_time_weighted_value(spark, SF_DIR))
+    assert n_shuffles(plan) <= 2, plan
+    assert "CartesianProduct" not in plan

@@ -113,6 +113,9 @@ QUERIES = [
     "orders_decile_bands",
     "customer_fuzzy_name_join",
     "docs_char_pair_merge",
+    "nation_top_customers_agg",
+    "lineitem_metrics_unpivot",
+    "events_time_weighted_value",
 ]
 
 
