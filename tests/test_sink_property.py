@@ -92,3 +92,74 @@ def test_sink_matches_lww_model_under_random_ops(spark, tmp_path, seed):
             for r in sink.read("t").select("pk", "val").collect()
         }
         assert got == model, f"seed={seed} step={step} action={action}"
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_scd2_sink_matches_version_model_under_random_ops(spark, tmp_path, seed):
+    """Same harness for the SCD2 destination: the model replays the full
+    per-key event history and derives (valid_from, valid_to, is_current)
+    exactly like the batch window — incremental maintenance under random
+    batching/replay/compaction/restart must always equal it."""
+    from etl_spark.streaming.sinks import ParquetScd2Sink
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"scd{seed}")
+    sink = ParquetScd2Sink(root, keys=["pk"], spark=spark, n_buckets=8)
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(pk, f"s{pk}") for pk in range(6)],
+                                   "pk long, val string")
+    )
+    # model: pk → ordered [(lsn, ordinal, op, val)] (snapshot = lsn 0)
+    events: dict[int, list] = {pk: [(0, 0, "INSERT", f"s{pk}")] for pk in range(6)}
+
+    def expected():
+        out = {}
+        for pk, evs in events.items():
+            evs = sorted(evs)
+            for i, (lsn, _o, op, val) in enumerate(evs):
+                if op == "DELETE":
+                    continue
+                nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+                out[(pk, lsn)] = (val, nxt, nxt is None)
+        return out
+
+    lsn, batch_id = 10, 0
+    applied = []
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "replay", "compact", "restart"], weights=[6, 2, 1, 2])[0]
+        if action == "batch" or not applied:
+            evs = []
+            for _ in range(rng.randint(1, 5)):
+                pk = rng.randint(0, 9)
+                op = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                val = None if op == "DELETE" else f"v{lsn}_{pk}"
+                ordinal = len(evs)
+                evs.append((op, lsn, pk, val, ordinal))
+                events.setdefault(pk, []).append((lsn, ordinal, op, val))
+                lsn += 1  # one lsn per event: model ordering == event_seq
+            batch_id += 1
+            df = spark.createDataFrame(
+                [(op, l, o, pk, v) for (op, l, pk, v, o) in evs],
+                "op string, commit_lsn long, tx_ordinal long, pk long, val string")
+            from etl_spark.envelope import with_sequence
+
+            sink.write_changes("t", with_sequence(df), batch_id)
+            applied.append((batch_id, evs))
+        elif action == "replay":
+            bid, evs = applied[-1]
+            df = spark.createDataFrame(
+                [(op, l, o, pk, v) for (op, l, pk, v, o) in evs],
+                "op string, commit_lsn long, tx_ordinal long, pk long, val string")
+            from etl_spark.envelope import with_sequence
+
+            # redelivery under a NEW id: (key, event_seq) dedup absorbs it
+            sink.write_changes("t", with_sequence(df), bid + 1000 + step)
+        elif action == "compact":
+            sink.compact("t")
+        elif action == "restart":
+            sink = ParquetScd2Sink(root, keys=["pk"], spark=spark)
+
+        got = {(r.pk, r.valid_from): (r.val, r.valid_to, bool(r.is_current))
+               for r in sink.read("t").collect()}
+        assert got == expected(), f"seed={seed} step={step} action={action}"
