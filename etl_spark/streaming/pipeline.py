@@ -43,6 +43,20 @@ from etl_spark.state import (
 )
 from etl_spark.streaming.sinks import Sink
 
+#: PG type OID → engine column type for relation-frame-derived schemas
+#: (SURVEY §1.1 cell model): only the types whose text form coerces
+#: losslessly through the JSON decode are mapped; numeric / temporal-with-
+#: fraction / uuid / bytea / json / arrays stay string pass-through and
+#: decode on demand via the F1–F10 codecs (reference keeps exactness the
+#: same way for types destinations treat as text).
+OID_SPARK_TYPES = {
+    # NOT bool: PG text for bool is 't'/'f', which a boolean JSON decode
+    # rejects — it stays string pass-through (pg_bool parses on demand)
+    21: "short", 23: "int", 20: "long", 26: "long",
+    700: "float", 701: "double",
+    1082: "date",
+}
+
 
 @dataclass
 class TableConfig:
@@ -91,6 +105,17 @@ class Pipeline:
         self.spark = spark
         self.source_dir = source_dir
         self.tables = {t.name: t for t in tables}
+        #: the USER-declared column types, captured before any RELATION
+        #: frame rewrites payload_schema — declared types win for their
+        #: columns when relation frames re-derive the schema (the relation
+        #: message carries OIDs, not engine types; see _apply_relations)
+        self._declared_types: dict[str, dict[str, str]] = {
+            t.name: {
+                f.strip().split()[0]: " ".join(f.strip().split()[1:])
+                for f in (t.payload_schema or "").split(",") if f.strip()
+            }
+            for t in tables
+        }
         if async_flush:
             from etl_spark.streaming.async_flush import AsyncFlushSink
 
@@ -381,9 +406,25 @@ class Pipeline:
                     return None
                 return type_names.get(oid, f"oid:{oid}")
 
+            declared = self._declared_types.get(table, {})
+
+            def _typ(c: dict) -> str:
+                # precedence: explicit DDL-message type (a column whose
+                # type CHANGED) > user-declared type > OID-mapped engine
+                # type (cell.rs §1.1: bool/ints/floats/date coerce
+                # losslessly through the JSON decode; numeric / temporal /
+                # uuid / bytea / json / arrays stay text pass-through for
+                # exactness) > string
+                if c.get("typ"):
+                    return c["typ"]
+                d = declared.get(c["name"])
+                if d:
+                    return d
+                return OID_SPARK_TYPES.get(c.get("type_oid"), "string")
+
             cols = [
                 ColumnDef(
-                    name=c["name"], typ=c.get("typ", "string"),
+                    name=c["name"], typ=_typ(c),
                     nullable=c.get("nullable", True), ordinal=i,
                     pk_ordinal=c.get("pk_ordinal"),
                     pg_type=_pg_type(c),
@@ -405,28 +446,44 @@ class Pipeline:
           (codec/event.rs:594-680); without one the row is rejected,
           mirroring the reference's partial-row rejection
           (bigquery/core.rs:1480-1495).
+
+        Typing is parse-then-CAST, not typed from_json: the pgoutput text
+        protocol quotes every value ('{"pk": "7"}'), and from_json does
+        NOT coerce a quoted numeric into a numeric field (it NULLs it) —
+        while CAST handles every PG text form the codec layer documents
+        ('7', '1.5', 'NaN', 't'/'f', timestamps with offsets). An
+        envelope-format source with native JSON numbers round-trips
+        identically (number → string field → cast).
         """
         if not cfg.payload_schema:
             return rows
-        after = F.from_json("after", cfg.payload_schema)
-        before = F.from_json("before", cfg.payload_schema)
+        fields = [
+            (f.strip().split()[0], " ".join(f.strip().split()[1:]) or "string")
+            for f in cfg.payload_schema.split(",") if f.strip()
+        ]
+        str_schema = ", ".join(f"{n} string" for n, _ in fields)
+        after = F.from_json("after", str_schema)
+        before = F.from_json("before", str_schema)
         dec = rows.withColumn("__a", after).withColumn("__b", before)
         missing = F.coalesce(F.col("missing_cols"), F.array())
         resolvable = (F.size(missing) == 0) | (F.col("before_kind") == "FULL")
         dec = dec.filter(resolvable | ~F.col("op").isin(*ROW_OPS))
-        names = [f.split()[0] for f in cfg.payload_schema.split(",")]
+        types = dict(fields)
         proj = [F.col("op"), F.col("commit_lsn"), F.col("tx_ordinal"), F.col("event_seq")]
-        for i, n in enumerate(names):
+        for i, (n, t) in enumerate(fields):
             src = F.when(F.col("op") == "DELETE", F.col(f"__b.{n}")).otherwise(
                 F.when(
                     F.array_contains(missing, F.lit(i)), F.col(f"__b.{n}")
                 ).otherwise(F.col(f"__a.{n}"))
             )
-            proj.append(src.alias(n))
+            proj.append(src.cast(t).alias(n))
         # PK-changing updates (D1 semantics, bigquery/core.rs:1421-1478):
         # carry the old-image keys through decode, expand into
         # DELETE(old key) + UPDATE(new key), then drop the plumbing columns
-        proj += [F.col(f"__b.{k}").alias(f"__before_{k}") for k in cfg.keys]
+        proj += [
+            F.col(f"__b.{k}").cast(types[k]).alias(f"__before_{k}")
+            for k in cfg.keys
+        ]
         from etl_spark.operators.materialize import expand_pk_change
 
         out = expand_pk_change(dec.select(*proj), cfg.keys, before_prefix="__before_")

@@ -563,3 +563,44 @@ def test_pipeline_records_custom_type_in_schema(spark, tmp_path):
     ver2 = p2.schemas.asof("public.t", 10**9)
     cols2 = {c.name: c for c in ver2[1]}
     assert cols2["tags"].pg_type == "public.hstore"
+
+
+def test_relation_frame_types_columns_from_oids(spark, tmp_path):
+    """Relation-derived schemas are TYPED: user-declared types win for
+    their columns; columns the user did not declare get the OID-mapped
+    engine type (int4 → int here) instead of degrading to string — so a
+    changelog-fidelity destination stores typed values without needing
+    the current-state merge's snapshot anchor."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import MemorySink
+
+    src = str(tmp_path / "frames")
+    os.makedirs(src)
+    rel = pgo.encode_relation(
+        1, "public", "t", "d",
+        [(1, "pk", 20, -1), (0, "val", 25, -1), (0, "n", 23, -1)])
+    _write_frames(spark, src, [
+        (-1, -1, rel),
+        (10, 1, pgo.encode_begin(final_lsn=100, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["7", "a", "42"])),
+        (12, 1, pgo.encode_commit(100, 101)),
+    ], "b0")
+    sink = MemorySink()
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long").write.parquet(snap)
+    # user declares ONLY pk — val and n come from the relation frame
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long")
+    p = Pipeline(spark, src, [cfg], sink, str(tmp_path / "work"),
+                 source_fmt="pgoutput")
+    p.run_until_drained()
+    assert cfg.payload_schema == "pk long, val string, n int"
+    (_, _, rows), = [b for b in sink.batches if b[0] == "public.t"]
+    (row,) = rows
+    assert row["pk"] == 7 and row["val"] == "a" and row["n"] == 42
+    # the schema registry recorded the typed ColumnDefs
+    ver = p.schemas.asof("public.t", 10**9)
+    assert {c.name: c.typ for c in ver[1]} == {
+        "pk": "long", "val": "string", "n": "int"}
