@@ -50,11 +50,12 @@ from etl_spark.streaming.sinks import Sink
 #: decode on demand via the F1–F10 codecs (reference keeps exactness the
 #: same way for types destinations treat as text).
 OID_SPARK_TYPES = {
-    # NOT bool: PG text for bool is 't'/'f', which a boolean JSON decode
-    # rejects — it stays string pass-through (pg_bool parses on demand)
+    16: "boolean",  # CAST accepts PG's 't'/'f' text form
     21: "short", 23: "int", 20: "long", 26: "long",
     700: "float", 701: "double",
     1082: "date",
+    1114: "timestamp_ntz",  # CAST parses 'YYYY-MM-DD HH:MM:SS[.f]'
+    1184: "timestamp",      # ...and the '+00'-suffixed tz form
 }
 
 
@@ -411,10 +412,10 @@ class Pipeline:
             def _typ(c: dict) -> str:
                 # precedence: explicit DDL-message type (a column whose
                 # type CHANGED) > user-declared type > OID-mapped engine
-                # type (cell.rs §1.1: bool/ints/floats/date coerce
-                # losslessly through the JSON decode; numeric / temporal /
-                # uuid / bytea / json / arrays stay text pass-through for
-                # exactness) > string
+                # type (cell.rs §1.1: bool/ints/floats/date/timestamps
+                # coerce losslessly through the parse-then-CAST decode;
+                # numeric / timetz / uuid / bytea / json / arrays stay
+                # text pass-through for exactness) > string
                 if c.get("typ"):
                     return c["typ"]
                 d = declared.get(c["name"])

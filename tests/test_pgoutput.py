@@ -580,11 +580,13 @@ def test_relation_frame_types_columns_from_oids(spark, tmp_path):
     os.makedirs(src)
     rel = pgo.encode_relation(
         1, "public", "t", "d",
-        [(1, "pk", 20, -1), (0, "val", 25, -1), (0, "n", 23, -1)])
+        [(1, "pk", 20, -1), (0, "val", 25, -1), (0, "n", 23, -1),
+         (0, "ok", 16, -1), (0, "at", 1184, -1)])
     _write_frames(spark, src, [
         (-1, -1, rel),
         (10, 1, pgo.encode_begin(final_lsn=100, xid=1)),
-        (11, 1, pgo.encode_insert(1, ["7", "a", "42"])),
+        (11, 1, pgo.encode_insert(1, ["7", "a", "42", "t",
+                                      "2024-01-02 03:04:05.5+00"])),
         (12, 1, pgo.encode_commit(100, 101)),
     ], "b0")
     sink = MemorySink()
@@ -596,11 +598,17 @@ def test_relation_frame_types_columns_from_oids(spark, tmp_path):
     p = Pipeline(spark, src, [cfg], sink, str(tmp_path / "work"),
                  source_fmt="pgoutput")
     p.run_until_drained()
-    assert cfg.payload_schema == "pk long, val string, n int"
+    assert cfg.payload_schema == (
+        "pk long, val string, n int, ok boolean, at timestamp")
     (_, _, rows), = [b for b in sink.batches if b[0] == "public.t"]
     (row,) = rows
     assert row["pk"] == 7 and row["val"] == "a" and row["n"] == 42
+    assert row["ok"] is True          # 't' → boolean via CAST
+    import datetime as dt
+
+    assert row["at"] == dt.datetime(2024, 1, 2, 3, 4, 5, 500000)
     # the schema registry recorded the typed ColumnDefs
     ver = p.schemas.asof("public.t", 10**9)
     assert {c.name: c.typ for c in ver[1]} == {
-        "pk": "long", "val": "string", "n": "int"}
+        "pk": "long", "val": "string", "n": "int",
+        "ok": "boolean", "at": "timestamp"}
