@@ -91,6 +91,7 @@ class Pipeline:
         source_fmt: str = "envelope",
         envelope_fmt: str = "parquet",
         compact_batches: bool = False,
+        batch_budget_bytes: int | None = None,
     ):
         #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv
         #: per ``envelope_fmt`` — a WAL shipper that flushes JSON lines or
@@ -127,6 +128,17 @@ class Pipeline:
         self.control = ControlStore(os.path.join(work_dir, "control"))
         self.schemas = SchemaRegistry(os.path.join(work_dir, "schemas"))
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        #: T2 adaptive batch budget: durable bytes-per-file estimator that
+        #: re-sizes maxFilesPerTrigger at each start (see streaming/budget.py)
+        self.budget = None
+        self._files_in_trigger: int | None = None
+        if batch_budget_bytes is not None:
+            from etl_spark.streaming.budget import BatchBudget
+
+            self.budget = BatchBudget(
+                os.path.join(work_dir, "batch_budget.json"),
+                target_bytes=batch_budget_bytes,
+            )
         self.query = None
         self.relations = None
         self.txs = None
@@ -246,6 +258,15 @@ class Pipeline:
         """
         from etl_spark.streaming.async_flush import AsyncFlushSink
         from etl_spark.streaming.cross_batch_flush import CrossBatchFlushSink
+
+        if self.budget is not None:
+            # T2/A3: size-hint the RAW input batch (what the trigger cap
+            # controls) and feed the durable bytes-per-file estimator; the
+            # next start() applies the recommendation
+            from etl_spark.streaming.budget import estimate_batch_bytes
+
+            _rows, est = estimate_batch_bytes(batch)
+            self.budget.observe(est, self._files_in_trigger or 1)
 
         raw_frames = None
         if self.source_fmt == "pgoutput":
@@ -557,8 +578,14 @@ class Pipeline:
     def start(self, available_now: bool = True, max_files_per_trigger: int | None = None):
         """Backfill, then start the stream. ``available_now=True`` drains
         what exists and stops (test/batch mode); False runs continuously.
-        ``max_files_per_trigger`` bounds each micro-batch (T1)."""
+        ``max_files_per_trigger`` bounds each micro-batch (T1); with a
+        ``batch_budget_bytes`` configured and no explicit cap, the cap
+        comes from the durable budget's recommendation (T2)."""
         from etl_spark.streaming.cross_batch_flush import CrossBatchFlushSink
+
+        if max_files_per_trigger is None and self.budget is not None:
+            max_files_per_trigger = self.budget.recommend()
+        self._files_in_trigger = max_files_per_trigger
 
         if isinstance(self.sink, CrossBatchFlushSink):
             # ack-gated restart (apply.rs:1956-2023): wire the flush LSN to

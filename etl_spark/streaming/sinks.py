@@ -176,8 +176,17 @@ class _BucketedVersionedTable:
         )
 
     # -- read ----------------------------------------------------------------
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: the table AS OF a past committed version — every
+        manifest is retained until :func:`etl_spark.maintenance.
+        expire_versions` reclaims it, so any unexpired version is
+        readable (the rollback-tables / snapshot-isolation reader the
+        VERSION-swap design buys for free)."""
+        return self._read_buckets(table, version=version)
+
     def _read_buckets(
-        self, table: str, bucket_ids: list[int] | None = None
+        self, table: str, bucket_ids: list[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Rows for ``bucket_ids`` (None = all) at the current version.
 
@@ -186,8 +195,8 @@ class _BucketedVersionedTable:
         buckets. Returns None when no stored rows match (new buckets);
         returns the schema-bearing empty frame when the table is empty.
         """
-        meta = self._current_meta(table)
-        manifest = self._manifest(table, meta["version"])
+        v = self._current_meta(table)["version"] if version is None else version
+        manifest = self._manifest(table, v)
         buckets: dict[str, str] = manifest["buckets"]
         if bucket_ids is not None:
             want = {str(b) for b in bucket_ids}

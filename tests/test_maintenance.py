@@ -182,3 +182,31 @@ def test_sink_untouched_buckets_not_rewritten(spark, tmp_path):
         # and the merged content is correct
         got = {r.pk: r.val for r in sink.read("t").select("pk", "val").collect()}
         assert got[7] == "u7" and got[3] == "v3" and len(got) == 64
+
+
+def test_sink_time_travel_read_version(spark, tmp_path):
+    """Every committed version stays readable until expiry: read_version
+    returns the table AS OF that commit (rollback-tables reader)."""
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    sink = ParquetCurrentStateSink(str(tmp_path / "wh"), keys=["pk"], spark=spark)
+    sink.write_snapshot("t", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pk long, val string"))
+    batch = with_sequence(spark.createDataFrame(
+        [("UPDATE", 10, 0, 1, "a1"), ("DELETE", 11, 0, 2, None)],
+        "op string, commit_lsn long, tx_ordinal long, pk long, val string"))
+    sink.write_changes("t", batch, batch_id=0)
+    now = {r.pk: r.val for r in sink.read("t").select("pk", "val").collect()}
+    assert now == {1: "a1"}
+    v0 = {r.pk: r.val for r in sink.read_version("t", 0).select("pk", "val").collect()}
+    assert v0 == {1: "a", 2: "b"}  # the pre-batch world, byte-identical files
+    # after expiry the old manifest is gone — time travel window closed
+    from etl_spark.maintenance import expire_versions
+
+    sink.compact("t")
+    expire_versions(str(tmp_path / "wh" / "t"), keep=1)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        sink.read_version("t", 0).collect()

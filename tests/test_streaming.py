@@ -57,10 +57,11 @@ def env(spark, tmp_path):
     }
 
 
-def make_pipeline(spark, env, extra_tables=()):
+def make_pipeline(spark, env, extra_tables=(), **kw):
     cfg = TableConfig(name="users", snapshot_path=env["snap"], keys=["pk"],
                       payload_schema=PAYLOAD)
-    return Pipeline(spark, env["source"], [cfg, *extra_tables], env["sink"], env["work"])
+    return Pipeline(spark, env["source"], [cfg, *extra_tables], env["sink"],
+                    env["work"], **kw)
 
 
 def current(env):
@@ -719,3 +720,40 @@ def test_compact_batches_replay_idempotent(spark, env):
                   compact_batches=True)
     p2.run_until_drained()
     assert current(env) == first == {1: "a", 3: "c", 7: "q1"}
+
+
+def test_adaptive_batch_budget(spark, env, tmp_path):
+    """T2/A3: the durable batch budget observes the first run's
+    bytes-per-file and re-sizes maxFilesPerTrigger on the next start — a
+    tiny byte target forces one file per micro-batch."""
+    import json as _json
+    import os as _os
+
+    from etl_spark.streaming.budget import BatchBudget, estimate_batch_bytes
+
+    # size-hint sanity: fixed widths + measured string lengths
+    df = spark.createDataFrame([(1, "abcd")], "a long, s string")
+    rows, est = estimate_batch_bytes(df)
+    assert rows == 1 and est == 8 + 4
+
+    for i in range(3):
+        write_events(spark, env["source"], [
+            ev("INSERT", "users", 100 + i, 0, after={"pk": 50 + i, "val": "x"}),
+        ], f"bb{i}")
+    p = make_pipeline(spark, env, batch_budget_bytes=1)
+    p.run_until_drained()
+    state = _json.load(open(_os.path.join(env["work"], "batch_budget.json")))
+    assert state["observations"] >= 1 and state["bytes_per_file"] > 1
+    assert p.budget.recommend() == 1  # 1-byte target < any real file
+
+    # restart: recommendation applies → one file per trigger
+    write_events(spark, env["source"], [
+        ev("INSERT", "users", 200, 0, after={"pk": 60, "val": "y"}),
+        ], "bb3")
+    p2 = make_pipeline(spark, env, batch_budget_bytes=1)
+    p2.run_until_drained()
+    assert p2._files_in_trigger == 1
+    # a roomy budget recommends a larger cap from the same observations
+    roomy = BatchBudget(_os.path.join(env["work"], "batch_budget.json"),
+                        target_bytes=1 << 20)
+    assert roomy.recommend() > 1
