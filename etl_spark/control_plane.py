@@ -485,9 +485,21 @@ class PipelineRegistry:
         cfg = self.resolve_config(self._configs[pipeline_id]["config"])
         sink_spec = cfg["sink"]
         report: dict[str, dict] = {}
-        if not sink_spec.get("kind", "").startswith("parquet_") or \
-                sink_spec["kind"] == "parquet_changelog":
-            return report  # nothing to fold (changelog batches are append-only)
+        if not sink_spec.get("kind", "").startswith("parquet_"):
+            return report  # memory sink: nothing durable to maintain
+        if sink_spec["kind"] == "parquet_changelog":
+            from etl_spark.streaming.sinks import ParquetChangelogSink
+
+            sink = ParquetChangelogSink(sink_spec["root"])
+            for t in cfg["tables"]:
+                tdir = os.path.join(sink_spec["root"], t["name"])
+                if not os.path.isdir(tdir):
+                    report[t["name"]] = {"compacted": False, "folded_batches": []}
+                    continue
+                folded = sink.compact(spark, t["name"])
+                report[t["name"]] = {"compacted": bool(folded),
+                                     "folded_batches": folded}
+            return report
         root = sink_spec["root"]
         for t in cfg["tables"]:
             name = t["name"]

@@ -78,10 +78,25 @@ class ParquetChangelogSink(Sink):
     ``cdc_sequence`` (iceberg/core.rs:27-70 table shape). Replay-safe via
     batch-id dedup directories (one output dir per batch id — rewriting the
     same batch overwrites, not duplicates: the DuckLake ``applied_batches``
-    idea, ducklake/core.rs:74-80, as idempotent file layout)."""
+    idea, ducklake/core.rs:74-80, as idempotent file layout).
+
+    A streaming changelog accumulates one directory per micro-batch
+    forever; :meth:`compact` folds old batch dirs into a consolidated
+    segment, crash-safely: the segment is written first, then a FOLDED
+    manifest records which batch ids it covers (the atomic commit), then
+    the folded dirs are deleted. ``read`` consults the manifest, so a
+    crash between commit and delete — or a replayed delivery recreating
+    a folded batch dir — never double-counts."""
 
     def __init__(self, root: str):
         self.root = root
+
+    def _folded(self, table: str) -> dict:
+        try:
+            with open(os.path.join(self.root, table, "FOLDED")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"batches": []}
 
     def write_snapshot(self, table: str, df: DataFrame) -> None:
         out = os.path.join(self.root, table, "snapshot")
@@ -91,10 +106,65 @@ class ParquetChangelogSink(Sink):
         out = os.path.join(self.root, table, f"batch={batch_id}")
         materialize.changelog(df).write.mode("overwrite").parquet(out)
 
+    def _live_dirs(self, table: str) -> list[str]:
+        tdir = os.path.join(self.root, table)
+        folded = set(self._folded(table)["batches"])
+        out = []
+        for d in sorted(os.listdir(tdir)):
+            full = os.path.join(tdir, d)
+            if not os.path.isdir(full):
+                continue
+            if d.startswith("batch="):
+                if int(d.split("=", 1)[1]) in folded:
+                    continue  # folded into a segment (or crash-leftover)
+                out.append(full)
+            elif d.startswith("segment_") or d == "snapshot":
+                out.append(full)
+        return out
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            os.path.join(self.root, table)
+        import functools as _ft
+
+        dirs = self._live_dirs(table)
+        if not dirs:
+            raise RuntimeError(f"no changelog data for {table}")
+        parts = [
+            spark.read.option("recursiveFileLookup", "true").parquet(d)
+            for d in dirs
+        ]
+        return _ft.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+
+    def compact(self, spark: SparkSession, table: str,
+                keep_batches: int = 10) -> list[int]:
+        """Fold every batch dir except the newest ``keep_batches`` into one
+        consolidated segment. Returns the folded batch ids."""
+        import shutil as _sh
+
+        tdir = os.path.join(self.root, table)
+        folded_prev = set(self._folded(table)["batches"])
+        ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) not in folded_prev
+        )
+        doomed = ids[:-keep_batches] if keep_batches else ids
+        if not doomed:
+            return []
+        seg = os.path.join(tdir, f"segment_{max(doomed)}")
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[os.path.join(tdir, f"batch={b}") for b in doomed]
+        )
+        df.write.mode("overwrite").parquet(seg)
+        manifest = {"batches": sorted(folded_prev | set(doomed))}
+        fd, tmp = tempfile.mkstemp(dir=tdir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(tdir, "FOLDED"))  # the atomic commit
+        for b in doomed:
+            _sh.rmtree(os.path.join(tdir, f"batch={b}"), ignore_errors=True)
+        return doomed
 
 
 def _stamp_snapshot(df: DataFrame, snapshot_lsn: int) -> DataFrame:

@@ -210,3 +210,39 @@ def test_sink_time_travel_read_version(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         sink.read_version("t", 0).collect()
+
+
+def test_changelog_compaction_crash_safe(spark, tmp_path):
+    """Changelog compaction folds old batch dirs into a segment with a
+    FOLDED-manifest commit: content identical before/after, a replayed
+    delivery recreating a folded batch dir is ignored (no double-count),
+    and repeated compaction folds incrementally."""
+    import os as _os
+
+    from etl_spark.streaming.sinks import ParquetChangelogSink
+
+    sink = ParquetChangelogSink(str(tmp_path / "log"))
+    mk = lambda lsn, pk: spark.createDataFrame(
+        [("INSERT", lsn, 0, lsn, pk, "v")],
+        "op string, commit_lsn long, tx_ordinal long, start_lsn long, pk long, val string")
+    from etl_spark.envelope import with_sequence
+
+    for b in range(6):
+        sink.write_changes("t", with_sequence(mk(10 + b, b)), batch_id=b)
+    before = sorted(r.pk for r in sink.read(spark, "t").collect())
+    folded = sink.compact(spark, "t", keep_batches=2)
+    assert folded == [0, 1, 2, 3]
+    after = sorted(r.pk for r in sink.read(spark, "t").collect())
+    assert after == before
+    tdir = str(tmp_path / "log" / "t")
+    live_batches = [d for d in _os.listdir(tdir) if d.startswith("batch=")]
+    assert sorted(live_batches) == ["batch=4", "batch=5"]
+    # replayed delivery of a FOLDED batch id: dir reappears, read skips it
+    sink.write_changes("t", with_sequence(mk(10, 0)), batch_id=0)
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == before
+    # second compaction folds the remaining old batches incrementally
+    sink.write_changes("t", with_sequence(mk(16, 6)), batch_id=6)
+    folded2 = sink.compact(spark, "t", keep_batches=1)
+    assert folded2 == [4, 5]
+    got = sorted(r.pk for r in sink.read(spark, "t").collect())
+    assert got == before + [6]
