@@ -1681,18 +1681,63 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile banding (X94): ``ntile(10)`` over order value (orderkey
-    tiebreak for engine-identical tie placement) with per-decile count /
-    bounds / exact decimal sum. The global sort is rank-only — at scale
-    swap the window for pre-computed percentile cut points
-    (``approx_percentile`` + ``width_bucket``) and the banding becomes a
-    scan-stage expression; the decile stats themselves are one
-    map-combined agg either way.
+    """Decile banding (X94): exact ``ntile(10)`` semantics over order
+    value (orderkey tiebreak for engine-identical tie placement) with
+    per-decile count / bounds / exact decimal sum.
+
+    Scale-safe two-pass rank, NOT a global no-partition window (that is
+    ONE sort task over the whole table — the same 100 TB killer the KS
+    CDF avoids): rows are range-bucketed on value (broadcast min/max),
+    per-bucket counts give broadcast PREFIX offsets via a ≤64-row window,
+    and the exact global rank is the per-(bucket) row_number plus the
+    bucket offset — parallelism is ``KS_RANGE_BUCKETS`` sort tasks. The
+    ntile tile for rank r over n rows is then closed-form (the first
+    n mod 10 tiles are one row bigger), identical to the window function.
     """
+    B = KS_RANGE_BUCKETS
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    rng = o.agg(F.min("o_totalprice").alias("__lo"), F.max("o_totalprice").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bkt = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("o_totalprice") - F.col("__lo")) / (span / B)).cast("int"),
+        )
+    )
+    bucketed = (
+        o.join(F.broadcast(rng), how="cross")
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__hi")
+    )
+    per_bucket = bucketed.groupBy("__bkt").agg(F.count("*").alias("__c"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off"),
+    )
+    total = per_bucket.agg(F.sum("__c").alias("__n"))
+    wv = Window.partitionBy("__bkt").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(total), how="cross")
+        .withColumn("__rank", F.row_number().over(wv) + F.col("__off"))
+    )
+    # ntile(10): the first n%10 tiles hold ceil(n/10) rows
+    small = F.floor(F.col("__n") / 10)
+    big_tiles = F.col("__n") % 10
+    cutoff = big_tiles * (small + 1)
+    decile = F.when(
+        F.col("__rank") <= cutoff,
+        F.floor((F.col("__rank") - 1) / (small + 1)) + 1,
+    ).otherwise(
+        big_tiles
+        + F.floor((F.col("__rank") - cutoff - 1) / F.greatest(small, F.lit(1)))
+        + 1
+    ).cast("int")
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

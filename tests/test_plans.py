@@ -645,3 +645,17 @@ def test_time_weighted_single_user_shuffle(spark):
     plan = plan_of(workload_relational.events_time_weighted_value(spark, SF_DIR))
     assert n_shuffles(plan) <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decile_rank_window_range_partitioned(spark):
+    # exact ntile via two-pass rank: the row_number window partitions by
+    # the range bucket — never a no-partition global sort task
+    plan = plan_of(workload_relational.orders_decile_bands(spark, SF_DIR))
+    import re
+
+    rank_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "row_number" in ln
+    ]
+    assert rank_windows, plan
+    assert all("__bkt" in w for w in rank_windows), rank_windows
