@@ -32,13 +32,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-6 window (first 50) = [10 NEW: cdc_xbatch_recovery
+    Round-6 window (first 50) = [11 NEW: cdc_xbatch_recovery
     (crash-recovery of the cross-batch flush ledger, hash-checked against
     the batch oracle), lineitem_rollup_metrics, events_regression,
     events_markov_transitions, orders_decile_bands,
     customer_fuzzy_name_join, docs_char_pair_merge,
     nation_top_customers_agg, lineitem_metrics_unpivot,
-    events_time_weighted_value] + [4 CHANGED:
+    events_time_weighted_value, stream_stateful_sessions (custom
+    applyInPandasWithState sessionization with event-time timeout,
+    hash-checked against the SQL gap-sessionization oracle)] +
+    [4 CHANGED:
     events_ks_drift (two-pass range-partitioned CDF),
     cdc_scd2_incremental (bucket-manifest incremental sink rewrite),
     pgoutput_decode (binary numeric/time/timetz/array decoders +
@@ -46,8 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_simhash_pairs (max_pairs_per_clique guard)] + [the 39 queries
     whose latest green row is r3 — the oldest evidence, incl. the
     flagship cdc_current_state which also exercises the rewritten merge;
-    the last three r3 rows slide to the round-7 refresh queue with the
-    six oldest r4 rows]. All 141 entries verified locally via
+    the last four r3 rows slide to the round-7 refresh queue with the
+    six oldest r4 rows]. All 142 entries verified locally via
     tools/check_oracle.py at sf0.01 this round (COVERAGE.md).
     """
     return {
@@ -62,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
         "events_time_weighted_value": workload_relational.events_time_weighted_value,
+        "stream_stateful_sessions": workload.stream_stateful_sessions,
         # --- implementation CHANGED in round 6: re-record ---
         "events_ks_drift": workload_relational.events_ks_drift,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,

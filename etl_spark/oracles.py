@@ -2786,3 +2786,32 @@ SELECT user_id, n_intervals, held_sec,
        round(CAST(wsum AS DOUBLE) / held_sec, 6) AS twa
 FROM agg WHERE held_sec > 0
 """
+
+ORACLES["stream_stateful_sessions"] = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+),
+marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         CAST(min(us) AS BIGINT) AS start_us,
+         CAST(max(us) AS BIGINT) AS end_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(max(value), 6) AS max_value
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events, max_value,
+       CASE WHEN sid < max(sid) OVER (PARTITION BY user_id)
+            THEN 'gap' ELSE 'timeout' END AS closed_by
+FROM agg
+"""

@@ -24,7 +24,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 STATE_SCHEMA = StructType(
     [StructField("max_commit_lsn", LongType()), StructField("max_tx_ordinal", LongType())]
@@ -90,4 +90,112 @@ def dedup_by_sequence(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization with EVENT-TIME TIMEOUT (X100): the
+# applyInPandasWithState shape for session semantics the built-in
+# session_window can't express (custom close rules, per-session running
+# state, explicit timeout emission). Sessions close two ways:
+#   'gap'     — the key's next event arrives more than gap_us later
+#               (within a batch, or across batches via the carried state);
+#   'timeout' — the watermark passes last_event + gap with no new data
+#               (GroupStateTimeout.EventTimeTimeout) — the streaming
+#               analog of the reference's slot-idle eviction.
+# State per key is one open session (4 scalars); the state store hash-
+# partitions keys across executors and RocksDB spills off-heap at scale.
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+    StructField("max_v", DoubleType()),
+])
+
+_SESSION_COLS = ["user_id", "start_us", "end_us", "n_events", "max_value", "closed_by"]
+
+
+def session_apply(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state, gap_us: int
+) -> Iterator[pd.DataFrame]:
+    """Per-key session kernel (module-level for fake-state unit tests).
+
+    Vectorized gap split: sessions are ``cumsum(diff(us) > gap)`` groups
+    over the key's sorted batch, folded onto the carried open session.
+    Emits CLOSED sessions only; the open tail stays in state with its
+    timeout re-armed at ``last + gap`` event time.
+    """
+    import numpy as np
+
+    (uid,) = key
+    if state.hasTimedOut:
+        start, last, n, mx = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[uid, start, last, n, mx, "timeout"]], columns=_SESSION_COLS
+        )
+        return
+    data = pd.concat(list(pdfs)).sort_values("us")
+    us = data["us"].to_numpy(dtype="int64")
+    vals = data["value"].to_numpy(dtype="float64")
+    cur = list(state.get) if state.exists else None
+    closed = []
+    # session ids within the batch
+    sid = np.zeros(len(us), dtype="int64")
+    if len(us) > 1:
+        sid[1:] = np.cumsum((np.diff(us) > gap_us).astype("int64"))
+    for s in range(int(sid[-1]) + 1 if len(us) else 0):
+        m = sid == s
+        g_start, g_last = int(us[m][0]), int(us[m][-1])
+        g_n, g_max = int(m.sum()), float(np.nanmax(vals[m]))
+        if cur is not None and g_start - cur[1] <= gap_us:
+            cur = [cur[0], g_last, cur[2] + g_n, max(cur[3], g_max)]
+        else:
+            if cur is not None:
+                closed.append([uid, cur[0], cur[1], cur[2], cur[3], "gap"])
+            cur = [g_start, g_last, g_n, g_max]
+        if s < sid[-1]:
+            closed.append([uid, cur[0], cur[1], cur[2], cur[3], "gap"])
+            cur = None
+    if cur is not None:
+        state.update(tuple(cur))
+        # re-arm: event-time timeout at last + gap, clamped above the
+        # current watermark (Spark rejects timestamps at/below it)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((cur[1] + gap_us) // 1000, wm_ms + 1))
+    if closed:
+        yield pd.DataFrame(closed, columns=_SESSION_COLS)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_us: int,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming custom sessionization: group by user, fold batches into
+    the per-key open-session state, emit closed sessions (append mode).
+    ``events`` must carry a watermark on ``time_col`` — the timeout clock.
+    """
+    from pyspark.sql.types import StringType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+        StructField("closed_by", StringType()),
+    ])
+
+    def apply(key, pdfs, state):
+        return session_apply(key, pdfs, state, gap_us)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        apply,
+        outputStructType=out_schema,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

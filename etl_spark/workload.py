@@ -1209,3 +1209,78 @@ def cdc_xbatch_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inner.read("users").select(
         "pk", "op", "commit_lsn", "tx_ordinal", "value", "props"
     )
+
+
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (X100): ``applyInPandasWithState``
+    with EVENT-TIME TIMEOUT — the session semantics built-in
+    ``session_window`` can't express (explicit close reasons, per-session
+    running state, watermark-driven idle eviction, reference slot-idle
+    analog). Run bounded over deterministic batch files:
+
+    - two real batches split at the time midpoint (sessions spanning the
+      split fold through the carried state);
+    - two far-future sentinel batches: the first advances the max event
+      time, the second's watermark then passes every open session's
+      ``last + gap``, firing the timeouts — so EVERY real session emits,
+      deterministically.
+
+    A session closes 'gap' when the user's next event arrives > 30 min
+    later (same batch or later batch) and 'timeout' when the watermark
+    expires it — equivalently: 'gap' iff a later session exists for the
+    user. That makes the full output exactly SQL-expressible: classic
+    gap-sessionization plus a has-later-session flag, so the custom
+    stateful path is hash-checked end-to-end (state fold, timeout
+    re-arm, append emission).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from etl_spark.streaming.stateful import sessionize_stateful
+
+    GAP_US = 1_800_000_000  # 30 min, the sessionize_events gap
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    work = tempfile.mkdtemp(prefix="stateful_sess_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(ev.filter(F.col("us") < mid), "b0")
+    emit(ev.filter(F.col("us") >= mid), "b1")
+    sentinel = spark.createDataFrame(
+        [(-1, bounds["hi"] + 10 * GAP_US, 0.0)], "user_id long, us long, value double"
+    )
+    emit(sentinel, "b2")
+    emit(sentinel.withColumn("us", F.col("us") + GAP_US // 2), "b3")
+
+    stream = (
+        spark.readStream.schema("user_id long, us long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.col("us")))
+        .withWatermark("event_time", "1 second")
+    )
+    sessions = sessionize_stateful(stream, gap_us=GAP_US)
+    name = f"stateful_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        "user_id", "start_us", "end_us", "n_events",
+        F.round("max_value", 6).alias("max_value"), "closed_by",
+    )

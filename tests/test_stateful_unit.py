@@ -78,3 +78,76 @@ def test_empty_batch_keeps_state():
     run_batches([[(1, 0)]], state)
     run_batches([[]], state)
     assert state.get == (1, 0)
+
+
+class FakeSessionState:
+    def __init__(self, timed_out=False, value=None, wm_ms=0):
+        self._v = tuple(value) if value else None
+        self.hasTimedOut = timed_out
+        self._wm = wm_ms
+        self.timeout_ms = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _sess(pdfs, state, gap=100):
+    import pandas as pd
+
+    from etl_spark.streaming.stateful import session_apply
+
+    out = list(session_apply((7,), iter(pdfs), state, gap))
+    return pd.concat(out) if out else None
+
+
+def test_session_kernel_gap_splits_and_state_fold():
+    import pandas as pd
+
+    # batch 1: two gap-separated sessions; the second stays open in state
+    st = FakeSessionState()
+    out = _sess([pd.DataFrame({"us": [0, 50, 300], "value": [1.0, 5.0, 2.0]})], st)
+    assert out[["start_us", "end_us", "n_events", "max_value", "closed_by"]
+               ].values.tolist() == [[0, 50, 2, 5.0, "gap"]]
+    assert st.get == (300, 300, 1, 2.0)
+    # re-armed at max((last+gap)//1000, wm+1) = max(0, 1)
+    assert st.timeout_ms == 1
+    # batch 2 continues the open session (gap ≤ 100), then a far event
+    # closes it
+    out2 = _sess([pd.DataFrame({"us": [380, 900], "value": [9.0, 1.0]})], st)
+    assert out2.values.tolist() == [[7, 300, 380, 2, 9.0, "gap"]]
+    assert st.get == (900, 900, 1, 1.0)
+
+
+def test_session_kernel_timeout_emission():
+    import pandas as pd
+
+    st = FakeSessionState(timed_out=True, value=(10, 60, 3, 4.5))
+    out = _sess([], st)
+    assert out.values.tolist() == [[7, 10, 60, 3, 4.5, "timeout"]]
+    assert st.removed
+
+
+def test_session_kernel_timeout_clamped_above_watermark():
+    import pandas as pd
+
+    st = FakeSessionState(wm_ms=10_000)
+    _sess([pd.DataFrame({"us": [5_000_000], "value": [1.0]})], st)  # last+gap ≪ wm
+    assert st.timeout_ms == 10_001  # clamped above the current watermark
