@@ -81,8 +81,14 @@ def expire_versions(table_root: str, keep: int = 2) -> list[str]:
     (:class:`etl_spark.streaming.sinks.ParquetCurrentStateSink` layout)
     reference OLD version dirs from the current manifest (untouched
     buckets are carried forward, never rewritten), so a dir is removable
-    only when NO retained manifest references it. Plain version-dir
-    tables fall back to newest-``keep``-dirs retention."""
+    only when NO retained manifest references it. Retention is anchored
+    on the live VERSION pointer, never on the newest manifest file:
+    ``_commit`` writes ``manifest_v{N}`` BEFORE swapping VERSION, so a
+    crash in that window leaves a manifest newer than the live version —
+    an UNCOMMITTED leftover that must be ignored (anchoring on it with
+    keep=1 would reclaim the live version's manifest and the dirs only it
+    references, breaking the table VERSION still points at). Plain
+    version-dir tables fall back to newest-``keep``-dirs retention."""
     import json
 
     keep = max(1, keep)
@@ -98,7 +104,25 @@ def expire_versions(table_root: str, keep: int = 2) -> list[str]:
     )
     removed = []
     if manifests:
-        retained = manifests[-keep:]
+        def _mnum(m: str) -> int:
+            return int(m[len("manifest_v"):-len(".json")])
+
+        live_version = None
+        try:
+            with open(os.path.join(table_root, "VERSION")) as f:
+                live_version = json.load(f)["version"]
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+        # manifests newer than the live pointer are uncommitted (crash
+        # between manifest write and VERSION swap): neither the retention
+        # anchor nor removable — the retry will overwrite or supersede them
+        committed = [
+            m for m in manifests
+            if live_version is None or _mnum(m) <= live_version
+        ]
+        retained = committed[-keep:]
+        if not retained:
+            return removed  # nothing committed yet — touch nothing
         live: set[str] = set()
         for m in retained:
             with open(os.path.join(table_root, m)) as f:
@@ -106,14 +130,14 @@ def expire_versions(table_root: str, keep: int = 2) -> list[str]:
             live |= set(data["buckets"].values())
             if data.get("empty"):
                 live.add(data["empty"].split("/", 1)[0])
-        newest = int(retained[-1][len("manifest_v"):-len(".json")])
+        newest = _mnum(retained[-1])
         for d in versions:
             # never touch dirs newer than the newest retained manifest
             # (an in-flight uncommitted write) or any referenced dir
             if int(d[1:]) <= newest and d not in live:
                 shutil.rmtree(os.path.join(table_root, d))
                 removed.append(d)
-        for m in manifests[:-keep]:
+        for m in committed[:-keep]:
             os.remove(os.path.join(table_root, m))
     else:
         for d in versions[:-keep]:

@@ -34,10 +34,15 @@ _FIXED = {
 }
 
 
-def estimate_batch_bytes(df: DataFrame) -> tuple[int, int]:
-    """(rows, estimated bytes) for a micro-batch — fixed widths per
-    primitive column + measured mean lengths for string/binary/decimal
-    columns, in one aggregate pass."""
+def estimate_batch_bytes(
+    df: DataFrame, with_files: bool = False
+) -> tuple[int, int] | tuple[int, int, int]:
+    """(rows, estimated bytes[, input files]) for a micro-batch — fixed
+    widths per primitive column + measured mean lengths for string/binary
+    columns, in one aggregate pass. ``with_files`` adds a distinct
+    ``input_file_name()`` count to the SAME pass (the actual file count of
+    a file-source micro-batch; 0 for non-file sources, whose rows carry an
+    empty name)."""
     fixed = 0
     var_cols = []
     for f in df.schema.fields:
@@ -52,11 +57,22 @@ def estimate_batch_bytes(df: DataFrame) -> tuple[int, int]:
         F.avg(F.length(F.col(c).cast("string"))).alias(f"__l_{i}")
         for i, c in enumerate(var_cols)
     ]
+    if with_files:
+        # project first: input_file_name() is non-deterministic and may
+        # not appear directly inside an aggregate function
+        df = df.withColumn("__fname", F.input_file_name())
+        aggs.append(
+            F.count_distinct(
+                F.nullif(F.col("__fname"), F.lit(""))
+            ).alias("__files")
+        )
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
     per_row = fixed + sum(
         (row[f"__l_{i}"] or 0.0) for i in range(len(var_cols))
     )
+    if with_files:
+        return int(n), int(n * per_row), int(row["__files"])
     return int(n), int(n * per_row)
 
 

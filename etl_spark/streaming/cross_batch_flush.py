@@ -123,8 +123,14 @@ class FlushLedger:
             return sorted(b for b, v in self._b.items() if not v["acked"])
 
     def batch(self, batch_id: int) -> dict:
+        """Deep-copied snapshot: callers (recover's op iteration) consume
+        the ops list OUTSIDE the lock while the flush thread may still be
+        mutating entries via mark_op_acked — handing out the internal
+        mutable dict would put those reads outside the lock's protection."""
+        import copy
+
         with self._mu:
-            return self._b[batch_id]
+            return copy.deepcopy(self._b[batch_id])
 
 
 class CrossBatchFlushSink(Sink):

@@ -265,8 +265,16 @@ class Pipeline:
             # next start() applies the recommendation
             from etl_spark.streaming.budget import estimate_batch_bytes
 
-            _rows, est = estimate_batch_bytes(batch)
-            self.budget.observe(est, self._files_in_trigger or 1)
+            # the ACTUAL file count of the micro-batch, not the cap: the
+            # cap may not be in effect (first run: an uncapped availableNow
+            # drain delivers the whole backlog in one batch — seeding
+            # bytes_per_file at backlog-bytes/1 would clamp the next start
+            # to maxFilesPerTrigger=1), and a drain's last trigger carries
+            # fewer files than the cap
+            _rows, est, n_files = estimate_batch_bytes(batch, with_files=True)
+            n_files = n_files or (self._files_in_trigger or 0)
+            if n_files > 0:
+                self.budget.observe(est, n_files)
 
         raw_frames = None
         if self.source_fmt == "pgoutput":

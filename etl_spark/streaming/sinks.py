@@ -83,10 +83,15 @@ class ParquetChangelogSink(Sink):
     A streaming changelog accumulates one directory per micro-batch
     forever; :meth:`compact` folds old batch dirs into a consolidated
     segment, crash-safely: the segment is written first, then a FOLDED
-    manifest records which batch ids it covers (the atomic commit), then
-    the folded dirs are deleted. ``read`` consults the manifest, so a
-    crash between commit and delete — or a replayed delivery recreating
-    a folded batch dir — never double-counts."""
+    manifest records which batch ids it covers AND which segment dirs
+    are committed (the atomic commit), then the folded dirs are deleted.
+    ``read`` consults the manifest for BOTH sides — a crash between
+    commit and delete (or a replayed delivery recreating a folded batch
+    dir) never double-counts a batch, and a crash between the segment
+    write and the manifest commit leaves an UNLISTED segment that
+    readers ignore and the next compact garbage-collects (otherwise the
+    orphan would double-count the still-live batch dirs, permanently if
+    a retry folded them under a different segment name)."""
 
     def __init__(self, root: str):
         self.root = root
@@ -94,9 +99,17 @@ class ParquetChangelogSink(Sink):
     def _folded(self, table: str) -> dict:
         try:
             with open(os.path.join(self.root, table, "FOLDED")) as f:
-                return json.load(f)
+                data = json.load(f)
         except FileNotFoundError:
-            return {"batches": []}
+            return {"batches": [], "segments": []}
+        # legacy manifests predate the segments list: adopt every existing
+        # segment dir as committed (they were, under the old scheme)
+        if "segments" not in data:
+            tdir = os.path.join(self.root, table)
+            data["segments"] = sorted(
+                d for d in os.listdir(tdir) if d.startswith("segment_")
+            )
+        return data
 
     def write_snapshot(self, table: str, df: DataFrame) -> None:
         out = os.path.join(self.root, table, "snapshot")
@@ -108,7 +121,9 @@ class ParquetChangelogSink(Sink):
 
     def _live_dirs(self, table: str) -> list[str]:
         tdir = os.path.join(self.root, table)
-        folded = set(self._folded(table)["batches"])
+        manifest = self._folded(table)
+        folded = set(manifest["batches"])
+        committed_segments = set(manifest["segments"])
         out = []
         for d in sorted(os.listdir(tdir)):
             full = os.path.join(tdir, d)
@@ -118,7 +133,11 @@ class ParquetChangelogSink(Sink):
                 if int(d.split("=", 1)[1]) in folded:
                     continue  # folded into a segment (or crash-leftover)
                 out.append(full)
-            elif d.startswith("segment_") or d == "snapshot":
+            elif d.startswith("segment_"):
+                if d not in committed_segments:
+                    continue  # orphan of a crashed compact (pre-commit)
+                out.append(full)
+            elif d == "snapshot":
                 out.append(full)
         return out
 
@@ -143,7 +162,23 @@ class ParquetChangelogSink(Sink):
         import shutil as _sh
 
         tdir = os.path.join(self.root, table)
-        folded_prev = set(self._folded(table)["batches"])
+        prev = self._folded(table)
+        folded_prev = set(prev["batches"])
+        committed_segments = set(prev["segments"])
+        # migrate a legacy (pre-segments) manifest NOW, so a crash after
+        # the upcoming segment write can't be mis-adopted as committed
+        fd, tmp = tempfile.mkstemp(dir=tdir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"batches": sorted(folded_prev),
+                 "segments": sorted(committed_segments)}, f,
+            )
+        os.replace(tmp, os.path.join(tdir, "FOLDED"))
+        # GC orphan segments first: a crash between a segment write and
+        # the manifest commit leaves an unlisted (reader-invisible) dir
+        for d in os.listdir(tdir):
+            if d.startswith("segment_") and d not in committed_segments:
+                _sh.rmtree(os.path.join(tdir, d), ignore_errors=True)
         ids = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(tdir)
@@ -152,12 +187,17 @@ class ParquetChangelogSink(Sink):
         doomed = ids[:-keep_batches] if keep_batches else ids
         if not doomed:
             return []
-        seg = os.path.join(tdir, f"segment_{max(doomed)}")
+        seg_name = f"segment_{max(doomed)}"
         df = spark.read.option("recursiveFileLookup", "true").parquet(
             *[os.path.join(tdir, f"batch={b}") for b in doomed]
         )
-        df.write.mode("overwrite").parquet(seg)
-        manifest = {"batches": sorted(folded_prev | set(doomed))}
+        # written before the commit, but invisible to readers until the
+        # manifest lists it (see _live_dirs)
+        df.write.mode("overwrite").parquet(os.path.join(tdir, seg_name))
+        manifest = {
+            "batches": sorted(folded_prev | set(doomed)),
+            "segments": sorted(committed_segments | {seg_name}),
+        }
         fd, tmp = tempfile.mkstemp(dir=tdir)
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)

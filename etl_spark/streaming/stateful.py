@@ -140,26 +140,39 @@ def session_apply(
     data = pd.concat(list(pdfs)).sort_values("us")
     us = data["us"].to_numpy(dtype="int64")
     vals = data["value"].to_numpy(dtype="float64")
-    cur = list(state.get) if state.exists else None
-    closed = []
-    # session ids within the batch
+    # batch gap-groups as intervals [start, last, n, max]; each is
+    # internally gap-connected by construction
     sid = np.zeros(len(us), dtype="int64")
     if len(us) > 1:
         sid[1:] = np.cumsum((np.diff(us) > gap_us).astype("int64"))
+    intervals = []
     for s in range(int(sid[-1]) + 1 if len(us) else 0):
         m = sid == s
-        g_start, g_last = int(us[m][0]), int(us[m][-1])
-        g_n, g_max = int(m.sum()), float(np.nanmax(vals[m]))
-        if cur is not None and g_start - cur[1] <= gap_us:
-            cur = [cur[0], g_last, cur[2] + g_n, max(cur[3], g_max)]
+        intervals.append(
+            [int(us[m][0]), int(us[m][-1]), int(m.sum()), float(np.nanmax(vals[m]))]
+        )
+    # fold the carried open session in as one more interval, then
+    # sweep-merge by start. A late (within-watermark) group may land
+    # INSIDE or BEFORE the carried session — folding groups onto the state
+    # in batch order would move the session end backwards (re-arming the
+    # timeout early) or split on a batch-internal gap the carried interval
+    # actually covers; the interval merge handles both, because a
+    # gap-connected interval reaches any point within gap of its bounds.
+    if state.exists:
+        intervals.append(list(state.get))
+    intervals.sort(key=lambda iv: (iv[0], iv[1]))
+    merged: list[list] = []
+    for iv in intervals:
+        if merged and iv[0] - merged[-1][1] <= gap_us:
+            top = merged[-1]
+            top[1] = max(top[1], iv[1])
+            top[2] += iv[2]
+            top[3] = max(top[3], iv[3])
         else:
-            if cur is not None:
-                closed.append([uid, cur[0], cur[1], cur[2], cur[3], "gap"])
-            cur = [g_start, g_last, g_n, g_max]
-        if s < sid[-1]:
-            closed.append([uid, cur[0], cur[1], cur[2], cur[3], "gap"])
-            cur = None
-    if cur is not None:
+            merged.append(list(iv))
+    closed = [[uid, m_[0], m_[1], m_[2], m_[3], "gap"] for m_ in merged[:-1]]
+    if merged:
+        cur = merged[-1]
         state.update(tuple(cur))
         # re-arm: event-time timeout at last + gap, clamped above the
         # current watermark (Spark rejects timestamps at/below it)

@@ -246,3 +246,109 @@ def test_changelog_compaction_crash_safe(spark, tmp_path):
     assert folded2 == [4, 5]
     got = sorted(r.pk for r in sink.read(spark, "t").collect())
     assert got == before + [6]
+
+
+def test_changelog_compact_orphan_segment_invisible_and_gced(spark, tmp_path):
+    """A crash between the segment write and the FOLDED commit leaves an
+    UNLISTED segment dir: readers must ignore it (no double-count of the
+    still-live batch dirs) and the next compact must GC it — even when the
+    retry folds a different batch set under a different segment name."""
+    import json as _json
+    import os as _os
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetChangelogSink
+
+    sink = ParquetChangelogSink(str(tmp_path / "log"))
+    mk = lambda lsn, pk: spark.createDataFrame(
+        [("INSERT", lsn, 0, lsn, pk, "v")],
+        "op string, commit_lsn long, tx_ordinal long, start_lsn long, pk long, val string")
+    for b in range(4):
+        sink.write_changes("t", with_sequence(mk(10 + b, b)), batch_id=b)
+    before = sorted(r.pk for r in sink.read(spark, "t").collect())
+
+    # simulate the crash: segment written, FOLDED commit never happened
+    tdir = str(tmp_path / "log" / "t")
+    orphan = _os.path.join(tdir, "segment_1")
+    spark.read.parquet(_os.path.join(tdir, "batch=0"),
+                       _os.path.join(tdir, "batch=1")).write.parquet(orphan)
+
+    # reader ignores the orphan — batches 0/1 counted exactly once
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == before
+
+    # new batches arrive, then the compact retry folds 0..3 under a
+    # DIFFERENT name (segment_3) — the orphan must be GC'd, not kept
+    folded = sink.compact(spark, "t", keep_batches=0)
+    assert folded == [0, 1, 2, 3]
+    assert not _os.path.exists(orphan)
+    manifest = _json.load(open(_os.path.join(tdir, "FOLDED")))
+    assert manifest["segments"] == ["segment_3"]
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == before
+
+
+def test_changelog_legacy_folded_manifest_adopted(spark, tmp_path):
+    """Pre-segments FOLDED manifests (no "segments" key) adopt every
+    existing segment dir as committed, and the first compact migrates the
+    manifest before writing anything new."""
+    import json as _json
+    import os as _os
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetChangelogSink
+
+    sink = ParquetChangelogSink(str(tmp_path / "log"))
+    mk = lambda lsn, pk: spark.createDataFrame(
+        [("INSERT", lsn, 0, lsn, pk, "v")],
+        "op string, commit_lsn long, tx_ordinal long, start_lsn long, pk long, val string")
+    for b in range(3):
+        sink.write_changes("t", with_sequence(mk(10 + b, b)), batch_id=b)
+    sink.compact(spark, "t", keep_batches=1)
+    tdir = str(tmp_path / "log" / "t")
+    # rewrite FOLDED in the legacy shape (batches only)
+    manifest = _json.load(open(_os.path.join(tdir, "FOLDED")))
+    _json.dump({"batches": manifest["batches"]},
+               open(_os.path.join(tdir, "FOLDED"), "w"))
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == [0, 1, 2]
+    sink.write_changes("t", with_sequence(mk(14, 3)), batch_id=3)
+    sink.compact(spark, "t", keep_batches=1)
+    migrated = _json.load(open(_os.path.join(tdir, "FOLDED")))
+    assert "segments" in migrated and len(migrated["segments"]) == 2
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == [0, 1, 2, 3]
+
+
+def test_expire_versions_anchors_on_live_pointer(spark, tmp_path):
+    """A crash between the manifest_v{N} write and the VERSION swap leaves
+    an orphan manifest newer than the live version. keep=1 retention must
+    anchor on the VERSION pointer — the LIVE manifest and every dir it
+    references stay; the orphan is left for the retry, and the table the
+    pointer names remains readable."""
+    import json as _json
+    import os as _os
+
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    sink = ParquetCurrentStateSink(str(tmp_path / "wh"), keys=["pk"], spark=spark)
+    df = spark.createDataFrame(
+        [("INSERT", 1, 0, 1, "a")],
+        "op string, commit_lsn long, tx_ordinal long, pk long, val string")
+    from etl_spark.envelope import with_sequence
+
+    sink.write_snapshot("t", with_sequence(df))  # v0 committed
+    tdir = str(tmp_path / "wh" / "t")
+    # simulate the torn commit: manifest_v1 exists, VERSION still at v0
+    m0 = _json.load(open(_os.path.join(tdir, "manifest_v0.json")))
+    torn = dict(m0, buckets={b: "v1" for b in m0["buckets"]})
+    _json.dump(torn, open(_os.path.join(tdir, "manifest_v1.json"), "w"))
+    _os.makedirs(_os.path.join(tdir, "v1"), exist_ok=True)
+
+    removed = expire_versions(tdir, keep=1)
+    # v0 is live (VERSION points at it): its manifest and dir survive
+    assert removed == []
+    assert _os.path.exists(_os.path.join(tdir, "manifest_v0.json"))
+    assert {r.pk for r in sink.read("t").collect()} == {1}
+    # a later REAL commit supersedes the orphan; expiry then reclaims v0
+    sink.write_changes("t", with_sequence(spark.createDataFrame(
+        [("UPDATE", 2, 0, 1, "b")],
+        "op string, commit_lsn long, tx_ordinal long, pk long, val string")), 1)
+    removed = expire_versions(tdir, keep=1)
+    assert {r.val for r in sink.read("t").collect()} == {"b"}

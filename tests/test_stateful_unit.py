@@ -151,3 +151,18 @@ def test_session_kernel_timeout_clamped_above_watermark():
     st = FakeSessionState(wm_ms=10_000)
     _sess([pd.DataFrame({"us": [5_000_000], "value": [1.0]})], st)  # last+gap ≪ wm
     assert st.timeout_ms == 10_001  # clamped above the current watermark
+
+
+def test_session_kernel_late_event_never_moves_end_backwards():
+    import pandas as pd
+
+    # carried open session [1000, 2000]; a LATE within-watermark event at
+    # us=1500 arrives in the next batch — folding must keep end at 2000
+    # (not move it back to 1500, which would re-arm the timeout early) and
+    # an even-earlier event must extend the start downward
+    st = FakeSessionState(value=(1000, 2000, 2, 3.0))
+    out = _sess([pd.DataFrame({"us": [950, 1500], "value": [7.0, 1.0]})], st)
+    assert out is None  # still open — nothing closed
+    assert st.get == (950, 2000, 4, 7.0)
+    # timeout re-armed at (true last)+gap, not the late event's time
+    assert st.timeout_ms == max((2000 + 100) // 1000, 1)

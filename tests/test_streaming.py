@@ -757,3 +757,58 @@ def test_adaptive_batch_budget(spark, env, tmp_path):
     roomy = BatchBudget(_os.path.join(env["work"], "batch_budget.json"),
                         target_bytes=1 << 20)
     assert roomy.recommend() > 1
+
+
+def test_batch_budget_closed_loop_resizes_microbatches(spark, env):
+    """T2 end-to-end: an UNCAPPED first drain (whole backlog in one
+    micro-batch) seeds bytes-per-file at per-FILE bytes — derived from the
+    batch's actual inputFiles(), never files=1 — and the next start's
+    recommendation demonstrably re-sizes the ACTUAL micro-batches
+    (asserted via the sink's per-batch version bumps)."""
+    import json as _json
+    import os as _os
+
+    for i in range(3):
+        write_events(spark, env["source"], [
+            ev("INSERT", "users", 300 + i, 0, after={"pk": 70 + i, "val": "x"}),
+        ], f"cl{i}")
+    p = make_pipeline(spark, env, batch_budget_bytes=1 << 20)
+    assert p.budget.recommend() is None  # fresh: first run is uncapped
+    p.run_until_drained()
+    state = _json.load(open(_os.path.join(env["work"], "batch_budget.json")))
+    bpf = state["bytes_per_file"]
+    # the 3-file backlog drained in ONE batch: per-file estimate, not
+    # whole-backlog-per-file (the files=1 seeding bug would clamp the
+    # next start to maxFilesPerTrigger=1 for many batches)
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.budget import estimate_batch_bytes
+    _rows, est_full = estimate_batch_bytes(
+        with_sequence(spark.read.parquet(env["source"])))
+    assert bpf <= 0.5 * est_full  # ≈ backlog/3 per file, not backlog/1
+
+    for i in range(4):
+        write_events(spark, env["source"], [
+            ev("INSERT", "users", 400 + i, 0, after={"pk": 80 + i, "val": "y"}),
+        ], f"cl2_{i}")
+    v_before = env["sink"]._current_version("users")
+    p2 = make_pipeline(spark, env, batch_budget_bytes=int(2 * bpf))
+    p2.run_until_drained()
+    assert p2._files_in_trigger == 2  # recommendation applied at start
+    # 4 pending files at 2 files/trigger → exactly 2 micro-batches, each
+    # committing one sink version
+    assert env["sink"]._current_version("users") - v_before == 2
+    assert current(env)[83] == "y"
+
+
+def test_flush_ledger_batch_returns_snapshot(tmp_path):
+    """FlushLedger.batch() hands out a deep copy: consuming the ops list
+    outside the lock must not observe concurrent mark_op_acked mutations."""
+    from etl_spark.streaming.cross_batch_flush import FlushLedger
+
+    led = FlushLedger(str(tmp_path / "ledger.json"))
+    led.open_batch(1, max_lsn=10)
+    led.add_op(1, "write", "users", "/p")
+    snap = led.batch(1)
+    led.mark_op_acked(1, 0)
+    assert snap["ops"][0]["acked"] is False  # snapshot, not the live dict
+    assert led.batch(1)["ops"][0]["acked"] is True
