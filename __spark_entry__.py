@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py at sf0.01 this round (COVERAGE.md).
     """
     return {
+        # --- round-7 NEW: first gate shot ---
+        "cdc_schema_evolution": workload.cdc_schema_evolution,
         # --- round-6 NEW: first gate shot ---
         "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
         "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,

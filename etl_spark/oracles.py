@@ -2653,6 +2653,23 @@ FROM rranked WHERE rank <= 5""",
 # the SAME oracle, so the gate proves incremental == batch maintenance
 ORACLES["cdc_scd2_incremental"] = ORACLES["cdc_scd2_history"]
 
+# the incremental sink under mid-stream DDL (RENAME value->amount at the
+# 1/3 LSN cut + ADD tier DEFAULT 'standard') must equal the batch LWW
+# state with the rename folded in; tier is the default exactly for keys
+# whose LAST event predates the DDL (later winners streamed without it)
+ORACLES["cdc_schema_evolution"] = f"""
+WITH {ENVELOPE_CTE},
+bounds AS (SELECT min(commit_lsn) AS lo, max(commit_lsn) AS hi FROM env),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM env
+)
+SELECT pk, op, commit_lsn, tx_ordinal, value AS amount,
+       CASE WHEN commit_lsn <= (SELECT lo + (hi - lo) // 3 FROM bounds)
+            THEN 'standard' END AS tier
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
 # crash-recovered cross-batch flush must land on exactly the one-shot
 # batch LWW state — the same oracle as cdc_current_state by construction
 ORACLES["cdc_xbatch_recovery"] = ORACLES["cdc_current_state"]

@@ -119,13 +119,16 @@ class SchemaRegistry:
             json.dump(payload, f, indent=1)
         os.replace(tmp, self._path)
 
-    def record(self, table: str, snapshot_lsn: int, columns: list[ColumnDef]) -> None:
+    def record(self, table: str, snapshot_lsn: int, columns: list[ColumnDef]) -> bool:
+        """Returns True when a NEW version was recorded (False on the
+        idempotent re-delivery of an already-known DDL event)."""
         vs = self._versions.setdefault(table, [])
         if any(lsn == snapshot_lsn for lsn, _ in vs):
-            return  # idempotent re-delivery of the same DDL event
+            return False  # idempotent re-delivery of the same DDL event
         vs.append((snapshot_lsn, columns))
         vs.sort(key=lambda kv: kv[0])
         self._save()
+        return True
 
     def asof(self, table: str, lsn: int) -> tuple[int, list[ColumnDef]] | None:
         """Largest snapshot_lsn ≤ lsn (store/schema/base.rs:20-34)."""

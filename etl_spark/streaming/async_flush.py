@@ -106,6 +106,17 @@ class AsyncFlushSink(Sink):
         # sequencing inside a batch must survive the async boundary)
         self._pending.append(self._pool.submit(self.inner.truncate, table))
 
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None) -> None:
+        # same serial-pool ordering as writes: the DDL must land after
+        # every already-dispatched pre-DDL write and before the post-DDL
+        # batch's writes
+        self._pending.append(
+            self._pool.submit(
+                self.inner.apply_schema_change, table, renames, drops, defaults
+            )
+        )
+
     def startup(self) -> None:
         self.inner.startup()
 

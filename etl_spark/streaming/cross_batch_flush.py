@@ -91,10 +91,14 @@ class FlushLedger:
             }
             self._save()
 
-    def add_op(self, batch_id: int, kind: str, table: str, path: str | None) -> int:
+    def add_op(self, batch_id: int, kind: str, table: str, path: str | None,
+               args: dict | None = None) -> int:
         with self._mu:
             ops = self._b[batch_id]["ops"]
-            ops.append({"kind": kind, "table": table, "path": path, "acked": False})
+            op = {"kind": kind, "table": table, "path": path, "acked": False}
+            if args is not None:
+                op["args"] = args
+            ops.append(op)
             self._save()
             return len(ops) - 1
 
@@ -216,6 +220,14 @@ class CrossBatchFlushSink(Sink):
                     continue
                 if op["kind"] == "truncate":
                     self.inner.truncate(op["table"])
+                elif op["kind"] == "ddl":
+                    a = op.get("args") or {}
+                    self.inner.apply_schema_change(
+                        op["table"],
+                        [tuple(r) for r in a.get("renames", [])],
+                        a.get("drops", []),
+                        [tuple(d) for d in a.get("defaults", [])],
+                    )
                 else:
                     df = self.spark.read.parquet(op["path"])
                     self.inner.write_changes(op["table"], df, batch_id)
@@ -261,6 +273,32 @@ class CrossBatchFlushSink(Sink):
             self.ledger.mark_op_acked(batch_id, op_idx)
 
         self._current["futures"].append(self._pool.submit(_trunc))
+
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None) -> None:
+        renames = [tuple(r) for r in (renames or [])]
+        drops = list(drops or [])
+        defaults = [tuple(d) for d in (defaults or [])]
+        if not renames and not drops and not defaults:
+            return
+        if self._current is None:
+            self.settle_previous()
+            self.inner.apply_schema_change(table, renames, drops, defaults)
+            return
+        # ledger-ordered like writes: the op replays from its recorded
+        # args on crash recovery (the inner sink's DDL is replay-idempotent)
+        batch_id = self._current["batch_id"]
+        op_idx = self.ledger.add_op(
+            batch_id, "ddl", table, None,
+            args={"renames": [list(r) for r in renames], "drops": drops,
+                  "defaults": [list(d) for d in defaults]},
+        )
+
+        def _ddl():
+            self.inner.apply_schema_change(table, renames, drops, defaults)
+            self.ledger.mark_op_acked(batch_id, op_idx)
+
+        self._current["futures"].append(self._pool.submit(_ddl))
 
     def write_snapshot(self, table: str, df: DataFrame) -> None:
         self.settle_previous()

@@ -107,6 +107,50 @@ class DuckDBCurrentStateSink(Sink):
         con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
         con.close()
 
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None) -> None:
+        """SchemaDiff at a SQL destination (schema.rs:729-784): RENAME,
+        DROP and ADD .. DEFAULT are real ALTER TABLE statements, idempotent
+        under batch replay (a rename whose source column no longer exists,
+        or a drop of an already-dropped column, is skipped)."""
+        con = self._con()
+        exists = con.execute(
+            "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
+        ).fetchone()
+        if not exists:
+            con.close()
+            return
+        cols = {
+            r[0]
+            for r in con.execute(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = ?", [table],
+            ).fetchall()
+        }
+        for old, new in (renames or []):
+            if old in cols and new not in cols:
+                con.execute(f'ALTER TABLE "{table}" RENAME COLUMN "{old}" TO "{new}"')
+                cols.discard(old)
+                cols.add(new)
+        for col in (drops or []):
+            if col in cols:
+                con.execute(f'ALTER TABLE "{table}" DROP COLUMN "{col}"')
+                cols.discard(col)
+        for col, value, typ in (defaults or []):
+            if col not in cols:
+                # DDL takes no bind parameters: add the column, then
+                # backfill existing rows with a parameterized UPDATE
+                con.execute(f'ALTER TABLE "{table}" ADD COLUMN "{col}" {typ}')
+                con.execute(
+                    f'UPDATE "{table}" SET "{col}" = CAST(? AS {typ})', [value]
+                )
+                cols.add(col)
+        # key columns follow renames so the staged MERGE keeps matching
+        ren = dict(renames or [])
+        if table in self.keys:
+            self.keys[table] = [ren.get(k, k) for k in self.keys[table]]
+        con.close()
+
     def read(self, table: str):
         """Driver-side read-back (tests): list of dict rows."""
         con = self._con()

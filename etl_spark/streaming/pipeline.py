@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from etl_spark import failpoints
 from etl_spark.envelope import ROW_OPS, with_sequence
-from etl_spark.schema_registry import ColumnDef, SchemaRegistry
+from etl_spark.schema_registry import ColumnDef, SchemaRegistry, diff_schemas
 from etl_spark.sources.cdc import stream_changes
 from etl_spark.state import (
     KEEPS_DATA_ON_RESTART,
@@ -457,13 +457,65 @@ class Pipeline:
                     name=c["name"], typ=_typ(c),
                     nullable=c.get("nullable", True), ordinal=i,
                     pk_ordinal=c.get("pk_ordinal"),
+                    default=c.get("default"),
                     pg_type=_pg_type(c),
                 )
                 for i, c in enumerate(spec.get("columns", []))
             ]
             lsn = r["schema_snapshot_lsn"] or _lsn(r)
+            # RENAME/DROP must reach the destination (schema.rs:729-784 —
+            # rename by ordinal match, drop by absence): without the remap,
+            # post-DDL values land under the new name while stored rows
+            # keep the old one, and the by-name merge silently NULLs one
+            # side. Sink first, registry second: a crash between them
+            # replays the DDL against the (idempotent) sink.
+            prev = self.schemas.asof(table, lsn - 1)
+            if prev is not None:
+                prev_cols = prev[1]
+            elif cfg.payload_schema and lsn > 0:
+                # first RELATION event: diff against the configured decode
+                # schema (the registry has no version yet) — and record it
+                # as the initial version (LSN 0, base.rs:19-41) so the
+                # rename-alias chain reaches pre-DDL row images
+                prev_cols = [
+                    ColumnDef(
+                        name=f.strip().split()[0],
+                        typ=" ".join(f.strip().split()[1:]) or "string",
+                        ordinal=i,
+                    )
+                    for i, f in enumerate(cfg.payload_schema.split(","))
+                    if f.strip()
+                ]
+                self.schemas.record(table, 0, prev_cols)
+            else:
+                prev_cols = None
+            if prev_cols is not None and not any(
+                v == lsn for v in self.schemas.versions(table)
+            ):
+                d = diff_schemas(prev_cols, cols)
+                added_defaults = [
+                    (c.name, c.default, c.typ)
+                    for c in d.columns_to_add
+                    if c.default is not None
+                ]
+                if d.renames or d.columns_to_remove or added_defaults:
+                    self.sink.apply_schema_change(
+                        table, renames=d.renames, drops=d.columns_to_remove,
+                        defaults=added_defaults,
+                    )
             self.schemas.record(table, lsn, cols)
             cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
+
+    def _rename_aliases(self, table: str) -> dict[str, list[str]]:
+        """Current column name → its prior names (rename chain), derived
+        from consecutive registry versions — lets one decode pass resolve
+        row images written under any schema version in the batch."""
+        vs = self.schemas._versions.get(table, [])
+        alias: dict[str, list[str]] = {}
+        for (_l0, c0), (_l1, c1) in zip(vs, vs[1:]):
+            for old, new in diff_schemas(c0, c1).renames:
+                alias[new] = alias.pop(old, []) + [old]
+        return alias
 
     def _decode(self, cfg: TableConfig, rows: DataFrame) -> DataFrame:
         """Typed decode of the generic envelope (F11 analog): parse the
@@ -491,27 +543,42 @@ class Pipeline:
             (f.strip().split()[0], " ".join(f.strip().split()[1:]) or "string")
             for f in cfg.payload_schema.split(",") if f.strip()
         ]
-        str_schema = ", ".join(f"{n} string" for n, _ in fields)
+        # rename-aware decode: a batch may span a RENAME (the single
+        # newest-schema switch would NULL pre-DDL values of renamed
+        # columns) — the row images are name-keyed JSON and old/new names
+        # never coexist in one image, so coalesce(new, old-chain) is exact
+        aliases = self._rename_aliases(cfg.name)
+        parse_names = [n for n, _ in fields] + [
+            o for n, _ in fields for o in aliases.get(n, [])
+        ]
+        str_schema = ", ".join(f"{n} string" for n in parse_names)
         after = F.from_json("after", str_schema)
         before = F.from_json("before", str_schema)
         dec = rows.withColumn("__a", after).withColumn("__b", before)
+
+        def _img(side: str, n: str):
+            cols = [F.col(f"__{side}.{n}")] + [
+                F.col(f"__{side}.{o}") for o in reversed(aliases.get(n, []))
+            ]
+            return F.coalesce(*cols) if len(cols) > 1 else cols[0]
+
         missing = F.coalesce(F.col("missing_cols"), F.array())
         resolvable = (F.size(missing) == 0) | (F.col("before_kind") == "FULL")
         dec = dec.filter(resolvable | ~F.col("op").isin(*ROW_OPS))
         types = dict(fields)
         proj = [F.col("op"), F.col("commit_lsn"), F.col("tx_ordinal"), F.col("event_seq")]
         for i, (n, t) in enumerate(fields):
-            src = F.when(F.col("op") == "DELETE", F.col(f"__b.{n}")).otherwise(
+            src = F.when(F.col("op") == "DELETE", _img("b", n)).otherwise(
                 F.when(
-                    F.array_contains(missing, F.lit(i)), F.col(f"__b.{n}")
-                ).otherwise(F.col(f"__a.{n}"))
+                    F.array_contains(missing, F.lit(i)), _img("b", n)
+                ).otherwise(_img("a", n))
             )
             proj.append(src.cast(t).alias(n))
         # PK-changing updates (D1 semantics, bigquery/core.rs:1421-1478):
         # carry the old-image keys through decode, expand into
         # DELETE(old key) + UPDATE(new key), then drop the plumbing columns
         proj += [
-            F.col(f"__b.{k}").cast(types[k]).alias(f"__before_{k}")
+            _img("b", k).cast(types[k]).alias(f"__before_{k}")
             for k in cfg.keys
         ]
         from etl_spark.operators.materialize import expand_pk_change

@@ -66,6 +66,32 @@ class Sink(ABC):
     def truncate(self, table: str) -> None:  # pragma: no cover - default noop
         """Reset destination state for re-copy (drop_table_for_copy)."""
 
+    def apply_schema_change(
+        self,
+        table: str,
+        renames: list[tuple[str, str]] | None = None,
+        drops: list[str] | None = None,
+        defaults: list[tuple[str, str, str]] | None = None,
+    ) -> None:
+        """Apply a DDL delta to stored rows — the reference's ``SchemaDiff``
+        at destinations (crates/etl/src/schema.rs:729-784, docs
+        schema-changes.md:20-30): RENAME remaps the stored column, DROP
+        projects it away, ``defaults`` (col, value, typ) backfills an ADD
+        COLUMN .. DEFAULT for pre-DDL rows. Plain column ADDs need no
+        call — every sink here already merges by name with missing→NULL.
+
+        The default is a LOUD error, never silence: without remapping, a
+        renamed column's post-DDL values would land under the new name
+        while stored rows keep the old one — the merge would silently
+        NULL one side (data loss)."""
+        if renames or drops or defaults:
+            raise NotImplementedError(
+                f"{type(self).__name__} cannot apply column renames/drops; "
+                f"table={table!r} renames={renames!r} drops={drops!r} — "
+                "refusing to merge mismatched schemas (silent NULLing of "
+                "renamed columns)"
+            )
+
     def startup(self) -> None:  # pragma: no cover - default noop
         pass
 
@@ -275,6 +301,29 @@ class _BucketedVersionedTable:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(n_buckets)
         ).cast("int")
 
+    # -- DDL log (rename/drop as metadata, applied lazily at read) ----------
+    @staticmethod
+    def _apply_ddl_ops(df: DataFrame, ddl_log: list[dict], epoch: int) -> DataFrame:
+        """Replay the DDL ops a physical dir has NOT yet seen (it was
+        written at ``epoch``, i.e. after the first ``epoch`` log entries).
+        Rename remaps the stored column to its current logical name; drop
+        projects it away. A column re-added after a drop is safe: newer
+        dirs carry a higher epoch, so the old drop op never touches them —
+        and ``unionByName(allowMissingColumns)`` NULLs the old rows."""
+        for op in ddl_log[epoch:]:
+            if op["op"] == "rename" and op["from"] in df.columns:
+                df = df.withColumnRenamed(op["from"], op["to"])
+            elif op["op"] == "drop" and op["col"] in df.columns:
+                df = df.drop(op["col"])
+            elif op["op"] == "add_default" and op["col"] not in df.columns:
+                # PG's lazy default materialization (attmissingval): rows
+                # written before ADD COLUMN .. DEFAULT read as the default,
+                # without rewriting a single file
+                df = df.withColumn(
+                    op["col"], F.lit(op["value"]).cast(op.get("typ", "string"))
+                )
+        return df
+
     def _touched_buckets(self, df: DataFrame, n_buckets: int) -> list[int]:
         """Distinct bucket ids in a batch — bounded by n_buckets, so the
         collect is a small driver-side list (the rollup.py pattern)."""
@@ -307,14 +356,20 @@ class _BucketedVersionedTable:
         """
         v = self._current_meta(table)["version"] if version is None else version
         manifest = self._manifest(table, v)
+        ddl_log = manifest.get("ddl_log", [])
+        epochs = manifest.get("vdir_epoch", {})
         buckets: dict[str, str] = manifest["buckets"]
         if bucket_ids is not None:
             want = {str(b) for b in bucket_ids}
             buckets = {b: vd for b, vd in buckets.items() if b in want}
         if not buckets:
             if bucket_ids is None and manifest.get("empty"):
-                return self.spark.read.parquet(
-                    os.path.join(self.root, table, manifest["empty"])
+                empty_rel = manifest["empty"]
+                df = self.spark.read.parquet(
+                    os.path.join(self.root, table, empty_rel)
+                )
+                return self._apply_ddl_ops(
+                    df, ddl_log, epochs.get(empty_rel.split("/", 1)[0], 0)
                 )
             return None
         by_vdir: dict[str, list[str]] = {}
@@ -324,9 +379,10 @@ class _BucketedVersionedTable:
         for vd, bs in sorted(by_vdir.items()):
             base = os.path.join(self.root, table, vd)
             paths = [os.path.join(base, f"__bucket={b}") for b in sorted(bs, key=int)]
-            parts.append(
-                self.spark.read.option("basePath", base).parquet(*paths)
-            )
+            part = self.spark.read.option("basePath", base).parquet(*paths)
+            # remap each dir's physical columns to the CURRENT logical
+            # schema (renames/drops it predates) before the by-name union
+            parts.append(self._apply_ddl_ops(part, ddl_log, epochs.get(vd, 0)))
         # allowMissingColumns: schema evolution — a column added by DDL
         # exists only in buckets rewritten since (older buckets read NULL)
         df = functools.reduce(
@@ -342,19 +398,26 @@ class _BucketedVersionedTable:
         bucket would."""
         meta = self._current_meta(table)
         manifest = self._manifest(table, meta["version"])
+        ddl_log = manifest.get("ddl_log", [])
+        epochs = manifest.get("vdir_epoch", {})
         if manifest["buckets"]:
             b, vd = min(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
             base = os.path.join(self.root, table, vd)
-            return (
+            anchor = (
                 self.spark.read.option("basePath", base)
                 .parquet(os.path.join(base, f"__bucket={b}"))
                 .drop("__bucket")
                 .limit(0)
             )
+            return self._apply_ddl_ops(anchor, ddl_log, epochs.get(vd, 0))
         if manifest.get("empty"):
-            return self.spark.read.parquet(
-                os.path.join(self.root, table, manifest["empty"])
+            empty_rel = manifest["empty"]
+            anchor = self.spark.read.parquet(
+                os.path.join(self.root, table, empty_rel)
             ).limit(0)
+            return self._apply_ddl_ops(
+                anchor, ddl_log, epochs.get(empty_rel.split("/", 1)[0], 0)
+            )
         return None
 
     def _canonicalize_keys(self, table: str, df: DataFrame) -> DataFrame:
@@ -393,6 +456,7 @@ class _BucketedVersionedTable:
             else {"n_buckets": self.n_buckets, "buckets": {}, "empty": None}
         )
         n = old["n_buckets"]
+        ddl_log = old.get("ddl_log", [])
         nv = meta["version"] + 1
         vname = f"v{nv}"
         vdir = self._data_dir(table, nv)
@@ -422,12 +486,85 @@ class _BucketedVersionedTable:
             empty_dir = os.path.join(vdir, "_empty")
             out.limit(0).write.mode("overwrite").parquet(empty_dir)
             manifest["empty"] = f"{vname}/_empty"
+        # carry the DDL log forward; the fresh dir is written at the
+        # CURRENT epoch (its rows already carry post-DDL column names —
+        # _read_buckets/_schema_frame remapped the stored side before the
+        # merge). Epochs of dirs no longer referenced are pruned.
+        manifest["ddl_log"] = ddl_log
+        referenced = set(buckets.values())
+        if manifest.get("empty"):
+            referenced.add(manifest["empty"].split("/", 1)[0])
+        manifest["vdir_epoch"] = {
+            vd: e
+            for vd, e in old.get("vdir_epoch", {}).items()
+            if vd in referenced
+        }
+        if vname in referenced:
+            manifest["vdir_epoch"][vname] = len(ddl_log)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._vpath(table)))
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._mpath(table, nv))
         # the ONE atomic commit: readers never see a half-written version
         self._point(table, nv, batch_id)
+
+    def apply_schema_change(
+        self,
+        table: str,
+        renames: list[tuple[str, str]] | None = None,
+        drops: list[str] | None = None,
+        defaults: list[tuple[str, str, str]] | None = None,
+    ) -> None:
+        """RENAME/DROP as a manifest-only commit — O(1) metadata, zero data
+        rewrite (the reference applies SchemaDiff at destinations,
+        schema.rs:729-784; BigQuery's ALTER is likewise metadata-only).
+
+        Ops append to the manifest's ``ddl_log``; every physical dir keeps
+        the epoch it was written at, and reads replay only the ops a dir
+        has not seen (see :meth:`_apply_ddl_ops`). Key columns follow
+        renames so bucket hashing keeps matching (same VALUES → same
+        bucket). Replay-idempotent: re-applying the ops the log already
+        ends with is a no-op — the crash-replay window is one batch.
+
+        ``defaults`` = ``[(col, value, typ)]`` for ADD COLUMN .. DEFAULT:
+        pre-DDL rows read the default (PG attmissingval semantics)."""
+        renames = list(renames or [])
+        drops = list(drops or [])
+        defaults = list(defaults or [])
+        if not renames and not drops and not defaults:
+            return
+        meta = self._current_meta(table)
+        if meta["version"] < 0:
+            # nothing stored yet — the first write carries the new names
+            return
+        ren_map = dict(renames)
+        dropped_keys = [k for k in self.keys if k in drops]
+        if dropped_keys:
+            raise ValueError(
+                f"cannot drop key column(s) {dropped_keys!r} of {table!r}"
+            )
+        ops = [{"op": "rename", "from": o, "to": n} for o, n in renames]
+        ops += [{"op": "drop", "col": c} for c in drops]
+        ops += [
+            {"op": "add_default", "col": c, "value": v, "typ": t}
+            for c, v, t in defaults
+        ]
+        manifest = dict(self._manifest(table, meta["version"]))
+        log = list(manifest.get("ddl_log", []))
+        if log[-len(ops):] == ops:
+            # replayed delivery of the DDL batch (restart between the sink
+            # commit and the checkpoint/registry commit)
+            self.keys = [ren_map.get(k, k) for k in self.keys]
+            return
+        manifest["ddl_log"] = log + ops
+        manifest.setdefault("vdir_epoch", {})
+        nv = meta["version"] + 1
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._vpath(table)))
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._mpath(table, nv))
+        self._point(table, nv, meta.get("batch_id"))
+        self.keys = [ren_map.get(k, k) for k in self.keys]
 
     def _truncate(self, table: str) -> None:
         cur_v = self._current_version(table)
@@ -525,6 +662,13 @@ class MemorySink(Sink):
     def truncate(self, table: str) -> None:
         self.truncated.append(table)
 
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None) -> None:
+        self.ddl = getattr(self, "ddl", [])
+        self.ddl.append(
+            (table, list(renames or []), list(drops or []), list(defaults or []))
+        )
+
 
 class TableRoutingSink(Sink):
     """Route each table to its own inner sink (per-table replica-identity
@@ -551,6 +695,10 @@ class TableRoutingSink(Sink):
 
     def truncate(self, table: str) -> None:
         self._route(table).truncate(table)
+
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None) -> None:
+        self._route(table).apply_schema_change(table, renames, drops, defaults)
 
     def read(self, table: str) -> DataFrame:
         return self._route(table).read(table)

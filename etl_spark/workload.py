@@ -1131,6 +1131,57 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream DDL through the bucket-manifest destination (reference
+    ``SchemaDiff`` application, crates/etl/src/schema.rs:729-784 + docs
+    schema-changes.md:20-30): the sim envelope drives a
+    :class:`~etl_spark.streaming.sinks.ParquetCurrentStateSink` over three
+    LSN-range micro-batches; between batch 1 and 2 a DDL RENAMEs
+    ``value``→``amount`` and ADDs ``tier`` with default ``'standard'``.
+    Post-DDL batches carry the new column name; the sink applies the
+    rename as a manifest-level column mapping (zero data rewrite) and the
+    default as lazy backfill (PG attmissingval semantics), so pre-DDL
+    rows — including rows in buckets never rewritten after the DDL —
+    surface under ``amount`` with ``tier='standard'``, and post-DDL
+    winners carry their streamed values with ``tier`` NULL. Hash-checked
+    against the batch LWW oracle with the rename/default folded in.
+    """
+    import tempfile
+
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    sink = ParquetCurrentStateSink(
+        tempfile.mkdtemp(prefix="ddl_sink_"), keys=["pk"], spark=spark
+    )
+    sink.write_snapshot("users", spark.createDataFrame([], "pk long, value double"))
+    sink.write_changes(
+        "users", env.filter(F.col("commit_lsn").between(b["lo"], cut1)), batch_id=0
+    )
+    sink.apply_schema_change(
+        "users",
+        renames=[("value", "amount")],
+        defaults=[("tier", "standard", "string")],
+    )
+    post = env.withColumnRenamed("value", "amount")
+    sink.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(cut1 + 1, cut2)), batch_id=1
+    )
+    sink.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(cut2 + 1, b["hi"])), batch_id=2
+    )
+    return sink.read("users").select(
+        "pk", "op", "commit_lsn", "tx_ordinal", "amount", "tier"
+    )
+
+
 def cdc_xbatch_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch pipelined flush under a crash between dispatch and
     destination ack (T5 full form, reference apply.rs:1956-2023): the sim

@@ -1,0 +1,282 @@
+"""DDL matrix (add / rename / drop / default) through the destination
+sinks — the reference applies ``SchemaDiff`` at destinations
+(crates/etl/src/schema.rs:729-784, docs schema-changes.md:20-30: rename is
+detected by ordinal match, never treated as drop+add).
+
+The bucket-manifest sinks apply RENAME/DROP/DEFAULT as a manifest-only
+commit (``ddl_log`` + per-dir epochs, zero data rewrite); before this, a
+mid-stream rename silently NULLed renamed values in touched buckets and
+dropped the new column — the one silent-data-loss path the round-6 review
+found."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from etl_spark.envelope import GENERIC_ENVELOPE, with_sequence
+from etl_spark.streaming.sinks import (
+    MemorySink,
+    ParquetCurrentStateSink,
+    ParquetScd2Sink,
+    Sink,
+    TableRoutingSink,
+)
+
+SCHEMA = "op string, commit_lsn long, tx_ordinal long, pk long, val string"
+
+
+def _batch(spark, rows, schema=SCHEMA):
+    return with_sequence(spark.createDataFrame(rows, schema))
+
+
+@pytest.fixture()
+def cs_sink(spark, tmp_path):
+    sink = ParquetCurrentStateSink(str(tmp_path / "wh"), keys=["pk"], spark=spark)
+    sink.write_snapshot(
+        "t", _batch(spark, [("INSERT", 1, 0, 1, "a"), ("INSERT", 1, 1, 2, "b")])
+    )
+    return sink
+
+
+def test_current_state_rename_preserves_stored_values(spark, cs_sink):
+    """Rename val→amount mid-stream: post-DDL batches carry ``amount``;
+    stored pre-DDL rows read back under ``amount`` (not NULL), including
+    rows in buckets the post-DDL batch never touched."""
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    cs_sink.write_changes(
+        "t",
+        _batch(spark, [("UPDATE", 2, 0, 1, "a2")],
+               "op string, commit_lsn long, tx_ordinal long, pk long, amount string"),
+        batch_id=0,
+    )
+    got = {r.pk: r.amount for r in cs_sink.read("t").select("pk", "amount").collect()}
+    assert got == {1: "a2", 2: "b"}  # pk=2's bucket was never rewritten
+    assert "val" not in cs_sink.read("t").columns
+
+
+def test_current_state_rename_is_metadata_only(spark, cs_sink, tmp_path):
+    """The rename commit writes NO data files — only a manifest + pointer."""
+    tdir = str(tmp_path / "wh" / "t")
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(tdir) for f in fs
+        if f.endswith(".parquet")
+    )
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(tdir) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_after == files_before
+    assert not os.path.isdir(os.path.join(tdir, "v1"))  # manifest-only
+    manifest = json.load(open(os.path.join(tdir, "manifest_v1.json")))
+    assert manifest["ddl_log"] == [{"op": "rename", "from": "val", "to": "amount"}]
+
+
+def test_current_state_drop_then_readd(spark, cs_sink):
+    """DROP projects the stored column away; a later re-ADD must NOT
+    resurrect pre-drop values (old dirs' physical column stays dropped,
+    new rows carry the fresh column)."""
+    cs_sink.apply_schema_change("t", drops=["val"])
+    assert "val" not in cs_sink.read("t").columns
+    cs_sink.write_changes(
+        "t", _batch(spark, [("UPDATE", 2, 0, 1, "NEW")]), batch_id=0
+    )
+    got = {r.pk: r.val for r in cs_sink.read("t").select("pk", "val").collect()}
+    assert got == {1: "NEW", 2: None}  # pk=2: pre-drop "b" must NOT resurface
+
+
+def test_current_state_add_default_backfills_old_rows(spark, cs_sink):
+    """ADD COLUMN .. DEFAULT: pre-DDL rows read the default without any
+    rewrite (PG attmissingval semantics); post-DDL rows keep their values."""
+    cs_sink.apply_schema_change("t", defaults=[("tier", "basic", "string")])
+    cs_sink.write_changes(
+        "t",
+        _batch(spark, [("INSERT", 2, 0, 3, "c", "gold")],
+               SCHEMA + ", tier string"),
+        batch_id=0,
+    )
+    got = {r.pk: r.tier for r in cs_sink.read("t").select("pk", "tier").collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold"}
+
+
+def test_key_rename_keeps_bucket_matching(spark, cs_sink):
+    """Renaming the KEY column must keep hashing to the same buckets: a
+    post-rename update of an existing key merges (no duplicate row)."""
+    cs_sink.apply_schema_change("t", renames=[("pk", "id")])
+    assert cs_sink.keys == ["id"]
+    cs_sink.write_changes(
+        "t",
+        _batch(spark, [("UPDATE", 2, 0, 1, "a2")],
+               "op string, commit_lsn long, tx_ordinal long, id long, val string"),
+        batch_id=0,
+    )
+    rows = cs_sink.read("t").select("id", "val").collect()
+    assert {r.id: r.val for r in rows} == {1: "a2", 2: "b"}
+    assert len(rows) == 2  # merged, not duplicated under a new bucket
+
+
+def test_drop_key_column_rejected(spark, cs_sink):
+    with pytest.raises(ValueError, match="key column"):
+        cs_sink.apply_schema_change("t", drops=["pk"])
+
+
+def test_ddl_replay_is_idempotent(spark, cs_sink, tmp_path):
+    """Re-delivery of the same DDL (crash between sink commit and registry
+    commit) must not double-append to the log or re-rename."""
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    v1 = cs_sink._current_version("t")
+    cs_sink.keys = ["pk"]  # fresh-process state
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    manifest = cs_sink._manifest("t", cs_sink._current_version("t"))
+    assert manifest["ddl_log"] == [{"op": "rename", "from": "val", "to": "amount"}]
+    assert cs_sink._current_version("t") == v1  # no new version committed
+    assert {r.pk: r.amount for r in cs_sink.read("t").collect()} == {1: "a", 2: "b"}
+
+
+def test_time_travel_reads_pre_rename_schema(spark, cs_sink):
+    """read_version before the rename shows the OLD column name — each
+    manifest carries its own ddl_log prefix."""
+    v0 = cs_sink._current_version("t")
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    assert "val" in cs_sink.read_version("t", v0).columns
+    assert "amount" in cs_sink.read("t").columns
+
+
+def test_scd2_rename_mid_stream(spark, tmp_path):
+    """SCD2: versions opened before the rename and versions opened after
+    both surface under the NEW name, with validity closure intact."""
+    sink = ParquetScd2Sink(str(tmp_path / "scd2"), keys=["pk"], spark=spark)
+    sink.write_snapshot("t", spark.createDataFrame([], "pk long, val string"))
+    sink.write_changes(
+        "t", _batch(spark, [("INSERT", 10, 0, 1, "a"), ("INSERT", 10, 1, 2, "b")]),
+        batch_id=0,
+    )
+    sink.apply_schema_change("t", renames=[("val", "amount")])
+    sink.write_changes(
+        "t",
+        _batch(spark, [("UPDATE", 20, 0, 1, "a2")],
+               "op string, commit_lsn long, tx_ordinal long, pk long, amount string"),
+        batch_id=1,
+    )
+    hist = sink.read("t").select(
+        "pk", "amount", "valid_from", "valid_to", "is_current"
+    ).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.pk, []).append(r)
+    v1 = sorted(by_key[1], key=lambda r: r.valid_from)
+    assert [(r.amount, r.valid_to, r.is_current) for r in v1] == [
+        ("a", 20, False), ("a2", None, True)
+    ]
+    assert [(r.amount, r.is_current) for r in by_key[2]] == [("b", True)]
+
+
+def test_scd2_drop_column(spark, tmp_path):
+    sink = ParquetScd2Sink(str(tmp_path / "scd2"), keys=["pk"], spark=spark)
+    sink.write_snapshot("t", spark.createDataFrame([], "pk long, val string, extra string"))
+    sink.write_changes(
+        "t",
+        _batch(spark, [("INSERT", 10, 0, 1, "a", "x")], SCHEMA + ", extra string"),
+        batch_id=0,
+    )
+    sink.apply_schema_change("t", drops=["extra"])
+    sink.write_changes(
+        "t", _batch(spark, [("UPDATE", 20, 0, 1, "a2")]), batch_id=1
+    )
+    cols = sink.read("t").columns
+    assert "extra" not in cols
+    cur = [r for r in sink.read("t").collect() if r.is_current]
+    assert [(r.pk, r.val) for r in cur] == [(1, "a2")]
+
+
+def test_base_sink_refuses_rename_loudly(spark):
+    class Dumb(Sink):
+        def write_snapshot(self, table, df):  # pragma: no cover
+            pass
+
+        def write_changes(self, table, df, batch_id):  # pragma: no cover
+            pass
+
+    with pytest.raises(NotImplementedError, match="rename"):
+        Dumb().apply_schema_change("t", renames=[("a", "b")])
+    Dumb().apply_schema_change("t")  # empty diff: no-op, no error
+
+
+def test_routing_sink_routes_ddl(spark):
+    mem = MemorySink()
+    routing = TableRoutingSink({"users": mem})
+    routing.apply_schema_change("users", renames=[("a", "b")], drops=["c"])
+    assert mem.ddl == [("users", [("a", "b")], ["c"], [])]
+
+
+def test_duckdb_sink_alter_table(spark, tmp_path):
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    sink = DuckDBCurrentStateSink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"),
+    )
+    sink.write_snapshot("t", spark.createDataFrame([(1, "a"), (2, "b")], "pk long, val string"))
+    sink.apply_schema_change(
+        "t", renames=[("val", "amount")], defaults=[("tier", "basic", "VARCHAR")]
+    )
+    rows = {r["pk"]: (r["amount"], r["tier"]) for r in sink.read("t")}
+    assert rows == {1: ("a", "basic"), 2: ("b", "basic")}
+    # replayed DDL is a no-op (rename source gone, default column present)
+    sink.apply_schema_change(
+        "t", renames=[("val", "amount")], defaults=[("tier", "basic", "VARCHAR")]
+    )
+    assert {r["pk"]: r["amount"] for r in sink.read("t")} == {1: "a", 2: "b"}
+
+
+def test_pipeline_relation_rename_reaches_sink(spark, tmp_path):
+    """End-to-end: a mid-stream RELATION renaming val→val2 (same ordinal,
+    same type — schema.rs:762-784 rename detection) must remap the
+    destination, so pre-DDL rows surface under val2 alongside post-DDL
+    values. This is the exact silent-data-loss scenario from the round-6
+    review, now hash-exact."""
+    import shutil
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a"), (2, "b")], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+
+    newcols = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val2", "typ": "string"},
+    ]}
+    rows = [
+        Row(op="UPDATE", table="users", commit_lsn=40, start_lsn=40,
+            tx_ordinal=0, after=json.dumps({"pk": 1, "val": "a1"}), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=None),
+        Row(op="RELATION", table="users", commit_lsn=41, start_lsn=41,
+            tx_ordinal=0, after=json.dumps(newcols), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=41),
+        Row(op="UPDATE", table="users", commit_lsn=42, start_lsn=42,
+            tx_ordinal=0, after=json.dumps({"pk": 2, "val2": "b2"}), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=None),
+    ]
+    staging = os.path.join(source, ".__stage")
+    spark.createDataFrame(rows, schema=GENERIC_ENVELOPE).coalesce(1).write.parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(source, "b1.parquet"))
+    shutil.rmtree(staging)
+
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+    p.run_until_drained()
+
+    out = sink.read("users")
+    assert "val" not in out.columns
+    got = {r.pk: r.val2 for r in out.select("pk", "val2").collect()}
+    # pk=1: pre-DDL value preserved UNDER THE NEW NAME; pk=2: post-DDL value
+    assert got == {1: "a1", 2: "b2"}
