@@ -299,20 +299,34 @@ def jaccard_prefix_join(
         # prefix SELF-join below reads this materialization on both sides
         .localCheckpoint(eager=True)
     )
+    # Length filter AS A JOIN KEY, not a post-join condition: Jaccard ≥ t
+    # admits only partner sizes n_b ∈ [⌈t·n_a⌉, ⌊n_a/t⌋] (a handful at
+    # high t), so the a-side explodes over its admissible partner sizes
+    # and the join keys on (tok, size). On a low-vocabulary corpus the
+    # token alone degenerates (one prefix token can cover most sets —
+    # measured df 2792/3935 sets on the synthetic corpus, 24M enumerated
+    # pairs); keying by size divides every hot token's bucket by the size
+    # spread BEFORE enumeration instead of filtering after (measured 24M →
+    # 8.8M enumerations, query 6.3s → 5.2s at sf0.1, candidate set
+    # unchanged at 1.96M). The 1e-9 slack mirrors the old filter — it can
+    # only WIDEN the size range.
     a = prefix.select(
         "tok", F.col("pfp").alias("fp_a"), F.col("pn").alias("n_a"), F.col("prn").alias("rn_a")
+    ).withColumn(
+        "n_b",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("n_a") * t - 1e-9).cast("int"),
+                F.floor((F.col("n_a") + 1e-9) / t).cast("int"),
+            )
+        ),
     )
     b = prefix.select(
         "tok", F.col("pfp").alias("fp_b"), F.col("pn").alias("n_b"), F.col("prn").alias("rn_b")
     )
     cand = (
-        a.join(b, "tok")
+        a.join(b, ["tok", "n_b"])
         .filter(F.col("fp_a") < F.col("fp_b"))
-        # length filter: Jaccard ≥ t ⟹ min ≥ t·max (join-local)
-        .filter(
-            F.least("n_a", "n_b").cast("double")
-            >= F.greatest("n_a", "n_b") * t - 1e-9
-        )
         # PPJoin positional filter: a match at prefix positions (rn_a,
         # rn_b) bounds the achievable overlap by 1 + min(remaining
         # suffixes); below the required α = t/(1+t)·(n_a+n_b) the pair
@@ -351,15 +365,32 @@ def jaccard_prefix_join(
             "fp_b",
         )
     )
+    # Verify in two stages so the intersect runs ONCE per candidate:
+    # filtering directly on inter/union ≥ t collapses into the broadcast-
+    # join CONDITION with array_intersect evaluated twice per row (once in
+    # the ratio, once in the union) — measured 2× the whole verify cost.
+    # Stage 1 (join condition): the overlap form jacc ≥ t ⟺ (1+t)·inter ≥
+    # t·(na+nb), one intersect, 1e-9-slacked so rounding only WIDENS.
+    # Stage 2: survivors (~70× fewer) re-project inter and apply the EXACT
+    # double-division filter the oracle computes, behind a localCheckpoint
+    # barrier so the exact filter cannot be pushed back into the join.
     inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.col("na") + F.col("nb") - inter
+    overlap_ok = inter.cast("double") >= (t / (1 + t)) * (
+        F.col("na") + F.col("nb")
+    ) - 1e-9
+    pre = (
+        j.filter(overlap_ok)
+        .select("fp_a", "fp_b", inter.alias("inter"), "na", "nb")
+        .localCheckpoint(eager=False)
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
     fp_pairs = (
-        j.select(
+        pre.select(
             "fp_a",
             "fp_b",
-            inter.alias("inter"),
+            "inter",
             union.alias("union_"),
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+            (F.col("inter") / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
         .dropDuplicates(["fp_a", "fp_b"])

@@ -352,3 +352,73 @@ def test_expire_versions_anchors_on_live_pointer(spark, tmp_path):
         "op string, commit_lsn long, tx_ordinal long, pk long, val string")), 1)
     removed = expire_versions(tdir, keep=1)
     assert {r.val for r in sink.read("t").collect()} == {"b"}
+
+
+def test_bucket_manifest_at_512_buckets_multibatch(spark, tmp_path):
+    """The bucket-manifest sink at a production-shaped bucket count
+    (n_buckets=512, vs the 32-bucket sim default) over a multi-batch
+    stream: (a) manifest-chain reads stay correct after every batch,
+    (b) the touched-bucket fraction matches the batch's key spread
+    (small batches rewrite only their own buckets), (c) compact() folds
+    the chain to one version dir, (d) expire_versions never reclaims a
+    dir the live manifest references."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    sink = ParquetCurrentStateSink(
+        str(tmp_path / "wh"), keys=["pk"], spark=spark, n_buckets=512
+    )
+    n_keys = 2000
+    snap = with_sequence(
+        spark.range(n_keys).select(
+            F.lit("INSERT").alias("op"),
+            F.lit(0).cast("long").alias("commit_lsn"),
+            F.col("id").alias("tx_ordinal"),
+            F.col("id").alias("pk"),
+            F.concat(F.lit("v0_"), F.col("id")).alias("val"),
+        )
+    )
+    sink.write_snapshot("t", snap)
+    m0 = sink._manifest("t", sink._current_version("t"))
+    assert m0["n_buckets"] == 512
+    assert len(m0["buckets"]) > 400  # 2000 keys spread over ~all 512
+
+    model = {pk: f"v0_{pk}" for pk in range(n_keys)}
+    chain_dirs = set()
+    for i in range(4):
+        lo = i * 10
+        keys = list(range(lo, lo + 10))
+        batch = with_sequence(
+            spark.createDataFrame(
+                [("UPDATE", i + 1, j, k, f"b{i}_{k}") for j, k in enumerate(keys)],
+                "op string, commit_lsn long, tx_ordinal long, pk long, val string",
+            )
+        )
+        sink.write_changes("t", batch, batch_id=i)
+        for k in keys:
+            model[k] = f"b{i}_{k}"
+        ver = sink._current_version("t")
+        manifest = sink._manifest("t", ver)
+        moved = [b for b, vd in manifest["buckets"].items() if vd == f"v{ver}"]
+        # touched fraction: ≤ one bucket per batch key, and tiny vs 512
+        assert 1 <= len(moved) <= 10
+        chain_dirs.update(manifest["buckets"].values())
+        got = {r.pk: r.val for r in sink.read("t").collect()}
+        assert got == model  # manifest-chain read correct at every step
+
+    assert len(chain_dirs) >= 4  # reads really span a version chain
+    sink.compact("t")
+    folded = sink._manifest("t", sink._current_version("t"))
+    assert len(set(folded["buckets"].values())) == 1  # one fresh dir
+    removed = expire_versions(str(tmp_path / "wh" / "t"), keep=1)
+    assert removed  # superseded chain dirs reclaimed
+    live = set(folded["buckets"].values())
+    for d in removed:
+        assert d not in live  # never a live dir
+    got = {r.pk: r.val for r in sink.read("t").collect()}
+    assert got == model  # still correct after compact + expiry

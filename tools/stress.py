@@ -116,6 +116,18 @@ QUERIES = [
     "nation_top_customers_agg",
     "lineitem_metrics_unpivot",
     "events_time_weighted_value",
+    # round-7 additions: the streaming/stateful machinery (the newest,
+    # most state-heavy code previously had correctness evidence but no
+    # scale record) + the schema-evolution sink query
+    "stream_stateful_sessions",
+    "stream_windowed_watermark",
+    "stream_click_purchase_join",
+    "stream_native_dedup",
+    "stream_incremental_rollup",
+    "stream_stateful_dedup",
+    "cdc_xbatch_recovery",
+    "cdc_scd2_incremental",
+    "cdc_schema_evolution",
 ]
 
 
