@@ -163,7 +163,45 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def isolate_main(names: list[str]) -> None:
+    """Isolate mode (SPARK_GRAFT_BENCH_ISOLATE=q1,q2 or "all"): each query
+    runs in its OWN fresh python/JVM process, so a regression call is free
+    of the ±8% suite pressure (GC debt, executor churn) the in-suite
+    numbers carry. Prints one JSON line {"isolated": {name: min_sec}}."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, float] = {}
+    for name in names:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env.pop("SPARK_GRAFT_BENCH_ISOLATE", None)
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            capture_output=True, text=True, env=env, check=False,
+        )
+        for line in reversed(res.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "queries" in rec and name in rec["queries"]:
+                out[name] = rec["queries"][name]
+                break
+        else:
+            out[name] = None
+    print(json.dumps({"metric": "isolated_sec", "isolated": out,
+                      "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR",
+                                               "/root/testdata/sf0.1")}))
+
+
 def main() -> None:
+    iso = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE")
+    if iso:
+        names = HEADLINE if iso == "all" else [n for n in iso.split(",") if n]
+        isolate_main(names)
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -185,9 +223,15 @@ def main() -> None:
     import statistics
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # SPARK_GRAFT_BENCH_ONLY=a,b: time just those (any family) — the unit
+    # the isolate mode shells out to. Streaming queries named here land in
+    # "queries"; the separate streaming section is skipped.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n for n in only.split(",") if n] if only else HEADLINE
+    streaming_names = [] if only else STREAMING
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in queries:
             continue
         samples = []
@@ -208,7 +252,7 @@ def main() -> None:
     stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2"))
     ev_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     streaming: dict[str, dict] = {}
-    for name in STREAMING:
+    for name in streaming_names:
         if name not in queries:
             continue
         samples = []

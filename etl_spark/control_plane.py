@@ -533,3 +533,49 @@ class PipelineRegistry:
         if target == "all":
             return p.resync_errored(force=force)
         raise InvalidConfig(f"unknown rollback target {target!r}")
+
+    def rollback_destination(self, pipeline_id: int, spark: SparkSession,
+                             table: str, version: int) -> int:
+        """Re-point a stopped pipeline's PARQUET STATE destination table at
+        a prior committed version (composes the sinks' time-travel reads
+        with the rollback verb — the reference's rollback re-syncs the
+        destination; the VERSION-swap layout makes it a metadata-only
+        commit via :meth:`_BucketedVersionedTable.rollback_to`). The old
+        manifest is re-committed as a NEW version, so readers never see
+        version numbers move backwards. Refused while the pipeline runs;
+        the next start's micro-batches merge on top of the rolled-back
+        state (pair with ``rollback_tables`` when the source position
+        must rewind too). Returns the new version number."""
+        from etl_spark.streaming.sinks import (
+            ParquetCurrentStateSink,
+            ParquetScd2Sink,
+        )
+
+        if pipeline_id in self._live:
+            raise PipelineActive("stop the pipeline before a destination rollback")
+        if pipeline_id not in self._configs:
+            raise PipelineNotFound(str(pipeline_id))
+        cfg = self.resolve_config(self._configs[pipeline_id]["config"])
+        sink_spec = cfg["sink"]
+        if sink_spec.get("kind") not in (
+            "parquet_state", "parquet_current_state", "parquet_scd2"
+        ):
+            raise InvalidConfig(
+                f"destination rollback needs a versioned parquet sink, "
+                f"got {sink_spec.get('kind')!r}"
+            )
+        tcfg = next((t for t in cfg["tables"] if t["name"] == table), None)
+        if tcfg is None:
+            raise InvalidConfig(f"table {table!r} not in pipeline {pipeline_id}")
+        cls = (
+            ParquetScd2Sink
+            if sink_spec["kind"] == "parquet_scd2"
+            else ParquetCurrentStateSink
+        )
+        sink = cls(sink_spec["root"], keys=tcfg["keys"], spark=spark)
+        try:
+            return sink.rollback_to(table, version)
+        except FileNotFoundError as exc:
+            raise InvalidConfig(
+                f"version {version} of {table!r} is expired or never existed"
+            ) from exc

@@ -36,6 +36,11 @@ BEFORE_STREAMING = "table_sync_worker.before_streaming"
 SEND_STATUS_UPDATE = "send_status_update"
 STORE_REPLICATION_PROGRESS = "store_replication_progress"
 FORCE_SCHEMA_CLEANUP = "force_schema_cleanup"
+# maintenance-vs-writer interleavings (the race the reference's external
+# maintenance handles, ducklake/external_maintenance.rs): armed callbacks
+# inject CONCURRENT work at the two commit-adjacent points of a fold
+COMPACT_BEFORE_COMMIT = "changelog_compact.before_manifest_commit"
+COMPACT_AFTER_COMMIT = "changelog_compact.after_manifest_commit"
 
 ALL = (
     BEFORE_DATA_SYNC,
@@ -45,6 +50,8 @@ ALL = (
     SEND_STATUS_UPDATE,
     STORE_REPLICATION_PROGRESS,
     FORCE_SCHEMA_CLEANUP,
+    COMPACT_BEFORE_COMMIT,
+    COMPACT_AFTER_COMMIT,
 )
 
 
@@ -55,6 +62,7 @@ class FailpointError(RuntimeError):
 _lock = threading.Lock()
 _raise: dict[str, int] = {}  # name -> remaining raise charges (-1 = always)
 _skip: dict[str, int] = {}   # name -> remaining skip charges  (-1 = always)
+_call: dict[str, tuple] = {}  # name -> (callback, remaining charges)
 
 
 def arm(name: str, times: int = 1) -> None:
@@ -69,10 +77,19 @@ def arm_skip(name: str, times: int = 1) -> None:
         _skip[name] = times
 
 
+def arm_call(name: str, fn, times: int = 1) -> None:
+    """Arm *name* to invoke *fn()* on its next *times* hits — injects
+    CONCURRENT work (e.g. a writer appending mid-compaction) at a named
+    interleaving point rather than a fault."""
+    with _lock:
+        _call[name] = (fn, times)
+
+
 def disarm_all() -> None:
     with _lock:
         _raise.clear()
         _skip.clear()
+        _call.clear()
 
 
 def _consume(table: dict[str, int], name: str) -> bool:
@@ -86,7 +103,20 @@ def _consume(table: dict[str, int], name: str) -> bool:
 
 
 def hit(name: str) -> None:
-    """Injection site: raise FailpointError if *name* is armed to raise."""
+    """Injection site: raise FailpointError if *name* is armed to raise,
+    or run the armed callback (concurrent-work injection) if any."""
+    fn = None
+    with _lock:
+        entry = _call.get(name)
+        if entry is not None:
+            fn, n = entry
+            if n == 0:
+                fn = None
+            else:
+                if n > 0:
+                    _call[name] = (fn, n - 1)
+    if fn is not None:
+        fn()
     if _consume(_raise, name):
         raise FailpointError(name)
 

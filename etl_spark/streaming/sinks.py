@@ -48,6 +48,7 @@ from abc import ABC, abstractmethod
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark import failpoints
 from etl_spark.operators import materialize
 
 
@@ -220,6 +221,11 @@ class ParquetChangelogSink(Sink):
         # written before the commit, but invisible to readers until the
         # manifest lists it (see _live_dirs)
         df.write.mode("overwrite").parquet(os.path.join(tdir, seg_name))
+        # writer-vs-maintenance interleaving points: a stream may append
+        # new batch dirs while the fold runs (external_maintenance.rs
+        # race) — the manifest records only the DOOMED ids, so appended
+        # batches stay live regardless of when they land
+        failpoints.hit(failpoints.COMPACT_BEFORE_COMMIT)
         manifest = {
             "batches": sorted(folded_prev | set(doomed)),
             "segments": sorted(committed_segments | {seg_name}),
@@ -228,6 +234,7 @@ class ParquetChangelogSink(Sink):
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(tdir, "FOLDED"))  # the atomic commit
+        failpoints.hit(failpoints.COMPACT_AFTER_COMMIT)
         for b in doomed:
             _sh.rmtree(os.path.join(tdir, f"batch={b}"), ignore_errors=True)
         return doomed
@@ -579,6 +586,25 @@ class _BucketedVersionedTable:
         Run with :func:`etl_spark.maintenance.expire_versions` to reclaim
         the superseded dirs."""
         self._commit(table, self._read_buckets(table), touched=None, batch_id=None)
+
+    def rollback_to(self, table: str, version: int) -> int:
+        """Re-point the table at a PRIOR committed version — the write
+        side of :meth:`read_version` (the reference's rollback-tables
+        verb re-syncs destinations; here the VERSION-swap design makes
+        rollback a metadata-only commit). The old manifest is re-committed
+        AS A NEW version (no pointer rewind), so version numbers stay
+        linear, concurrent readers never see time move backwards, and
+        expiry retention keeps working. Raises FileNotFoundError when the
+        target manifest has been expired. Returns the new version."""
+        meta = self._current_meta(table)
+        manifest = self._manifest(table, version)  # expired → FileNotFoundError
+        nv = meta["version"] + 1
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._vpath(table)))
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._mpath(table, nv))
+        self._point(table, nv, None)
+        return nv
 
     def live_dirs(self, table: str) -> set[str]:
         """Version-dir names referenced by the CURRENT manifest (for

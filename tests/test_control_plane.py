@@ -340,3 +340,35 @@ def test_run_maintenance_verb(spark, tmp_path):
     want = {i: f"s{i}" for i in range(20)} | {b: f"u{b}" for b in range(3)}
     assert got == want
     reg.stop_all_pipelines()
+
+
+def test_rollback_destination_verb(spark, tmp_path):
+    """rollback_destination composes time-travel with the rollback verb:
+    re-points a stopped pipeline's parquet-state table at a prior version
+    (metadata-only re-commit — version numbers stay linear), refuses while
+    running, and refuses expired/never-existed versions."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [
+        _ev("INSERT", 10, after={"pk": 2, "val": "b"}),
+    ], "b1")
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(_config(src, str(tmp_path / "sink"), snap=snap))
+    p = reg.start_pipeline(pid, spark)
+    with pytest.raises(PipelineActive):
+        reg.rollback_destination(pid, spark, "users", 0)
+    reg.stop_all_pipelines()
+    v_cur = p.sink._current_version("users")
+    assert v_cur >= 1
+    before = {r.pk: r.val for r in p.sink.read("users").select("pk", "val").collect()}
+    assert before == {1: "a", 2: "b"}
+
+    nv = reg.rollback_destination(pid, spark, "users", 0)
+    assert nv == v_cur + 1  # linear, never rewinds
+    after = {r.pk: r.val for r in p.sink.read("users").select("pk", "val").collect()}
+    assert after == {1: "a"}  # the pre-stream snapshot state
+
+    with pytest.raises(InvalidConfig, match="expired or never existed"):
+        reg.rollback_destination(pid, spark, "users", 99)

@@ -422,3 +422,43 @@ def test_bucket_manifest_at_512_buckets_multibatch(spark, tmp_path):
         assert d not in live  # never a live dir
     got = {r.pk: r.val for r in sink.read("t").collect()}
     assert got == model  # still correct after compact + expiry
+
+
+def test_changelog_compact_with_concurrent_appends(spark, tmp_path):
+    """A stream appends new batch dirs WHILE compact folds old ones (the
+    writer-vs-maintenance race the reference's external maintenance
+    handles): batches landing between doomed-list computation and the
+    FOLDED commit — and between the commit and the dir deletions — must
+    stay live, be counted exactly once, and fold cleanly next round."""
+    from etl_spark import failpoints
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.sinks import ParquetChangelogSink
+
+    sink = ParquetChangelogSink(str(tmp_path / "log"))
+    mk = lambda lsn, pk: spark.createDataFrame(
+        [("INSERT", lsn, 0, lsn, pk, "v")],
+        "op string, commit_lsn long, tx_ordinal long, start_lsn long, pk long, val string")
+    for b in range(4):
+        sink.write_changes("t", with_sequence(mk(10 + b, b)), batch_id=b)
+
+    # batch 4 lands between segment write and manifest commit; batch 5
+    # lands between the commit and the folded-dir deletions
+    failpoints.arm_call(
+        failpoints.COMPACT_BEFORE_COMMIT,
+        lambda: sink.write_changes("t", with_sequence(mk(14, 4)), batch_id=4),
+    )
+    failpoints.arm_call(
+        failpoints.COMPACT_AFTER_COMMIT,
+        lambda: sink.write_changes("t", with_sequence(mk(15, 5)), batch_id=5),
+    )
+    try:
+        folded = sink.compact(spark, "t", keep_batches=0)
+    finally:
+        failpoints.disarm_all()
+    assert folded == [0, 1, 2, 3]  # only the pre-fold batches folded
+    got = sorted(r.pk for r in sink.read(spark, "t").collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # mid-fold appends live, once each
+    # next round folds the mid-fold appends incrementally
+    folded2 = sink.compact(spark, "t", keep_batches=0)
+    assert folded2 == [4, 5]
+    assert sorted(r.pk for r in sink.read(spark, "t").collect()) == got
