@@ -56,6 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-7 NEW: first gate shot ---
         "cdc_schema_evolution": workload.cdc_schema_evolution,
+        "sketch_hll_users": workload_relational.sketch_hll_users,
+        "sketch_count_min_users": workload_relational.sketch_count_min_users,
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
+        "events_cusum_alerts": workload_relational.events_cusum_alerts,
+        "docs_gopher_rules": workload_text.docs_gopher_rules,
         # --- round-6 NEW: first gate shot ---
         "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
         "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,

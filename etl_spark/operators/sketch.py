@@ -111,3 +111,145 @@ def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
         F.round("kth_min_hash", 12).alias("kth_min_hash"),
         "n_sketch",
     )
+
+
+def _hash52(col) -> "F.Column":
+    """Exact 52-bit md5 integer (first 13 hex digits): the shared
+    cross-engine hash domain (< 2^53, so every derived quantity stays
+    exact in BIGINT/long on both engines)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """From-scratch HyperLogLog registers (Flajolet et al. '07) over the
+    shared md5 hash — unlike the engines' BUILT-IN HLLs (whose register
+    layouts differ, making cross-engine verification impossible), these
+    registers are bit-identical on any engine that can compute md5:
+    ``(groups..., reg, rho)`` with reg = h mod m and rho = leading-zero
+    count of the remaining 52-p bits + 1. The per-group register table is
+    the PERSISTABLE, MERGEABLE sketch (merge = max per register)."""
+    group_cols = group_cols or []
+    m = 1 << p
+    rest_bits = 52 - p
+    h = _hash52(F.col(value_col))
+    reg = F.pmod(h, F.lit(m)).cast("int")
+    # h / 2^p only shifts the exponent — exact in double; cast truncates
+    rest = (h / F.lit(m)).cast("long")
+    # bit_length(rest) = floor(log2(rest)) + 1 (exact: values sit ≥4 ulps
+    # from the nearest integer boundary for rest < 2^46)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.floor(F.log2(rest)).cast("int")
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """HLL estimate from a register table, in EXACT integer arithmetic
+    until the final division: the harmonic sum Σ2^(−rho) is scaled by
+    2^(rest_bits+1) so it is an integer (order-independent long sum — no
+    float accumulation to diverge between engines). Small-range linear
+    counting (m·ln(m/V)) applies below 2.5m, as in the paper.
+    Returns ``(groups..., est_distinct, n_zero_registers)``."""
+    group_cols = group_cols or []
+    m = 1 << p
+    rest_bits = 52 - p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    scale = 1 << (rest_bits + 1)  # 2^(rest_bits+1): rho ≤ rest_bits+1 → ≥ 1
+    agg = registers.groupBy(*group_cols).agg(
+        # SQL shiftleft: the Python wrapper only takes a literal shift
+        F.sum(F.expr(f"shiftleft(1L, {rest_bits + 1} - rho)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(scale)
+    raw = F.lit(alpha * m * m * float(scale)) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 4).alias("est_distinct"),
+        zeros.cast("long").alias("n_zero_registers"),
+    )
+
+
+def count_min(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Count-Min sketch table (Cormode & Muthukrishnan '05): ``(row,
+    cell, c)`` counts with ``depth`` salted md5 hash rows × ``width``
+    cells — integer-exact and engine-independent. Point estimate for a
+    key = min over rows of its cell count (see
+    :func:`count_min_estimate`); the table itself is the mergeable,
+    persistable sketch (merge = cell-wise sum)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _hash52(F.concat(F.lit(f"s{i}:"), F.col(value_col).cast("string"))),
+                    F.lit(width),
+                ).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rc"))
+        .select("rc.row", "rc.cell")
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` against a
+    count-min table: est = min over the key's ``depth`` cells (upper
+    bound on the true count, exact-integer on every engine). The probe
+    side explodes to (key, row, cell) and equi-joins the sketch — the
+    sketch is depth·width rows, so the join broadcasts."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _hash52(F.concat(F.lit(f"s{i}:"), F.col(value_col).cast("string"))),
+                    F.lit(width),
+                ).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(value_col), F.explode(rows).alias("rc")
+    ).select(value_col, "rc.row", "rc.cell")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("cm_est"))
+    )

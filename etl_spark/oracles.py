@@ -2832,3 +2832,167 @@ SELECT user_id, start_us, end_us, n_events, max_value,
             THEN 'gap' ELSE 'timeout' END AS closed_by
 FROM agg
 """
+
+# --- round-7 additions -------------------------------------------------
+
+#: DuckDB list-comprehension rendering of the shared 52-bit md5 integer
+#: (13 hex digits, exact in BIGINT — the sketch.py _hash52 twin)
+_H52 = (
+    "list_sum([(instr('0123456789abcdef', substring(md5({expr}), x, 1)) - 1)"
+    " * CAST(power(16, 13 - x) AS BIGINT) for x in range(1, 14)])"
+)
+
+ORACLES["sketch_hll_users"] = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST({_H52.format(expr="CAST(user_id AS VARCHAR)")} AS BIGINT) AS h52
+  FROM events
+),
+rr AS (
+  SELECT event_type, CAST(h52 % 64 AS INT) AS reg, h52 // 64 AS rest FROM h
+),
+regs AS (
+  SELECT event_type, reg,
+         max(CASE WHEN rest = 0 THEN 47
+                  ELSE 46 - CAST(floor(log2(rest)) AS INT) END) AS rho
+  FROM rr GROUP BY event_type, reg
+),
+allregs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '__merged__' AS event_type, reg, max(rho) AS rho FROM regs GROUP BY reg
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (47 - rho)) AS s_present,
+         count(*) AS n_present
+  FROM allregs GROUP BY event_type
+),
+calc AS (
+  SELECT event_type, 64 - n_present AS zeros,
+         CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(140737488355328 AS DOUBLE)
+           / CAST(CAST(s_present AS HUGEINT)
+                  + CAST(64 - n_present AS HUGEINT) * 140737488355328 AS DOUBLE) AS raw
+  FROM agg
+),
+final AS (
+  SELECT event_type, zeros,
+         CASE WHEN raw <= 160.0 AND zeros > 0
+              THEN 64.0 * ln(64.0 / zeros) ELSE raw END AS est
+  FROM calc
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__merged__', count(DISTINCT user_id) FROM events
+)
+SELECT f.event_type, round(f.est, 4) AS est_distinct,
+       CAST(f.zeros AS BIGINT) AS n_zero_registers,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+FROM final f JOIN exact e USING (event_type)
+"""
+
+ORACLES["sketch_count_min_users"] = f"""
+WITH rws AS (SELECT unnest(range(4)) AS rw),
+cells AS (
+  SELECT rws.rw,
+         CAST({_H52.format(expr="'s' || rws.rw || ':' || CAST(e.user_id AS VARCHAR)")} % 128 AS INT) AS cell
+  FROM events e CROSS JOIN rws
+),
+sketch AS (SELECT rw, cell, count(*) AS c FROM cells GROUP BY rw, cell),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+probe_cells AS (
+  SELECT p.user_id, rws.rw,
+         CAST({_H52.format(expr="'s' || rws.rw || ':' || CAST(p.user_id AS VARCHAR)")} % 128 AS INT) AS cell
+  FROM probes p CROSS JOIN rws
+),
+est AS (
+  SELECT pc.user_id, min(s.c) AS cm_est
+  FROM probe_cells pc JOIN sketch s USING (rw, cell) GROUP BY pc.user_id
+),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+SELECT est.user_id, CAST(x.exact_n AS BIGINT) AS exact_n,
+       CAST(est.cm_est AS BIGINT) AS cm_est
+FROM est JOIN exact x USING (user_id)
+"""
+
+ORACLES["lineitem_basket_lift"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+pc AS (SELECT l_partkey, count(*) AS pc FROM li GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT co.pa, co.pb, CAST(co.co AS BIGINT) AS co,
+       round(co.co / n.n_orders, 8) AS support,
+       round(co.co / ca.pc, 6) AS confidence,
+       round(co.co * n.n_orders / (ca.pc * cb.pc), 6) AS lift
+FROM co
+CROSS JOIN n
+JOIN pc ca ON ca.l_partkey = co.pa
+JOIN pc cb ON cb.l_partkey = co.pb
+"""
+
+ORACLES["events_cusum_alerts"] = """
+WITH mu AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mu
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT e.event_type, e.event_id, e.ts,
+         sum(e.value - mu.mu - 0.25) OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM events e JOIN mu USING (event_type)
+),
+s AS (
+  SELECT event_type, event_id,
+         p - least(0.0, min(p) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM p
+)
+SELECT event_type, event_id, round(s, 6) AS cusum
+FROM s WHERE s > 1.5
+"""
+
+from etl_spark.operators.text import LANG_PROFILES as _LP  # noqa: E402
+
+_STOPLIST = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in _LP.values() for w in ws})
+)
+
+ORACLES["docs_gopher_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, x -> length(x)))
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(len(list_filter(toks, x -> list_contains([{_STOPLIST}], x)))
+               / greatest(len(toks), 1), 6) AS stop_frac,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / greatest(len(toks), 1), 6) AS symbol_frac,
+         round(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+               / greatest(len(lines), 1), 6) AS bullet_frac
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, stop_frac,
+       symbol_frac, bullet_frac,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND stop_frac > 0.02 AND symbol_frac < 0.1
+         AND bullet_frac < 0.9 AS keep
+FROM m
+"""

@@ -1889,3 +1889,144 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "held_sec",
         F.round(F.col("__wsum").cast("double") / F.col("held_sec"), 6).alias("twa"),
     )
+
+
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-user estimates per event type PLUS
+    a register-merged global row (X101). The engines' built-in HLLs have
+    incompatible register layouts (see sketch.py), so this one builds the
+    registers from the shared md5 hash: the per-type register tables are
+    bit-identical on both engines, the harmonic sum is an exact integer
+    (no float accumulation), and the MERGED row is computed by max-ing
+    registers across types — the mergeability property a warehouse relies
+    on for partition-wise sketches, proven here because the merged
+    estimate hash-matches the oracle's directly-computed registers.
+
+    Scale shape: registers are a map-combined groupBy (≤ m rows per
+    group); merge is a second tiny agg over |types|·m rows.
+    """
+    from etl_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"], p=6)
+    merged = regs.groupBy("reg").agg(F.max("rho").alias("rho")).withColumn(
+        "event_type", F.lit("__merged__")
+    )
+    all_regs = regs.unionByName(merged.select("event_type", "reg", "rho"))
+    est = hll_estimate(all_regs, ["event_type"], p=6)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.lit("__merged__").alias("event_type"),
+                F.count_distinct("user_id").alias("exact_distinct"),
+            )
+        )
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_distinct", "n_zero_registers", "exact_distinct"
+    )
+
+
+def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the event stream (X102): 4 salted
+    md5 rows × 128 cells, integer-exact on both engines; point estimates
+    (min over the key's cells — an upper bound that is EXACT when no
+    collision lands in all 4 cells) for the deterministic probe subset
+    ``user_id % 7 == 0``, beside the true counts.
+
+    Scale shape: the sketch build is one map-combined groupBy over an
+    exploded depth-4 array (bounded 4·width rows out); the probe join
+    broadcasts the 512-cell sketch.
+    """
+    from etl_spark.operators.sketch import count_min, count_min_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = count_min(ev, "user_id", depth=4, width=128)
+    probes = ev.select("user_id").filter(F.col("user_id") % 7 == 0).distinct()
+    est = count_min_estimate(sketch, probes, "user_id", depth=4, width=128)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return est.join(exact, "user_id").select("user_id", "exact_n", "cm_est")
+
+
+def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics over order contents (X103):
+    support / confidence / lift for every part pair co-occurring in ≥ 2
+    orders (Agrawal & Srikant '94 Apriori, the 2-itemset level as one
+    declarative pass).
+
+    Scale shape: the pair expansion self-joins DISTINCT (order, part) on
+    the order key — fan-out is bounded by items-per-order (≤7 in TPC-H
+    shape, C(7,2)=21 pairs/order), so the join output is O(orders), not
+    O(parts²); per-part counts broadcast back onto the pair aggregate.
+    All metrics are integer ratios (exact-deterministic in double).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    part_cnt = li.groupBy("l_partkey").agg(F.count("*").alias("pc"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    out = (
+        co.join(F.broadcast(part_cnt.withColumnRenamed("l_partkey", "pa")
+                            .withColumnRenamed("pc", "ca")), "pa")
+        .join(F.broadcast(part_cnt.withColumnRenamed("l_partkey", "pb")
+                          .withColumnRenamed("pc", "cb")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "pa",
+        "pb",
+        "co",
+        F.round(F.col("co") / F.col("n_orders"), 8).alias("support"),
+        F.round(F.col("co") / F.col("ca"), 6).alias("confidence"),
+        F.round(
+            F.col("co") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6
+        ).alias("lift"),
+    )
+
+
+def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection per event type (X104, Page '54): the
+    recursive statistic S_t = max(0, S_{t-1} + x_t − μ − k) in its CLOSED
+    window form — S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum
+    of (x − μ − k) — so the sequential recursion becomes two stock window
+    functions (running sum + running min) instead of a per-key Python
+    loop. Emits the alert rows where S_t > h.
+
+    Numeric policy: μ is an exact DECIMAL sum divided in double (order-
+    independent); the running sum's accumulation ORDER is fixed by the
+    window sort on (ts, event_id), so both engines round identically.
+    Scale shape: one shuffle on event_type; windows stream within
+    partitions.
+    """
+    k, h = 0.25, 1.5
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    mu = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        ev.join(F.broadcast(mu), "event_type")
+        .withColumn("p", F.sum(F.col("value") - F.col("mu") - F.lit(k)).over(w))
+        .withColumn("s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(w)))
+    )
+    return scored.filter(F.col("s") > h).select(
+        "event_type", "event_id", F.round("s", 6).alias("cusum")
+    )

@@ -1244,3 +1244,50 @@ def docs_char_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter rules (X105; Rae et al. '21 §A1.1 —
+    the rule family the MassiveText pipeline applies before training):
+    per document, word count bounds, mean word length bounds, stopword
+    fraction, symbol-to-word ratio ('#' and '...'), and bullet-line
+    fraction, folded into one ``keep`` verdict.
+
+    Every metric is an integer count or an integer ratio (exact double
+    division), so the verdict hash-matches the SQL oracle bit-for-bit.
+    Scale shape: pure scan-stage column algebra — no shuffle, no UDF;
+    the split/filter/aggregate all run inside whole-stage codegen.
+    """
+    from etl_spark.operators.text import LANG_PROFILES, tokens
+
+    stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.lower("text"))
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*stop)))
+    hash_hits = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    ellipsis_hits = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3
+    lines = F.split("text", "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(word_chars / n_words, 6).alias("mean_word_len"),
+        F.round(stop_hits / n_words, 6).alias("stop_frac"),
+        F.round((hash_hits + ellipsis_hits) / n_words, 6).alias("symbol_frac"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_frac"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("stop_frac") > 0.02)
+        & (F.col("symbol_frac") < 0.1)
+        & (F.col("bullet_frac") < 0.9)
+    )
+    return out.withColumn("keep", keep)
