@@ -659,3 +659,40 @@ def test_decile_rank_window_range_partitioned(spark):
     ]
     assert rank_windows, plan
     assert all("__bkt" in w for w in rank_windows), rank_windows
+
+
+def test_hll_registers_map_combined(spark):
+    # registers: partial agg before the one exchange; merged row is a
+    # second tiny agg — no extra fact-side shuffle
+    plan = plan_of(workload_relational.sketch_hll_users(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_count_min_probe_join_broadcasts_sketch(spark):
+    plan = plan_of(workload_relational.sketch_count_min_users(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # 512-cell sketch broadcast
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_basket_lift_no_cartesian_and_broadcast_counts(spark):
+    plan = plan_of(workload_relational.lineitem_basket_lift(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # pair expansion equi-joins on the order key; part counts broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_single_type_shuffle(spark):
+    plan = plan_of(workload_relational.events_cusum_alerts(spark, SF_DIR))
+    # one hashpartitioning exchange on event_type feeds BOTH windows
+    import re
+
+    ex = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (.*)", plan, re.M)
+    hash_ex = [a for a in ex if "hashpartitioning" in a]
+    assert len(hash_ex) <= 2, plan  # mu agg + window partitioning
+
+
+def test_gopher_rules_no_shuffle_no_udf(spark):
+    plan = plan_of(workload_text.docs_gopher_rules(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_shuffles(plan) <= 1  # only the _docs spreading repartition
