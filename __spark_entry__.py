@@ -32,26 +32,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-6 window (first 50) = [11 NEW: cdc_xbatch_recovery
-    (crash-recovery of the cross-batch flush ledger, hash-checked against
-    the batch oracle), lineitem_rollup_metrics, events_regression,
-    events_markov_transitions, orders_decile_bands,
-    customer_fuzzy_name_join, docs_char_pair_merge,
-    nation_top_customers_agg, lineitem_metrics_unpivot,
-    events_time_weighted_value, stream_stateful_sessions (custom
-    applyInPandasWithState sessionization with event-time timeout,
-    hash-checked against the SQL gap-sessionization oracle)] +
-    [4 CHANGED:
-    events_ks_drift (two-pass range-partitioned CDF),
-    cdc_scd2_incremental (bucket-manifest incremental sink rewrite),
-    pgoutput_decode (binary numeric/time/timetz/array decoders +
-    PG-canonical float4/timestamp text + before-image wideness guard),
-    dedup_simhash_pairs (max_pairs_per_clique guard)] + [the 39 queries
-    whose latest green row is r3 — the oldest evidence, incl. the
-    flagship cdc_current_state which also exercises the rewritten merge;
-    the last four r3 rows slide to the round-7 refresh queue with the
-    six oldest r4 rows]. All 142 entries verified locally via
-    tools/check_oracle.py at sf0.01 this round (COVERAGE.md).
+    Round-7 window (first 50) = [6 NEW: cdc_schema_evolution (mid-stream
+    RENAME+DEFAULT through the bucket-manifest sink, hash-checked against
+    the batch LWW oracle with the rename folded in), sketch_hll_users,
+    sketch_count_min_users, lineitem_basket_lift, events_cusum_alerts,
+    docs_gopher_rules] + [5 CHANGED: stream_stateful_sessions (interval
+    sweep-merge kernel — late within-watermark events fold by min/max),
+    cdc_changelog_compact (committed-segments FOLDED manifest),
+    docs_exact_jaccard_join (size-keyed prefix join + one-intersect
+    verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
+    manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
+    corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
+    docs_repetition] + [35 oldest-r4 rows, COVERAGE order]. The 5
+    remaining r4-latest rows (stream_incremental_rollup + the 4 r1-era
+    dedup retests) lead the round-8 refresh queue. All 148 entries
+    verified locally via tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
         # --- round-7 NEW: first gate shot ---
@@ -61,24 +56,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "events_cusum_alerts": workload_relational.events_cusum_alerts,
         "docs_gopher_rules": workload_text.docs_gopher_rules,
-        # --- round-6 NEW: first gate shot ---
-        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
-        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
-        "events_regression": workload_relational.events_regression,
-        "events_markov_transitions": workload_relational.events_markov_transitions,
-        "orders_decile_bands": workload_relational.orders_decile_bands,
-        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
-        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
-        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
-        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
-        "events_time_weighted_value": workload_relational.events_time_weighted_value,
+        # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
-        # --- implementation CHANGED in round 6: re-record ---
-        "events_ks_drift": workload_relational.events_ks_drift,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
+        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,
-        "pgoutput_decode": workload.pgoutput_decode,
-        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
-        # --- oldest green rows (r3) refreshed oldest-first ---
+        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        # --- oldest green rows (4 r3, then r4) refreshed oldest-first ---
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_repetition": workload_text.docs_repetition,
+        "docs_contamination": workload_text.docs_contamination,
+        "stream_windowed_watermark": workload.stream_windowed_watermark,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
+        "events_promo_range_join": workload_relational.events_promo_range_join,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
+        "mm_resize": workload_mm.mm_resize,
+        "stream_session_window": workload.stream_session_window,
+        "cdc_scd2_history": workload.cdc_scd2_history,
+        "cdc_state_asof": workload.cdc_state_asof,
+        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
+        "stream_native_dedup": workload.stream_native_dedup,
+        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
+        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "stream_static_enrich": workload.stream_static_enrich,
+        "cdc_gap_audit": workload.cdc_gap_audit,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "events_rolling_1h": workload_relational.events_rolling_1h,
+        "corpus_drop_audit": workload_text.corpus_drop_audit,
+        "docs_profile": workload_text.docs_profile,
+        "events_quality_checks": workload_relational.events_quality_checks,
+        "sketch_merge_global": workload_relational.sketch_merge_global,
+        "bloom_prune_probe": workload_relational.bloom_prune_probe,
+        "cdc_changed_columns": workload.cdc_changed_columns,
+        "sessionize_events": workload_relational.sessionize_events,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        # --- slots 51+ (window full at 50: 6 new + 5 changed + 39 refresh):
+        # --- these r4-latest rows lead the round-8 refresh queue ---
+        "stream_incremental_rollup": workload.stream_incremental_rollup,
+        "dedup_exact": workload_text.dedup_exact,
+        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
+        "dedup_simhash": workload_text.dedup_simhash,
+        # --- past the window: every entry below has a green r5/r6 gate row ---
         "cdc_current_state": workload.cdc_current_state,
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
@@ -114,19 +145,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_root": workload.cdc_partition_root,
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
         "corpus_curation": workload_text.corpus_curation,
-        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
-        "corpus_token_mixture": workload_text.corpus_token_mixture,
-        "docs_pii_redact": workload_text.docs_pii_redact,
-        "docs_repetition": workload_text.docs_repetition,
-        # --- slots 51+ (window full at 50: 7 new + 4 changed + 39 r3):
-        # --- these oldest-r4 rows lead the NEXT round's refresh queue ---
-        "docs_contamination": workload_text.docs_contamination,
-        "stream_windowed_watermark": workload.stream_windowed_watermark,
-        "docs_passage_dedup": workload_text.docs_passage_dedup,
-        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
-        "docs_rag_chunks": workload_text.docs_rag_chunks,
-        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
-        # --- past the window: every entry below has a green r4/r5 gate row ---
+        "events_ks_drift": workload_relational.events_ks_drift,
+        "pgoutput_decode": workload.pgoutput_decode,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
+        "events_regression": workload_relational.events_regression,
+        "events_markov_transitions": workload_relational.events_markov_transitions,
+        "orders_decile_bands": workload_relational.orders_decile_bands,
+        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
+        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
+        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
+        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
+        "events_time_weighted_value": workload_relational.events_time_weighted_value,
         "text_langid": workload_text.text_langid,
         "text_quality": workload_text.text_quality,
         "text_tokens": workload_text.text_tokens,
@@ -166,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
         "docs_quality_calibration": workload_text.docs_quality_calibration,
         "docs_ngram_novelty": workload_text.docs_ngram_novelty,
-        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "events_winsorize": workload_relational.events_winsorize,
         "cdc_table_diff": workload.cdc_table_diff,
         "cdc_state_diff": workload.cdc_state_diff,
@@ -174,41 +203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": workload_text.ann_pq_codes,
         "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
         "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
-        "events_promo_range_join": workload_relational.events_promo_range_join,
-        "stream_click_purchase_join": workload.stream_click_purchase_join,
-        "mm_resize": workload_mm.mm_resize,
-        "stream_session_window": workload.stream_session_window,
-        "cdc_scd2_history": workload.cdc_scd2_history,
-        "cdc_state_asof": workload.cdc_state_asof,
-        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
-        "stream_native_dedup": workload.stream_native_dedup,
-        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
-        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
-        "stream_static_enrich": workload.stream_static_enrich,
-        "cdc_gap_audit": workload.cdc_gap_audit,
-        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
-        "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "events_rolling_1h": workload_relational.events_rolling_1h,
-        "corpus_drop_audit": workload_text.corpus_drop_audit,
-        "docs_profile": workload_text.docs_profile,
-        "events_quality_checks": workload_relational.events_quality_checks,
-        "sketch_merge_global": workload_relational.sketch_merge_global,
-        "bloom_prune_probe": workload_relational.bloom_prune_probe,
-        "cdc_changed_columns": workload.cdc_changed_columns,
-        "sessionize_events": workload_relational.sessionize_events,
-        "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        "events_retention_cohorts": workload_relational.events_retention_cohorts,
-        "events_grouping_sets": workload_relational.events_grouping_sets,
-        "events_pivot_daily": workload_relational.events_pivot_daily,
-        "events_error_after_purchase": workload_relational.events_error_after_purchase,
-        "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        "stream_incremental_rollup": workload.stream_incremental_rollup,
-        "dedup_exact": workload_text.dedup_exact,
-        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
-        "dedup_simhash": workload_text.dedup_simhash,
     }
 
 
