@@ -32,21 +32,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-7 window (first 50) = [6 NEW: cdc_schema_evolution (mid-stream
+    Round-7 window (first 50) = [8 NEW: cdc_schema_evolution (mid-stream
     RENAME+DEFAULT through the bucket-manifest sink, hash-checked against
     the batch LWW oracle with the rename folded in), sketch_hll_users,
     sketch_count_min_users, lineitem_basket_lift, events_cusum_alerts,
-    docs_gopher_rules] + [5 CHANGED: stream_stateful_sessions (interval
-    sweep-merge kernel — late within-watermark events fold by min/max),
+    docs_gopher_rules, order_graph_pagerank (integer-exact 3-iteration
+    PageRank), lineitem_skyline (range-partitioned Pareto frontier)] +
+    [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
+    late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
     docs_exact_jaccard_join (size-keyed prefix join + one-intersect
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [35 oldest-r4 rows, COVERAGE order]. The 5
-    remaining r4-latest rows (stream_incremental_rollup + the 4 r1-era
-    dedup retests) lead the round-8 refresh queue. All 148 entries
-    verified locally via tools/check_oracle.py at sf0.01 (COVERAGE.md).
+    docs_repetition] + [33 oldest-r4 rows, COVERAGE order]. The 7
+    remaining r4-latest rows (events_error_after_purchase,
+    events_gapfill_locf, stream_incremental_rollup + the 4 r1-era dedup
+    retests) lead the round-8 refresh queue. All 150 entries verified
+    locally via tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
         # --- round-7 NEW: first gate shot ---
@@ -56,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "events_cusum_alerts": workload_relational.events_cusum_alerts,
         "docs_gopher_rules": workload_text.docs_gopher_rules,
+        "order_graph_pagerank": workload_relational.order_graph_pagerank,
+        "lineitem_skyline": workload_relational.lineitem_skyline,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -100,9 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_grouping_sets": workload_relational.events_grouping_sets,
         "events_pivot_daily": workload_relational.events_pivot_daily,
+        # --- slots 51+ (window full at 50: 8 new + 5 changed + 37 refresh):
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        # --- slots 51+ (window full at 50: 6 new + 5 changed + 39 refresh):
         # --- these r4-latest rows lead the round-8 refresh queue ---
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         "dedup_exact": workload_text.dedup_exact,

@@ -2996,3 +2996,46 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, stop_frac,
          AND bullet_frac < 0.9 AS keep
 FROM m
 """
+
+ORACLES["order_graph_pagerank"] = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+i1 AS (
+  SELECT u.dst AS node,
+         CAST(150000000000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM und u JOIN deg d ON u.src = d.src JOIN r0 r ON u.src = r.node
+  GROUP BY u.dst
+),
+i2 AS (
+  SELECT u.dst AS node,
+         CAST(150000000000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM und u JOIN deg d ON u.src = d.src JOIN i1 r ON u.src = r.node
+  GROUP BY u.dst
+),
+i3 AS (
+  SELECT u.dst AS node,
+         CAST(150000000000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM und u JOIN deg d ON u.src = d.src JOIN i2 r ON u.src = r.node
+  GROUP BY u.dst
+)
+SELECT node, r AS pagerank FROM i3
+"""
+
+ORACLES["lineitem_skyline"] = """
+WITH pp AS (
+  SELECT l_extendedprice AS price, max(l_quantity) AS quantity
+  FROM lineitem GROUP BY l_extendedprice
+),
+s AS (
+  SELECT price, quantity,
+         max(quantity) OVER (ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mq
+  FROM pp
+)
+SELECT price, quantity FROM s WHERE mq IS NULL OR quantity > mq
+"""

@@ -2030,3 +2030,94 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("s") > h).select(
         "event_type", "event_id", F.round("s", 6).alias("cusum")
     )
+
+
+def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier order graph (X106) — the
+    iterative-algorithm shape, made EXACTLY verifiable: ranks are scaled
+    integers (start 10^12 per node) and every step uses integer division
+    (contribution = rank div degree; update = 0.15·10^12 + (85·Σ) div
+    100), so three full iterations reproduce bit-identically on any
+    engine — no float accumulation order anywhere.
+
+    Graph: undirected bipartite edges (customer placed an order a
+    supplier served), nodes disambiguated as 2·custkey / 2·suppkey+1.
+    Scale shape: each iteration is one equi-join of the edge list with
+    the rank vector plus one map-combined sum — the canonical
+    edge-partitioned BSP step; iterations are bounded (3), so lineage
+    stays shallow (at 100 TB each iteration's rank vector would be
+    checkpointed, same plan per step).
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(10**12).alias("r"))
+    for _ in range(3):
+        contrib = (
+            und.join(deg, "src")
+            .join(ranks, und.src == ranks.node)
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150_000_000_000) + F.expr("(85 * sum(c)) div 100")).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (X107): line items no other item
+    dominates (lower-or-equal price AND higher-or-equal quantity, strict
+    somewhere) — Börzsönyi '01's operator, as declarative passes.
+
+    Two-pass range-partitioned shape (the events_ks_drift / decile
+    pattern): per-price max collapses duplicates, prices range-partition
+    across the cluster, each partition computes its running max-quantity
+    prefix, and a driver-side per-partition prefix (bounded: one row per
+    partition) broadcasts back — no global single-task window at any
+    size. A point survives iff its quantity strictly exceeds every
+    lower-priced point's quantity.
+    """
+    pp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").alias("price"))
+        .agg(F.max("l_quantity").alias("quantity"))
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = pp.repartitionByRange(n_parts, "price").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=True)  # pid must stay frozen
+    # bounded driver-side prefix: one (pid, max) row per partition
+    pmax = {
+        r["pid"]: r["m"]
+        for r in parts.groupBy("pid").agg(F.max("quantity").alias("m")).collect()
+    }
+    prefix = []
+    run = None
+    for pid in sorted(pmax):
+        prefix.append((pid, run))
+        run = pmax[pid] if run is None else max(run, pmax[pid])
+    pfx = spark.createDataFrame(
+        prefix, f"pid int, prior_max {dict(pp.dtypes)['quantity']}"
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        parts.join(F.broadcast(pfx), "pid")
+        .withColumn("run_max", F.max("quantity").over(w))
+        .withColumn("mq", F.greatest("run_max", "prior_max"))
+        .filter(F.col("mq").isNull() | (F.col("quantity") > F.col("mq")))
+    )
+    return sky.select("price", "quantity")

@@ -696,3 +696,17 @@ def test_gopher_rules_no_shuffle_no_udf(spark):
     plan = plan_of(workload_text.docs_gopher_rules(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert n_shuffles(plan) <= 1  # only the _docs spreading repartition
+
+
+def test_pagerank_no_cartesian_bounded_iterations(spark):
+    plan = plan_of(workload_relational.order_graph_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # pure JVM integer math
+
+
+def test_skyline_range_partitioned_no_global_window(spark):
+    plan = plan_of(workload_relational.lineitem_skyline(spark, SF_DIR))
+    # the running-max window partitions by pid — never a single-partition
+    # global sort (Window with empty partition spec shows 'Window [..]'
+    # over an Exchange SinglePartition)
+    assert "SinglePartition" not in plan, plan

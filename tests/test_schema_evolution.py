@@ -280,3 +280,111 @@ def test_pipeline_relation_rename_reaches_sink(spark, tmp_path):
     got = {r.pk: r.val2 for r in out.select("pk", "val2").collect()}
     # pk=1: pre-DDL value preserved UNDER THE NEW NAME; pk=2: post-DDL value
     assert got == {1: "a1", 2: "b2"}
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_ddl_log_matches_model_under_random_ops(spark, tmp_path, seed):
+    """Model-based randomized check of the DDL log: a seeded interleaving
+    of batches, renames (chained), drop/re-add with defaults, sink-object
+    restarts, replays, and compaction drives ParquetCurrentStateSink and
+    a driver-side model of the OBSERVABLE table (current column names +
+    per-row values, with attmissingval default semantics); after every
+    step the stored table must equal the model exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.envelope import with_sequence
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"ddl{seed}")
+    sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark, n_buckets=8)
+    sink.write_snapshot(
+        "t",
+        spark.createDataFrame([(pk, f"s{pk}") for pk in range(8)],
+                              "pk long, val0 string"),
+    )
+    val_name = "val0"
+    val_gen = 0
+    has_extra = False
+    model = {pk: {"v": f"s{pk}", "x": None} for pk in range(8)}
+    lsn, batch_id = 10, 0
+    last = None
+
+    def read_back():
+        df = sink.read("t")
+        cols = set(df.columns)
+        rows = {
+            r["pk"]: {
+                "v": r[val_name],
+                "x": r["extra"] if "extra" in cols else None,
+            }
+            for r in df.collect()
+        }
+        return cols, rows
+
+    for step in range(14):
+        action = rng.choices(
+            ["batch", "rename", "toggle_extra", "restart", "replay", "compact"],
+            weights=[6, 2, 2, 2, 1, 1],
+        )[0]
+        if action == "batch" or last is None:
+            schema = f"op string, commit_lsn long, tx_ordinal long, pk long, {val_name} string"
+            if has_extra:
+                schema += ", extra string"
+            events = []
+            for i in range(rng.randint(1, 4)):
+                pk = rng.randint(0, 11)
+                kind = rng.choice(["UPDATE", "DELETE"])
+                if kind == "DELETE":
+                    model.pop(pk, None)
+                    row = ("DELETE", lsn, i, pk, None) + ((None,) if has_extra else ())
+                else:
+                    v = f"v{lsn}_{pk}"
+                    x = f"x{lsn}_{pk}" if has_extra and rng.random() < 0.7 else None
+                    model[pk] = {"v": v, "x": x if has_extra else None}
+                    row = ("UPDATE", lsn, i, pk, v) + ((x,) if has_extra else ())
+                events.append(row)
+            lsn += 1
+            batch_id += 1
+            batch = with_sequence(spark.createDataFrame(events, schema))
+            sink.write_changes("t", batch, batch_id)
+            last = (batch_id, events, schema)
+        elif action == "rename":
+            new = f"val{val_gen + 1}"
+            sink.apply_schema_change("t", renames=[(val_name, new)])
+            val_name, val_gen = new, val_gen + 1
+        elif action == "toggle_extra":
+            if has_extra:
+                sink.apply_schema_change("t", drops=["extra"])
+                has_extra = False
+                for r in model.values():
+                    r["x"] = None
+            else:
+                sink.apply_schema_change(
+                    "t", defaults=[("extra", "dflt", "string")]
+                )
+                has_extra = True
+                for r in model.values():
+                    r["x"] = "dflt"  # lazy default backfills existing rows
+        elif action == "restart":
+            sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+        elif action == "replay":
+            bid, events, schema = last
+            sink.write_changes(
+                "t", with_sequence(spark.createDataFrame(events, schema)), bid
+            )
+        elif action == "compact":
+            sink.compact("t")
+
+        cols, rows = read_back()
+        assert val_name in cols and ("extra" in cols) == has_extra, (
+            f"seed={seed} step={step} action={action} cols={cols}"
+        )
+        want = {
+            pk: {"v": r["v"], "x": r["x"] if has_extra else None}
+            for pk, r in model.items()
+        }
+        got = {pk: {"v": r["v"], "x": r["x"] if has_extra else None}
+               for pk, r in rows.items()}
+        assert got == want, f"seed={seed} step={step} action={action}"
