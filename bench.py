@@ -133,8 +133,15 @@ HEADLINE = [
     "nation_top_customers_agg",
     "lineitem_metrics_unpivot",
     "events_time_weighted_value",
-    # round-7 addition (first timed here)
+    # round-7 additions (first timed here)
     "cdc_schema_evolution",
+    "sketch_hll_users",
+    "sketch_count_min_users",
+    "lineitem_basket_lift",
+    "events_cusum_alerts",
+    "docs_gopher_rules",
+    "order_graph_pagerank",
+    "lineitem_skyline",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -304,7 +311,10 @@ def main() -> None:
               "customer_fuzzy_name_join", "docs_char_pair_merge",
               "nation_top_customers_agg", "lineitem_metrics_unpivot",
               "events_time_weighted_value"}
-    r7_new = {"cdc_schema_evolution"}
+    r7_new = {"cdc_schema_evolution", "sketch_hll_users",
+              "sketch_count_min_users", "lineitem_basket_lift",
+              "events_cusum_alerts", "docs_gopher_rules",
+              "order_graph_pagerank", "lineitem_skyline"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

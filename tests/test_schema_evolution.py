@@ -388,3 +388,58 @@ def test_ddl_log_matches_model_under_random_ops(spark, tmp_path, seed):
         got = {pk: {"v": r["v"], "x": r["x"] if has_extra else None}
                for pk, r in rows.items()}
         assert got == want, f"seed={seed} step={step} action={action}"
+
+
+def test_pipeline_rename_survives_full_replay(spark, tmp_path):
+    """Checkpoint wiped after a rename-bearing batch: the full replay
+    re-delivers the RELATION and every row event. The registry dedups the
+    version, the sink's DDL tail-idempotence absorbs the replayed rename,
+    and the destination converges to the same state (the reference's
+    missing-status-update failpoint scenario, applied to DDL)."""
+    import shutil
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    newcols = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val2", "typ": "string"},
+    ]}
+    rows = [
+        Row(op="RELATION", table="users", commit_lsn=41, start_lsn=41,
+            tx_ordinal=0, after=json.dumps(newcols), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=41),
+        Row(op="UPDATE", table="users", commit_lsn=42, start_lsn=42,
+            tx_ordinal=0, after=json.dumps({"pk": 1, "val2": "a2"}), before=None,
+            before_kind=None, missing_cols=None, schema_snapshot_lsn=None),
+    ]
+    staging = os.path.join(source, ".__stage")
+    spark.createDataFrame(rows, schema=GENERIC_ENVELOPE).coalesce(1).write.parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(source, "b1.parquet"))
+    shutil.rmtree(staging)
+
+    def mk():
+        cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                          payload_schema="pk long, val string")
+        return Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+
+    p = mk()
+    p.run_until_drained()
+    first = {r.pk: r.val2 for r in sink.read("users").select("pk", "val2").collect()}
+    assert first == {1: "a2"}
+    versions_first = {t: [lsn for lsn, _ in vs] for t, vs in p.schemas._versions.items()}
+    log_first = sink._manifest("users", sink._current_version("users"))["ddl_log"]
+
+    shutil.rmtree(p.checkpoint_dir)  # missing status update → full replay
+    p2 = mk()
+    p2.run_until_drained()
+    assert {r.pk: r.val2 for r in sink.read("users").select("pk", "val2").collect()} == first
+    assert {t: [lsn for lsn, _ in vs] for t, vs in p2.schemas._versions.items()} \
+        == versions_first
+    # the replayed DDL did not double-append
+    assert sink._manifest("users", sink._current_version("users"))["ddl_log"] == log_first

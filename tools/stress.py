@@ -128,6 +128,13 @@ QUERIES = [
     "cdc_xbatch_recovery",
     "cdc_scd2_incremental",
     "cdc_schema_evolution",
+    "sketch_hll_users",
+    "sketch_count_min_users",
+    "lineitem_basket_lift",
+    "events_cusum_alerts",
+    "docs_gopher_rules",
+    "order_graph_pagerank",
+    "lineitem_skyline",
 ]
 
 
