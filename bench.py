@@ -343,8 +343,11 @@ def main() -> None:
     # and the full per-query JSON line can exceed it (BENCH_r04 recorded
     # "parsed": null with the head truncated). Write the complete record
     # to BENCH_LOCAL.json, then print the full line, then LAST a short
-    # summary line that always fits any tail window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+    # summary line that always fits any tail window. ONLY-mode children
+    # (isolate workers) write a scratch file so they can never clobber
+    # the full suite record.
+    record_name = "BENCH_ONLY_LOCAL.json" if only else "BENCH_LOCAL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), record_name), "w") as f:
         json.dump(result, f)
         f.write("\n")
     print(json.dumps(result))

@@ -206,3 +206,44 @@ def test_pipeline_end_to_end_with_cross_batch_sink(spark, tmp_path):
     assert got == {1: "a2"}
     assert p.status()["flush_lsn"] == 12
     sink.shutdown()
+
+
+def test_crash_replays_ddl_then_write_in_order(spark, tmp_path):
+    """A batch whose DDL (rename) and post-DDL write both died unacked
+    must replay IN ORDER from the ledger: the rename lands before the
+    write that carries the new column name — otherwise the bucket sink
+    would merge mismatched schemas. Exercises the 'ddl' ledger op kind
+    end-to-end against a real ParquetCurrentStateSink."""
+    state_root = str(tmp_path / "state")
+    seed = ParquetCurrentStateSink(state_root, keys=["pk"], spark=spark)
+    from etl_spark.envelope import with_sequence
+
+    seed.write_snapshot("t", with_sequence(spark.createDataFrame(
+        [("INSERT", 1, 0, 1, "a")],
+        "op string, commit_lsn long, tx_ordinal long, pk long, val string")))
+
+    class AllBoom(BoomSink):
+        def apply_schema_change(self, table, renames=None, drops=None,
+                                defaults=None):
+            raise RuntimeError("destination down")
+
+    sink1 = CrossBatchFlushSink(AllBoom(), str(tmp_path / "wd"), spark)
+    sink1.begin_batch(3, 300)
+    sink1.apply_schema_change("t", renames=[("val", "amount")])
+    post = with_sequence(spark.createDataFrame(
+        [("UPDATE", 2, 0, 1, "a2")],
+        "op string, commit_lsn long, tx_ordinal long, pk long, amount string"))
+    sink1.write_changes("t", post, 3)
+    sink1.end_batch()
+    sink1._pool.shutdown(wait=True)  # simulated crash, nothing acked
+
+    inner2 = ParquetCurrentStateSink(state_root, keys=["pk"], spark=spark)
+    sink2 = CrossBatchFlushSink(inner2, str(tmp_path / "wd"), spark)
+    acked = []
+    sink2.on_acked = acked.append
+    assert sink2.recover() == [3]
+    assert acked == [300]
+    got = {r.pk: r.amount for r in inner2.read("t").select("pk", "amount").collect()}
+    assert got == {1: "a2"}
+    assert "val" not in inner2.read("t").columns
+    sink2.shutdown()
