@@ -612,3 +612,46 @@ def test_relation_frame_types_columns_from_oids(spark, tmp_path):
     assert {c.name: c.typ for c in ver[1]} == {
         "pk": "long", "val": "string", "n": "int",
         "ok": "boolean", "at": "timestamp"}
+
+
+def test_pipeline_pgoutput_relation_rename_remaps_destination(spark, tmp_path):
+    """Positional-decode path: a Relation republish renaming val→val2
+    (same ordinal, same type OID — schema.rs:762-784 rename detection)
+    must remap the destination. Pre-DDL tuples decode under 'val',
+    post-DDL under 'val2'; the rename-aware decode coalesces the chain
+    and the sink applies the DDL, so pre-DDL values surface under the
+    NEW name — never NULLed, never split across two columns."""
+    import json as _json
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel_v1 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val2", 25, -1)])
+    _write_frames(spark, source, [
+        (-1, -1, rel_v1),
+        (10, 1, pgo.encode_begin(final_lsn=100, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["1", "a"])),
+        (14, 1, rel_v2),
+        (15, 1, pgo.encode_insert(1, ["2", "b"])),
+        (16, 1, pgo.encode_commit(100, 101)),
+    ], "b1")
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"),
+                 source_fmt="pgoutput")
+    p.run_until_drained()
+    assert "val2" in cfg.payload_schema and " val " not in f" {cfg.payload_schema} "
+    out = sink.read("public.users")
+    assert "val" not in out.columns
+    rows = {r.pk: r.val2 for r in out.select("pk", "val2").collect()}
+    assert rows == {1: "a", 2: "b"}  # pre-DDL value preserved under val2
