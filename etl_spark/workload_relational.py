@@ -2059,7 +2059,12 @@ def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # materialize the edge list once: every iteration joins it, and
+    # without the cut the orders⋈lineitem build would re-execute per
+    # iteration (3× the scan work); at 100 TB this is the parquet
+    # intermediate every BSP engine persists between supersteps
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(10**12).alias("r"))
     for _ in range(3):
         contrib = (
