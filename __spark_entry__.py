@@ -37,19 +37,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the batch LWW oracle with the rename folded in), sketch_hll_users,
     sketch_count_min_users, lineitem_basket_lift, events_cusum_alerts,
     docs_gopher_rules, order_graph_pagerank (integer-exact 3-iteration
-    PageRank), lineitem_skyline (range-partitioned Pareto frontier)] +
-    [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
+    PageRank), lineitem_skyline (range-partitioned Pareto frontier),
+    mm_audio_vad (Arrow-batched frame-energy decode + gaps-and-islands
+    voice-activity segmentation)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
     docs_exact_jaccard_join (size-keyed prefix join + one-intersect
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [33 oldest-r4 rows, COVERAGE order]. The 7
-    remaining r4-latest rows (events_error_after_purchase,
-    events_gapfill_locf, stream_incremental_rollup + the 4 r1-era dedup
-    retests) lead the round-8 refresh queue. All 150 entries verified
-    locally via tools/check_oracle.py at sf0.01 (COVERAGE.md).
+    docs_repetition] + [32 oldest-r4 rows, COVERAGE order]. The 8
+    remaining r4-latest rows (events_pivot_daily,
+    events_error_after_purchase, events_gapfill_locf,
+    stream_incremental_rollup + the 4 r1-era dedup retests) lead the
+    round-8 refresh queue. All 151 entries verified locally via
+    tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
         # --- round-7 NEW: first gate shot ---
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rules": workload_text.docs_gopher_rules,
         "order_graph_pagerank": workload_relational.order_graph_pagerank,
         "lineitem_skyline": workload_relational.lineitem_skyline,
+        "mm_audio_vad": workload_mm.mm_audio_vad,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -104,8 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_grouping_sets": workload_relational.events_grouping_sets,
+        # --- slots 51+ (window full at 50: 9 new + 5 changed + 36 refresh):
         "events_pivot_daily": workload_relational.events_pivot_daily,
-        # --- slots 51+ (window full at 50: 8 new + 5 changed + 37 refresh):
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         # --- these r4-latest rows lead the round-8 refresh queue ---

@@ -3039,3 +3039,36 @@ s AS (
 )
 SELECT price, quantity FROM s WHERE mq IS NULL OR quantity > mq
 """
+
+ORACLES["mm_audio_vad"] = """
+WITH audio AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+),
+fidx AS (
+  SELECT media_id, text,
+         unnest(range(CAST(ceil(length(text) / 20.0) AS BIGINT))) AS frame_idx
+  FROM audio
+),
+frames AS (
+  SELECT media_id, frame_idx,
+         list_sum([ord(substr(text, CAST(frame_idx * 20 + x AS INT), 1))
+                   for x in range(1, CAST(least(20, length(text) - frame_idx * 20) AS INT) + 1)]) AS energy,
+         least(20, length(text) - frame_idx * 20) AS flen
+  FROM fidx
+),
+active AS (
+  SELECT media_id, frame_idx, energy FROM frames WHERE energy >= 97 * flen
+),
+segs AS (
+  SELECT media_id, frame_idx, energy,
+         frame_idx - row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) AS g
+  FROM active
+)
+SELECT media_id,
+       CAST(min(frame_idx) AS INT) AS start_frame,
+       CAST(max(frame_idx) AS INT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS sum_energy,
+       CAST(min(frame_idx) * 200 AS BIGINT) AS start_ms
+FROM segs GROUP BY media_id, g
+"""

@@ -104,3 +104,47 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over audio payloads (X108): the
+    Arrow-batched frame-energy decode
+    (:func:`etl_spark.operators.multimodal.audio_frame_energies`) feeds a
+    gaps-and-islands segmentation — consecutive ACTIVE frames (mean
+    codepoint ≥ 97 per frame, an integer comparison) group into segments
+    via the frame_idx − row_number trick, entirely in JVM window
+    functions. Output: one row per voice segment with frame bounds,
+    frame count, energy sum, and start offset at 200 ms/frame.
+
+    Scale shape: media-type pruning happens BEFORE the Python stage; the
+    per-payload kernel is one vectorized reduceat; segmentation shuffles
+    once on media_id.
+    """
+    from pyspark.sql import Window
+
+    audio = media_table(spark, sf_dir).filter(
+        F.col("meta.media_type") == "audio"
+    )
+    frames = multimodal.audio_frame_energies(audio, frame_chars=20)
+    active = frames.filter(F.col("energy") >= 97 * F.col("flen"))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    segs = active.withColumn(
+        "g", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        segs.groupBy("media_id", "g")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("sum_energy"),
+        )
+        .select(
+            "media_id",
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "sum_energy",
+            (F.col("start_frame").cast("long") * 200).alias("start_ms"),
+        )
+    )

@@ -710,3 +710,12 @@ def test_skyline_range_partitioned_no_global_window(spark):
     # global sort (Window with empty partition spec shows 'Window [..]'
     # over an Exchange SinglePartition)
     assert "SinglePartition" not in plan, plan
+
+
+def test_audio_vad_prunes_before_python_stage(spark):
+    plan = plan_of(workload_mm.mm_audio_vad(spark, SF_DIR))
+    # audio-type filter must land before the Arrow stage, and segmentation
+    # shuffles once on media_id
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    head = plan.split("MapInPandas")[0] if "MapInPandas" in plan else plan
+    assert "Filter" in head or "PushedFilters" in head
