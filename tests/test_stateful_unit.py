@@ -166,3 +166,66 @@ def test_session_kernel_late_event_never_moves_end_backwards():
     assert st.get == (950, 2000, 4, 7.0)
     # timeout re-armed at (true last)+gap, not the late event's time
     assert st.timeout_ms == max((2000 + 100) // 1000, 1)
+
+
+@given(
+    st.lists(st.integers(0, 3000), min_size=1, max_size=40),
+    st.integers(10, 200),
+    st.data(),
+)
+@settings(max_examples=120, deadline=None)
+def test_session_sweep_merge_matches_bruteforce(times, gap, data):
+    """Property: for ANY partition of the (sorted) stream into batches —
+    including trailing events delivered one batch late and intra-batch
+    disorder — the sweep-merge kernel's closed sessions plus the final
+    open state equal the single-pass sessionization of the full stream.
+    (Late delivery is bounded to one batch: an event can never arrive
+    after a sweep that closed its session, matching the watermark
+    contract that gates the real stream.)"""
+    times = sorted(times)
+    # ground truth: split the sorted stream where the gap exceeds `gap`
+    truth = []
+    cur = [times[0], times[0], 1]
+    for t in times[1:]:
+        if t - cur[1] <= gap:
+            cur = [cur[0], t, cur[2] + 1]
+        else:
+            truth.append(tuple(cur))
+            cur = [t, t, 1]
+    truth.append(tuple(cur))
+
+    # batches: contiguous chunks, then move each boundary's trailing
+    # events one batch forward, then shuffle within each batch
+    n_cuts = data.draw(st.integers(0, min(4, len(times) - 1)))
+    cuts = sorted(data.draw(
+        st.lists(st.integers(1, len(times) - 1), min_size=n_cuts,
+                 max_size=n_cuts, unique=True)
+    )) if n_cuts else []
+    chunks = []
+    prev = 0
+    for c in cuts + [len(times)]:
+        chunks.append(list(times[prev:c]))
+        prev = c
+    for i in range(len(chunks) - 1):
+        k = data.draw(st.integers(0, min(2, len(chunks[i]) - 1)))
+        if k:
+            moved, chunks[i] = chunks[i][-k:], chunks[i][:-k]
+            chunks[i + 1] = moved + chunks[i + 1]
+    chunks = [c for c in chunks if c]
+    for c in chunks:
+        data.draw(st.randoms()).shuffle(c)
+
+    from etl_spark.streaming.stateful import session_apply
+
+    state = FakeSessionState()
+    emitted = []
+    for batch in chunks:
+        pdf = pd.DataFrame({"us": batch, "value": [float(t % 7) for t in batch]})
+        for out in session_apply((1,), iter([pdf]), state, gap):
+            emitted.extend(
+                (r.start_us, r.end_us, r.n_events) for r in out.itertuples()
+            )
+    if state.exists:
+        s0, s1, n, _mx = state.get
+        emitted.append((s0, s1, n))
+    assert sorted(emitted) == sorted(truth), (times, gap, chunks)
