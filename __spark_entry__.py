@@ -39,18 +39,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_gopher_rules, order_graph_pagerank (integer-exact 3-iteration
     PageRank), lineitem_skyline (range-partitioned Pareto frontier),
     mm_audio_vad (Arrow-batched frame-energy decode + gaps-and-islands
-    voice-activity segmentation)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
+    voice-activity segmentation), events_changepoint (binary-segmentation
+    first split via prefix sums)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
     docs_exact_jaccard_join (size-keyed prefix join + one-intersect
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [32 oldest-r4 rows, COVERAGE order]. The 8
-    remaining r4-latest rows (events_pivot_daily,
+    docs_repetition] + [31 oldest-r4 rows, COVERAGE order]. The 9
+    remaining r4-latest rows (events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 151 entries verified locally via
+    round-8 refresh queue. All 152 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_graph_pagerank": workload_relational.order_graph_pagerank,
         "lineitem_skyline": workload_relational.lineitem_skyline,
         "mm_audio_vad": workload_mm.mm_audio_vad,
+        "events_changepoint": workload_relational.events_changepoint,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -106,8 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        # --- slots 51+ (window full at 50: 10 new + 5 changed + 35 refresh):
         "events_grouping_sets": workload_relational.events_grouping_sets,
-        # --- slots 51+ (window full at 50: 9 new + 5 changed + 36 refresh):
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,

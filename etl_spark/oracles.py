@@ -3072,3 +3072,30 @@ SELECT media_id,
        CAST(min(frame_idx) * 200 AS BIGINT) AS start_ms
 FROM segs GROUP BY media_id, g
 """
+
+ORACLES["events_changepoint"] = """
+WITH scored AS (
+  SELECT event_type, event_id,
+         row_number() OVER w AS k,
+         sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(value) OVER (PARTITION BY event_type) AS s_n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+st AS (
+  SELECT event_type, event_id, k, s_k, n, s_n,
+         (n / (k * (n - k))) * pow(s_k - k / n * s_n, 2) AS t_stat
+  FROM scored WHERE k < n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY t_stat DESC, k ASC) AS rn
+  FROM st
+)
+SELECT event_type, event_id AS split_event_id, CAST(k AS INT) AS split_idx,
+       round(t_stat, 6) AS t_stat,
+       round(s_k / k, 6) AS left_mean,
+       round((s_n - s_k) / (n - k), 6) AS right_mean
+FROM best WHERE rn = 1
+"""

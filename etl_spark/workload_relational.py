@@ -2126,3 +2126,49 @@ def lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mq").isNull() | (F.col("quantity") > F.col("mq")))
     )
     return sky.select("price", "quantity")
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type (X109): binary
+    segmentation's first split (Scott & Knott '74 / the CUSUM-max
+    statistic) — the index k maximizing the scaled mean-shift statistic
+    T(k) = n/(k·(n−k)) · (S_k − k/n·S_n)², entirely via prefix sums and
+    windows (no per-key loop, no UDF).
+
+    Exactness policy: prefix sums accumulate in the window's sort order
+    (identical on both engines); the argmax tie-breaks on the earliest
+    index, so the chosen split is engine-deterministic. One shuffle on
+    event_type; both windows and the argmax rank share it.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = (
+        ev.withColumn("k", F.row_number().over(w_ord))
+        .withColumn("s_k", F.sum("value").over(w_run))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("s_n", F.sum("value").over(w_all))
+        .filter(F.col("k") < F.col("n"))
+        .withColumn(
+            "t_stat",
+            (F.col("n") / (F.col("k") * (F.col("n") - F.col("k"))))
+            * F.pow(F.col("s_k") - F.col("k") / F.col("n") * F.col("s_n"), 2),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("t_stat").desc(), F.col("k").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("event_id").alias("split_event_id"),
+        F.col("k").alias("split_idx"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round(F.col("s_k") / F.col("k"), 6).alias("left_mean"),
+        F.round(
+            (F.col("s_n") - F.col("s_k")) / (F.col("n") - F.col("k")), 6
+        ).alias("right_mean"),
+    )

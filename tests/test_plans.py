@@ -719,3 +719,9 @@ def test_audio_vad_prunes_before_python_stage(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     head = plan.split("MapInPandas")[0] if "MapInPandas" in plan else plan
     assert "Filter" in head or "PushedFilters" in head
+
+
+def test_changepoint_single_type_shuffle(spark):
+    plan = plan_of(workload_relational.events_changepoint(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
