@@ -142,6 +142,8 @@ HEADLINE = [
     "docs_gopher_rules",
     "order_graph_pagerank",
     "lineitem_skyline",
+    "mm_audio_vad",
+    "events_changepoint",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -314,7 +316,8 @@ def main() -> None:
     r7_new = {"cdc_schema_evolution", "sketch_hll_users",
               "sketch_count_min_users", "lineitem_basket_lift",
               "events_cusum_alerts", "docs_gopher_rules",
-              "order_graph_pagerank", "lineitem_skyline"}
+              "order_graph_pagerank", "lineitem_skyline",
+              "mm_audio_vad", "events_changepoint"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

@@ -135,6 +135,8 @@ QUERIES = [
     "docs_gopher_rules",
     "order_graph_pagerank",
     "lineitem_skyline",
+    "mm_audio_vad",
+    "events_changepoint",
 ]
 
 
