@@ -3099,3 +3099,35 @@ SELECT event_type, event_id AS split_event_id, CAST(k AS INT) AS split_idx,
        round((s_n - s_k) / (n - k), 6) AS right_mean
 FROM best WHERE rn = 1
 """
+
+ORACLES["docs_winnowing"] = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 11
+),
+grams AS (
+  SELECT doc_id, n, unnest(range(n - 7)) AS pos, text FROM d
+),
+hashed AS (
+  SELECT doc_id, n, pos,
+         CAST({_H52.format(expr="substr(text, CAST(pos + 1 AS INT), 8)")} AS BIGINT) % 4294967296 AS h
+  FROM grams
+),
+vals AS (
+  SELECT doc_id, n, pos, h * 1048576 - pos AS val FROM hashed
+),
+sel AS (
+  SELECT DISTINCT doc_id, n,
+         min(val) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS val
+  FROM vals QUALIFY pos >= 3
+),
+dec AS (
+  SELECT doc_id, n, val, (val + 1048575) // 1048576 AS h FROM sel
+)
+SELECT doc_id,
+       CAST(any_value(n) - 7 AS BIGINT) AS n_kgrams,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_fp,
+       CAST(sum(DISTINCT h) AS BIGINT) AS fp_checksum
+FROM dec GROUP BY doc_id
+"""

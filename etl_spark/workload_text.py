@@ -1291,3 +1291,57 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bullet_frac") < 0.9)
     )
     return out.withColumn("keep", keep)
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (X110; Schleimer et al. SIGMOD'03 —
+    the MOSS algorithm): 8-char k-gram hashes, window w=4, select each
+    window's RIGHTMOST minimum. The rightmost-min rule rides in one
+    window pass via a composite key — ``val = h·2^20 − pos`` makes
+    min(val) prefer the smallest hash then the LARGEST position, and
+    (h, pos) decode back from val exactly. Output per doc: k-gram count,
+    selected-fingerprint count, distinct fingerprints, and an
+    order-independent integer checksum of the distinct fingerprint set
+    (what a plagiarism/dedup index stores per document).
+
+    Scale shape: the k-gram explode is the standard shingle fan-out
+    (bounded: one row per character), the min-window streams within the
+    per-doc sort, and the aggregate map-combines; hashes are 32-bit slices
+    of the shared md5 domain so the oracle reproduces them bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 11)
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(F.sequence(F.lit(0), F.length("text") - 8)).alias("pos"),
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        (
+            F.conv(
+                F.substring(F.md5(F.expr("substring(text, pos + 1, 8)")), 1, 13),
+                16, 10,
+            ).cast("long") % F.lit(1 << 32)
+        ).alias("h"),
+    )
+    val = (F.col("h") * F.lit(1 << 20) - F.col("pos")).alias("val")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        grams.select("doc_id", "n", "pos", val)
+        .withColumn("win_min", F.min("val").over(w))
+        .filter(F.col("pos") >= 3)
+        .select("doc_id", "n", F.col("win_min").alias("val"))
+        .distinct()
+        .withColumn("h", (F.col("val") + F.lit((1 << 20) - 1)) / F.lit(1 << 20))
+        .withColumn("h", F.floor("h").cast("long"))
+    )
+    return sel.groupBy("doc_id").agg(
+        (F.first("n") - 7).cast("long").alias("n_kgrams"),
+        F.count("*").alias("n_selected"),
+        F.count_distinct("h").alias("n_distinct_fp"),
+        F.sum_distinct("h").alias("fp_checksum"),
+    )

@@ -725,3 +725,9 @@ def test_changepoint_single_type_shuffle(spark):
     plan = plan_of(workload_relational.events_changepoint(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_single_doc_shuffle_no_udf(spark):
+    plan = plan_of(workload_text.docs_winnowing(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -137,6 +137,7 @@ QUERIES = [
     "lineitem_skyline",
     "mm_audio_vad",
     "events_changepoint",
+    "docs_winnowing",
 ]
 
 
