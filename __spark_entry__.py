@@ -41,19 +41,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mm_audio_vad (Arrow-batched frame-energy decode + gaps-and-islands
     voice-activity segmentation), events_changepoint (binary-segmentation
     first split via prefix sums), docs_winnowing (MOSS rightmost-min
-    fingerprint selection)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
+    fingerprint selection), orders_abc_class (Pareto classification over
+    the dim-bounded aggregate)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
     docs_exact_jaccard_join (size-keyed prefix join + one-intersect
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [30 oldest-r4 rows, COVERAGE order]. The 10
-    remaining r4-latest rows (events_retention_cohorts,
+    docs_repetition] + [29 oldest-r4 rows, COVERAGE order]. The 11
+    remaining r4-latest rows (asof_click_attribution,
+    events_retention_cohorts,
     events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 153 entries verified locally via
+    round-8 refresh queue. All 154 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -69,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_vad": workload_mm.mm_audio_vad,
         "events_changepoint": workload_relational.events_changepoint,
         "docs_winnowing": workload_text.docs_winnowing,
+        "orders_abc_class": workload_relational.orders_abc_class,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -109,8 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        # --- slots 51+ (window full at 50: 12 new + 5 changed + 33 refresh):
         "asof_click_attribution": workload_relational.asof_click_attribution,
-        # --- slots 51+ (window full at 50: 11 new + 5 changed + 34 refresh):
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_grouping_sets": workload_relational.events_grouping_sets,
         "events_pivot_daily": workload_relational.events_pivot_daily,

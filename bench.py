@@ -145,6 +145,7 @@ HEADLINE = [
     "mm_audio_vad",
     "events_changepoint",
     "docs_winnowing",
+    "orders_abc_class",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -318,7 +319,8 @@ def main() -> None:
               "sketch_count_min_users", "lineitem_basket_lift",
               "events_cusum_alerts", "docs_gopher_rules",
               "order_graph_pagerank", "lineitem_skyline",
-              "mm_audio_vad", "events_changepoint", "docs_winnowing"}
+              "mm_audio_vad", "events_changepoint", "docs_winnowing",
+              "orders_abc_class"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

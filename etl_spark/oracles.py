@@ -3131,3 +3131,25 @@ SELECT doc_id,
        CAST(sum(DISTINCT h) AS BIGINT) AS fp_checksum
 FROM dec GROUP BY doc_id
 """
+
+ORACLES["orders_abc_class"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(rev) AS tot FROM rev),
+cum AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS cum_share
+  FROM rev CROSS JOIN tot
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+       round(cum_share, 8) AS cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+FROM cum
+"""

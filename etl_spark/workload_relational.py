@@ -2172,3 +2172,44 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_n") - F.col("s_k")) / (F.col("n") - F.col("k")), 6
         ).alias("right_mean"),
     )
+
+
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (X111): parts ranked by
+    discounted revenue; class A = the head of the cumulative-share curve
+    up to 80%, B to 95%, C the tail — the warehouse classic behind
+    stocking policy.
+
+    Scale shape: the fact table collapses to a PART-keyed aggregate
+    first (map-combined, one shuffle), so the global cumulative window
+    runs over the dim-bounded aggregate — never the fact table. Revenue
+    accumulates in exact DECIMAL (order-independent); the share is one
+    double division of exact decimals, so class boundaries are
+    engine-deterministic. Ties rank by part key for a total order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev")
+    )
+    total = rev.agg(F.sum("rev").alias("tot"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    cum = (
+        rev.withColumn("cum_rev", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.col("cum_rev").cast("double") / F.col("tot").cast("double"),
+        )
+    )
+    abc = F.when(F.col("cum_share") <= 0.8, "A").when(
+        F.col("cum_share") <= 0.95, "B"
+    ).otherwise("C")
+    return cum.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round("cum_share", 8).alias("cum_share"),
+        abc.alias("abc_class"),
+    )

@@ -731,3 +731,11 @@ def test_winnowing_single_doc_shuffle_no_udf(spark):
     plan = plan_of(workload_text.docs_winnowing(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_abc_class_window_over_aggregate_not_fact(spark):
+    plan = plan_of(workload_relational.orders_abc_class(spark, SF_DIR))
+    # the (dim-bounded) global window must consume the part-keyed
+    # AGGREGATE, never the fact table: HashAggregate appears below Window
+    assert plan.index("HashAggregate") > 0
+    assert "CartesianProduct" not in plan

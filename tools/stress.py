@@ -138,6 +138,7 @@ QUERIES = [
     "mm_audio_vad",
     "events_changepoint",
     "docs_winnowing",
+    "orders_abc_class",
 ]
 
 
