@@ -42,20 +42,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     voice-activity segmentation), events_changepoint (binary-segmentation
     first split via prefix sums), docs_winnowing (MOSS rightmost-min
     fingerprint selection), orders_abc_class (Pareto classification over
-    the dim-bounded aggregate)] + [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
+    the dim-bounded aggregate), docs_train_split (salted-hash 90/5/5
+    split with membership checksums), corpus_dsir_weights (DSIR
+    hashed-unigram log-likelihood-ratio weights), events_feature_mi
+    (MI/chi-square feature association), customer_balance_gini (exact
+    decimal Gini), parts_triangle_count (degree-oriented wedge-join
+    triangles), events_sax_daily (SAX symbolization)] +
+    [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
     docs_exact_jaccard_join (size-keyed prefix join + one-intersect
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [29 oldest-r4 rows, COVERAGE order]. The 11
-    remaining r4-latest rows (asof_click_attribution,
-    events_retention_cohorts,
-    events_grouping_sets, events_pivot_daily,
+    docs_repetition] + [23 oldest-r4 rows, COVERAGE order]. The 17
+    remaining r4-latest rows (sketch_merge_global, bloom_prune_probe,
+    cdc_changed_columns, sessionize_events, events_hourly_rollup,
+    events_rollup_multidim, asof_click_attribution,
+    events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 154 entries verified locally via
+    round-8 refresh queue. All 160 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -72,6 +79,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": workload_relational.events_changepoint,
         "docs_winnowing": workload_text.docs_winnowing,
         "orders_abc_class": workload_relational.orders_abc_class,
+        "docs_train_split": workload_text.docs_train_split,
+        "corpus_dsir_weights": workload_text.corpus_dsir_weights,
+        "events_feature_mi": workload_relational.events_feature_mi,
+        "customer_balance_gini": workload_relational.customer_balance_gini,
+        "parts_triangle_count": workload_relational.parts_triangle_count,
+        "events_sax_daily": workload_relational.events_sax_daily,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -112,7 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 12 new + 5 changed + 33 refresh):
+        # --- slots 51+ (window full at 50: 18 new + 5 changed + 27 refresh;
+        # sketch_merge_global..events_rollup_multidim slid past the cutoff
+        # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_grouping_sets": workload_relational.events_grouping_sets,

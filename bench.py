@@ -146,6 +146,12 @@ HEADLINE = [
     "events_changepoint",
     "docs_winnowing",
     "orders_abc_class",
+    "docs_train_split",
+    "corpus_dsir_weights",
+    "events_feature_mi",
+    "customer_balance_gini",
+    "parts_triangle_count",
+    "events_sax_daily",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -320,7 +326,9 @@ def main() -> None:
               "events_cusum_alerts", "docs_gopher_rules",
               "order_graph_pagerank", "lineitem_skyline",
               "mm_audio_vad", "events_changepoint", "docs_winnowing",
-              "orders_abc_class"}
+              "orders_abc_class", "docs_train_split", "corpus_dsir_weights",
+              "events_feature_mi", "customer_balance_gini",
+              "parts_triangle_count", "events_sax_daily"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

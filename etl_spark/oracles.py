@@ -3153,3 +3153,268 @@ SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
             WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
 FROM cum
 """
+
+ORACLES["docs_train_split"] = f"""
+WITH tagged AS (
+  SELECT lang, n_chars, doc_id,
+         CAST({_H52.format(expr="concat('split', ':', CAST(doc_id AS VARCHAR))")} AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS docid_checksum
+FROM tagged GROUP BY 1, 2
+"""
+
+ORACLES["corpus_dsir_weights"] = f"""
+WITH term AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         CAST({_H52.format(expr="term")} % 256 AS INT) AS b
+  FROM term WHERE term <> ''
+),
+tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM tb GROUP BY 1, 2),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_cnt FROM tb GROUP BY 1),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tb WHERE lang = 'en' GROUP BY 1),
+tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS raw_tot,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_tot
+  FROM tb
+),
+ratio AS (
+  SELECT raw.b,
+         round(ln((coalesce(tgt.tgt_cnt, 0) + 1) / CAST(tots.tgt_tot + 256 AS DOUBLE))
+               - ln((raw.raw_cnt + 1) / CAST(tots.raw_tot + 256 AS DOUBLE)), 6) AS loglam
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         sum(CAST(round(tf.tf * ratio.loglam, 6) AS DECIMAL(28,6))) AS lw
+  FROM tf JOIN ratio USING (b) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(CAST(lw AS DOUBLE), 6) AS logweight,
+       round(CAST(lw AS DOUBLE) / n_tokens, 6) AS logweight_per_token
+FROM scored
+"""
+
+ORACLES["events_feature_mi"] = """
+WITH cells AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hr, CAST(count(*) AS BIGINT) AS n_xy
+  FROM events GROUP BY 1, 2
+),
+px AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+py AS (SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+j AS (
+  SELECT c.event_type, c.n_xy, px.n_x, py.n_y, tot.n,
+         CAST(px.n_x AS DOUBLE) * py.n_y / tot.n AS expd
+  FROM cells c JOIN px USING (event_type) JOIN py USING (hr) CROSS JOIN tot
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n_xy) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(round((CAST(n_xy AS DOUBLE) / n)
+                 * ln(n_xy * CAST(n AS DOUBLE) / (CAST(n_x AS DOUBLE) * n_y)), 12)
+             AS DECIMAL(28,12))) AS DOUBLE), 10) AS mi_contrib,
+       round(CAST(sum(CAST(round((n_xy - expd) * (n_xy - expd) / expd, 12)
+             AS DECIMAL(28,12))) AS DOUBLE), 8) AS chi2_contrib
+FROM j GROUP BY event_type
+"""
+
+ORACLES["customer_balance_gini"] = """
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) ASC,
+                                     c_custkey ASC) AS i
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         sum(bal) AS sum_bal,
+         sum(i * bal) AS sum_ibal
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       CAST(sum_bal AS DOUBLE) AS sum_bal,
+       round((2 * CAST(sum_ibal AS DOUBLE) - (n_customers + 1) * CAST(sum_bal AS DOUBLE))
+             / (n_customers * CAST(sum_bal AS DOUBLE)), 9) AS gini
+FROM g
+"""
+
+ORACLES["parts_triangle_count"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS p1, e1.v AS p2, e2.v AS p3
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+part_tri AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT p1 AS pk FROM tri UNION ALL
+    SELECT p2 AS pk FROM tri UNION ALL
+    SELECT p3 AS pk FROM tri
+  ) GROUP BY 1
+)
+SELECT part_tri.pk AS l_partkey, deg.d AS degree, part_tri.n_triangles
+FROM part_tri JOIN deg ON deg.x = part_tri.pk
+"""
+
+ORACLES["events_sax_daily"] = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(round(m * m, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*))) AS sd
+  FROM daily GROUP BY 1
+),
+tagged AS (
+  SELECT d.event_type, s.n_days, d.day,
+         CASE WHEN (round(d.m, 9) - s.mu) / s.sd < -0.6745 THEN 'a'
+              WHEN (round(d.m, 9) - s.mu) / s.sd < 0.0 THEN 'b'
+              WHEN (round(d.m, 9) - s.mu) / s.sd < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM daily d JOIN stats s USING (event_type)
+)
+SELECT event_type, any_value(n_days) AS n_days,
+       string_agg(sym, '' ORDER BY day) AS sax
+FROM tagged GROUP BY event_type
+"""
+
+ORACLES["orders_rfm_segments"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+cust AS (
+  SELECT o_custkey,
+         min(date_diff('day', CAST(o_orderdate AS DATE), CAST(anchor.a AS DATE))) AS r_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.a
+),
+banded AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_band,
+         ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_band,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_band
+  FROM cust
+)
+SELECT CAST(r_band AS INTEGER) AS r_band,
+       CAST(f_band AS INTEGER) AS f_band,
+       CAST(m_band AS INTEGER) AS m_band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary) AS DOUBLE) AS monetary_total
+FROM banded GROUP BY 1, 2, 3
+"""
+
+ORACLES["events_lag_autocorr"] = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+  FROM events GROUP BY 1, 2
+),
+mu_t AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mu
+  FROM daily GROUP BY 1
+),
+led AS (
+  SELECT event_type, m,
+         lead(m, 1) OVER (PARTITION BY event_type ORDER BY day) AS m1,
+         lead(m, 2) OVER (PARTITION BY event_type ORDER BY day) AS m2,
+         lead(m, 3) OVER (PARTITION BY event_type ORDER BY day) AS m3
+  FROM daily
+),
+lagged AS (
+  SELECT event_type, m, 1 AS lag, m1 AS mk FROM led WHERE m1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, m, 2 AS lag, m2 AS mk FROM led WHERE m2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, m, 3 AS lag, m3 AS mk FROM led WHERE m3 IS NOT NULL
+),
+num AS (
+  SELECT l.event_type, l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(round((l.m - mu_t.mu) * (l.mk - mu_t.mu), 9) AS DECIMAL(38,9))) AS num
+  FROM lagged l JOIN mu_t USING (event_type) GROUP BY 1, 2
+),
+den AS (
+  SELECT d.event_type,
+         sum(CAST(round((d.m - mu_t.mu) * (d.m - mu_t.mu), 9) AS DECIMAL(38,9))) AS den
+  FROM daily d JOIN mu_t USING (event_type) GROUP BY 1
+)
+SELECT num.event_type, CAST(num.lag AS INTEGER) AS lag, num.n_pairs,
+       round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 9) AS acf
+FROM num JOIN den USING (event_type)
+"""
+
+ORACLES["events_kanon_audit"] = """
+WITH classes AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hr,
+         user_id % 100 AS cohort, CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows_total FROM classes)
+SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+            WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS k_min,
+       round(CAST(sum(k) AS DOUBLE) / any_value(tot.n_rows_total), 9) AS row_share
+FROM classes CROSS JOIN tot GROUP BY 1
+"""
+
+ORACLES["embeddings_covariance"] = """
+WITH pr AS (
+  SELECT unnest(flatten(list_transform(embedding, (x, i) ->
+           list_transform(embedding[i:], (y, j) ->
+             {'i': i - 1, 'j': i + j - 2,
+              'p': round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)})))) AS u
+  FROM embeddings
+),
+sxy AS (
+  SELECT u.i AS i, u.j AS j, sum(CAST(u.p AS DECIMAL(38,9))) AS sxy
+  FROM pr GROUP BY 1, 2
+),
+dims AS (
+  SELECT u.i - 1 AS i,
+         sum(CAST(round(u.x, 9) AS DECIMAL(28,9))) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(embedding, (x, i) ->
+             {'i': i, 'x': CAST(x AS DOUBLE)})) AS u
+    FROM embeddings
+  ) GROUP BY 1
+)
+SELECT CAST(sxy.i AS INTEGER) AS i, CAST(sxy.j AS INTEGER) AS j,
+       round(CAST(sxy.sxy AS DOUBLE) / di.n
+             - (CAST(di.sx AS DOUBLE) / di.n) * (CAST(dj.sx AS DOUBLE) / dj.n), 9) AS cov
+FROM sxy JOIN dims di ON di.i = sxy.i JOIN dims dj ON dj.i = sxy.j
+"""

@@ -2213,3 +2213,457 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum_share", 8).alias("cum_share"),
         abc.alias("abc_class"),
     )
+
+
+def events_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information / chi-square feature-association scan (X113):
+    how much does hour-of-day predict event type? The feature-selection
+    primitive behind "which metadata columns are worth conditioning a
+    sampler on" in a training-data pipeline.
+
+    Shape: one map-combined groupBy over the (type, hour) cells (|types|
+    × 24 bounded), marginals re-aggregate those cells (no second pass
+    over the fact table), the grand total rides a 1-row broadcast.
+    Per-cell contributions ``p·ln(p/(px·py))`` and ``(obs−exp)²/exp``
+    are doubles from exact integer counts, rounded to 12 decimals and
+    summed in DECIMAL per type — order-independent, engine-portable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr("ts div 1000000000 div 3600 % 24")  # UTC hour-of-day from epoch nanos
+    cells = (
+        ev.groupBy("event_type", hr.alias("hr"))
+        .agg(F.count("*").alias("n_xy"))
+        # consumed 4x (marginals, total, join): cut lineage at the
+        # |types|x24-bounded aggregate so the fact table scans ONCE
+        .localCheckpoint()
+    )
+    px = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    py = cells.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    j = (
+        cells.join(px, "event_type")
+        .join(F.broadcast(py), "hr")
+        .crossJoin(F.broadcast(tot))
+    )
+    pxy = F.col("n_xy") / F.col("n")
+    exp = F.col("n_x").cast("double") * F.col("n_y") / F.col("n")
+    mi_c = F.round(
+        pxy * F.log(F.col("n_xy") * F.col("n").cast("double")
+                    / (F.col("n_x").cast("double") * F.col("n_y"))),
+        12,
+    ).cast("decimal(28,12)")
+    chi_c = F.round(
+        (F.col("n_xy") - exp) * (F.col("n_xy") - exp) / exp, 12
+    ).cast("decimal(28,12)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n_xy").alias("n_events"),
+            F.sum(mi_c).alias("mi_d"),
+            F.sum(chi_c).alias("chi2_d"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.round(F.col("mi_d").cast("double"), 10).alias("mi_contrib"),
+            F.round(F.col("chi2_d").cast("double"), 8).alias("chi2_contrib"),
+        )
+    )
+
+
+def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of account balance per market
+    segment (X114): the inequality summary behind "is this segment's
+    revenue carried by a few whales?" — G = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
+    (n·Σxᵢ) over the ascending-sorted balances.
+
+    Shape: rank and both sums accumulate per segment in one window +
+    one agg; balances are cast to DECIMAL(18,2) so Σxᵢ and Σi·xᵢ are
+    exact integers-of-cents (order-independent), and only the final
+    division runs in double. Ties sort by customer key for a total
+    order. The per-segment window sorts within a hash partition — at
+    100 TB swap in the two-pass range-partitioned rank used by
+    orders_decile_bands; customers is a dimension table, so the
+    single-partition sort is the right local plan here.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = c.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("bal").alias("sum_bal"),
+        F.sum(F.col("i") * F.col("bal")).alias("sum_ibal"),
+    )
+    gini = (
+        (F.lit(2) * F.col("sum_ibal").cast("double")
+         - (F.col("n_customers") + 1) * F.col("sum_bal").cast("double"))
+        / (F.col("n_customers") * F.col("sum_bal").cast("double"))
+    )
+    return g.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("sum_bal").cast("double").alias("sum_bal"),
+        F.round(gini, 9).alias("gini"),
+    )
+
+
+def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (X115): parts
+    are vertices, an edge joins two parts that appear in the same order,
+    and each vertex's triangle participation measures how clique-y its
+    neighborhood is — the graph-structure primitive behind community
+    pruning and link-spam detection on web-scale corpora.
+
+    Scale shape is the degree-ORIENTED wedge join (Cohen '09 /
+    Suri-Vassilvitskii '11): every undirected edge points from its
+    lower-degree endpoint to the higher (ties by id), so each wedge
+    list is bounded by O(√m) even on power-law graphs — the skew killer
+    for the naive u<v self-join, whose hottest vertex would otherwise
+    fan out deg² wedges. Wedges equi-join back against the oriented
+    edge set to close triangles; participation is one explode + counts.
+    Edge construction itself dedups (order, part) pairs first, so the
+    per-order fan-out is bounded by items-per-order choose 2.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        # consumed 4× (degrees, orientation, wedge close) — cut the
+        # self-join lineage once instead of recomputing it per consumer
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    # orient: src = lower-degree endpoint (tie -> lower id)
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            ).otherwise(F.col("v")).alias("src"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            ).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("o1.src").alias("apex"),
+            F.col("o1.dst").alias("w1"),
+            F.col("o2.dst").alias("w2"),
+        )
+    )
+    # close the wedge against the undirected canonical edge set (u < v)
+    tri = wedges.join(
+        edges, (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v"))
+    ).select("apex", "w1", "w2")
+    part_tri = (
+        tri.select(F.col("apex").alias("pk"))
+        .unionAll(tri.select(F.col("w1").alias("pk")))
+        .unionAll(tri.select(F.col("w2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return part_tri.join(
+        deg.select(F.col("x").alias("pk"), F.col("d").alias("degree")), "pk"
+    ).select(F.col("pk").alias("l_partkey"), "degree", "n_triangles")
+
+
+def events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (X117; Lin et al. '03): each event type's DAILY
+    mean-value series z-normalized and discretized to a 4-symbol
+    alphabet at the Gaussian breakpoints (−0.6745, 0, 0.6745), emitted
+    as one symbol string per type — the time-series fingerprint that
+    turns motif/novelty search over a year of telemetry into substring
+    operations.
+
+    Shape: daily means come from one map-combined groupBy with
+    DECIMAL(18,6) value sums (exact → the mean divisions are identical
+    doubles on both engines); per-type mean/std reduce the DAY-bounded
+    aggregate via decimal sums of 9-dp-rounded means and squares; the
+    symbol string is the rank-free ordered-collect pattern (array_sort
+    over (day, symbol) structs). Nothing past the first agg ever touches
+    the fact table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400")  # epoch days (ts is nanos)
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        F.count("*").alias("cnt"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("sv").cast("double") / F.col("cnt")).alias("m"),
+    )
+    md = F.round(F.col("m"), 9).cast("decimal(28,9)")
+    md2 = F.round(F.col("m") * F.col("m"), 9).cast("decimal(38,9)")
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(md).alias("s1"),
+        F.sum(md2).alias("s2"),
+    ).select(
+        "event_type",
+        "n_days",
+        (F.col("s1").cast("double") / F.col("n_days")).alias("mu"),
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n_days")
+            - (F.col("s1").cast("double") / F.col("n_days"))
+            * (F.col("s1").cast("double") / F.col("n_days"))
+        ).alias("sd"),
+    )
+    z = (F.round(F.col("m"), 9) - F.col("mu")) / F.col("sd")
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    tagged = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n_days", "day", sym.alias("sym")
+    )
+    return tagged.groupBy("event_type").agg(
+        F.first("n_days").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("sax"),
+    )
+
+
+def _exact_global_rank(df, value_col, tie_col, ascending=True):
+    """Two-pass range-partitioned exact global rank (the orders_decile_bands
+    shape, factored for reuse): range-bucket on the value (broadcast
+    min/max), per-bucket counts give broadcast prefix offsets, and the
+    global rank = per-bucket row_number + offset — parallelism is
+    KS_RANGE_BUCKETS sort tasks, never ONE global sort task. Returns the
+    frame plus ``__rank`` and ``__n``. Ties break on ``tie_col`` for a
+    total order."""
+    B = KS_RANGE_BUCKETS
+    v = F.col(value_col) if ascending else -F.col(value_col)
+    rng = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bkt = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(F.lit(B - 1), F.floor((v - F.col("__lo")) / (span / B)).cast("int"))
+    )
+    bucketed = df.join(F.broadcast(rng), how="cross").withColumn("__bkt", bkt).drop(
+        "__lo", "__hi"
+    )
+    per_bucket = bucketed.groupBy("__bkt").agg(F.count("*").alias("__c"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bkt", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off")
+    )
+    total = per_bucket.agg(F.sum("__c").alias("__n"))
+    wv = Window.partitionBy("__bkt").orderBy(v.asc(), F.col(tie_col).asc())
+    return (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(total), how="cross")
+        .withColumn("__rank", F.row_number().over(wv) + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
+
+
+def _ntile_from_rank(n_tiles: int):
+    """Closed-form ntile over (__rank, __n): the first n%k tiles hold
+    ceil(n/k) rows — identical to the window function's placement."""
+    small = F.floor(F.col("__n") / n_tiles)
+    big = F.col("__n") % n_tiles
+    cutoff = big * (small + 1)
+    return (
+        F.when(F.col("__rank") <= cutoff, F.floor((F.col("__rank") - 1) / (small + 1)) + 1)
+        .otherwise(
+            big + F.floor((F.col("__rank") - cutoff - 1) / F.greatest(small, F.lit(1))) + 1
+        )
+        .cast("int")
+    )
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (X118): recency / frequency / monetary
+    quintile bands — the marketing-warehouse classic and the canonical
+    "band a dim by three metrics at once" shape.
+
+    Per customer: days since last order (vs the broadcast global anchor
+    date), order count, and exact DECIMAL monetary sum. Each metric is
+    banded by exact ntile(5) semantics using the factored TWO-PASS
+    range-partitioned rank (never a global no-partition window — one
+    sort task at 100 TB); band 1 = best (most recent / most frequent /
+    highest spend). Output: one row per populated (r, f, m) cell with
+    customer count and monetary total — bounded at 125 rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("__anchor"))
+    cust = (
+        o.join(F.broadcast(anchor), how="cross")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("__anchor"), F.col("o_orderdate"))).alias("r_days"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    # three exact quintile bands over the customer-bounded aggregate;
+    # cut lineage once — the banding passes each re-consume the aggregate
+    cust = cust.localCheckpoint()
+    r = _exact_global_rank(cust, "r_days", "o_custkey", ascending=True)
+    r = r.select("o_custkey", _ntile_from_rank(5).alias("r_band"))
+    fq = _exact_global_rank(cust, "freq", "o_custkey", ascending=False)
+    fq = fq.select("o_custkey", _ntile_from_rank(5).alias("f_band"))
+    m = _exact_global_rank(cust, "monetary", "o_custkey", ascending=False)
+    m = m.select("o_custkey", _ntile_from_rank(5).alias("m_band"))
+    return (
+        cust.join(r, "o_custkey")
+        .join(fq, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("monetary_total"),
+        )
+    )
+
+
+def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of each event type's daily mean-value series
+    (X119), k = 1..3: the seasonality probe run before choosing a
+    forecasting window. acf_k = Σ(xₜ−μ)(xₜ₊ₖ−μ) / Σ(xₜ−μ)² over the
+    OBSERVED day sequence (lead(k) over per-type day order).
+
+    Shape: the fact collapses to the day-bounded daily aggregate first
+    (decimal value sums → engine-identical mean doubles); leads ride one
+    per-type window; the three lags unpivot via ``stack`` over that
+    aggregate; products round→DECIMAL(38,9) so numerator and denominator
+    are order-independent on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400")
+    daily = (
+        ev.groupBy("event_type", day.alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type", "day", (F.col("sv").cast("double") / F.col("cnt")).alias("m")
+        )
+    )
+    mu_t = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("m"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.sum(F.round(F.col("m") * F.col("m"), 9).cast("decimal(38,9)")).alias("s2"),
+        F.count("*").alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.select(
+        "event_type",
+        "m",
+        F.lead("m", 1).over(w).alias("m1"),
+        F.lead("m", 2).over(w).alias("m2"),
+        F.lead("m", 3).over(w).alias("m3"),
+    )
+    lagged = led.select(
+        "event_type",
+        "m",
+        F.expr("stack(3, 1, m1, 2, m2, 3, m3) as (lag, mk)"),
+    ).filter(F.col("mk").isNotNull())
+    num = (
+        lagged.join(F.broadcast(mu_t.select("event_type", "mu")), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.round((F.col("m") - F.col("mu")) * (F.col("mk") - F.col("mu")), 9)
+                .cast("decimal(38,9)")
+            ).alias("num"),
+        )
+    )
+    den = daily.join(F.broadcast(mu_t.select("event_type", "mu")), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.sum(
+            F.round((F.col("m") - F.col("mu")) * (F.col("m") - F.col("mu")), 9)
+            .cast("decimal(38,9)")
+        ).alias("den")
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 9).alias(
+            "acf"
+        ),
+    )
+
+
+def events_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (X121): equivalence-class size histogram over the
+    quasi-identifier tuple (event type, hour-of-day, user cohort) — the
+    privacy gate a training-data pipeline runs before releasing joined
+    telemetry. Reports, per k-bucket (1, 2-4, 5-9, 10+), how many classes
+    and what share of ROWS sit there — rows in small classes are the
+    re-identifiable ones.
+
+    Shape: one map-combined groupBy builds the class-size table; the
+    histogram re-aggregates it (bounded by |QI| combinations); the row
+    total rides a 1-row broadcast.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr("ts div 1000000000 div 3600 % 24")
+    classes = ev.groupBy(
+        "event_type", hr.alias("hr"), F.pmod(F.col("user_id"), F.lit(100)).alias("cohort")
+    ).agg(F.count("*").alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    tot = classes.agg(F.sum("k").alias("n_rows_total"))
+    return (
+        classes.groupBy(bucket.alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("k_min"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k_bucket",
+            "n_classes",
+            "n_rows",
+            "k_min",
+            F.round(F.col("n_rows") / F.col("n_rows_total"), 9).alias("row_share"),
+        )
+    )

@@ -1345,3 +1345,174 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("h").alias("n_distinct_fp"),
         F.sum_distinct("h").alias("fp_checksum"),
     )
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (X112): the first step of
+    every training-data pipeline — a salted-hash bucket of the document
+    key (never random(): reruns, backfills, and late-arriving shards must
+    land each doc in the SAME split). 90/5/5 by ``h52('split:'||doc_id)
+    mod 100``, then per (split, lang) audit rows: doc count, total chars,
+    and an order-independent doc_id checksum so two engines can prove the
+    MEMBERSHIP is identical, not just the sizes.
+
+    Scale shape: one map-combined groupBy over (split, lang) — the hash
+    is computed in the scan stage, no pre-shuffle, output bounded by
+    3·|langs|. At 100 TB the same expression tags every shard
+    independently (embarrassingly parallel), which is the whole point of
+    hash-splitting over sampling.
+    """
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("split"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("docid_checksum"),
+        )
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (X116; Xie et al. '23, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its hashed unigram features
+    under a TARGET distribution (here the English subcorpus) vs the RAW
+    corpus — the standard recipe for steering a 100 TB crawl toward a
+    curated domain without training a classifier.
+
+    Shape: tokens hash into 256 buckets in the scan stage; the two
+    feature distributions are map-combined groupBys over a 256-row key
+    space; the per-bucket log-ratio table (256 rows, add-1 smoothed) is
+    BROADCAST back onto the (doc, bucket) term frequencies, and the
+    per-doc weight is one doc-keyed agg. Float-sum determinism: each
+    bucket's contribution ``tf · round(logλ(b), 6)`` accumulates in
+    DECIMAL(28,6) (order-independent, engine-portable); logλ itself is a
+    double computed from exact integer counts, so both engines agree
+    bit-for-bit.
+    """
+    docs = _docs(spark, sf_dir)
+    term = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text.tokens("text")).alias("term"),
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 13), 16, 10).cast("long")
+        % F.lit(256)
+    ).cast("int")
+    tb = term.select("doc_id", "lang", bucket.alias("b"))
+    tf = tb.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    raw = tb.groupBy("b").agg(F.count("*").alias("raw_cnt"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("tgt_cnt"))
+    )
+    tots = tb.agg(
+        F.count("*").alias("raw_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_tot"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"tgt_cnt": 0})
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("tgt_cnt") + 1).cast("double")
+                    / (F.col("tgt_tot") + 256).cast("double")
+                )
+                - F.log(
+                    (F.col("raw_cnt") + 1).cast("double")
+                    / (F.col("raw_tot") + 256).cast("double")
+                ),
+                6,
+            ).alias("loglam"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("tf") * F.col("loglam"), 6).cast("decimal(28,6)")
+            ).alias("logweight_sum"),
+        )
+    )
+    lw = F.col("logweight_sum").cast("double")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(lw, 6).alias("logweight"),
+        F.round(lw / F.col("n_tokens"), 6).alias("logweight_per_token"),
+    )
+
+
+def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance matrix (X120): the distributed half of
+    PCA/whitening — Σxᵢxⱼ and Σxᵢ accumulated across the corpus, covariance
+    assembled from the exact sums. At 100 TB THIS is the hard part (the
+    d×d eigensolve is metadata-sized driver work); the whole reduction is
+    map-combined into a d(d+1)/2-bounded key space, so executors ship
+    partial sums, never rows.
+
+    Determinism: per-row products round→DECIMAL(38,9) before summing
+    (order-independent, engine-portable); floats widen to double exactly
+    on both engines. The i≤j pair fan-out is a scan-stage ``transform``/
+    ``slice`` expression — pure JVM codegen, no UDF.
+    """
+    emb = _emb(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(e, (x, i) -> "
+                "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
+                "struct(i as i, i + j as j, round(x * y, 9) as p))))"
+            )
+        ).alias("pr")
+    ).select("pr.i", "pr.j", F.col("pr.p").cast("decimal(38,9)").alias("p"))
+    sxy = pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    dims = emb.select(
+        F.posexplode("e").alias("i", "x")
+    ).groupBy("i").agg(
+        F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).alias("sx"),
+        F.count("*").alias("n"),
+    )
+    di = dims.select(
+        F.col("i"), (F.col("sx").cast("double") / F.col("n")).alias("mu_i"), "n"
+    )
+    dj = dims.select(
+        F.col("i").alias("j"), (F.col("sx").cast("double") / F.col("n")).alias("mu_j")
+    )
+    return (
+        sxy.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy").cast("double") / F.col("n")
+                - F.col("mu_i") * F.col("mu_j"),
+                9,
+            ).alias("cov"),
+        )
+    )

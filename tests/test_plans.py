@@ -739,3 +739,52 @@ def test_abc_class_window_over_aggregate_not_fact(spark):
     # AGGREGATE, never the fact table: HashAggregate appears below Window
     assert plan.index("HashAggregate") > 0
     assert "CartesianProduct" not in plan
+
+
+def test_train_split_one_agg_no_udf(spark):
+    plan = plan_of(workload_text.docs_train_split(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # hash + bucket in the scan stage, then one map-combined agg: the only
+    # shuffles are the _docs spreading repartition and the groupBy
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    plan = plan_of(workload_text.corpus_dsir_weights(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the 256-row log-ratio table must broadcast onto the doc-term side
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_feature_mi_marginals_reaggregate_cells(spark):
+    plan = plan_of(workload_relational.events_feature_mi(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the fact table is scanned ONCE (at the checkpointed cell aggregate);
+    # marginals and the total re-aggregate the bounded in-memory cell table
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_gini_window_and_agg_share_segment_partitioning(spark):
+    plan = plan_of(workload_relational.customer_balance_gini(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan  # never a global sort
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_triangle_count_no_cartesian_oriented_join(spark):
+    plan = plan_of(workload_relational.parts_triangle_count(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the edge list is checkpointed once, not re-derived per consumer
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_sax_windows_over_day_aggregate_not_fact(spark):
+    plan = plan_of(workload_relational.events_sax_daily(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # per-type stats broadcast back onto the day-bounded aggregate
+    assert "BroadcastHashJoin" in plan, plan

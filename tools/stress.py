@@ -139,6 +139,12 @@ QUERIES = [
     "events_changepoint",
     "docs_winnowing",
     "orders_abc_class",
+    "docs_train_split",
+    "corpus_dsir_weights",
+    "events_feature_mi",
+    "customer_balance_gini",
+    "parts_triangle_count",
+    "events_sax_daily",
 ]
 
 
