@@ -47,7 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hashed-unigram log-likelihood-ratio weights), events_feature_mi
     (MI/chi-square feature association), customer_balance_gini (exact
     decimal Gini), parts_triangle_count (degree-oriented wedge-join
-    triangles), events_sax_daily (SAX symbolization)] +
+    triangles), events_sax_daily (SAX symbolization),
+    orders_rfm_segments (two-pass-rank RFM quintile bands),
+    events_lag_autocorr (lag-1..3 ACF of daily series),
+    events_kanon_audit (k-anonymity class-size histogram),
+    embeddings_covariance (exact fused-term covariance matrix)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -55,14 +59,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [23 oldest-r4 rows, COVERAGE order]. The 17
-    remaining r4-latest rows (sketch_merge_global, bloom_prune_probe,
-    cdc_changed_columns, sessionize_events, events_hourly_rollup,
-    events_rollup_multidim, asof_click_attribution,
+    docs_repetition] + [19 oldest-r4 rows, COVERAGE order]. The 21
+    remaining r4-latest rows (events_rolling_1h, corpus_drop_audit,
+    docs_profile, events_quality_checks, sketch_merge_global,
+    bloom_prune_probe, cdc_changed_columns, sessionize_events,
+    events_hourly_rollup, events_rollup_multidim, asof_click_attribution,
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 160 entries verified locally via
+    round-8 refresh queue. All 164 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -85,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_gini": workload_relational.customer_balance_gini,
         "parts_triangle_count": workload_relational.parts_triangle_count,
         "events_sax_daily": workload_relational.events_sax_daily,
+        "orders_rfm_segments": workload_relational.orders_rfm_segments,
+        "events_lag_autocorr": workload_relational.events_lag_autocorr,
+        "events_kanon_audit": workload_relational.events_kanon_audit,
+        "embeddings_covariance": workload_text.embeddings_covariance,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -125,8 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 18 new + 5 changed + 27 refresh;
-        # sketch_merge_global..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 22 new + 5 changed + 23 refresh;
+        # events_rolling_1h..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

@@ -152,6 +152,10 @@ HEADLINE = [
     "customer_balance_gini",
     "parts_triangle_count",
     "events_sax_daily",
+    "orders_rfm_segments",
+    "events_lag_autocorr",
+    "events_kanon_audit",
+    "embeddings_covariance",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -328,7 +332,9 @@ def main() -> None:
               "mm_audio_vad", "events_changepoint", "docs_winnowing",
               "orders_abc_class", "docs_train_split", "corpus_dsir_weights",
               "events_feature_mi", "customer_balance_gini",
-              "parts_triangle_count", "events_sax_daily"}
+              "parts_triangle_count", "events_sax_daily",
+              "orders_rfm_segments", "events_lag_autocorr",
+              "events_kanon_audit", "embeddings_covariance"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

@@ -2576,6 +2576,9 @@ def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "day", (F.col("sv").cast("double") / F.col("cnt")).alias("m")
         )
+        # consumed 3x (mu, leads, denominator): cut lineage at the
+        # day-bounded aggregate so the fact table scans ONCE
+        .localCheckpoint()
     )
     mu_t = daily.groupBy("event_type").agg(
         (
@@ -2641,9 +2644,17 @@ def events_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     hr = F.expr("ts div 1000000000 div 3600 % 24")
-    classes = ev.groupBy(
-        "event_type", hr.alias("hr"), F.pmod(F.col("user_id"), F.lit(100)).alias("cohort")
-    ).agg(F.count("*").alias("k"))
+    classes = (
+        ev.groupBy(
+            "event_type",
+            hr.alias("hr"),
+            F.pmod(F.col("user_id"), F.lit(100)).alias("cohort"),
+        )
+        .agg(F.count("*").alias("k"))
+        # consumed 2x (row total + histogram): cut lineage at the
+        # QI-bounded class table so the fact table scans ONCE
+        .localCheckpoint()
+    )
     bucket = (
         F.when(F.col("k") == 1, "1")
         .when(F.col("k") <= 4, "2-4")

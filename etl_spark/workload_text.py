@@ -1481,21 +1481,30 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    pairs = emb.select(
+    # fuse the quadratic (i≤j products) and linear (per-dim sums) terms
+    # into ONE scan-stage fan-out: each element also emits a j = -1
+    # sentinel struct carrying x itself, so the raw table is read once
+    terms = emb.select(
         F.explode(
             F.expr(
-                "flatten(transform(e, (x, i) -> "
+                "flatten(transform(e, (x, i) -> concat("
+                "array(struct(i as i, -1 as j, round(x, 9) as p)), "
                 "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
-                "struct(i as i, i + j as j, round(x * y, 9) as p))))"
+                "struct(i as i, i + j as j, round(x * y, 9) as p)))))"
             )
         ).alias("pr")
     ).select("pr.i", "pr.j", F.col("pr.p").cast("decimal(38,9)").alias("p"))
-    sxy = pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
-    dims = emb.select(
-        F.posexplode("e").alias("i", "x")
-    ).groupBy("i").agg(
-        F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).alias("sx"),
-        F.count("*").alias("n"),
+    # ONE map-combined aggregate over every term (quadratic and sentinel
+    # alike — the key space is d(d+1)/2 + d, metadata-sized), lineage cut
+    # THERE (never at the row fan-out), then split by the sentinel
+    agg = (
+        terms.groupBy("i", "j")
+        .agg(F.sum("p").alias("s"), F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    sxy = agg.filter(F.col("j") >= 0).select("i", "j", F.col("s").alias("sxy"))
+    dims = agg.filter(F.col("j") == -1).select(
+        "i", F.col("s").cast("decimal(28,9)").alias("sx"), F.col("c").alias("n")
     )
     di = dims.select(
         F.col("i"), (F.col("sx").cast("double") / F.col("n")).alias("mu_i"), "n"

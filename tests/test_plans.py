@@ -788,3 +788,43 @@ def test_sax_windows_over_day_aggregate_not_fact(spark):
     assert "CartesianProduct" not in plan
     # per-type stats broadcast back onto the day-bounded aggregate
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rfm_two_pass_rank_no_global_sort_over_customers(spark):
+    plan = plan_of(workload_relational.orders_rfm_segments(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every Exchange SinglePartition in the plan must feed a metadata-
+    # sized frame (the <=64-row bucket-offset windows), never the
+    # customer aggregate: the customer-keyed windows partition by __bkt
+    import re
+    for m in re.finditer(r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan, re.M):
+        args = m.group(1)
+        if "row_number" in args:
+            assert "__bkt" in args, args  # rank windows are range-bucketed
+
+
+def test_autocorr_fact_scanned_once(spark):
+    plan = plan_of(workload_relational.events_lag_autocorr(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # lineage cut at the day-bounded daily aggregate
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_kanon_fact_scanned_once(spark):
+    plan = plan_of(workload_relational.events_kanon_audit(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_covariance_single_scan_fused_terms(spark):
+    plan = plan_of(workload_text.embeddings_covariance(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the quadratic and linear terms fused into one fan-out + one agg;
+    # lineage cut at the d^2-bounded aggregate, so the final plan holds
+    # no parquet scan and both consumers read the checkpointed agg
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -145,6 +145,10 @@ QUERIES = [
     "customer_balance_gini",
     "parts_triangle_count",
     "events_sax_daily",
+    "orders_rfm_segments",
+    "events_lag_autocorr",
+    "events_kanon_audit",
+    "embeddings_covariance",
 ]
 
 
