@@ -1,0 +1,161 @@
+"""Python-mirror checks for the round-7 analytics primitives.
+
+The DuckDB oracle gate proves Spark == DuckDB; these prove both equal an
+INDEPENDENT plain-Python/numpy computation on the same inputs — catching
+the failure mode where the Spark query and its SQL twin share the same
+misreading of the algorithm.
+"""
+
+from __future__ import annotations
+
+from etl_spark import workload_relational, workload_text
+from etl_spark.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_global_rank_matches_window_ntile(spark):
+    """The two-pass range-partitioned rank + closed-form ntile must equal
+    the single-window ntile on data WITH heavy ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(997).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 37, F.lit(25))).alias("v"),  # 25 distinct values: tie-heavy
+    )
+    two_pass = workload_relational._exact_global_rank(df, "v", "k", ascending=True)
+    got = {
+        r["k"]: r["t"]
+        for r in two_pass.select(
+            "k", workload_relational._ntile_from_rank(5).alias("t")
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        r["k"]: r["t"]
+        for r in df.select("k", F.ntile(5).over(w).alias("t")).collect()
+    }
+    assert got == want
+
+
+def test_exact_global_rank_descending_and_constant(spark):
+    from pyspark.sql import functions as F
+
+    # all-equal values: span == 0 branch; rank must still be a permutation
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(7.0).alias("v"))
+    ranked = workload_relational._exact_global_rank(df, "v", "k", ascending=False)
+    ranks = sorted(r["__rank"] for r in ranked.collect())
+    assert ranks == list(range(1, 101))
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in workload_text.embeddings_covariance(spark, SF_DIR).collect()
+    }
+    X = np.array(
+        [
+            r["embedding"]
+            for r in read_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    worst = max(abs(got[(i, j)] - C[i, j]) for i in range(d) for j in range(i, d))
+    assert worst < 1e-6, worst  # 9-dp contribution rounding bounds the drift
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    li = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in read_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order: dict = {}
+    for o, p in li:
+        by_order.setdefault(o, set()).add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for a in range(len(ps)):
+            for b in range(a + 1, len(ps)):
+                edges.add((ps[a], ps[b]))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_count: dict = {}
+    for u, v in edges:
+        if u > v:
+            u, v = v, u
+        for w in adj[u] & adj[v]:
+            if w > v:  # canonical u < v < w: count each triangle once
+                for x in (u, v, w):
+                    tri_count[x] = tri_count.get(x, 0) + 1
+    got = {
+        r["l_partkey"]: r["n_triangles"]
+        for r in workload_relational.parts_triangle_count(spark, SF_DIR).collect()
+    }
+    assert got == tri_count
+
+
+def test_gini_matches_python(spark):
+    rows = read_table(spark, SF_DIR, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    seg = defaultdict(list)
+    for r in rows:
+        seg[r["c_mktsegment"]].append(
+            (Decimal(str(round(r["c_acctbal"], 2))), r["c_custkey"])
+        )
+    got = {
+        r["c_mktsegment"]: r["gini"]
+        for r in workload_relational.customer_balance_gini(spark, SF_DIR).collect()
+    }
+    for s, vals in seg.items():
+        vals.sort()
+        n = len(vals)
+        sx = sum(v for v, _ in vals)
+        six = sum((i + 1) * v for i, (v, _) in enumerate(vals))
+        want = (2 * float(six) - (n + 1) * float(sx)) / (n * float(sx))
+        assert abs(got[s] - want) < 1e-9, (s, got[s], want)
+
+
+def test_autocorr_lag1_matches_python(spark):
+    ev = read_table(spark, SF_DIR, "events").select("event_type", "ts", "value").collect()
+    from collections import defaultdict
+
+    daily_acc: dict = defaultdict(lambda: [0.0, 0])
+    from decimal import Decimal
+
+    sums: dict = defaultdict(lambda: [Decimal(0), 0])
+    for r in ev:
+        key = (r["event_type"], r["ts"] // 1_000_000_000 // 86400)
+        sums[key][0] += Decimal(str(round(r["value"], 6)))
+        sums[key][1] += 1
+    series: dict = defaultdict(list)
+    for (t, d), (sv, c) in sums.items():
+        series[t].append((d, float(sv) / c))
+    got = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in workload_relational.events_lag_autocorr(spark, SF_DIR).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        xs = [m for _, m in pts]
+        mu = sum(xs) / len(xs)
+        den = sum((x - mu) ** 2 for x in xs)
+        num = sum((xs[i] - mu) * (xs[i + 1] - mu) for i in range(len(xs) - 1))
+        want = num / den
+        assert abs(got[(t, 1)] - want) < 1e-6, (t, got[(t, 1)], want)
