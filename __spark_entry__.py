@@ -51,7 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders_rfm_segments (two-pass-rank RFM quintile bands),
     events_lag_autocorr (lag-1..3 ACF of daily series),
     events_kanon_audit (k-anonymity class-size histogram),
-    embeddings_covariance (exact fused-term covariance matrix)] +
+    embeddings_covariance (exact fused-term covariance matrix),
+    stream_sliding_topk (sliding-window watermark-finalized top-k),
+    orders_cohort_ltv (cohort LTV matrix), embeddings_quantize_int8
+    (symmetric int8 quantization audit)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -59,15 +62,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [19 oldest-r4 rows, COVERAGE order]. The 21
-    remaining r4-latest rows (events_rolling_1h, corpus_drop_audit,
+    docs_repetition] + [16 oldest-r4 rows, COVERAGE order]. The 24
+    remaining r4-latest rows (stream_static_enrich, cdc_gap_audit,
+    dedup_minhash_incremental, events_rolling_1h, corpus_drop_audit,
     docs_profile, events_quality_checks, sketch_merge_global,
     bloom_prune_probe, cdc_changed_columns, sessionize_events,
     events_hourly_rollup, events_rollup_multidim, asof_click_attribution,
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 164 entries verified locally via
+    round-8 refresh queue. All 167 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -94,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_autocorr": workload_relational.events_lag_autocorr,
         "events_kanon_audit": workload_relational.events_kanon_audit,
         "embeddings_covariance": workload_text.embeddings_covariance,
+        "stream_sliding_topk": workload.stream_sliding_topk,
+        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
+        "embeddings_quantize_int8": workload_text.embeddings_quantize_int8,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -134,8 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 22 new + 5 changed + 23 refresh;
-        # events_rolling_1h..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 25 new + 5 changed + 20 refresh;
+        # stream_static_enrich..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

@@ -156,6 +156,8 @@ HEADLINE = [
     "events_lag_autocorr",
     "events_kanon_audit",
     "embeddings_covariance",
+    "orders_cohort_ltv",
+    "embeddings_quantize_int8",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -166,6 +168,7 @@ HEADLINE = [
 #: price a real user pays per micro-batch drain, so it belongs in the
 #: record — just not mixed into the batch-operator comparables.
 STREAMING = [
+    "stream_sliding_topk",
     "stream_stateful_sessions",
     "stream_windowed_watermark",
     "stream_click_purchase_join",
@@ -334,7 +337,9 @@ def main() -> None:
               "events_feature_mi", "customer_balance_gini",
               "parts_triangle_count", "events_sax_daily",
               "orders_rfm_segments", "events_lag_autocorr",
-              "events_kanon_audit", "embeddings_covariance"}
+              "events_kanon_audit", "embeddings_covariance",
+              "orders_cohort_ltv", "embeddings_quantize_int8",
+              "stream_sliding_topk"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

@@ -3418,3 +3418,69 @@ SELECT CAST(sxy.i AS INTEGER) AS i, CAST(sxy.j AS INTEGER) AS j,
              - (CAST(di.sx AS DOUBLE) / di.n) * (CAST(dj.sx AS DOUBLE) / dj.n), 9) AS cov
 FROM sxy JOIN dims di ON di.i = sxy.i JOIN dims dj ON dj.i = sxy.j
 """
+
+ORACLES["stream_sliding_topk"] = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+b AS (SELECT max(us) AS hi FROM e),
+wins AS (
+  SELECT unnest([ (us // 43200000000) * 43200000000 - 43200000000,
+                  (us // 43200000000) * 43200000000 ]) AS window_start_us,
+         event_type
+  FROM e
+),
+agg AS (
+  SELECT wins.window_start_us, wins.event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM wins, b
+  GROUP BY 1, 2, b.hi
+  HAVING wins.window_start_us + 86400000000 <= b.hi - 43200000000
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start_us
+                               ORDER BY n_events DESC, event_type ASC) AS rnk
+  FROM agg
+)
+SELECT window_start_us, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+ORACLES["orders_cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY 1)
+SELECT CAST(cm AS BIGINT) AS cohort_month,
+       CAST(om - cm AS BIGINT) AS age_months,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM o JOIN cohort USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+ORACLES["embeddings_quantize_int8"] = """
+WITH elems AS (
+  SELECT u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
+  FROM (
+    SELECT unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS u
+    FROM embeddings
+  )
+),
+scales AS (
+  SELECT i, max(abs(x)) / 127.0 AS scale, CAST(count(*) AS BIGINT) AS n
+  FROM elems GROUP BY 1
+),
+q AS (
+  SELECT e.i, e.x, s.scale, s.n,
+         greatest(-127, least(127, CAST(round(e.x / s.scale) AS INTEGER))) AS qv
+  FROM elems e JOIN scales s USING (i)
+)
+SELECT CAST(i AS INTEGER) AS i,
+       round(any_value(scale), 9) AS scale,
+       round(CAST(sum(CAST(round((x - qv * scale) * (x - qv * scale), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE) / any_value(n), 12) AS mse,
+       CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+FROM q GROUP BY i
+"""

@@ -1335,3 +1335,82 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "start_us", "end_us", "n_events",
         F.round("max_value", 6).alias("max_value"), "closed_by",
     )
+
+
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming top-k (X122): 1-day windows sliding every
+    12 hours over the event stream (each event lands in exactly two
+    overlapping windows — the shape tumbling windows can't express),
+    watermark-finalized in append mode, then the top-3 event types per
+    finalized window by count. Run bounded: availableNow over two
+    deterministic half files, one per micro-batch.
+
+    Determinism for the exact oracle: append emits precisely the windows
+    whose end ≤ final watermark (global max event time − 12 h), the
+    window grid is epoch-aligned (the two 12 h grid points in
+    (t − 1 day, t] per event), counts are integers, and the top-3 rank
+    breaks ties on event_type — so the streamed result equals a closed
+    SQL expression. At scale: state is O(windows in the watermark
+    horizon × types), keyed on (window, type); the post-stream rank runs
+    over the finalized RESULT table (window-bounded), never the stream.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    work = tempfile.mkdtemp(prefix="stream_slide_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    emit(ev.filter(F.col("us") < mid).drop("us"), "b0")
+    emit(ev.filter(F.col("us") >= mid).drop("us"), "b1")
+
+    stream = (
+        spark.readStream.schema(ev.drop("us").schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "12 hours")
+    )
+    agg = (
+        stream.groupBy(
+            F.window("event_time", "1 day", "12 hours"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        res.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start_us", "event_type", "n_events", "rnk")
+    )

@@ -2678,3 +2678,37 @@ def events_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") / F.col("n_rows_total"), 9).alias("row_share"),
         )
     )
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix (X123): customers grouped by
+    first-order month, revenue accumulated by months-since-cohort — the
+    retention/LTV triangle every growth dashboard is built on.
+
+    Shape: the cohort assignment is one customer-keyed aggregate
+    (min order month), broadcast-joined back onto orders (the cohort
+    table is customer-bounded); the matrix is a second map-combined agg
+    over (cohort, age) — bounded by months². Month arithmetic is pure
+    integer (year·12+month), engine-identical; revenue sums in exact
+    DECIMAL with one final double cast.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("om"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("om").alias("cm"))
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("cm").alias("cohort_month"),
+            (F.col("om") - F.col("cm")).alias("age_months"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1525,3 +1525,47 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (X124): per-dimension scale
+    (max |x| / 127), quantization MSE, and saturation count — the
+    compression pass that turns a 100 TB float32 embedding store into a
+    quarter the bytes before ANN serving, plus the error report that
+    says whether it was safe.
+
+    Shape: one posexplode fan-out, ONE map-combined pass for the scales
+    (d-bounded), scales broadcast back for the error pass; round-trip
+    error per element rounds→DECIMAL so the per-dim MSE is
+    order-independent. The quantized value itself — round-half-away to
+    int, clamped to ±127 — is integer-exact on both engines.
+    """
+    emb = _emb(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    elems = emb.select(F.posexplode("e").alias("i", "x"))
+    scales = elems.groupBy("i").agg(
+        (F.max(F.abs(F.col("x"))) / 127.0).alias("scale"),
+        F.count("*").alias("n"),
+    )
+    q = (
+        elems.join(F.broadcast(scales), "i")
+        .withColumn(
+            "qv",
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(F.col("x") / F.col("scale")).cast("int")),
+            ),
+        )
+        .withColumn("err", F.col("x") - F.col("qv") * F.col("scale"))
+    )
+    return q.groupBy("i").agg(
+        F.round(F.first("scale"), 9).alias("scale"),
+        F.round(
+            F.sum(F.round(F.col("err") * F.col("err"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            / F.first("n"),
+            12,
+        ).alias("mse"),
+        F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0)).alias("n_saturated"),
+    )

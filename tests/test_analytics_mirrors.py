@@ -135,8 +135,6 @@ def test_gini_matches_python(spark):
 def test_autocorr_lag1_matches_python(spark):
     ev = read_table(spark, SF_DIR, "events").select("event_type", "ts", "value").collect()
     from collections import defaultdict
-
-    daily_acc: dict = defaultdict(lambda: [0.0, 0])
     from decimal import Decimal
 
     sums: dict = defaultdict(lambda: [Decimal(0), 0])

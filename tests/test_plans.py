@@ -828,3 +828,31 @@ def test_covariance_single_scan_fused_terms(spark):
     # no parquet scan and both consumers read the checkpointed agg
     assert plan.count("Scan parquet") == 0, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sliding_topk_post_stream_rank_prunes(spark):
+    plan = plan_of(workload.stream_sliding_topk(spark, SF_DIR))
+    # the top-3 rank runs over the finalized (window-bounded) RESULT
+    # table with map-side rank pruning, never over the stream
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_ltv_custkey_coshuffle_no_cartesian(spark):
+    plan = plan_of(workload_relational.orders_cohort_ltv(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # cohort agg and the join share the o_custkey partitioning; the
+    # matrix agg adds one: nothing beyond 3 exchanges
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_quantize_two_pass_scales_broadcast(spark):
+    plan = plan_of(workload_text.embeddings_quantize_int8(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # two passes are ALGORITHMIC (max must precede the error pass);
+    # the d-bounded scale table must come back as a broadcast
+    import re
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -149,6 +149,9 @@ QUERIES = [
     "events_lag_autocorr",
     "events_kanon_audit",
     "embeddings_covariance",
+    "stream_sliding_topk",
+    "orders_cohort_ltv",
+    "embeddings_quantize_int8",
 ]
 
 
