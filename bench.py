@@ -158,6 +158,10 @@ HEADLINE = [
     "embeddings_covariance",
     "orders_cohort_ltv",
     "embeddings_quantize_int8",
+    "lineitem_benford_audit",
+    "supplier_share_hhi",
+    "orders_tail_index_hill",
+    "docs_zipf_slope",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -339,7 +343,9 @@ def main() -> None:
               "orders_rfm_segments", "events_lag_autocorr",
               "events_kanon_audit", "embeddings_covariance",
               "orders_cohort_ltv", "embeddings_quantize_int8",
-              "stream_sliding_topk"}
+              "stream_sliding_topk", "lineitem_benford_audit",
+              "supplier_share_hhi", "orders_tail_index_hill",
+              "docs_zipf_slope"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

