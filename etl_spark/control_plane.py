@@ -465,7 +465,8 @@ class PipelineRegistry:
         return p.replication_status()
 
     def run_maintenance(self, pipeline_id: int, spark: SparkSession,
-                        keep_versions: int = 2) -> dict:
+                        keep_versions: int = 2,
+                        rebucket_to: int | None = None) -> dict:
         """External maintenance verb (the reference runs compaction +
         snapshot expiry as a scheduled job against DuckLake destinations,
         ducklake/external_maintenance.rs): for every table of the
@@ -473,7 +474,10 @@ class PipelineRegistry:
         chain into one fresh version (``sink.compact``) and expire
         version dirs no retained manifest references. Refused while the
         pipeline runs (maintenance is external by design — it must never
-        race a live micro-batch's commit). Returns per-table
+        race a live micro-batch's commit). ``rebucket_to`` migrates every
+        table to that bucket count instead of compacting (the
+        bucket-evolution path for a table that outgrew its creation-time
+        count; itself a full-rewrite compaction). Returns per-table
         ``{compacted: bool, removed_dirs: [..]}``."""
         from etl_spark.maintenance import expire_versions
         from etl_spark.streaming.sinks import _BucketedVersionedTable
@@ -515,9 +519,14 @@ class PipelineRegistry:
 
             cls = ParquetScd2Sink if cls_kind == "parquet_scd2" else ParquetCurrentStateSink
             sink: _BucketedVersionedTable = cls(root, keys=t["keys"], spark=spark)
-            sink.compact(name)
+            if rebucket_to is not None:
+                sink.rebucket(name, rebucket_to)
+            else:
+                sink.compact(name)
             removed = expire_versions(tdir, keep=keep_versions)
             report[name] = {"compacted": True, "removed_dirs": removed}
+            if rebucket_to is not None:
+                report[name]["n_buckets"] = rebucket_to
         return report
 
     def rollback_tables(self, pipeline_id: int, target: str = "errored",

@@ -451,18 +451,23 @@ class _BucketedVersionedTable:
         out: DataFrame,
         touched: list[int] | None,
         batch_id: int | None,
+        n_buckets: int | None = None,
     ) -> None:
         """Write ``out``'s buckets into a fresh v{N} dir and publish the
         manifest: touched buckets repoint to v{N}, untouched entries carry
         forward untouched (their files are never rewritten). ``touched``
-        None = full rewrite (snapshot / truncate / compaction)."""
+        None = full rewrite (snapshot / truncate / compaction).
+        ``n_buckets`` overrides the manifest-pinned count — full-rewrite
+        commits only (rebucket migration)."""
         meta = self._current_meta(table)
         old = (
             self._manifest(table, meta["version"])
             if meta["version"] >= 0
             else {"n_buckets": self.n_buckets, "buckets": {}, "empty": None}
         )
-        n = old["n_buckets"]
+        if n_buckets is not None and touched is not None:
+            raise ValueError("n_buckets override requires a full rewrite")
+        n = n_buckets or old["n_buckets"]
         ddl_log = old.get("ddl_log", [])
         nv = meta["version"] + 1
         vname = f"v{nv}"
@@ -487,6 +492,11 @@ class _BucketedVersionedTable:
         for b in present:
             buckets[str(b)] = vname
         manifest = {"n_buckets": n, "buckets": buckets, "empty": old.get("empty")}
+        if n_buckets is not None:
+            # a rebucket invalidates the carried-forward empty anchor (it
+            # lives in a superseded vdir; the fresh _empty below replaces
+            # it when needed)
+            manifest["empty"] = None
         if not buckets:
             # keep a schema-bearing empty frame readable (truncate / all
             # rows deleted); plain parquet write of limit(0) stores schema
@@ -586,6 +596,32 @@ class _BucketedVersionedTable:
         Run with :func:`etl_spark.maintenance.expire_versions` to reclaim
         the superseded dirs."""
         self._commit(table, self._read_buckets(table), touched=None, batch_id=None)
+
+    def rebucket(self, table: str, new_n_buckets: int) -> None:
+        """Online bucket-count migration (the CLUSTER BY / bucket-evolution
+        analog): rewrite the table hashed into ``new_n_buckets`` and pin
+        the new count in the manifest, one atomic VERSION swap. Needed
+        when a table outgrows its creation-time count — the design target
+        is a few GB per bucket, so a table that grew 100× wants 100× the
+        buckets or every touched-bucket write rewrites GBs. Readers are
+        snapshot-isolated through the swap; incremental writes pick the
+        new count up from the manifest on their next batch. Like
+        ``compact``, run it from the maintenance seam, not concurrently
+        with a live stream's foreachBatch."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        self.n_buckets = new_n_buckets  # seeds fresh tables too
+        meta = self._current_meta(table)
+        if meta["version"] < 0:
+            return  # nothing stored yet; first write uses the new count
+        if self._manifest(table, meta["version"])["n_buckets"] == new_n_buckets:
+            return  # idempotent replay
+        cur = self._read_buckets(table)
+        if cur is None:
+            cur = self._schema_frame(table)
+        self._commit(
+            table, cur, touched=None, batch_id=None, n_buckets=new_n_buckets
+        )
 
     def rollback_to(self, table: str, version: int) -> int:
         """Re-point the table at a PRIOR committed version — the write

@@ -372,3 +372,34 @@ def test_rollback_destination_verb(spark, tmp_path):
 
     with pytest.raises(InvalidConfig, match="expired or never existed"):
         reg.rollback_destination(pid, spark, "users", 99)
+
+
+def test_run_maintenance_rebucket(spark, tmp_path):
+    """run_maintenance(rebucket_to=N) migrates every table of the parquet
+    state destination to N buckets (bucket evolution for a table that
+    outgrew its creation-time count), preserving content; the next
+    pipeline run merges at the manifest-pinned new count."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(i, f"s{i}") for i in range(20)], PAYLOAD).write.parquet(snap)
+    _write_env(spark, src, [
+        _ev("UPDATE", 10, after={"pk": 1, "val": "u1"})], "b0")
+    reg = PipelineRegistry(str(tmp_path / "cp"))
+    pid = reg.create_pipeline(_config(src, str(tmp_path / "sink"), snap=snap))
+    p = reg.start_pipeline(pid, spark)
+    reg.stop_pipeline(pid)
+    report = reg.run_maintenance(pid, spark, keep_versions=1, rebucket_to=64)
+    assert report["users"]["n_buckets"] == 64
+    tdir = str(tmp_path / "sink" / "users")
+    with open(os.path.join(tdir, "VERSION")) as f:
+        v = json.load(f)["version"]
+    with open(os.path.join(tdir, f"manifest_v{v}.json")) as f:
+        assert json.load(f)["n_buckets"] == 64
+    _write_env(spark, src, [
+        _ev("UPDATE", 11, after={"pk": 2, "val": "u2"})], "b1")
+    p2 = reg.start_pipeline(pid, spark)
+    got = {r.pk: r.val for r in p2.sink.read("users").select("pk", "val").collect()}
+    want = {i: f"s{i}" for i in range(20)} | {1: "u1", 2: "u2"}
+    assert got == want
+    reg.stop_all_pipelines()
