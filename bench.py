@@ -162,6 +162,10 @@ HEADLINE = [
     "supplier_share_hhi",
     "orders_tail_index_hill",
     "docs_zipf_slope",
+    "events_welch_ttest",
+    "events_burstiness",
+    "orders_survival_km",
+    "docs_pmi_pairs",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -345,7 +349,8 @@ def main() -> None:
               "orders_cohort_ltv", "embeddings_quantize_int8",
               "stream_sliding_topk", "lineitem_benford_audit",
               "supplier_share_hhi", "orders_tail_index_hill",
-              "docs_zipf_slope"}
+              "docs_zipf_slope", "events_welch_ttest", "events_burstiness",
+              "orders_survival_km", "docs_pmi_pairs"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

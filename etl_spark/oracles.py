@@ -3571,3 +3571,118 @@ SELECT n_terms,
                 * CAST(sx AS DOUBLE)) / n_terms, 6) AS intercept
 FROM m
 """
+
+ORACLES["events_welch_ttest"] = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s1,
+         sum(CAST(round(value * value, 9) AS DECIMAL(38,9))) AS s2
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         CAST(a.s1 AS DOUBLE) / a.n AS ma, CAST(b.s1 AS DOUBLE) / b.n AS mb,
+         (CAST(a.s2 AS DOUBLE) - a.n * (CAST(a.s1 AS DOUBLE) / a.n) * (CAST(a.s1 AS DOUBLE) / a.n)) / (a.n - 1) AS va,
+         (CAST(b.s2 AS DOUBLE) - b.n * (CAST(b.s1 AS DOUBLE) / b.n) * (CAST(b.s1 AS DOUBLE) / b.n)) / (b.n - 1) AS vb
+  FROM stats a CROSS JOIN stats b WHERE a.event_type < b.event_type
+)
+SELECT type_a, type_b, na, nb,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS welch_df
+FROM pairs
+"""
+
+ORACLES["events_burstiness"] = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events QUALIFY gap IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(CAST(gap AS DECIMAL(38,0))) AS s1,
+         sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2
+  FROM gaps GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_us,
+       round((sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                   - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+              - CAST(s1 AS DOUBLE) / n_gaps)
+             / (sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                     - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+                + CAST(s1 AS DOUBLE) / n_gaps), 9) AS burstiness
+FROM m
+"""
+
+ORACLES["orders_survival_km"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+spans0 AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(nxt AS DATE))
+              ELSE date_diff('day', CAST(o_orderdate AS DATE), CAST(anchor.a AS DATE)) END AS t,
+         nxt IS NOT NULL AS event
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt
+    FROM orders
+  ) CROSS JOIN anchor
+),
+spans AS (SELECT * FROM spans0 WHERE t > 0),
+per_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM spans GROUP BY 1
+),
+total AS (SELECT CAST(sum(d + c) AS BIGINT) AS N FROM per_t),
+at_risk AS (
+  SELECT per_t.*, total.N,
+         total.N - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t
+  FROM per_t CROSS JOIN total
+),
+km AS (
+  SELECT t, d, c, n_t,
+         sum(CAST(CASE WHEN d < n_t
+                       THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_t), 9)
+                       ELSE -999.0 END AS DECIMAL(28,9)))
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS
+  FROM at_risk
+)
+SELECT t, d, c, CAST(n_t AS BIGINT) AS n_t,
+       round(exp(CAST(lnS AS DOUBLE)), 9) AS survival
+FROM km WHERE d > 0
+"""
+
+ORACLES["docs_pmi_pairs"] = """
+WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS tks FROM documents),
+pairs AS (
+  SELECT u.x AS x, u.y AS y FROM (
+    SELECT unnest(list_transform(range(1, len(tks)),
+                                 i -> {'x': tks[i], 'y': tks[i + 1]})) AS u
+    FROM d WHERE len(tks) >= 2
+  )
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+    SELECT unnest(tks) AS w FROM d
+  ) WHERE w <> '' GROUP BY 1
+),
+big AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM pairs WHERE x <> '' AND y <> ''
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni)
+SELECT big.x, big.y, big.cxy,
+       round(ln(big.cxy * CAST(n.n_tokens AS DOUBLE)
+                / (CAST(ux.cw AS DOUBLE) * uy.cw)), 6) AS pmi
+FROM big JOIN uni ux ON ux.w = big.x JOIN uni uy ON uy.w = big.y
+CROSS JOIN n
+"""

@@ -2831,3 +2831,160 @@ def orders_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("logsum").cast("double"), 6).alias("log_ratio_sum"),
         F.round(F.col("k") / F.col("logsum").cast("double"), 6).alias("hill_alpha"),
     )
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of event types'
+    value distributions (X130): the A/B-test primitive — t statistic and
+    Welch–Satterthwaite degrees of freedom from per-type moments.
+
+    Shape: ONE map-combined moment pass over the fact (decimal sums of
+    value and value², exact), then the |types|²-bounded pair frame is a
+    broadcast self-join of the 5-row stats table. Everything after the
+    first agg is metadata-sized; all divisions run in double from exact
+    decimal components, so both engines agree bit-for-bit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 9).cast("decimal(38,9)")
+        ).alias("s2"),
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("type_a") < F.col("type_b"))
+    ma = F.col("s1a").cast("double") / F.col("na")
+    mb = F.col("s1b").cast("double") / F.col("nb")
+    # unbiased sample variance from exact sums: (s2 - n*m^2) / (n-1)
+    va = (F.col("s2a").cast("double") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("s2b").cast("double") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    sea = va / F.col("na")
+    seb = vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df_ws = (
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("na"),
+        F.col("nb"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_ws, 4).alias("welch_df"),
+    )
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type (X131; Goh & Barabási '08):
+    B = (σ−μ)/(σ+μ) over the inter-event gaps — −1 periodic, 0 Poisson,
+    →1 bursty. The traffic-shape probe run before sizing stream state.
+
+    Shape: gaps come from one per-type lag window (the events already
+    cluster by type after the shuffle), then ONE moment aggregate with
+    exact integer sums — gaps are integer microseconds, and Σgap / Σgap²
+    stay inside DECIMAL(38), so μ and σ are engine-identical doubles.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+        # cast BEFORE the multiply: an hour-scale gap in micros squares
+        # past LONG range; decimal(19)x decimal(19) widens exactly
+        F.sum(
+            F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.col("s2").cast("double") / F.col("n_gaps") - mu * mu
+    sd = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 4).alias("mean_gap_us"),
+        F.round((sd - mu) / (sd + mu), 9).alias("burstiness"),
+    )
+
+
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier reorder-survival curve (X129): S(t) over days-to-next-
+    order, with the gap from each customer's LAST order to the global
+    anchor right-CENSORED — the churn-analysis estimator, exact.
+
+    Shape: gaps ride one per-customer lead window; the KM table is then
+    distinct-gap-bounded: per gap-day, d (events) and c (censored) from a
+    map-combined agg; at-risk n_t and the running Π(1 − d/n) both come
+    from windows over that bounded table. The product is exp of a
+    DECIMAL-summed ln series — order-independent; ln/exp are the shared
+    cross-engine transcendental set the gate already proves.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    anchor = o.agg(F.max("o_orderdate").alias("__a"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = o.withColumn("nxt", F.lead("o_orderdate").over(w)).crossJoin(
+        F.broadcast(anchor)
+    )
+    spans = nxt.select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff(F.col("nxt"), F.col("o_orderdate"))
+        )
+        .otherwise(F.datediff(F.col("__a"), F.col("o_orderdate")))
+        .alias("t"),
+        F.col("nxt").isNotNull().alias("event"),
+    ).filter(F.col("t") > 0)
+    per_t = (
+        spans.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("event"), 0).otherwise(1)).alias("c"),
+        )
+        # consumed 2x (total + at-risk): cut lineage at the gap-day-bounded
+        # aggregate so the spans window runs ONCE
+        .localCheckpoint()
+    )
+    total = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("N"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_t",
+            F.col("N") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0)),
+        )
+    )
+    # d == n_t (everyone at risk exits) → S hits exactly 0; ln(0) is NULL
+    # on Spark but -inf on DuckDB, so pin a shared sentinel that rounds
+    # exp() to 0.0 on both engines
+    lnterm = F.when(
+        F.col("d") < F.col("n_t"),
+        F.round(F.log(1.0 - F.col("d").cast("double") / F.col("n_t")), 9),
+    ).otherwise(F.lit(-999.0)).cast("decimal(28,9)")
+    ws = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = at_risk.filter(F.col("d") > 0).withColumn(
+        "lnS", F.sum(lnterm).over(ws)
+    )
+    return km.select(
+        "t",
+        "d",
+        "c",
+        "n_t",
+        F.round(F.exp(F.col("lnS").cast("double")), 9).alias("survival"),
+    )

@@ -1645,3 +1645,55 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n, 6
         ).alias("intercept"),
     )
+
+
+def docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (X132): the
+    collocation detector ("new york", "machine learning") behind phrase
+    vocabularies and tokenizer merges — PMI = ln(n·c(x,y)/(c(x)·c(y)))
+    over BIGRAM occurrences, reported for pairs seen ≥ 5 times.
+
+    Shape: the bigram fan-out is position-bounded (one row per adjacent
+    pair — the shingle shape, never all-pairs-in-doc); unigram and
+    bigram counts are two map-combined groupBys; unigram counts join
+    back twice — vocabulary-bounded, broadcast while it fits. Output is
+    min-support-pruned, PMI from exact integer counts in double.
+    """
+    docs = _docs(spark, sf_dir).withColumn("tks", text.tokens("text"))
+    # adjacent pairs via the array itself: zip the token list with its own
+    # tail — stays in the scan stage, no window, no self-join
+    pairs = (
+        docs.filter(F.size("tks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tks, 1, size(tks) - 1), "
+                    "slice(tks, 2, size(tks) - 1), "
+                    "(a, b) -> struct(a as x, b as y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    uni = docs.select(F.explode(text.tokens("text")).alias("w")).filter(
+        F.col("w") != ""
+    ).groupBy("w").agg(F.count("*").alias("cw"))
+    big = (
+        pairs.filter((F.col("x") != "") & (F.col("y") != ""))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    n = uni.agg(F.sum("cw").alias("n_tokens"))
+    ux = uni.select(F.col("w").alias("x"), F.col("cw").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("cw").alias("cy"))
+    j = (
+        big.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.log(
+        F.col("cxy") * F.col("n_tokens").cast("double")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return j.select("x", "y", "cxy", F.round(pmi, 6).alias("pmi"))

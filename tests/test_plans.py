@@ -898,3 +898,41 @@ def test_zipf_topk_prunes_map_side(spark):
     plan = plan_of(workload_text.docs_zipf_slope(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_welch_single_fact_pass_broadcast_pairs(spark):
+    import re
+    plan = plan_of(workload_relational.events_welch_ttest(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one moment pass over the fact; the 5-row pair frame is a broadcast
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_burstiness_typed_window_no_global_sort(spark):
+    plan = plan_of(workload_relational.events_burstiness(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the lag window partitions by event_type — never SinglePartition
+    # over the fact
+    head = plan.split("HashAggregate", 1)[0]
+    assert "SinglePartition" not in head, plan
+
+
+def test_survival_km_windows_over_gap_bounded_aggregate(spark):
+    import re
+    plan = plan_of(workload_relational.orders_survival_km(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # orders feeds two passes (the 1-row anchor agg + the lead-window
+    # spans); the KM windows run over the CHECKPOINTED distinct-gap-day
+    # aggregate, bounded by wall-clock days
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_pmi_bigram_fanout_no_self_join(spark):
+    plan = plan_of(workload_text.docs_pmi_pairs(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # unigram tables come back as broadcasts onto the bigram counts
+    assert plan.count("BroadcastHashJoin") >= 2, plan

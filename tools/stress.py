@@ -156,6 +156,10 @@ QUERIES = [
     "supplier_share_hhi",
     "orders_tail_index_hill",
     "docs_zipf_slope",
+    "events_welch_ttest",
+    "events_burstiness",
+    "orders_survival_km",
+    "docs_pmi_pairs",
 ]
 
 
