@@ -60,7 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_zipf_slope (vocabulary Zipf OLS slope), events_welch_ttest
     (pairwise Welch t), events_burstiness (inter-arrival burstiness),
     orders_survival_km (Kaplan-Meier reorder survival), docs_pmi_pairs
-    (bigram PMI collocations)] +
+    (bigram PMI collocations), events_gapfill_interp (linear-interp
+    gapfill), nation_revenue_yoy (YoY growth), docs_readability_fk
+    (Flesch-Kincaid readability)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -68,8 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [8 oldest-r4 rows, COVERAGE order]. The 32
-    remaining r4-latest rows (mm_resize, stream_session_window,
+    docs_repetition] + [5 oldest-r4 rows, COVERAGE order]. The 35
+    remaining r4-latest rows (docs_semantic_dedup, events_promo_range_join,
+    stream_click_purchase_join, mm_resize, stream_session_window,
     cdc_scd2_history, cdc_state_asof,
     docs_unigram_logprob, stream_native_dedup,
     sample_reservoir_per_stratum, corpus_temperature_mix,
@@ -81,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 175 entries verified locally via
+    round-8 refresh queue. All 178 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -119,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": workload_relational.events_burstiness,
         "orders_survival_km": workload_relational.orders_survival_km,
         "docs_pmi_pairs": workload_text.docs_pmi_pairs,
+        "events_gapfill_interp": workload_relational.events_gapfill_interp,
+        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
+        "docs_readability_fk": workload_text.docs_readability_fk,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -159,8 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 33 new + 5 changed + 8 refresh;
-        # mm_resize..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 36 new + 5 changed + 5 refresh;
+        # docs_semantic_dedup..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

@@ -166,6 +166,9 @@ HEADLINE = [
     "events_burstiness",
     "orders_survival_km",
     "docs_pmi_pairs",
+    "events_gapfill_interp",
+    "nation_revenue_yoy",
+    "docs_readability_fk",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -350,7 +353,9 @@ def main() -> None:
               "stream_sliding_topk", "lineitem_benford_audit",
               "supplier_share_hhi", "orders_tail_index_hill",
               "docs_zipf_slope", "events_welch_ttest", "events_burstiness",
-              "orders_survival_km", "docs_pmi_pairs"}
+              "orders_survival_km", "docs_pmi_pairs",
+              "events_gapfill_interp", "nation_revenue_yoy",
+              "docs_readability_fk"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

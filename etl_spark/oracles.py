@@ -3686,3 +3686,76 @@ SELECT big.x, big.y, big.cxy,
 FROM big JOIN uni ux ON ux.w = big.x JOIN uni uy ON uy.w = big.y
 CROSS JOIN n
 """
+
+ORACLES["events_gapfill_interp"] = """
+WITH roll AS (
+  SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_value
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(hour_epoch) AS lo, max(hour_epoch) AS hi FROM roll),
+grid AS (
+  SELECT t.event_type, g.h AS hour_epoch
+  FROM (SELECT DISTINCT event_type FROM roll) t
+  CROSS JOIN (SELECT unnest(range(rng.lo, rng.hi + 3600, 3600)) AS h FROM rng) g
+),
+j AS (
+  SELECT grid.event_type, grid.hour_epoch, roll.n, roll.mean_value,
+         last_value(roll.mean_value IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN roll.n IS NOT NULL THEN grid.hour_epoch END IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(roll.mean_value IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN roll.n IS NOT NULL THEN grid.hour_epoch END IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM grid LEFT JOIN roll USING (event_type, hour_epoch)
+)
+SELECT event_type, hour_epoch,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       round(CASE WHEN n IS NOT NULL THEN mean_value
+                  WHEN prev_h IS NOT NULL AND next_h IS NOT NULL
+                  THEN prev_v + (next_v - prev_v) * (hour_epoch - prev_h)
+                       / (next_h - prev_h)
+                  END, 6) AS mean_interp,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM j
+"""
+
+ORACLES["nation_revenue_yoy"] = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, year(l_shipdate) AS yr,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+  GROUP BY 1, 2
+)
+SELECT CAST(nationkey AS INTEGER) AS nationkey, CAST(yr AS BIGINT) AS yr,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - lag(rev) OVER (PARTITION BY nationkey ORDER BY yr) AS DOUBLE) AS yoy_delta,
+       round(CAST(rev - lag(rev) OVER (PARTITION BY nationkey ORDER BY yr) AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY nationkey ORDER BY yr) AS DOUBLE), 6) AS yoy_growth
+FROM rev
+"""
+
+ORACLES["docs_readability_fk"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS INT) AS n_words0,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS INT), 1) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syll0
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       greatest(n_syll0, n_words) AS n_syllables,
+       round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
+             + 11.8 * CAST(greatest(n_syll0, n_words) AS DOUBLE) / n_words
+             - 15.59, 4) AS fk_grade
+FROM d WHERE n_words > 0
+"""

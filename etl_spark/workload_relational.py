@@ -2988,3 +2988,107 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_t",
         F.round(F.exp(F.col("lnS").cast("double")), 9).alias("survival"),
     )
+
+
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gapfill (X133) — the time_bucket_gapfill +
+    interpolate() pattern, LOCF's smoother sibling: a missing hour reads
+    prev + (next − prev)·(t − t_prev)/(t_next − t_prev) between its
+    bracketing observations (NULL outside them, like the hypertable
+    function).
+
+    Shape identical to the LOCF op: hourly rollup (one keyed shuffle) →
+    dense per-type grid (metadata-sized, broadcast bounds) → left join →
+    per-type windows over the GRID. The bracketing values/times come
+    from ignore-nulls last/first windows; arithmetic is integer hours ×
+    exact-decimal-derived doubles, rounded at 6 dp.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("ts div 1000000000 div 3600 * 3600")
+    roll = (
+        ev.withColumn("hour_epoch", hour)
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_dec("value")).cast("double") / F.count("*")).alias("mean_value"),
+        )
+    )
+    rng = roll.agg(F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi"))
+    grid = (
+        roll.select("event_type").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch"),
+        )
+    )
+    joined = grid.join(roll, ["event_type", "hour_epoch"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("n").isNotNull(), F.col("hour_epoch"))
+    prev_v = F.last("mean_value", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("mean_value", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    interp = F.when(F.col("n").isNotNull(), F.col("mean_value")).otherwise(
+        F.when(
+            prev_h.isNotNull() & next_h.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("hour_epoch") - prev_h)
+            / (next_h - prev_h),
+        )
+    )
+    return joined.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(interp, 6).alias("mean_interp"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation (X134): the board-deck
+    staple — revenue by (nation, year) with absolute and relative delta
+    vs the prior year via one lag window over the year-bounded aggregate.
+
+    Shape: fact → (nation, year) DECIMAL aggregate (supplier dim
+    broadcast into the scan stage), lag over the ≤|nations|·|years| grid.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return rev.select(
+        "nationkey",
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        # the decimal difference is ALREADY scale-2 exact — casting it to
+        # double is deterministic; re-rounding in double is not (ties)
+        (F.col("rev") - prev).cast("double").alias("yoy_delta"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_growth"),
+    )

@@ -1697,3 +1697,36 @@ def docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("cx").cast("double") * F.col("cy"))
     )
     return j.select("x", "y", "cxy", F.round(pmi, 6).alias("pmi"))
+
+
+def docs_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid-style readability scoring (X135): grade level from
+    words/sentence and syllables/word (vowel-group heuristic — the
+    standard proxy when no dictionary ships) — a text-quality feature
+    every curation mix wants beside stopword/length filters.
+
+    Shape: pure scan-stage string expressions (regexp counts — no
+    explode, no shuffle beyond the _docs spread); sentences = terminal
+    punctuation runs (min 1), syllables = vowel groups (min 1/word).
+    The score divides exact integer counts in double, rounded 4 dp.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.size(text.tokens("text"))
+    sentences = F.greatest(
+        F.expr(r"CAST(regexp_count(text, '[.!?]+') AS INT)"), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.expr(r"CAST(regexp_count(lower(text), '[aeiouy]+') AS INT)"), words
+    )
+    grade = (
+        0.39 * words.cast("double") / sentences
+        + 11.8 * syllables.cast("double") / words
+        - 15.59
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(grade, 4).alias("fk_grade"),
+    ).filter(F.col("n_words") > 0)

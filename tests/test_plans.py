@@ -936,3 +936,26 @@ def test_pmi_bigram_fanout_no_self_join(spark):
     assert "CartesianProduct" not in plan
     # unigram tables come back as broadcasts onto the bigram counts
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_gapfill_interp_grid_is_metadata_sized(spark):
+    plan = plan_of(workload_relational.events_gapfill_interp(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the dense grid joins the ROLLUP (post-agg), never the fact; the
+    # bracketing windows partition by event_type
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_yoy_supplier_broadcast_lag_over_aggregate(spark):
+    plan = plan_of(workload_relational.nation_revenue_yoy(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_shuffles(plan) <= 2, plan  # year agg + the tiny lag window
+
+
+def test_readability_scan_stage_only(spark):
+    plan = plan_of(workload_text.docs_readability_fk(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pure per-row string expressions: no keyed shuffle at all
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -160,6 +160,9 @@ QUERIES = [
     "events_burstiness",
     "orders_survival_km",
     "docs_pmi_pairs",
+    "events_gapfill_interp",
+    "nation_revenue_yoy",
+    "docs_readability_fk",
 ]
 
 
