@@ -3759,3 +3759,42 @@ SELECT doc_id, n_words, n_sentences,
              - 15.59, 4) AS fk_grade
 FROM d WHERE n_words > 0
 """
+
+
+ORACLES["cdc_hot_keys"] = f"""
+WITH {ENVELOPE_CTE},
+per_key AS (
+  SELECT "table", pk,
+         CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN op = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+         CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+         min(start_lsn) AS first_lsn,
+         max(start_lsn) AS last_lsn
+  FROM env GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY "table"
+                               ORDER BY n_changes DESC, pk ASC) AS rnk
+  FROM per_key
+)
+SELECT "table", pk, n_changes, n_updates, n_deletes,
+       CAST(last_lsn - first_lsn AS BIGINT) AS lsn_span,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+ORACLES["ann_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, vec_id FROM ({ORACLES['ann_cosine_topk']})),
+approx AS (SELECT query_id, vec_id FROM ({ORACLES['ann_lsh_topk']})),
+hits AS (
+  SELECT e.query_id, e.vec_id,
+         (a.vec_id IS NOT NULL) AS hit
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM hits GROUP BY query_id
+"""

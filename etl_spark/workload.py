@@ -1414,3 +1414,35 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start_us", "event_type", "n_events", "rnk")
     )
+
+
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profile of the change stream (X136): the top-10
+    most-churned keys per table with their DML mix and LSN span — the
+    skew detector run before sizing the bucket-manifest sinks (a handful
+    of hot keys concentrates every batch's touched buckets) and the
+    reference's per-table apply-metrics instinct turned toward keys.
+
+    Shape: one map-combined (table, pk) aggregate over the envelope,
+    then orderBy().limit() — TakeOrderedAndProject, per-partition top-k
+    over the key aggregate, never a global sort (the sim envelope has
+    ONE table, which Catalyst constant-folds out of any window partition
+    spec — a partitioned WindowGroupLimit is the multi-table form); the
+    rank is assigned over the 10-row result.
+    """
+    from pyspark.sql import Window
+
+    env = envelope_from_events(spark, sf_dir)
+    per_key = env.groupBy("table", "pk").agg(
+        F.count("*").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "UPDATE", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_deletes"),
+        F.min("start_lsn").alias("first_lsn"),
+        F.max("start_lsn").alias("last_lsn"),
+    )
+    order = [F.col("n_changes").desc(), F.col("pk").asc()]
+    top = per_key.orderBy(*order).limit(10)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        "table", "pk", "n_changes", "n_updates", "n_deletes",
+        (F.col("last_lsn") - F.col("first_lsn")).alias("lsn_span"), "rnk",
+    )

@@ -1730,3 +1730,34 @@ def docs_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         syllables.alias("n_syllables"),
         F.round(grade, 4).alias("fk_grade"),
     ).filter(F.col("n_words") > 0)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 evaluation (X137): the approximate index's quality
+    gate — per query, how much of the EXACT cosine top-5 the LSH index
+    recovers. Every ANN deployment runs this eval before trusting the
+    index; here it composes two registered operators (brute-force
+    cosine as ground truth, bucketed LSH as the candidate) and both
+    sides carry exact oracles, so the recall itself is exact.
+
+    Shape: two k·|queries|-bounded frames joined on (query, neighbor) —
+    everything downstream of the component operators is metadata-sized.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("av").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("av").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -959,3 +959,19 @@ def test_readability_scan_stage_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # pure per-row string expressions: no keyed shuffle at all
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hot_keys_topk_prunes_per_table(spark):
+    plan = plan_of(workload.cdc_hot_keys(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the top-10 prunes per-partition over the key aggregate (the sim's
+    # single constant table folds out of any window partition spec)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ann_recall_joins_bounded_topk_frames(spark):
+    plan = plan_of(workload_text.ann_recall_eval(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # both component operators stay candidate-pruned; the recall join
+    # touches only the k-by-queries frames
+    assert "WindowGroupLimit" in plan, plan

@@ -163,6 +163,8 @@ QUERIES = [
     "events_gapfill_interp",
     "nation_revenue_yoy",
     "docs_readability_fk",
+    "cdc_hot_keys",
+    "ann_recall_eval",
 ]
 
 
