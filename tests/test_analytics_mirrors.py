@@ -157,3 +157,145 @@ def test_autocorr_lag1_matches_python(spark):
         num = sum((xs[i] - mu) * (xs[i + 1] - mu) for i in range(len(xs) - 1))
         want = num / den
         assert abs(got[(t, 1)] - want) < 1e-6, (t, got[(t, 1)], want)
+
+
+def test_survival_km_matches_python(spark):
+    rows = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    anchor = max(r["o_orderdate"] for r in rows)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r["o_orderdate"])
+    spans = []
+    for dates in by_cust.values():
+        dates.sort()
+        for a, b in zip(dates, dates[1:]):
+            t = (b.date() - a.date()).days
+            if t > 0:
+                spans.append((t, True))
+        t = (anchor.date() - dates[-1].date()).days
+        if t > 0:
+            spans.append((t, False))
+    per_t = {}
+    for t, ev in spans:
+        d, c = per_t.get(t, (0, 0))
+        per_t[t] = (d + 1, c) if ev else (d, c + 1)
+    n_at_risk = len(spans)
+    surv = 1.0
+    want = {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        if d:
+            surv *= 1.0 - d / n_at_risk
+            want[t] = (d, c, n_at_risk, surv)
+        n_at_risk -= d + c
+    got = {
+        r["t"]: (r["d"], r["c"], r["n_t"], r["survival"])
+        for r in workload_relational.orders_survival_km(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for t, (d, c, n, s) in want.items():
+        gd, gc, gn, gs = got[t]
+        assert (gd, gc, gn) == (d, c, n), t
+        assert abs(gs - s) < 1e-6, (t, gs, s)
+
+
+def test_hill_alpha_matches_python(spark):
+    import math
+
+    prices = sorted(
+        (
+            (r["o_totalprice"], r["o_orderkey"])
+            for r in read_table(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .collect()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    k = 500
+    xs = [p for p, _ in prices[:k]]
+    xk1 = prices[k][0]
+    logsum = sum(math.log(x / xk1) for x in xs)
+    row = workload_relational.orders_tail_index_hill(spark, SF_DIR).collect()[0]
+    assert row["k"] == k
+    assert abs(row["hill_alpha"] - k / logsum) < 1e-4
+
+
+def test_benford_chi2_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    rows = read_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    cells = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        d = int(str(int(round(r["l_extendedprice"] * 100)))[0])
+        cells[r["l_returnflag"]][d] += 1
+    got = {
+        r["l_returnflag"]: r["chi2"]
+        for r in workload_relational.lineitem_benford_audit(spark, SF_DIR).collect()
+    }
+    for flag, ds in cells.items():
+        n = sum(ds.values())
+        chi2 = sum(
+            (obs - math.log((d + 1.0) / d) / math.log(10.0) * n) ** 2
+            / (math.log((d + 1.0) / d) / math.log(10.0) * n)
+            for d, obs in ds.items()
+        )
+        assert abs(got[flag] - chi2) < 1e-4, (flag, got[flag], chi2)
+
+
+def test_welch_matches_python(spark):
+    from collections import defaultdict
+
+    rows = read_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r["event_type"]].append(r["value"])
+    got = {
+        (r["type_a"], r["type_b"]): (r["t_stat"], r["welch_df"])
+        for r in workload_relational.events_welch_ttest(spark, SF_DIR).collect()
+    }
+    types = sorted(vals)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xa, xb = vals[a], vals[b]
+            na, nb = len(xa), len(xb)
+            ma, mb = sum(xa) / na, sum(xb) / nb
+            va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+            vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+            t = (ma - mb) / (va / na + vb / nb) ** 0.5
+            df = (va / na + vb / nb) ** 2 / (
+                (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+            )
+            assert abs(got[(a, b)][0] - t) < 1e-3, (a, b)
+            assert abs(got[(a, b)][1] - df) < 0.5, (a, b)
+
+
+def test_pmi_matches_python(spark):
+    import math
+    from collections import Counter
+
+    rows = read_table(spark, SF_DIR, "documents").select("text").collect()
+    uni, big = Counter(), Counter()
+    for r in rows:
+        toks = r["text"].strip().split()
+        uni.update(t for t in toks if t != "")
+        big.update(
+            (a, b) for a, b in zip(toks, toks[1:]) if a != "" and b != ""
+        )
+    n = sum(uni.values())
+    got = {
+        (r["x"], r["y"]): (r["cxy"], r["pmi"])
+        for r in workload_text.docs_pmi_pairs(spark, SF_DIR).collect()
+    }
+    want = {p: c for p, c in big.items() if c >= 5}
+    assert set(got) == set(want)
+    for (x, y), c in want.items():
+        pmi = math.log(c * n / (uni[x] * uni[y]))
+        assert got[(x, y)][0] == c
+        assert abs(got[(x, y)][1] - pmi) < 1e-5, (x, y)
