@@ -63,7 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (bigram PMI collocations), events_gapfill_interp (linear-interp
     gapfill), nation_revenue_yoy (YoY growth), docs_readability_fk
     (Flesch-Kincaid readability), cdc_hot_keys (change-stream hot-key
-    skew profile), ann_recall_eval (LSH recall@5 vs exact)] +
+    skew profile), ann_recall_eval (LSH recall@5 vs exact),
+    events_forecast_backtest (seasonal-naive MAPE/sMAPE backtest),
+    lineitem_latency_quantiles (exact histogram p50/p90/p99)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -71,8 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition] + [3 oldest-r4 rows, COVERAGE order]. The 37
-    remaining r4-latest rows (docs_bm25_top_terms, docs_rag_chunks,
+    docs_repetition] + [1 oldest-r4 row (docs_contamination), COVERAGE
+    order]. The 39 remaining r4-latest rows (stream_windowed_watermark,
+    docs_passage_dedup, docs_bm25_top_terms, docs_rag_chunks,
     docs_semantic_dedup, events_promo_range_join,
     stream_click_purchase_join, mm_resize, stream_session_window,
     cdc_scd2_history, cdc_state_asof,
@@ -86,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 180 entries verified locally via
+    round-8 refresh queue. All 182 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -129,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_readability_fk": workload_text.docs_readability_fk,
         "cdc_hot_keys": workload.cdc_hot_keys,
         "ann_recall_eval": workload_text.ann_recall_eval,
+        "events_forecast_backtest": workload_relational.events_forecast_backtest,
+        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -169,8 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 38 new + 5 changed + 3 refresh;
-        # docs_bm25_top_terms..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 40 new + 5 changed + 1 refresh;
+        # stream_windowed_watermark..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

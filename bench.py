@@ -171,6 +171,8 @@ HEADLINE = [
     "docs_readability_fk",
     "cdc_hot_keys",
     "ann_recall_eval",
+    "events_forecast_backtest",
+    "lineitem_latency_quantiles",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -357,7 +359,8 @@ def main() -> None:
               "docs_zipf_slope", "events_welch_ttest", "events_burstiness",
               "orders_survival_km", "docs_pmi_pairs",
               "events_gapfill_interp", "nation_revenue_yoy",
-              "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval"}
+              "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval",
+              "events_forecast_backtest", "lineitem_latency_quantiles"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

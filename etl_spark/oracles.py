@@ -3798,3 +3798,48 @@ SELECT query_id,
        round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM hits GROUP BY query_id
 """
+
+ORACLES["events_forecast_backtest"] = """
+WITH roll AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS m
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type, a.m AS y, l.m AS yhat
+  FROM roll a JOIN roll l
+    ON l.event_type = a.event_type
+   AND l.hour_epoch + 168 * 3600 = a.hour_epoch
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(CAST(sum(CAST(round(abs(y - yhat) / abs(y), 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mape,
+       round(CAST(sum(CAST(round(2.0 * abs(y - yhat) / (abs(y) + abs(yhat)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS smape,
+       round(CAST(sum(CAST(round(yhat - y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS bias
+FROM j GROUP BY event_type
+"""
+
+ORACLES["lineitem_latency_quantiles"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         date_diff('day', CAST(date_trunc('month', l_shipdate) AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lat
+  FROM lineitem
+),
+hist AS (SELECT l_returnflag, lat, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1, 2),
+tot AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT hist.*, tot.n,
+         sum(c) OVER (PARTITION BY hist.l_returnflag ORDER BY lat
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist JOIN tot USING (l_returnflag)
+)
+SELECT l_returnflag, any_value(n) AS n_rows,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN lat END) AS INTEGER) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN lat END) AS INTEGER) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN lat END) AS INTEGER) AS p99
+FROM cum GROUP BY l_returnflag
+"""

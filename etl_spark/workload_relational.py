@@ -3092,3 +3092,105 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
         ).alias("yoy_growth"),
     )
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (X138): predict each hour's mean
+    value as the value one week earlier (the baseline every real
+    forecaster must beat) and score MAPE / sMAPE / bias per event type
+    over the hours where both sides exist — the eval harness shape, not
+    just the forecast.
+
+    Shape: one hourly rollup (map-combined), self-join on
+    (type, hour − 168·3600) — an equi-join of the hour-bounded aggregate
+    with itself, metadata-sized; error terms round→DECIMAL for
+    order-independent sums.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("ts div 1000000000 div 3600 * 3600")
+    roll = (
+        ev.withColumn("hour_epoch", hour)
+        .groupBy("event_type", "hour_epoch")
+        .agg(
+            (F.sum(_dec("value")).cast("double") / F.count("*")).alias("m")
+        )
+        # consumed twice (actual + lagged side of the self-join)
+        .localCheckpoint()
+    )
+    actual = roll.select(
+        "event_type", "hour_epoch", F.col("m").alias("y")
+    )
+    lagged = roll.select(
+        "event_type",
+        (F.col("hour_epoch") + 168 * 3600).alias("hour_epoch"),
+        F.col("m").alias("yhat"),
+    )
+    j = actual.join(lagged, ["event_type", "hour_epoch"])
+    ape = F.abs(F.col("y") - F.col("yhat")) / F.abs(F.col("y"))
+    sape = (
+        F.lit(2.0)
+        * F.abs(F.col("y") - F.col("yhat"))
+        / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(
+            (
+                F.sum(F.round(ape, 9).cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("mape"),
+        F.round(
+            (
+                F.sum(F.round(sape, 9).cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("smape"),
+        F.round(
+            F.sum(F.round(F.col("yhat") - F.col("y"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bias"),
+    )
+
+
+def lineitem_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ship-latency quantiles per return flag (X139): p50/p90/p99
+    of days-from-first-of-month-to-ship — computed through the BOUNDED
+    histogram, the scale-correct exact-quantile recipe when the value
+    domain is small: per (flag, latency-day) counts [one map-combined
+    shuffle], cumulative ranks over that metadata-sized table, ordinal
+    (type-1) quantile = first value whose cumulative count reaches
+    ⌈q·n⌉. No fact-sized window, no per-group sort task, no approx.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.datediff(
+            F.col("l_shipdate"), F.date_trunc("month", F.col("l_shipdate"))
+        ).alias("lat"),
+    )
+    hist = li.groupBy("l_returnflag", "lat").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    qs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("lat")
+            )
+        ).alias(name)
+        for name, q in qs
+    ]
+    return cum.groupBy("l_returnflag").agg(
+        F.first("n").alias("n_rows"), *aggs
+    )

@@ -975,3 +975,23 @@ def test_ann_recall_joins_bounded_topk_frames(spark):
     # both component operators stay candidate-pruned; the recall join
     # touches only the k-by-queries frames
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_forecast_backtest_self_join_over_rollup(spark):
+    import re
+    plan = plan_of(workload_relational.events_forecast_backtest(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the self-join consumes the CHECKPOINTED hour-bounded rollup: no
+    # parquet scan survives into the final plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+
+
+def test_latency_quantiles_histogram_not_sort(spark):
+    plan = plan_of(workload_relational.lineitem_latency_quantiles(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exact quantiles via the bounded histogram: the only fact-sized op
+    # is the (flag, day) agg; the cumulative window runs over it, and
+    # no approx_percentile / global Sort of the fact appears
+    assert "approx_percentile" not in plan
+    assert "SinglePartition" not in plan, plan

@@ -165,6 +165,8 @@ QUERIES = [
     "docs_readability_fk",
     "cdc_hot_keys",
     "ann_recall_eval",
+    "events_forecast_backtest",
+    "lineitem_latency_quantiles",
 ]
 
 
