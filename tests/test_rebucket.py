@@ -142,3 +142,31 @@ def test_scd2_rebucket_preserves_history(spark, tmp_path):
     versions = [r["val"] for r in sink.read("t")
                 .filter("pk = 1").orderBy("valid_from").collect()]
     assert versions == ["s1", "u1", "u1b"]
+
+
+def test_rebucket_crash_before_version_swap_is_invisible(spark, seeded):
+    """A crash after the new vdir + manifest are written but BEFORE the
+    VERSION swap leaves the torn version reader-invisible (VERSION is the
+    one atomic commit); the retry re-attempts the same version number and
+    mode=overwrite replaces the torn dir wholesale."""
+    before = _state(seeded)
+    v0 = seeded._current_version("t")
+    real_point = seeded._point
+    calls = {"n": 0}
+
+    def crashing_point(table, version, batch_id):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before VERSION swap")
+
+    seeded._point = crashing_point
+    with pytest.raises(RuntimeError):
+        seeded.rebucket("t", 16)
+    seeded._point = real_point
+    # reader sees the OLD version and OLD bucket count untouched
+    assert seeded._current_version("t") == v0
+    assert seeded._manifest("t", v0)["n_buckets"] == 4
+    assert _state(seeded) == before
+    # retry completes: same content at the new count
+    seeded.rebucket("t", 16)
+    assert _state(seeded) == before
+    assert seeded._manifest("t", seeded._current_version("t"))["n_buckets"] == 16
