@@ -2350,13 +2350,17 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("d"))
+        # |V|-bounded and consumed 3x (two orientation joins + the final
+        # degree attach) — never re-aggregate the edge list per consumer
+        .localCheckpoint()
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    # orient: src = lower-degree endpoint (tie -> lower id)
+    # orient: src = lower-degree endpoint (tie -> lower id); the degree
+    # table is a vertex dim — broadcast both sides
     oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -2369,20 +2373,26 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v"),
             ).otherwise(F.col("u")).alias("dst"),
         )
+        # consumed twice (both sides of the wedge self-join)
+        .localCheckpoint()
     )
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, F.col("o1.src") == F.col("o2.src"))
         .filter(F.col("o1.dst") < F.col("o2.dst"))
         .select(
-            F.col("o1.src").alias("apex"),
             F.col("o1.dst").alias("w1"),
             F.col("o2.dst").alias("w2"),
+            F.col("o1.src").alias("apex"),
         )
     )
-    # close the wedge against the undirected canonical edge set (u < v)
+    # close the wedge against the undirected canonical edge set (u < v).
+    # SHUFFLE_HASH: the wedge side is ~30x the edge side — hash-building
+    # the small side beats sort-merging 40M wedge rows (AQE keeps the
+    # partition sizing)
     tri = wedges.join(
-        edges, (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v"))
+        edges.hint("SHUFFLE_HASH"),
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
     ).select("apex", "w1", "w2")
     part_tri = (
         tri.select(F.col("apex").alias("pk"))
