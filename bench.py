@@ -173,6 +173,8 @@ HEADLINE = [
     "ann_recall_eval",
     "events_forecast_backtest",
     "lineitem_latency_quantiles",
+    "events_dau_mau",
+    "lineitem_metric_correlations",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -360,7 +362,8 @@ def main() -> None:
               "orders_survival_km", "docs_pmi_pairs",
               "events_gapfill_interp", "nation_revenue_yoy",
               "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval",
-              "events_forecast_backtest", "lineitem_latency_quantiles"}
+              "events_forecast_backtest", "lineitem_latency_quantiles",
+              "events_dau_mau", "lineitem_metric_correlations"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

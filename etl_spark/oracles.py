@@ -3843,3 +3843,64 @@ SELECT l_returnflag, any_value(n) AS n_rows,
        CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN lat END) AS INTEGER) AS p99
 FROM cum GROUP BY l_returnflag
 """
+
+ORACLES["events_dau_mau"] = """
+WITH presence AS (
+  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS d, user_id AS u
+  FROM events
+),
+bounds AS (SELECT max(d) AS dmax FROM presence),
+fan AS (
+  SELECT u, d, unnest(range(d, d + 28)) AS obs_day FROM presence
+),
+per AS (
+  SELECT obs_day, u,
+         max(CASE WHEN obs_day = d THEN 1 ELSE 0 END) AS dau_u,
+         max(CASE WHEN obs_day - d < 7 THEN 1 ELSE 0 END) AS wau_u
+  FROM fan GROUP BY 1, 2
+),
+agg AS (
+  SELECT obs_day,
+         CAST(sum(dau_u) AS BIGINT) AS dau,
+         CAST(sum(wau_u) AS BIGINT) AS wau,
+         CAST(count(*) AS BIGINT) AS mau
+  FROM per GROUP BY 1
+)
+SELECT obs_day AS day, dau, wau, mau,
+       round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM agg CROSS JOIN bounds WHERE obs_day <= dmax
+"""
+
+ORACLES["lineitem_metric_correlations"] = """
+WITH ints AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS DECIMAL(38,0)) AS s_qty,
+         CAST(sum(p) AS DECIMAL(38,0)) AS s_price,
+         CAST(sum(c) AS DECIMAL(38,0)) AS s_disc,
+         CAST(sum(q * q) AS DECIMAL(38,0)) AS s_qty_qty,
+         CAST(sum(p * q) AS DECIMAL(38,0)) AS s_price_qty,
+         CAST(sum(c * q) AS DECIMAL(38,0)) AS s_disc_qty,
+         CAST(sum(p * p) AS DECIMAL(38,0)) AS s_price_price,
+         CAST(sum(c * p) AS DECIMAL(38,0)) AS s_disc_price,
+         CAST(sum(c * c) AS DECIMAL(38,0)) AS s_disc_disc
+  FROM ints GROUP BY 1
+)
+SELECT l_returnflag, n AS n_rows,
+       round((n * CAST(s_price_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_price AS DOUBLE))
+             / sqrt((n * CAST(s_qty_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+                    * (n * CAST(s_price_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))), 8) AS corr_qty_price,
+       round((n * CAST(s_disc_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_disc AS DOUBLE))
+             / sqrt((n * CAST(s_qty_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+                    * (n * CAST(s_disc_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))), 8) AS corr_qty_disc,
+       round((n * CAST(s_disc_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_disc AS DOUBLE))
+             / sqrt((n * CAST(s_price_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))
+                    * (n * CAST(s_disc_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))), 8) AS corr_price_disc
+FROM m
+"""

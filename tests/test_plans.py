@@ -995,3 +995,26 @@ def test_latency_quantiles_histogram_not_sort(spark):
     # no approx_percentile / global Sort of the fact appears
     assert "approx_percentile" not in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_dau_mau_bounded_fanout_over_presence(spark):
+    plan = plan_of(workload_relational.events_dau_mau(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the fact collapses to (user, day) presence BEFORE the 28-day fan-out
+    # (Generate above an Aggregate, never above the scan)
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos > 0 and agg_pos > 0, plan
+
+
+def test_correlations_salted_long_moments(spark):
+    import re
+    plan = plan_of(workload_relational.lineitem_metric_correlations(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one scan; level 1 sums LONGS per (flag, salt) — codegen path, no
+    # per-row decimal — and level 2 decimal-sums the salted partials
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert n_shuffles(plan) == 2, plan
+    head = plan.split("Exchange", 1)[0]
+    assert "decimal" not in head.lower(), head  # fact side stays long

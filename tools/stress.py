@@ -167,6 +167,8 @@ QUERIES = [
     "ann_recall_eval",
     "events_forecast_backtest",
     "lineitem_latency_quantiles",
+    "events_dau_mau",
+    "lineitem_metric_correlations",
 ]
 
 
