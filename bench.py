@@ -175,6 +175,7 @@ HEADLINE = [
     "lineitem_latency_quantiles",
     "events_dau_mau",
     "lineitem_metric_correlations",
+    "mm_image_tiles",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -363,7 +364,8 @@ def main() -> None:
               "events_gapfill_interp", "nation_revenue_yoy",
               "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval",
               "events_forecast_backtest", "lineitem_latency_quantiles",
-              "events_dau_mau", "lineitem_metric_correlations"}
+              "events_dau_mau", "lineitem_metric_correlations",
+              "mm_image_tiles"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

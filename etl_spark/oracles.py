@@ -3904,3 +3904,28 @@ SELECT l_returnflag, n AS n_rows,
                     * (n * CAST(s_disc_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))), 8) AS corr_price_disc
 FROM m
 """
+
+ORACLES["mm_image_tiles"] = """
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+),
+px AS (
+  SELECT media_id,
+         (k.k // 40) // 10 AS tile_r,
+         (k.k % 40) // 10 AS tile_c,
+         unicode(substr(text, CAST(k.k % n AS INTEGER) + 1, 1)) AS code
+  FROM img CROSS JOIN (SELECT unnest(range(0, 1600)) AS k) k
+),
+tiles AS (
+  SELECT media_id, CAST(tile_r AS INTEGER) AS tile_r, CAST(tile_c AS INTEGER) AS tile_c,
+         CAST(sum(code) AS BIGINT) AS s, CAST(sum(code * code) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n_px
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT media_id, tile_r, tile_c,
+       round(s / CAST(n_px AS DOUBLE), 6) AS mean_luma,
+       round(s2 / CAST(n_px AS DOUBLE) - (s / CAST(n_px AS DOUBLE)) * (s / CAST(n_px AS DOUBLE)), 6) AS var_luma,
+       (s2 / CAST(n_px AS DOUBLE) - (s / CAST(n_px AS DOUBLE)) * (s / CAST(n_px AS DOUBLE))) < 1.0 AS is_flat
+FROM tiles
+"""

@@ -148,3 +148,28 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_frame").cast("long") * 200).alias("start_ms"),
         )
     )
+
+
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile image statistics (X142): each image payload rasters to a
+    40×40 codepoint grid (deterministic stub codec — cycle the text),
+    every 10×10 tile reduces to mean / variance / a flat-tile flag — the
+    low-information-region detector an image-dedup or quality pipeline
+    runs before embedding. Image-type pruning happens BEFORE the Python
+    stage; the kernel is one numpy reshape per payload (integer sums out,
+    mean/variance assembled JVM-side from exact ints).
+    """
+    media = media_table(spark, sf_dir).filter(
+        (F.col("meta.media_type") == "image") & (F.length("payload") > 0)
+    )
+    tiles = multimodal.image_tile_stats(media, grid=40, tile=10)
+    mean = F.col("s") / F.col("n_px").cast("double")
+    var = F.col("s2") / F.col("n_px").cast("double") - mean * mean
+    return tiles.select(
+        "media_id",
+        "tile_r",
+        "tile_c",
+        F.round(mean, 6).alias("mean_luma"),
+        F.round(var, 6).alias("var_luma"),
+        (var < 1.0).alias("is_flat"),
+    )

@@ -1018,3 +1018,14 @@ def test_correlations_salted_long_moments(spark):
     assert n_shuffles(plan) == 2, plan
     head = plan.split("Exchange", 1)[0]
     assert "decimal" not in head.lower(), head  # fact side stays long
+
+
+def test_image_tiles_prunes_before_python_stage(spark):
+    import re
+    plan = plan_of(workload_mm.mm_image_tiles(spark, SF_DIR))
+    # image-type + nonempty filters land BELOW the Arrow stage in the
+    # tree (formatted node ids grow leaf->root: Filter id < MapInPandas)
+    mip = re.search(r"^\((\d+)\) MapInPandas", plan, re.M)
+    filt = re.search(r"^\((\d+)\) Filter", plan, re.M)
+    assert mip and filt, plan
+    assert int(filt.group(1)) < int(mip.group(1)), plan

@@ -169,6 +169,7 @@ QUERIES = [
     "lineitem_latency_quantiles",
     "events_dau_mau",
     "lineitem_metric_correlations",
+    "mm_image_tiles",
 ]
 
 
