@@ -176,6 +176,7 @@ HEADLINE = [
     "events_dau_mau",
     "lineitem_metric_correlations",
     "mm_image_tiles",
+    "mm_video_scene_cuts",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -365,7 +366,7 @@ def main() -> None:
               "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval",
               "events_forecast_backtest", "lineitem_latency_quantiles",
               "events_dau_mau", "lineitem_metric_correlations",
-              "mm_image_tiles"}
+              "mm_image_tiles", "mm_video_scene_cuts"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

@@ -3929,3 +3929,41 @@ SELECT media_id, tile_r, tile_c,
        (s2 / CAST(n_px AS DOUBLE) - (s / CAST(n_px AS DOUBLE)) * (s / CAST(n_px AS DOUBLE))) < 1.0 AS is_flat
 FROM tiles
 """
+
+ORACLES["mm_video_scene_cuts"] = """
+WITH video AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 2 AND length(text) > 0
+),
+fidx AS (
+  SELECT media_id, text,
+         unnest(range(CAST(ceil(length(text) / 40.0) AS BIGINT))) AS frame_idx
+  FROM video
+),
+frames AS (
+  SELECT media_id, frame_idx,
+         list_sum([ord(substr(text, CAST(frame_idx * 40 + x AS INT), 1))
+                   for x in range(1, CAST(least(40, length(text) - frame_idx * 40) AS INT) + 1)]) AS energy,
+         least(40, length(text) - frame_idx * 40) AS flen
+  FROM fidx
+),
+cur AS (
+  SELECT media_id, frame_idx, energy, flen,
+         energy / CAST(flen AS DOUBLE) AS m,
+         lag(energy / CAST(flen AS DOUBLE)) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_m
+  FROM frames
+),
+scenes AS (
+  SELECT *, sum(CASE WHEN prev_m IS NOT NULL AND abs(m - prev_m) >= 2.0
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY media_id ORDER BY frame_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+  FROM cur
+)
+SELECT media_id, CAST(scene_id AS INTEGER) AS scene_id,
+       CAST(min(frame_idx) AS INT) AS start_frame,
+       CAST(max(frame_idx) AS INT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       round(sum(energy) / CAST(sum(flen) AS DOUBLE), 6) AS mean_energy
+FROM scenes GROUP BY media_id, scene_id
+"""

@@ -173,3 +173,56 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_luma"),
         (var < 1.0).alias("is_flat"),
     )
+
+
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads (X143): per-frame mean
+    "luma" (the generic Arrow frame-energy kernel at 40 chars/frame —
+    a real frame decoder slots into the same batch shape), a cut
+    wherever the mean jumps ≥ 2.0 vs the previous frame, scenes by
+    cumulative cut count — completing the modality triple (audio VAD,
+    image tiles, video cuts) with a real kernel each.
+
+    Scale shape: video-type pruning before the Python stage; the cut
+    logic is two JVM windows keyed on media_id (lag + running sum);
+    frame means are ratios of exact integers, so the cut boundary is
+    engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    video = media_table(spark, sf_dir).filter(
+        (F.col("meta.media_type") == "video") & (F.length("payload") > 0)
+    )
+    frames = multimodal.audio_frame_energies(video, frame_chars=40)
+    mean = F.col("energy") / F.col("flen").cast("double")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cur = frames.select(
+        "media_id", "frame_idx", "energy", "flen", mean.alias("m")
+    ).withColumn("prev_m", F.lag("m").over(w))
+    cut = F.when(
+        F.col("prev_m").isNotNull() & (F.abs(F.col("m") - F.col("prev_m")) >= 2.0),
+        1,
+    ).otherwise(0)
+    scenes = cur.withColumn(
+        "scene_id",
+        F.sum(cut).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        scenes.groupBy("media_id", "scene_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.round(
+                F.sum("energy") / F.sum("flen").cast("double"), 6
+            ).alias("mean_energy"),
+        )
+        .select(
+            "media_id",
+            F.col("scene_id").cast("int").alias("scene_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "mean_energy",
+        )
+    )

@@ -1029,3 +1029,14 @@ def test_image_tiles_prunes_before_python_stage(spark):
     filt = re.search(r"^\((\d+)\) Filter", plan, re.M)
     assert mip and filt, plan
     assert int(filt.group(1)) < int(mip.group(1)), plan
+
+
+def test_video_cuts_prunes_before_python_stage(spark):
+    import re
+    plan = plan_of(workload_mm.mm_video_scene_cuts(spark, SF_DIR))
+    mip = re.search(r"^\((\d+)\) MapInPandas", plan, re.M)
+    filt = re.search(r"^\((\d+)\) Filter", plan, re.M)
+    assert mip and filt, plan
+    assert int(filt.group(1)) < int(mip.group(1)), plan
+    # cut + scene windows share one media_id sort (lag and running sum)
+    assert "CartesianProduct" not in plan

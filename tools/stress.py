@@ -170,6 +170,7 @@ QUERIES = [
     "events_dau_mau",
     "lineitem_metric_correlations",
     "mm_image_tiles",
+    "mm_video_scene_cuts",
 ]
 
 
