@@ -69,7 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_dau_mau (exact sliding-distinct DAU/WAU/MAU),
     lineitem_metric_correlations (salted-long Pearson moments),
     mm_image_tiles (Arrow 2D tile statistics), mm_video_scene_cuts
-    (frame-delta scene segmentation)] +
+    (frame-delta scene segmentation), cdc_rebucket_migration
+    (mid-stream bucket-count migration, hash-checked vs batch LWW)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -77,10 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition]. The window is now 44 new + 5 changed + 1 r3 = 50
-    (corpus_token_mixture..docs_repetition slide out); the 43 remaining
-    rows (corpus_token_mixture, docs_pii_redact, docs_repetition,
-    docs_contamination, stream_windowed_watermark,
+    docs_repetition]. The window is now 45 new + 5 changed = 50 (the
+    whole r3 refresh block slides out); the 44 remaining rows
+    (corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
+    docs_repetition, docs_contamination, stream_windowed_watermark,
     docs_passage_dedup, docs_bm25_top_terms, docs_rag_chunks,
     docs_semantic_dedup, events_promo_range_join,
     stream_click_purchase_join, mm_resize, stream_session_window,
@@ -95,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 186 entries verified locally via
+    round-8 refresh queue. All 187 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
         "mm_image_tiles": workload_mm.mm_image_tiles,
         "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
+        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -184,8 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 44 new + 5 changed + 1 r3;
-        # corpus_token_mixture..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 45 new + 5 changed;
+        # corpus_pack_sequences..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

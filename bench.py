@@ -177,6 +177,7 @@ HEADLINE = [
     "lineitem_metric_correlations",
     "mm_image_tiles",
     "mm_video_scene_cuts",
+    "cdc_rebucket_migration",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -366,7 +367,8 @@ def main() -> None:
               "docs_readability_fk", "cdc_hot_keys", "ann_recall_eval",
               "events_forecast_backtest", "lineitem_latency_quantiles",
               "events_dau_mau", "lineitem_metric_correlations",
-              "mm_image_tiles", "mm_video_scene_cuts"}
+              "mm_image_tiles", "mm_video_scene_cuts",
+              "cdc_rebucket_migration"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

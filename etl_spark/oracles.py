@@ -3967,3 +3967,5 @@ SELECT media_id, CAST(scene_id AS INTEGER) AS scene_id,
        round(sum(energy) / CAST(sum(flen) AS DOUBLE), 6) AS mean_energy
 FROM scenes GROUP BY media_id, scene_id
 """
+
+ORACLES["cdc_rebucket_migration"] = ORACLES["cdc_current_state"]

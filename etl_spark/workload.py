@@ -1446,3 +1446,55 @@ def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table", "pk", "n_changes", "n_updates", "n_deletes",
         (F.col("last_lsn") - F.col("first_lsn")).alias("lsn_span"), "rnk",
     )
+
+
+def cdc_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online bucket-count migration mid-stream (X144): the sim envelope
+    drives a :class:`~etl_spark.streaming.sinks.ParquetCurrentStateSink`
+    created at ``n_buckets=4`` through the first LSN-range micro-batch;
+    maintenance then REBUCKETs the table to 16 (full rewrite at the new
+    count, manifest pins it, one atomic VERSION swap) and the remaining
+    two batches apply INCREMENTALLY at the manifest-pinned count through
+    a FRESH sink instance (a restarted writer that never saw the
+    migration). The final table must hash-equal the one-shot batch LWW
+    materialization — same oracle as ``cdc_current_state`` — proving the
+    migration preserves state, later touched-bucket commits merge
+    correctly at the new count, and writer restarts need no coordination.
+    """
+    import tempfile
+
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value", "props"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    root = tempfile.mkdtemp(prefix="rebucket_gate_")
+    sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark, n_buckets=4)
+    sink.write_snapshot("users", env.limit(0))
+    sink.write_changes(
+        "users",
+        env.filter(F.col("commit_lsn").between(*ranges[0])),
+        batch_id=0,
+    )
+    # maintenance window: migrate 4 -> 16 buckets
+    sink.rebucket("users", 16)
+    if sink._manifest("users", sink._current_version("users"))["n_buckets"] != 16:
+        raise AssertionError("rebucket did not pin the new count")
+    # restarted writer: fresh instance, never saw the migration — must
+    # pick the count up from the manifest
+    sink2 = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+    for i in (1, 2):
+        sink2.write_changes(
+            "users",
+            env.filter(F.col("commit_lsn").between(*ranges[i])),
+            batch_id=i,
+        )
+    return sink2.read("users").select(
+        "pk", "op", "commit_lsn", "tx_ordinal", "value", "props"
+    )

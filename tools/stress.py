@@ -171,6 +171,7 @@ QUERIES = [
     "lineitem_metric_correlations",
     "mm_image_tiles",
     "mm_video_scene_cuts",
+    "cdc_rebucket_migration",
 ]
 
 
