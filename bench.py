@@ -178,6 +178,7 @@ HEADLINE = [
     "mm_image_tiles",
     "mm_video_scene_cuts",
     "cdc_rebucket_migration",
+    "events_haar_wavelet",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -368,7 +369,7 @@ def main() -> None:
               "events_forecast_backtest", "lineitem_latency_quantiles",
               "events_dau_mau", "lineitem_metric_correlations",
               "mm_image_tiles", "mm_video_scene_cuts",
-              "cdc_rebucket_migration"}
+              "cdc_rebucket_migration", "events_haar_wavelet"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

@@ -3969,3 +3969,72 @@ FROM scenes GROUP BY media_id, scene_id
 """
 
 ORACLES["cdc_rebucket_migration"] = ORACLES["cdc_current_state"]
+
+ORACLES["events_haar_wavelet"] = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS d,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS a
+  FROM events GROUP BY 1, 2
+),
+l0 AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i, a
+  FROM daily
+),
+p1 AS (
+  SELECT event_type, i // 2 AS i, count(*) AS np,
+         sum(CASE WHEN i % 2 = 0 THEN a END) AS a0,
+         sum(CASE WHEN i % 2 = 1 THEN a END) AS a1
+  FROM l0 GROUP BY event_type, i // 2
+),
+l1 AS (
+  SELECT event_type, i,
+         CASE WHEN np = 2 THEN (a0 + a1) / 2.0 ELSE a0 END AS a,
+         CASE WHEN np = 2 THEN (a0 - a1) / 2.0 ELSE 0.0 END AS dcoef
+  FROM p1
+),
+p2 AS (
+  SELECT event_type, i // 2 AS i, count(*) AS np,
+         sum(CASE WHEN i % 2 = 0 THEN a END) AS a0,
+         sum(CASE WHEN i % 2 = 1 THEN a END) AS a1
+  FROM l1 GROUP BY event_type, i // 2
+),
+l2 AS (
+  SELECT event_type, i,
+         CASE WHEN np = 2 THEN (a0 + a1) / 2.0 ELSE a0 END AS a,
+         CASE WHEN np = 2 THEN (a0 - a1) / 2.0 ELSE 0.0 END AS dcoef
+  FROM p2
+),
+p3 AS (
+  SELECT event_type, i // 2 AS i, count(*) AS np,
+         sum(CASE WHEN i % 2 = 0 THEN a END) AS a0,
+         sum(CASE WHEN i % 2 = 1 THEN a END) AS a1
+  FROM l2 GROUP BY event_type, i // 2
+),
+l3 AS (
+  SELECT event_type, i,
+         CASE WHEN np = 2 THEN (a0 + a1) / 2.0 ELSE a0 END AS a,
+         CASE WHEN np = 2 THEN (a0 - a1) / 2.0 ELSE 0.0 END AS dcoef
+  FROM p3
+),
+e AS (
+  SELECT event_type, 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+         sum(CAST(round(dcoef * dcoef, 9) AS DECIMAL(38,9))) AS de,
+         sum(CAST(round(a * a, 9) AS DECIMAL(38,9))) AS ae
+  FROM l1 GROUP BY 1
+  UNION ALL
+  SELECT event_type, 2, CAST(count(*) AS BIGINT),
+         sum(CAST(round(dcoef * dcoef, 9) AS DECIMAL(38,9))),
+         sum(CAST(round(a * a, 9) AS DECIMAL(38,9)))
+  FROM l2 GROUP BY 1
+  UNION ALL
+  SELECT event_type, 3, CAST(count(*) AS BIGINT),
+         sum(CAST(round(dcoef * dcoef, 9) AS DECIMAL(38,9))),
+         sum(CAST(round(a * a, 9) AS DECIMAL(38,9)))
+  FROM l3 GROUP BY 1
+)
+SELECT event_type, CAST(level AS INTEGER) AS level, n_coeffs,
+       round(CAST(de AS DOUBLE), 6) AS detail_energy,
+       round(CAST(ae AS DOUBLE), 6) AS approx_energy
+FROM e
+"""

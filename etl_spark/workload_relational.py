@@ -3335,3 +3335,76 @@ def lineitem_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("qty", "disc").alias("corr_qty_disc"),
         corr("price", "disc").alias("corr_price_disc"),
     )
+
+
+def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level Haar wavelet decomposition of each type's daily mean
+    series (X145): per level, paired days collapse to (approximation,
+    detail) = ((a+b)/2, (a−b)/2) — the multi-resolution summary behind
+    wavelet compression and scale-localized anomaly detection. Output:
+    per (type, level) the detail-energy share, plus the level-3
+    approximation energy — the compaction curve ("how much signal
+    survives at 1/8 resolution").
+
+    Shape: everything past the daily rollup operates on the day-bounded
+    aggregate; each level is one map-combined groupBy on ``day div 2``
+    (no window, no shuffle growth — the table HALVES per level).
+    Energies accumulate as rounded DECIMALs; odd tails carry through
+    unpaired (standard zero-padding-free convention: a lone sample is
+    its own approximation, detail 0).
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400")
+    daily = (
+        ev.groupBy("event_type", day.alias("d"))
+        .agg(
+            (F.sum(_dec("value")).cast("double") / F.count("*")).alias("a")
+        )
+    )
+    # re-index days densely per type so pairing is positional
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("d")
+    cur = daily.withColumn("i", F.row_number().over(w) - 1).select(
+        "event_type", "i", "a"
+    )
+    levels = []
+    for lvl in (1, 2, 3):
+        paired = cur.groupBy(
+            "event_type", (F.col("i") / 2).cast("long").alias("i")
+        ).agg(
+            F.count("*").alias("np"),
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("a"))).alias("a0"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("a"))).alias("a1"),
+        )
+        nxt = paired.select(
+            "event_type",
+            "i",
+            F.when(
+                F.col("np") == 2, (F.col("a0") + F.col("a1")) / 2.0
+            ).otherwise(F.col("a0")).alias("a"),
+            F.when(
+                F.col("np") == 2, (F.col("a0") - F.col("a1")) / 2.0
+            ).otherwise(F.lit(0.0)).alias("dcoef"),
+        ).localCheckpoint()  # consumed by the energy agg AND the next level
+        levels.append(
+            nxt.groupBy("event_type").agg(
+                F.lit(lvl).alias("level"),
+                F.count("*").alias("n_coeffs"),
+                F.sum(
+                    F.round(F.col("dcoef") * F.col("dcoef"), 9).cast("decimal(38,9)")
+                ).alias("detail_energy_d"),
+                F.sum(
+                    F.round(F.col("a") * F.col("a"), 9).cast("decimal(38,9)")
+                ).alias("approx_energy_d"),
+            )
+        )
+        cur = nxt.select("event_type", "i", "a")
+    out = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return out.select(
+        "event_type",
+        "level",
+        "n_coeffs",
+        F.round(F.col("detail_energy_d").cast("double"), 6).alias("detail_energy"),
+        F.round(F.col("approx_energy_d").cast("double"), 6).alias("approx_energy"),
+    )

@@ -1040,3 +1040,14 @@ def test_video_cuts_prunes_before_python_stage(spark):
     assert int(filt.group(1)) < int(mip.group(1)), plan
     # cut + scene windows share one media_id sort (lag and running sum)
     assert "CartesianProduct" not in plan
+
+
+def test_haar_levels_halve_over_day_aggregate(spark):
+    import re
+    plan = plan_of(workload_relational.events_haar_wavelet(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # each level consumes the CHECKPOINTED previous level (the fact is
+    # scanned once, inside level-1's lineage); the union reads RDDs
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan

@@ -172,6 +172,7 @@ QUERIES = [
     "mm_image_tiles",
     "mm_video_scene_cuts",
     "cdc_rebucket_migration",
+    "events_haar_wavelet",
 ]
 
 
