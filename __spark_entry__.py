@@ -71,7 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mm_image_tiles (Arrow 2D tile statistics), mm_video_scene_cuts
     (frame-delta scene segmentation), cdc_rebucket_migration
     (mid-stream bucket-count migration, hash-checked vs batch LWW),
-    events_haar_wavelet (3-level Haar multi-resolution energies)] +
+    events_haar_wavelet (3-level Haar multi-resolution energies),
+    customer_feature_store (wide per-customer ML feature assembly),
+    orders_backlog_curve (sweep-line concurrent-open-orders curve)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -79,10 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition]. The window is now 46 new + 4 changed = 50 (the
-    r3 refresh block AND cdc_xbatch_recovery's re-record slide out —
-    cdc_xbatch_recovery keeps its r6 green row); the 45 remaining rows
-    (cdc_xbatch_recovery, corpus_pack_sequences, corpus_token_mixture,
+    docs_repetition]. The window is now 48 new + 2 changed = 50 (the
+    r3 refresh block and three CHANGED re-records slide out —
+    docs_exact_jaccard_join, cdc_scd2_incremental and
+    cdc_xbatch_recovery keep their r5/r6 green rows); the 47 remaining
+    rows (docs_exact_jaccard_join, cdc_scd2_incremental,
+    cdc_xbatch_recovery, corpus_pack_sequences, corpus_token_mixture,
     docs_pii_redact,
     docs_repetition, docs_contamination, stream_windowed_watermark,
     docs_passage_dedup, docs_bm25_top_terms, docs_rag_chunks,
@@ -99,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 188 entries verified locally via
+    round-8 refresh queue. All 190 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -150,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
         "cdc_rebucket_migration": workload.cdc_rebucket_migration,
         "events_haar_wavelet": workload_relational.events_haar_wavelet,
+        "customer_feature_store": workload_relational.customer_feature_store,
+        "orders_backlog_curve": workload_relational.orders_backlog_curve,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -190,8 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 46 new + 4 changed;
-        # cdc_xbatch_recovery..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 48 new + 2 changed;
+        # docs_exact_jaccard_join..events_rollup_multidim slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

@@ -179,6 +179,8 @@ HEADLINE = [
     "mm_video_scene_cuts",
     "cdc_rebucket_migration",
     "events_haar_wavelet",
+    "customer_feature_store",
+    "orders_backlog_curve",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -369,7 +371,8 @@ def main() -> None:
               "events_forecast_backtest", "lineitem_latency_quantiles",
               "events_dau_mau", "lineitem_metric_correlations",
               "mm_image_tiles", "mm_video_scene_cuts",
-              "cdc_rebucket_migration", "events_haar_wavelet"}
+              "cdc_rebucket_migration", "events_haar_wavelet",
+              "customer_feature_store", "orders_backlog_curve"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

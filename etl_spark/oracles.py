@@ -4038,3 +4038,53 @@ SELECT event_type, CAST(level AS INTEGER) AS level, n_coeffs,
        round(CAST(ae AS DOUBLE), 6) AS approx_energy
 FROM e
 """
+
+ORACLES["customer_feature_store"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+gaps AS (
+  SELECT o_custkey, o_totalprice, o_orderdate,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+),
+feats AS (
+  SELECT o_custkey,
+         min(date_diff('day', CAST(o_orderdate AS DATE), CAST(anchor.a AS DATE))) AS recency_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+              - min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_spread,
+         round(avg(CAST(gap_days AS DOUBLE)), 6) AS avg_gap_days
+  FROM gaps CROSS JOIN anchor GROUP BY o_custkey, anchor.a
+)
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       round(c_acctbal, 2) AS acctbal,
+       recency_days, n_orders, total_spend, spend_spread, avg_gap_days
+FROM customer LEFT JOIN feats ON o_custkey = c_custkey
+"""
+
+ORACLES["orders_backlog_curve"] = """
+WITH spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         CAST(li.close_date AS DATE) AS close_day
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS close_date
+        FROM lineitem GROUP BY 1) li
+    ON li.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT day, CAST(sum(opens) AS BIGINT) AS opens,
+         CAST(sum(closes) AS BIGINT) AS closes
+  FROM (
+    SELECT open_day AS day, 1 AS opens, 0 AS closes FROM spans
+    UNION ALL
+    SELECT close_day + INTERVAL 1 DAY, 0, 1 FROM spans
+  ) GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, opens, closes,
+       CAST(sum(opens - closes) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM deltas
+"""

@@ -3408,3 +3408,110 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("detail_energy_d").cast("double"), 6).alias("detail_energy"),
         F.round(F.col("approx_energy_d").cast("double"), 6).alias("approx_energy"),
     )
+
+
+def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization (X146): one wide per-customer
+    feature row assembled from independent source aggregates — the
+    churn-model feature table every ML platform materializes nightly.
+    Features: RFM raw metrics (recency days vs the broadcast anchor,
+    order count, exact DECIMAL spend), order-value spread (max − min),
+    average days between orders, account balance, market segment, and
+    nation key.
+
+    Shape: each feature family is ONE map-combined aggregate on the
+    customer key; the final assembly is key-co-partitioned joins onto
+    the customer dim (the orders aggregate reuses its o_custkey
+    partitioning; dim attributes ride along) — no fact table is ever
+    joined to another fact. Missing-order customers keep NULL order
+    features via the left join (the feature-store convention).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    anchor = o.agg(F.max("o_orderdate").alias("__a"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = o.select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    feats = (
+        gaps.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("__a"), F.col("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            (
+                F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+                - F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            ).cast("double").alias("spend_spread"),
+            F.round(F.avg(F.col("gap_days").cast("double")), 6).alias(
+                "avg_gap_days"
+            ),
+        )
+    )
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal")
+    ).join(feats, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal",
+        "recency_days",
+        "n_orders",
+        "total_spend",
+        "spend_spread",
+        "avg_gap_days",
+    )
+
+
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-open-orders curve via a SWEEP LINE (X147): each order
+    opens at its order date and closes at its latest line-item ship
+    date; the curve of simultaneously-open orders per day is the classic
+    interval-counting problem — solved as ±1 boundary events reduced to
+    per-day deltas (one map-combined shuffle) and ONE running sum over
+    the day-bounded delta table, never an interval join or a per-day
+    re-scan.
+
+    Output: per day with activity, opens, closes, and the running open
+    count. The cumulative window runs over ≤ wall-clock-days rows —
+    metadata-sized at any data scale; the reduction below it is the
+    only fact-sized stage.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    spans = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "inner").select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.to_date("close_date").alias("close_day"),
+    )
+    deltas = (
+        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("opens"),
+                     F.lit(0).alias("closes"))
+        .unionAll(
+            # close takes effect the day AFTER the last shipment
+            spans.select(F.date_add("close_day", 1).alias("day"),
+                         F.lit(0).alias("opens"), F.lit(1).alias("closes"))
+        )
+        .groupBy("day")
+        .agg(F.sum("opens").alias("opens"), F.sum("closes").alias("closes"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn(
+        "open_orders", F.sum(F.col("opens") - F.col("closes")).over(w)
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "opens",
+        "closes",
+        "open_orders",
+    )

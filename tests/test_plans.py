@@ -1051,3 +1051,23 @@ def test_haar_levels_halve_over_day_aggregate(spark):
     # scanned once, inside level-1's lineage); the union reads RDDs
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_feature_store_left_join_no_fact_fact(spark):
+    plan = plan_of(workload_relational.customer_feature_store(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # missing-order customers keep NULL features
+    assert "LeftOuter" in plan, plan
+
+
+def test_backlog_sweepline_running_sum_over_day_deltas(spark):
+    plan = plan_of(workload_relational.orders_backlog_curve(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the cumulative window consumes the DAY-bounded delta aggregate:
+    # HashAggregate sits below the (single-partition, bounded) Window
+    import re
+    win = re.search(r"^\((\d+)\) Window", plan, re.M)
+    agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
+    assert win and agg and int(agg.group(1)) < int(win.group(1)), plan

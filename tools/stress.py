@@ -173,6 +173,8 @@ QUERIES = [
     "mm_video_scene_cuts",
     "cdc_rebucket_migration",
     "events_haar_wavelet",
+    "customer_feature_store",
+    "orders_backlog_curve",
 ]
 
 
