@@ -299,3 +299,104 @@ def test_pmi_matches_python(spark):
         pmi = math.log(c * n / (uni[x] * uni[y]))
         assert got[(x, y)][0] == c
         assert abs(got[(x, y)][1] - pmi) < 1e-5, (x, y)
+
+
+def test_dau_mau_matches_python(spark):
+    from collections import defaultdict
+
+    rows = read_table(spark, SF_DIR, "events").select("ts", "user_id").collect()
+    presence = {(r["ts"] // 1_000_000_000 // 86400, r["user_id"]) for r in rows}
+    days = sorted({d for d, _ in presence})
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"])
+        for r in workload_relational.events_dau_mau(spark, SF_DIR).collect()
+    }
+    by_user = defaultdict(set)
+    for d, u in presence:
+        by_user[u].add(d)
+    for obs in range(min(days), max(days) + 1):
+        dau = sum(1 for u, ds in by_user.items() if obs in ds)
+        wau = sum(1 for u, ds in by_user.items()
+                  if any(obs - 6 <= d <= obs for d in ds))
+        mau = sum(1 for u, ds in by_user.items()
+                  if any(obs - 27 <= d <= obs for d in ds))
+        if obs in got:
+            assert got[obs] == (dau, wau, mau), obs
+        else:
+            assert mau == 0, obs  # days with no window coverage don't emit
+
+
+def test_haar_energy_conservation_and_python_mirror(spark):
+    from collections import defaultdict
+
+    rows = read_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    from decimal import Decimal
+
+    sums = defaultdict(lambda: [Decimal(0), 0])
+    for r in rows:
+        k = (r["event_type"], r["ts"] // 1_000_000_000 // 86400)
+        sums[k][0] += Decimal(str(round(r["value"], 2)))
+        sums[k][1] += 1
+    series = defaultdict(list)
+    for (t, d), (sv, c) in sums.items():
+        series[t].append((d, float(sv) / c))
+    got = {
+        (r["event_type"], r["level"]): (r["n_coeffs"], r["detail_energy"],
+                                        r["approx_energy"])
+        for r in workload_relational.events_haar_wavelet(spark, SF_DIR).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        cur = [m for _, m in pts]
+        for lvl in (1, 2, 3):
+            nxt, det = [], []
+            for i in range(0, len(cur), 2):
+                if i + 1 < len(cur):
+                    nxt.append((cur[i] + cur[i + 1]) / 2.0)
+                    det.append((cur[i] - cur[i + 1]) / 2.0)
+                else:
+                    nxt.append(cur[i])
+                    det.append(0.0)
+            de = sum(x * x for x in det)
+            ae = sum(x * x for x in nxt)
+            n, gde, gae = got[(t, lvl)]
+            assert n == len(nxt), (t, lvl)
+            assert abs(gde - de) < 1e-5 and abs(gae - ae) < 1e-5, (t, lvl)
+            cur = nxt
+
+
+def test_backlog_curve_matches_python(spark):
+    from collections import defaultdict
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in read_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate").collect()
+    }
+    closes = defaultdict(lambda: None)
+    for r in read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        d = r["l_shipdate"].date()
+        if closes[r["l_orderkey"]] is None or d > closes[r["l_orderkey"]]:
+            closes[r["l_orderkey"]] = d
+    import datetime
+
+    deltas = defaultdict(lambda: [0, 0])
+    for ok, od in orders.items():
+        cd = closes.get(ok)
+        if cd is None:
+            continue
+        deltas[od][0] += 1
+        deltas[cd + datetime.timedelta(days=1)][1] += 1
+    got = {
+        r["day"]: (r["opens"], r["closes"], r["open_orders"])
+        for r in workload_relational.orders_backlog_curve(spark, SF_DIR).collect()
+    }
+    run = 0
+    for day in sorted(deltas):
+        o, c = deltas[day]
+        run += o - c
+        assert got[day.strftime("%Y-%m-%d")] == (o, c, run), day
