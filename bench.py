@@ -181,6 +181,7 @@ HEADLINE = [
     "events_haar_wavelet",
     "customer_feature_store",
     "orders_backlog_curve",
+    "corpus_heaps_law",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -372,7 +373,8 @@ def main() -> None:
               "events_dau_mau", "lineitem_metric_correlations",
               "mm_image_tiles", "mm_video_scene_cuts",
               "cdc_rebucket_migration", "events_haar_wavelet",
-              "customer_feature_store", "orders_backlog_curve"}
+              "customer_feature_store", "orders_backlog_curve",
+              "corpus_heaps_law"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

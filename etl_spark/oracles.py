@@ -4088,3 +4088,45 @@ SELECT strftime(day, '%Y-%m-%d') AS day, opens, closes,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
 FROM deltas
 """
+
+ORACLES["corpus_heaps_law"] = """
+WITH term AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, term FROM term WHERE term <> ''),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+firsts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new_terms FROM (
+    SELECT term, min(doc_id) AS doc_id FROM t GROUP BY 1
+  ) GROUP BY 1
+),
+curve AS (
+  SELECT p.doc_id, p.n_tokens, coalesce(f.n_new_terms, 0) AS n_new_terms,
+         sum(p.n_tokens) OVER (ORDER BY p.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(coalesce(f.n_new_terms, 0)) OVER (ORDER BY p.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(cum_vocab) AS BIGINT) AS vocab_size,
+         sum(CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sx,
+         sum(CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sy,
+         sum(CAST(round(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                        * round(ln(CAST(cum_tokens AS DOUBLE)), 9), 9) AS DECIMAL(38,9))) AS sxx,
+         sum(CAST(round(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                        * round(ln(CAST(cum_vocab AS DOUBLE)), 9), 9) AS DECIMAL(38,9))) AS sxy
+  FROM curve
+)
+SELECT n_docs, total_tokens, vocab_size,
+       round((n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
+       round(exp((CAST(sy AS DOUBLE)
+                  - ((n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n_docs), 6) AS heaps_k
+FROM m
+"""

@@ -1761,3 +1761,66 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (X148): V(n) ≈ K·n^β — how fast new
+    vocabulary appears as the corpus grows in doc_id order, with the
+    log-log OLS slope β (natural corpora sit near 0.5; β drifting up
+    mid-ingest flags encoding noise, down flags templated text). The
+    curve itself is the per-doc (cumulative tokens, cumulative distinct
+    vocabulary) table.
+
+    Exact cumulative DISTINCT without a quadratic re-scan: a term's
+    FIRST occurrence is a groupBy-min over the term table (one
+    map-combined shuffle); cumulative vocabulary = running sum of
+    first-occurrence counts over the DOC-bounded per-doc table, beside
+    the running token count — two values per doc, one bounded window.
+    OLS moments are decimal sums of 9-dp logs over ≤|docs| points.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    term = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = term.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    firsts = (
+        term.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new_terms"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .na.fill({"n_new_terms": 0})
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(w))
+    )
+    lx = F.round(F.log(F.col("cum_tokens").cast("double")), 9)
+    ly = F.round(F.log(F.col("cum_vocab").cast("double")), 9)
+    m = curve.agg(
+        F.count("*").alias("n_docs"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("vocab_size"),
+        F.sum(lx.cast("decimal(28,9)")).alias("sx"),
+        F.sum(ly.cast("decimal(28,9)")).alias("sy"),
+        F.sum(F.round(lx * lx, 9).cast("decimal(38,9)")).alias("sxx"),
+        F.sum(F.round(lx * ly, 9).cast("decimal(38,9)")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    beta = (
+        (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return m.select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy").cast("double") - beta * F.col("sx").cast("double")) / n),
+            6,
+        ).alias("heaps_k"),
+    )

@@ -1071,3 +1071,15 @@ def test_backlog_sweepline_running_sum_over_day_deltas(spark):
     win = re.search(r"^\((\d+)\) Window", plan, re.M)
     agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
     assert win and agg and int(agg.group(1)) < int(win.group(1)), plan
+
+
+def test_heaps_first_occurrence_not_quadratic(spark):
+    plan = plan_of(workload_text.corpus_heaps_law(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # cumulative distinct via groupBy-min first occurrences — the
+    # cumulative windows run over the DOC-bounded per-doc table
+    import re
+    win = re.search(r"^\((\d+)\) Window", plan, re.M)
+    agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
+    assert win and agg and int(agg.group(1)) < int(win.group(1)), plan

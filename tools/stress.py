@@ -175,6 +175,7 @@ QUERIES = [
     "events_haar_wavelet",
     "customer_feature_store",
     "orders_backlog_curve",
+    "corpus_heaps_law",
 ]
 
 
