@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-7 window (first 50) = [8 NEW: cdc_schema_evolution (mid-stream
+    Round-7 window (first 50) = [49 NEW: cdc_schema_evolution (mid-stream
     RENAME+DEFAULT through the bucket-manifest sink, hash-checked against
     the batch LWW oracle with the rename folded in), sketch_hll_users,
     sketch_count_min_users, lineitem_basket_lift, events_cusum_alerts,
