@@ -74,7 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_haar_wavelet (3-level Haar multi-resolution energies),
     customer_feature_store (wide per-customer ML feature assembly),
     orders_backlog_curve (sweep-line concurrent-open-orders curve),
-    corpus_heaps_law (vocabulary-growth OLS over first occurrences)] +
+    corpus_heaps_law (vocabulary-growth OLS over first occurrences),
+    events_entropy_rate (Markov next-event entropy),
+    embeddings_centroid_separation (inter-centroid distance matrix)] +
     [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
     late within-watermark events fold by min/max),
     cdc_changelog_compact (committed-segments FOLDED manifest),
@@ -82,8 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
     manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
     corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition]. The window is now 49 new + 1 changed
-    (stream_stateful_sessions) = 50; four CHANGED re-records slide out
+    docs_repetition]. The window is now 50 new = 50: FIFTY-ONE new ops
+    exist, so one (embeddings_centroid_separation, slot 51) leads the
+    round-8 queue for its first gate shot — every windowed entry is a
+    first gate shot; all five CHANGED re-records slide out
     (cdc_changelog_compact, docs_exact_jaccard_join,
     cdc_scd2_incremental, cdc_xbatch_recovery keep their r5/r6 green
     rows) and lead the 48-entry round-8 queue ahead of
@@ -104,7 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention_cohorts, events_grouping_sets, events_pivot_daily,
     events_error_after_purchase, events_gapfill_locf,
     stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 191 entries verified locally via
+    round-8 refresh queue. All 193 entries verified locally via
     tools/check_oracle.py at sf0.01 (COVERAGE.md).
     """
     return {
@@ -158,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_feature_store": workload_relational.customer_feature_store,
         "orders_backlog_curve": workload_relational.orders_backlog_curve,
         "corpus_heaps_law": workload_text.corpus_heaps_law,
+        "events_entropy_rate": workload_relational.events_entropy_rate,
+        "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
         # --- implementation CHANGED in round 7: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
@@ -198,8 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 49 new + 1 changed;
-        # cdc_changelog_compact..events_rollup_multidim slid past the cutoff
+        # --- slots 51+ (window full at 50: 50 new;
+        # embeddings_centroid_separation + the changed re-records +
+        # the refresh block slid past the cutoff
         # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,

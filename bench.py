@@ -182,6 +182,8 @@ HEADLINE = [
     "customer_feature_store",
     "orders_backlog_curve",
     "corpus_heaps_law",
+    "events_entropy_rate",
+    "embeddings_centroid_separation",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -374,7 +376,8 @@ def main() -> None:
               "mm_image_tiles", "mm_video_scene_cuts",
               "cdc_rebucket_migration", "events_haar_wavelet",
               "customer_feature_store", "orders_backlog_curve",
-              "corpus_heaps_law"}
+              "corpus_heaps_law", "events_entropy_rate",
+              "embeddings_centroid_separation"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new),

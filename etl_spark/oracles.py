@@ -4130,3 +4130,52 @@ SELECT n_docs, total_tokens, vocab_size,
                     * CAST(sx AS DOUBLE)) / n_docs), 6) AS heaps_k
 FROM m
 """
+
+ORACLES["events_entropy_rate"] = """
+WITH pairs AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS t
+  FROM events QUALIFY t IS NOT NULL
+),
+cells AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c_st FROM pairs GROUP BY 1, 2),
+per_s AS (SELECT s, CAST(sum(c_st) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM per_s),
+hs AS (
+  SELECT cells.s,
+         any_value(per_s.c_s) AS n_transitions,
+         CAST(count(*) AS BIGINT) AS n_successors,
+         sum(CAST(round(-(CAST(cells.c_st AS DOUBLE) / per_s.c_s)
+                        * ln(CAST(cells.c_st AS DOUBLE) / per_s.c_s), 9)
+                  AS DECIMAL(28,9))) AS h_d
+  FROM cells JOIN per_s USING (s) GROUP BY cells.s
+)
+SELECT s AS state, n_transitions, n_successors,
+       round(CAST(h_d AS DOUBLE), 6) AS entropy_nats,
+       round(CAST(h_d AS DOUBLE) * (n_transitions / CAST(tot.n AS DOUBLE)), 6) AS rate_contribution
+FROM hs CROSS JOIN tot
+"""
+
+ORACLES["embeddings_centroid_separation"] = """
+WITH e AS (
+  SELECT label, u.i - 1 AS pos, CAST(u.x AS DOUBLE) AS v FROM (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS u
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mu
+  FROM e GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(round((a.mu - b.mu) * (a.mu - b.mu), 9) AS DECIMAL(38,9)) AS d2
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+)
+SELECT label_a, label_b,
+       round(CAST(sum(d2) AS DOUBLE), 6) AS dist_sq,
+       round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS dist
+FROM pairs GROUP BY 1, 2
+"""

@@ -3515,3 +3515,53 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closes",
         "open_orders",
     )
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the event stream (X149): per source
+    state, the Shannon entropy of its next-event distribution, plus each
+    state's share-weighted contribution to the chain's entropy rate
+    H = Σₛ p(s)·H(·|s) — "how predictable is the next user action",
+    the information-theoretic summary on top of the X93 transition
+    matrix.
+
+    Shape: per-user successor pairs ride one lag window (events already
+    cluster by user after the shuffle); everything after the (s, t)
+    count aggregate operates on the |types|²-bounded cell table.
+    Entropy terms round→DECIMAL for order-independent sums; probabilities
+    divide exact integers in double.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cells = pairs.groupBy("s", "t").agg(F.count("*").alias("c_st")).localCheckpoint()
+    per_s = cells.groupBy("s").agg(F.sum("c_st").alias("c_s"))
+    tot = per_s.agg(F.sum("c_s").alias("n"))
+    j = cells.join(F.broadcast(per_s), "s")
+    hterm = F.round(
+        -(F.col("c_st") / F.col("c_s"))
+        * F.log(F.col("c_st") / F.col("c_s")),
+        9,
+    ).cast("decimal(28,9)")
+    hs = j.groupBy("s").agg(
+        F.first("c_s").alias("n_transitions"),
+        F.count("*").alias("n_successors"),
+        F.sum(hterm).alias("h_d"),
+    )
+    return (
+        hs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            "n_transitions",
+            "n_successors",
+            F.round(F.col("h_d").cast("double"), 6).alias("entropy_nats"),
+            F.round(
+                F.col("h_d").cast("double")
+                * (F.col("n_transitions") / F.col("n").cast("double")),
+                6,
+            ).alias("rate_contribution"),
+        )
+    )

@@ -1824,3 +1824,49 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_k"),
     )
+
+
+def embeddings_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-centroid separation matrix (X150): squared Euclidean
+    distance between every pair of label centroids — the cluster-quality
+    report (are classes separable before training a probe?) and the
+    IVF-cell-overlap diagnostic for the ANN stack.
+
+    Shape: centroids are per-(label, dim) exact-decimal means (one
+    map-combined fan-out — the same order-independent accumulation as
+    the k-means step); the pairwise stage self-joins the
+    |labels|·d-bounded centroid table on dim and reduces to the
+    |labels|²-bounded matrix with rounded-decimal sums.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = (
+        emb.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("mu")
+        )
+        .localCheckpoint()  # consumed by both sides of the pair join
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("mu").alias("mu_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("mu").alias("mu_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("pos") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")),
+    )
+    d2 = F.round(
+        (F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b")), 9
+    ).cast("decimal(38,9)")
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.round(F.sum(d2).cast("double"), 6).alias("dist_sq"),
+        F.round(F.sqrt(F.sum(d2).cast("double")), 6).alias("dist"),
+    )

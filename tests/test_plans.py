@@ -1083,3 +1083,21 @@ def test_heaps_first_occurrence_not_quadratic(spark):
     win = re.search(r"^\((\d+)\) Window", plan, re.M)
     agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
     assert win and agg and int(agg.group(1)) < int(win.group(1)), plan
+
+
+def test_entropy_rate_cells_bounded(spark):
+    import re
+    plan = plan_of(workload_relational.events_entropy_rate(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # everything past the checkpointed (s, t) cell aggregate is bounded:
+    # no parquet scan survives into the final plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_centroid_separation_broadcast_pair_join(spark):
+    plan = plan_of(workload_text.embeddings_centroid_separation(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the |labels|*d centroid table broadcasts for the pair stage
+    assert "BroadcastHashJoin" in plan, plan

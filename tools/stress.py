@@ -176,6 +176,8 @@ QUERIES = [
     "customer_feature_store",
     "orders_backlog_curve",
     "corpus_heaps_law",
+    "events_entropy_rate",
+    "embeddings_centroid_separation",
 ]
 
 
