@@ -50,8 +50,9 @@ def test_sink_matches_lww_model_under_random_ops(spark, tmp_path, seed):
     applied: list[tuple[int, list]] = []  # (batch_id, events) for replay
     for step in range(10):
         action = rng.choices(
-            ["batch", "truncate", "replay", "compact", "expire", "restart"],
-            weights=[6, 1, 2, 1, 1, 2],
+            ["batch", "truncate", "replay", "compact", "expire", "restart",
+             "rebucket"],
+            weights=[6, 1, 2, 1, 1, 2, 2],
         )[0]
         if action == "batch" or not applied:
             events = []
@@ -86,6 +87,14 @@ def test_sink_matches_lww_model_under_random_ops(spark, tmp_path, seed):
                 assert d not in sink.live_dirs("t")
         elif action == "restart":
             sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+        elif action == "rebucket":
+            # online bucket-count migration interleaved with everything
+            # else: content must be invariant and later batches must
+            # merge at the manifest-pinned count
+            n = rng.choice([1, 4, 16, 64])
+            sink.rebucket("t", n)
+            v = sink._current_version("t")
+            assert sink._manifest("t", v)["n_buckets"] == n
 
         got = {
             r.pk: r.val
