@@ -136,7 +136,8 @@ def test_scd2_sink_matches_version_model_under_random_ops(spark, tmp_path, seed)
     applied = []
     for step in range(8):
         action = rng.choices(
-            ["batch", "replay", "compact", "restart"], weights=[6, 2, 1, 2])[0]
+            ["batch", "replay", "compact", "restart", "rebucket"],
+            weights=[6, 2, 1, 2, 2])[0]
         if action == "batch" or not applied:
             evs = []
             for _ in range(rng.randint(1, 5)):
@@ -168,6 +169,9 @@ def test_scd2_sink_matches_version_model_under_random_ops(spark, tmp_path, seed)
             sink.compact("t")
         elif action == "restart":
             sink = ParquetScd2Sink(root, keys=["pk"], spark=spark)
+        elif action == "rebucket":
+            n = rng.choice([1, 4, 32])
+            sink.rebucket("t", n)
 
         got = {(r.pk, r.valid_from): (r.val, r.valid_to, bool(r.is_current))
                for r in sink.read("t").collect()}
