@@ -32,149 +32,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    Round-7 window (first 50) = [49 NEW: cdc_schema_evolution (mid-stream
-    RENAME+DEFAULT through the bucket-manifest sink, hash-checked against
-    the batch LWW oracle with the rename folded in), sketch_hll_users,
-    sketch_count_min_users, lineitem_basket_lift, events_cusum_alerts,
-    docs_gopher_rules, order_graph_pagerank (integer-exact 3-iteration
-    PageRank), lineitem_skyline (range-partitioned Pareto frontier),
-    mm_audio_vad (Arrow-batched frame-energy decode + gaps-and-islands
-    voice-activity segmentation), events_changepoint (binary-segmentation
-    first split via prefix sums), docs_winnowing (MOSS rightmost-min
-    fingerprint selection), orders_abc_class (Pareto classification over
-    the dim-bounded aggregate), docs_train_split (salted-hash 90/5/5
-    split with membership checksums), corpus_dsir_weights (DSIR
-    hashed-unigram log-likelihood-ratio weights), events_feature_mi
-    (MI/chi-square feature association), customer_balance_gini (exact
-    decimal Gini), parts_triangle_count (degree-oriented wedge-join
-    triangles), events_sax_daily (SAX symbolization),
-    orders_rfm_segments (two-pass-rank RFM quintile bands),
-    events_lag_autocorr (lag-1..3 ACF of daily series),
-    events_kanon_audit (k-anonymity class-size histogram),
-    embeddings_covariance (exact fused-term covariance matrix),
-    stream_sliding_topk (sliding-window watermark-finalized top-k),
-    orders_cohort_ltv (cohort LTV matrix), embeddings_quantize_int8
-    (symmetric int8 quantization audit), lineitem_benford_audit
-    (first-digit forensics), supplier_share_hhi (Herfindahl
-    concentration), orders_tail_index_hill (Hill heavy-tail estimator),
-    docs_zipf_slope (vocabulary Zipf OLS slope), events_welch_ttest
-    (pairwise Welch t), events_burstiness (inter-arrival burstiness),
-    orders_survival_km (Kaplan-Meier reorder survival), docs_pmi_pairs
-    (bigram PMI collocations), events_gapfill_interp (linear-interp
-    gapfill), nation_revenue_yoy (YoY growth), docs_readability_fk
-    (Flesch-Kincaid readability), cdc_hot_keys (change-stream hot-key
-    skew profile), ann_recall_eval (LSH recall@5 vs exact),
-    events_forecast_backtest (seasonal-naive MAPE/sMAPE backtest),
-    lineitem_latency_quantiles (exact histogram p50/p90/p99),
-    events_dau_mau (exact sliding-distinct DAU/WAU/MAU),
-    lineitem_metric_correlations (salted-long Pearson moments),
-    mm_image_tiles (Arrow 2D tile statistics), mm_video_scene_cuts
-    (frame-delta scene segmentation), cdc_rebucket_migration
-    (mid-stream bucket-count migration, hash-checked vs batch LWW),
-    events_haar_wavelet (3-level Haar multi-resolution energies),
-    customer_feature_store (wide per-customer ML feature assembly),
-    orders_backlog_curve (sweep-line concurrent-open-orders curve),
-    corpus_heaps_law (vocabulary-growth OLS over first occurrences),
-    events_entropy_rate (Markov next-event entropy),
-    embeddings_centroid_separation (inter-centroid distance matrix)] +
-    [5 CHANGED: stream_stateful_sessions (interval sweep-merge kernel —
-    late within-watermark events fold by min/max),
-    cdc_changelog_compact (committed-segments FOLDED manifest),
-    docs_exact_jaccard_join (size-keyed prefix join + one-intersect
-    verify), cdc_scd2_incremental + cdc_xbatch_recovery (DDL-log
-    manifest plumbing, ledger snapshot + ddl replay ops)] + [4 r3 rows:
-    corpus_pack_sequences, corpus_token_mixture, docs_pii_redact,
-    docs_repetition]. The window is now 50 new = 50: FIFTY-ONE new ops
-    exist, so one (embeddings_centroid_separation, slot 51) leads the
-    round-8 queue for its first gate shot — every windowed entry is a
-    first gate shot; all five CHANGED re-records slide out
-    (cdc_changelog_compact, docs_exact_jaccard_join,
-    cdc_scd2_incremental, cdc_xbatch_recovery keep their r5/r6 green
-    rows) and lead the 48-entry round-8 queue ahead of
-    (corpus_pack_sequences, corpus_token_mixture,
-    docs_pii_redact,
-    docs_repetition, docs_contamination, stream_windowed_watermark,
-    docs_passage_dedup, docs_bm25_top_terms, docs_rag_chunks,
-    docs_semantic_dedup, events_promo_range_join,
-    stream_click_purchase_join, mm_resize, stream_session_window,
-    cdc_scd2_history, cdc_state_asof,
-    docs_unigram_logprob, stream_native_dedup,
-    sample_reservoir_per_stratum, corpus_temperature_mix,
-    stream_static_enrich, cdc_gap_audit,
-    dedup_minhash_incremental, events_rolling_1h, corpus_drop_audit,
-    docs_profile, events_quality_checks, sketch_merge_global,
-    bloom_prune_probe, cdc_changed_columns, sessionize_events,
-    events_hourly_rollup, events_rollup_multidim, asof_click_attribution,
-    events_retention_cohorts, events_grouping_sets, events_pivot_daily,
-    events_error_after_purchase, events_gapfill_locf,
-    stream_incremental_rollup + the 4 r1-era dedup retests) lead the
-    round-8 refresh queue. All 193 entries verified locally via
-    tools/check_oracle.py at sf0.01 (COVERAGE.md).
+    ROUND-8 WINDOW = EVIDENCE REFRESH (the round-7 verdict's #1 item: the
+    r7 window was 100% consumed by 50 new operators, so the refresh queue
+    must drain this round). In order: [round-8 NEW ops] + [2 CHANGED in
+    r8: cdc_schema_evolution (decode gained the LSN-gated mid-batch
+    ADD..DEFAULT rule + key-rename remap), sketch_count_min_users
+    (count_min_estimate probe join is now a LEFT join with coalesce(c,0)
+    so absent keys estimate 0 — gate result unchanged, impl changed)] +
+    [1 NEVER GATED: embeddings_centroid_separation (r7 slot 51)] +
+    [5 CHANGED in r7 whose green rows predate the change:
+    stream_stateful_sessions, cdc_changelog_compact,
+    docs_exact_jaccard_join, cdc_scd2_incremental, cdc_xbatch_recovery]
+    + [4 r3 rows: corpus_pack_sequences, corpus_token_mixture,
+    docs_pii_redact, docs_repetition] + [the r4-latest rows oldest-first
+    — the window cuts inside this block; whatever slides past slot 50
+    leads the round-9 queue]. Tail = r5, then r6, then r7 green rows
+    (freshest last). All 193+ entries verified locally via
+    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
     """
     return {
-        # --- round-7 NEW: first gate shot ---
+        # --- round-8 NEW ops land HERE (top of window) ---
+        # --- implementation CHANGED in round 8: re-record ---
         "cdc_schema_evolution": workload.cdc_schema_evolution,
-        "sketch_hll_users": workload_relational.sketch_hll_users,
         "sketch_count_min_users": workload_relational.sketch_count_min_users,
-        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
-        "events_cusum_alerts": workload_relational.events_cusum_alerts,
-        "docs_gopher_rules": workload_text.docs_gopher_rules,
-        "order_graph_pagerank": workload_relational.order_graph_pagerank,
-        "lineitem_skyline": workload_relational.lineitem_skyline,
-        "mm_audio_vad": workload_mm.mm_audio_vad,
-        "events_changepoint": workload_relational.events_changepoint,
-        "docs_winnowing": workload_text.docs_winnowing,
-        "orders_abc_class": workload_relational.orders_abc_class,
-        "docs_train_split": workload_text.docs_train_split,
-        "corpus_dsir_weights": workload_text.corpus_dsir_weights,
-        "events_feature_mi": workload_relational.events_feature_mi,
-        "customer_balance_gini": workload_relational.customer_balance_gini,
-        "parts_triangle_count": workload_relational.parts_triangle_count,
-        "events_sax_daily": workload_relational.events_sax_daily,
-        "orders_rfm_segments": workload_relational.orders_rfm_segments,
-        "events_lag_autocorr": workload_relational.events_lag_autocorr,
-        "events_kanon_audit": workload_relational.events_kanon_audit,
-        "embeddings_covariance": workload_text.embeddings_covariance,
-        "stream_sliding_topk": workload.stream_sliding_topk,
-        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
-        "embeddings_quantize_int8": workload_text.embeddings_quantize_int8,
-        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
-        "supplier_share_hhi": workload_relational.supplier_share_hhi,
-        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
-        "docs_zipf_slope": workload_text.docs_zipf_slope,
-        "events_welch_ttest": workload_relational.events_welch_ttest,
-        "events_burstiness": workload_relational.events_burstiness,
-        "orders_survival_km": workload_relational.orders_survival_km,
-        "docs_pmi_pairs": workload_text.docs_pmi_pairs,
-        "events_gapfill_interp": workload_relational.events_gapfill_interp,
-        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
-        "docs_readability_fk": workload_text.docs_readability_fk,
-        "cdc_hot_keys": workload.cdc_hot_keys,
-        "ann_recall_eval": workload_text.ann_recall_eval,
-        "events_forecast_backtest": workload_relational.events_forecast_backtest,
-        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
-        "events_dau_mau": workload_relational.events_dau_mau,
-        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
-        "mm_image_tiles": workload_mm.mm_image_tiles,
-        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
-        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
-        "events_haar_wavelet": workload_relational.events_haar_wavelet,
-        "customer_feature_store": workload_relational.customer_feature_store,
-        "orders_backlog_curve": workload_relational.orders_backlog_curve,
-        "corpus_heaps_law": workload_text.corpus_heaps_law,
-        "events_entropy_rate": workload_relational.events_entropy_rate,
+        # --- never driver-gated (r7 slot 51): first gate shot ---
         "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
-        # --- implementation CHANGED in round 7: re-record ---
+        # --- impl CHANGED in r7 but window was full: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,
         "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
-        # --- oldest green rows (4 r3, then r4) refreshed oldest-first ---
+        # --- oldest green rows (r3) refreshed oldest-first ---
         "corpus_pack_sequences": workload_text.corpus_pack_sequences,
         "corpus_token_mixture": workload_text.corpus_token_mixture,
         "docs_pii_redact": workload_text.docs_pii_redact,
         "docs_repetition": workload_text.docs_repetition,
+        # --- r4-latest rows, oldest-first (window cuts inside this block) ---
         "docs_contamination": workload_text.docs_contamination,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
         "docs_passage_dedup": workload_text.docs_passage_dedup,
@@ -204,23 +98,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": workload_relational.sessionize_events,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
         "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        # --- slots 51+ (window full at 50: 50 new;
-        # embeddings_centroid_separation + the changed re-records +
-        # the refresh block slid past the cutoff
-        # when the late additions landed — they lead the round-8 queue):
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "events_retention_cohorts": workload_relational.events_retention_cohorts,
         "events_grouping_sets": workload_relational.events_grouping_sets,
         "events_pivot_daily": workload_relational.events_pivot_daily,
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        # --- these r4-latest rows lead the round-8 refresh queue ---
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
         "dedup_simhash": workload_text.dedup_simhash,
-        # --- past the window: every entry below has a green r5/r6 gate row ---
+        # --- past the window: r5-latest green rows ---
+        "text_langid": workload_text.text_langid,
+        "text_quality": workload_text.text_quality,
+        "text_tokens": workload_text.text_tokens,
+        "text_fingerprint": workload_text.text_fingerprint,
+        "ann_cosine_topk": workload_text.ann_cosine_topk,
+        "dedup_keep_list": workload_text.dedup_keep_list,
+        "dedup_components": workload_text.dedup_components,
+        "sample_stratified": workload_text.sample_stratified,
+        "docs_top_terms": workload_text.docs_top_terms,
+        "docs_clean": workload_text.docs_clean,
+        "docs_langid_confusion": workload_text.docs_langid_confusion,
+        "ann_ivf_topk": workload_text.ann_ivf_topk,
+        "ann_lsh_topk": workload_text.ann_lsh_topk,
+        "embed_near_dup": workload_text.embed_near_dup,
+        "q1_pricing_summary": workload_relational.q1_pricing_summary,
+        "q3_shipping_priority": workload_relational.q3_shipping_priority,
+        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
+        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
+        "q4_order_priority": workload_relational.q4_order_priority,
+        "q10_returned_items": workload_relational.q10_returned_items,
+        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
+        "q22_dormant_customers": workload_relational.q22_dormant_customers,
+        "q7_volume_shipping": workload_relational.q7_volume_shipping,
+        "q8_market_share": workload_relational.q8_market_share,
+        "q13_customer_distribution": workload_relational.q13_customer_distribution,
+        "q15_top_supplier": workload_relational.q15_top_supplier,
+        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
+        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
+        "docs_length_histogram": workload_text.docs_length_histogram,
+        "ann_kmeans_step": workload_text.ann_kmeans_step,
+        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
+        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
+        "events_anomaly_mad": workload_relational.events_anomaly_mad,
+        "docs_quality_calibration": workload_text.docs_quality_calibration,
+        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
+        "events_winsorize": workload_relational.events_winsorize,
+        "cdc_table_diff": workload.cdc_table_diff,
+        "cdc_state_diff": workload.cdc_state_diff,
+        "events_zorder_stats": workload_relational.events_zorder_stats,
+        "ann_pq_codes": workload_text.ann_pq_codes,
+        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
+        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
+        # --- r6-latest green rows ---
         "cdc_current_state": workload.cdc_current_state,
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
@@ -268,52 +204,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
         "events_time_weighted_value": workload_relational.events_time_weighted_value,
-        "text_langid": workload_text.text_langid,
-        "text_quality": workload_text.text_quality,
-        "text_tokens": workload_text.text_tokens,
-        "text_fingerprint": workload_text.text_fingerprint,
-        "ann_cosine_topk": workload_text.ann_cosine_topk,
-        "dedup_keep_list": workload_text.dedup_keep_list,
-        "dedup_components": workload_text.dedup_components,
-        "sample_stratified": workload_text.sample_stratified,
-        "docs_top_terms": workload_text.docs_top_terms,
-        "docs_clean": workload_text.docs_clean,
-        "docs_langid_confusion": workload_text.docs_langid_confusion,
-        "ann_ivf_topk": workload_text.ann_ivf_topk,
-        "ann_lsh_topk": workload_text.ann_lsh_topk,
-        "embed_near_dup": workload_text.embed_near_dup,
-        "q1_pricing_summary": workload_relational.q1_pricing_summary,
-        "q3_shipping_priority": workload_relational.q3_shipping_priority,
-        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
-        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
-        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
-        "q4_order_priority": workload_relational.q4_order_priority,
-        "q10_returned_items": workload_relational.q10_returned_items,
-        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
-        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
-        "q22_dormant_customers": workload_relational.q22_dormant_customers,
-        "q7_volume_shipping": workload_relational.q7_volume_shipping,
-        "q8_market_share": workload_relational.q8_market_share,
-        "q13_customer_distribution": workload_relational.q13_customer_distribution,
-        "q15_top_supplier": workload_relational.q15_top_supplier,
-        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
-        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
-        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
-        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
-        "docs_length_histogram": workload_text.docs_length_histogram,
-        "ann_kmeans_step": workload_text.ann_kmeans_step,
-        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
-        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
-        "events_anomaly_mad": workload_relational.events_anomaly_mad,
-        "docs_quality_calibration": workload_text.docs_quality_calibration,
-        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
-        "events_winsorize": workload_relational.events_winsorize,
-        "cdc_table_diff": workload.cdc_table_diff,
-        "cdc_state_diff": workload.cdc_state_diff,
-        "events_zorder_stats": workload_relational.events_zorder_stats,
-        "ann_pq_codes": workload_text.ann_pq_codes,
-        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
-        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
+        # --- r7-latest green rows (freshest evidence) ---
+        "sketch_hll_users": workload_relational.sketch_hll_users,
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
+        "events_cusum_alerts": workload_relational.events_cusum_alerts,
+        "docs_gopher_rules": workload_text.docs_gopher_rules,
+        "order_graph_pagerank": workload_relational.order_graph_pagerank,
+        "lineitem_skyline": workload_relational.lineitem_skyline,
+        "mm_audio_vad": workload_mm.mm_audio_vad,
+        "events_changepoint": workload_relational.events_changepoint,
+        "docs_winnowing": workload_text.docs_winnowing,
+        "orders_abc_class": workload_relational.orders_abc_class,
+        "docs_train_split": workload_text.docs_train_split,
+        "corpus_dsir_weights": workload_text.corpus_dsir_weights,
+        "events_feature_mi": workload_relational.events_feature_mi,
+        "customer_balance_gini": workload_relational.customer_balance_gini,
+        "parts_triangle_count": workload_relational.parts_triangle_count,
+        "events_sax_daily": workload_relational.events_sax_daily,
+        "orders_rfm_segments": workload_relational.orders_rfm_segments,
+        "events_lag_autocorr": workload_relational.events_lag_autocorr,
+        "events_kanon_audit": workload_relational.events_kanon_audit,
+        "embeddings_covariance": workload_text.embeddings_covariance,
+        "stream_sliding_topk": workload.stream_sliding_topk,
+        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
+        "embeddings_quantize_int8": workload_text.embeddings_quantize_int8,
+        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
+        "supplier_share_hhi": workload_relational.supplier_share_hhi,
+        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
+        "docs_zipf_slope": workload_text.docs_zipf_slope,
+        "events_welch_ttest": workload_relational.events_welch_ttest,
+        "events_burstiness": workload_relational.events_burstiness,
+        "orders_survival_km": workload_relational.orders_survival_km,
+        "docs_pmi_pairs": workload_text.docs_pmi_pairs,
+        "events_gapfill_interp": workload_relational.events_gapfill_interp,
+        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
+        "docs_readability_fk": workload_text.docs_readability_fk,
+        "cdc_hot_keys": workload.cdc_hot_keys,
+        "ann_recall_eval": workload_text.ann_recall_eval,
+        "events_forecast_backtest": workload_relational.events_forecast_backtest,
+        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
+        "events_dau_mau": workload_relational.events_dau_mau,
+        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
+        "mm_image_tiles": workload_mm.mm_image_tiles,
+        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
+        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
+        "events_haar_wavelet": workload_relational.events_haar_wavelet,
+        "customer_feature_store": workload_relational.customer_feature_store,
+        "orders_backlog_curve": workload_relational.orders_backlog_curve,
+        "corpus_heaps_law": workload_text.corpus_heaps_law,
+        "events_entropy_rate": workload_relational.events_entropy_rate,
     }
 
 

@@ -519,6 +519,10 @@ class PipelineRegistry:
 
             cls = ParquetScd2Sink if cls_kind == "parquet_scd2" else ParquetCurrentStateSink
             sink: _BucketedVersionedTable = cls(root, keys=t["keys"], spark=spark)
+            # the stored config's key names predate any mid-stream key
+            # RENAME; replay the manifest ddl_log so rebucket/compact
+            # hash the CURRENT key column
+            sink.sync_keys(name)
             if rebucket_to is not None:
                 sink.rebucket(name, rebucket_to)
             else:
@@ -582,6 +586,7 @@ class PipelineRegistry:
             else ParquetCurrentStateSink
         )
         sink = cls(sink_spec["root"], keys=tcfg["keys"], spark=spark)
+        sink.sync_keys(table)
         try:
             return sink.rollback_to(table, version)
         except FileNotFoundError as exc:

@@ -231,8 +231,12 @@ def count_min_estimate(
     """Point-frequency estimates for ``probes[value_col]`` against a
     count-min table: est = min over the key's ``depth`` cells (upper
     bound on the true count, exact-integer on every engine). The probe
-    side explodes to (key, row, cell) and equi-joins the sketch — the
-    sketch is depth·width rows, so the join broadcasts."""
+    side explodes to (key, row, cell) and LEFT-joins the sketch — the
+    sketch table only materializes non-empty cells, so a probe cell with
+    no match is a zero counter (a true count-min mins over ALL depth
+    cells including zeros): a key absent from the stream estimates 0
+    even when some of its cells collide with present keys. The sketch is
+    depth·width rows, so the join broadcasts."""
     rows = F.array(
         *[
             F.struct(
@@ -249,7 +253,7 @@ def count_min_estimate(
         F.col(value_col), F.explode(rows).alias("rc")
     ).select(value_col, "rc.row", "rc.cell")
     return (
-        probe_cells.join(F.broadcast(sketch), ["row", "cell"])
+        probe_cells.join(F.broadcast(sketch), ["row", "cell"], "left")
         .groupBy(value_col)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cm_est"))
     )

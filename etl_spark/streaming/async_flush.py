@@ -109,13 +109,22 @@ class AsyncFlushSink(Sink):
     def apply_schema_change(self, table, renames=None, drops=None,
                             defaults=None) -> None:
         # same serial-pool ordering as writes: the DDL must land after
-        # every already-dispatched pre-DDL write and before the post-DDL
-        # batch's writes
+        # every already-dispatched pre-DDL write — then SETTLE before
+        # returning. The pipeline durably records the new schema version
+        # in the registry immediately after this call on the caller
+        # thread; if the DDL were still in flight at that point, a crash
+        # after the registry save would replay the batch with the version
+        # already recorded (the `not any(v == lsn ...)` guard skips the
+        # re-apply) and the rename/drop would never reach the destination
+        # — the silent NULL-under-rename data loss the Sink docstring
+        # warns about. Sink-first/registry-second must hold through the
+        # async boundary, so DDL is pipelined-in-order but synchronous.
         self._pending.append(
             self._pool.submit(
                 self.inner.apply_schema_change, table, renames, drops, defaults
             )
         )
+        self.await_pending()
 
     def startup(self) -> None:
         self.inner.startup()

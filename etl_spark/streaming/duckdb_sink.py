@@ -139,11 +139,22 @@ class DuckDBCurrentStateSink(Sink):
         for col, value, typ in (defaults or []):
             if col not in cols:
                 # DDL takes no bind parameters: add the column, then
-                # backfill existing rows with a parameterized UPDATE
-                con.execute(f'ALTER TABLE "{table}" ADD COLUMN "{col}" {typ}')
-                con.execute(
-                    f'UPDATE "{table}" SET "{col}" = CAST(? AS {typ})', [value]
-                )
+                # backfill existing rows with a parameterized UPDATE —
+                # in ONE transaction. Autocommitted, a crash between the
+                # two statements leaves the column added but not
+                # backfilled, and the idempotent replay skips it (col
+                # already exists), so pre-DDL rows would permanently read
+                # NULL instead of the declared default.
+                con.execute("BEGIN TRANSACTION")
+                try:
+                    con.execute(f'ALTER TABLE "{table}" ADD COLUMN "{col}" {typ}')
+                    con.execute(
+                        f'UPDATE "{table}" SET "{col}" = CAST(? AS {typ})', [value]
+                    )
+                    con.execute("COMMIT")
+                except Exception:
+                    con.execute("ROLLBACK")
+                    raise
                 cols.add(col)
         # key columns follow renames so the staged MERGE keeps matching
         ren = dict(renames or [])

@@ -187,6 +187,26 @@ class Pipeline:
             if schema and schema != cfg.payload_schema:
                 cfg.payload_schema = schema
                 restored.append(name)
+            # cfg.keys follows the registry's rename chain the same way
+            # payload_schema does: a restart after a key-column RENAME
+            # rebuilds the pipeline from the constructor config, whose
+            # keys still carry the pre-DDL name — the decode would
+            # KeyError on the first batch. The alias map is
+            # current-name -> prior names; a configured key found in a
+            # chain resolves to that chain's current name.
+            live = {c.name for c in cols}
+            aliases = self._rename_aliases(name)
+            fixed = []
+            for k in cfg.keys:
+                if k in live:
+                    fixed.append(k)
+                    continue
+                cur = next((n for n, olds in aliases.items() if k in olds), k)
+                fixed.append(cur)
+            if fixed != cfg.keys:
+                cfg.keys = fixed
+                if name not in restored:
+                    restored.append(name)
         return restored
 
     def reconcile_membership(self) -> list[str]:
@@ -503,6 +523,20 @@ class Pipeline:
                         table, renames=d.renames, drops=d.columns_to_remove,
                         defaults=added_defaults,
                     )
+                if d.renames:
+                    # key columns follow renames in the PIPELINE config
+                    # too, not just inside the sink: post-rename
+                    # payload_schema carries the new name, and _decode's
+                    # types[cfg.keys[i]] lookup would KeyError (stream
+                    # crash-loop) if cfg.keys kept the old one. Declared
+                    # types follow for the same reason.
+                    ren = dict(d.renames)
+                    cfg.keys = [ren.get(k, k) for k in cfg.keys]
+                    decl = self._declared_types.get(table)
+                    if decl:
+                        self._declared_types[table] = {
+                            ren.get(k, k): v for k, v in decl.items()
+                        }
             self.schemas.record(table, lsn, cols)
             cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
 
@@ -515,7 +549,35 @@ class Pipeline:
         for (_l0, c0), (_l1, c1) in zip(vs, vs[1:]):
             for old, new in diff_schemas(c0, c1).renames:
                 alias[new] = alias.pop(old, []) + [old]
+        # an old name can RE-APPEAR as a new column (rename a->b, later
+        # ADD a): it is then a live field in its own right — keeping it in
+        # b's chain would both duplicate the from_json parse field
+        # (invalid schema) and coalesce the new a's values into b where b
+        # is NULL. Live columns never alias.
+        if vs:
+            live = {c.name for c in vs[-1][1]}
+            alias = {
+                new: kept
+                for new, olds in alias.items()
+                if (kept := [o for o in olds if o not in live])
+            }
         return alias
+
+    def _defaults_at(self, table: str) -> dict[str, tuple[int, str]]:
+        """Column → (LSN it was ADDed at, default literal) for columns
+        introduced with a DEFAULT, derived from consecutive registry
+        versions. A later re-add overwrites an earlier entry (the newest
+        add is the one whose LSN gates same-batch events)."""
+        vs = self.schemas._versions.get(table, [])
+        out: dict[str, tuple[int, str]] = {}
+        for (_l0, c0), (l1, c1) in zip(vs, vs[1:]):
+            d = diff_schemas(c0, c1)
+            for c in d.columns_to_add:
+                if c.default is not None:
+                    out[c.name] = (l1, c.default)
+            for c in d.columns_to_remove:
+                out.pop(c, None)
+        return out
 
     def _decode(self, cfg: TableConfig, rows: DataFrame) -> DataFrame:
         """Typed decode of the generic envelope (F11 analog): parse the
@@ -566,6 +628,17 @@ class Pipeline:
         resolvable = (F.size(missing) == 0) | (F.col("before_kind") == "FULL")
         dec = dec.filter(resolvable | ~F.col("op").isin(*ROW_OPS))
         types = dict(fields)
+        # ADD COLUMN .. DEFAULT mid-batch: RELATION frames apply BEFORE the
+        # batch's row events, so a row event from before the ADD (in LSN
+        # order) decodes under the post-ADD schema — its image lacks the
+        # column and would parse NULL, where the reference's in-order apply
+        # leaves the destination's backfilled default. The registry records
+        # the LSN each defaulted column appeared at: events strictly below
+        # it read the default (exactly PG's attmissingval view of pre-DDL
+        # rows); events at or above it parse their image (an explicit NULL
+        # stays NULL). Sink-side lazy defaults cover earlier batches' dirs;
+        # this rule covers the same-batch window.
+        defaults_at = self._defaults_at(cfg.name)
         proj = [F.col("op"), F.col("commit_lsn"), F.col("tx_ordinal"), F.col("event_seq")]
         for i, (n, t) in enumerate(fields):
             src = F.when(F.col("op") == "DELETE", _img("b", n)).otherwise(
@@ -573,6 +646,12 @@ class Pipeline:
                     F.array_contains(missing, F.lit(i)), _img("b", n)
                 ).otherwise(_img("a", n))
             )
+            rule = defaults_at.get(n)
+            if rule is not None:
+                add_lsn, dflt = rule
+                src = F.when(
+                    F.col("commit_lsn") < F.lit(add_lsn), F.lit(dflt)
+                ).otherwise(src)
             proj.append(src.cast(t).alias(n))
         # PK-changing updates (D1 semantics, bigquery/core.rs:1421-1478):
         # carry the old-image keys through decode, expand into

@@ -308,6 +308,28 @@ class _BucketedVersionedTable:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(n_buckets)
         ).cast("int")
 
+    def sync_keys(self, table: str) -> list[str]:
+        """Bring ``self.keys`` up to date with the table's recorded DDL
+        rename chain. A sink built from a STORED config (control-plane
+        maintenance, destination rollback, pipeline restart) carries the
+        key names as of config time; if a key column was renamed
+        mid-stream, bucket hashing with the stale name would KeyError or
+        — worse — hash a different column. The manifest's ddl_log is the
+        durable record: replay its renames over the configured keys. A
+        rename whose old name matches no configured key is a value-column
+        rename (no-op here); sequential replay makes the sync idempotent
+        — keys already current pass through every op unchanged."""
+        meta = self._current_meta(table)
+        if meta["version"] < 0:
+            return self.keys
+        ddl_log = self._manifest(table, meta["version"]).get("ddl_log", [])
+        keys = list(self.keys)
+        for op in ddl_log:
+            if op.get("op") == "rename":
+                keys = [op["to"] if k == op["from"] else k for k in keys]
+        self.keys = keys
+        return keys
+
     # -- DDL log (rename/drop as metadata, applied lazily at read) ----------
     @staticmethod
     def _apply_ddl_ops(df: DataFrame, ddl_log: list[dict], epoch: int) -> DataFrame:

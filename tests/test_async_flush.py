@@ -146,3 +146,23 @@ def test_pipeline_async_flush_end_state_matches_sync(spark, tmp_path):
     async_state, async_lsn = build("async", async_flush=True)
     assert async_state == sync_state == {1: "a2", 3: "c"}
     assert async_lsn == sync_lsn == 12
+
+
+def test_ddl_settles_before_return(spark):
+    """apply_schema_change must be SYNCHRONOUS through the async boundary:
+    the pipeline records the new schema version in the registry right
+    after the call on the caller thread, and a crash after that record
+    replays the batch with the version-guard satisfied — an in-flight DDL
+    at record time would then never reach the destination (the silent
+    NULL-under-rename loss). The call still orders AFTER every dispatched
+    pre-DDL write on the serial flush pool."""
+    inner = ProbeSink(delay=0.2)
+    sink = AsyncFlushSink(inner)
+    df = spark.createDataFrame([(1, "a")], PAYLOAD)
+    sink.write_changes("users", df, batch_id=0)  # slow, in flight
+    sink.apply_schema_change("users", renames=[("val", "val2")])
+    # on return: the pre-DDL write has completed AND the DDL has landed
+    assert [b[1] for b in inner.batches] == [0]
+    assert getattr(inner, "ddl", []) == [("users", [("val", "val2")], [], [])]
+    assert sink._pending == []  # settled — registry record is now safe
+    sink.shutdown()

@@ -443,3 +443,187 @@ def test_pipeline_rename_survives_full_replay(spark, tmp_path):
         == versions_first
     # the replayed DDL did not double-append
     assert sink._manifest("users", sink._current_version("users"))["ddl_log"] == log_first
+
+
+def _drop_batch(spark, source: str, rows, name: str) -> None:
+    import shutil
+
+    staging = os.path.join(source, ".__stage")
+    spark.createDataFrame(rows, schema=GENERIC_ENVELOPE).coalesce(1) \
+        .write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(source, name))
+    shutil.rmtree(staging)
+
+
+def _row(op, lsn, after=None, before=None, kind=None, rel=None):
+    return Row(
+        op=op, table="users", commit_lsn=lsn, start_lsn=lsn, tx_ordinal=0,
+        after=json.dumps(after if rel is None else rel),
+        before=json.dumps(before) if before else None,
+        before_kind=kind, missing_cols=None,
+        schema_snapshot_lsn=lsn if rel is not None else None,
+    )
+
+
+def test_pipeline_key_rename_mid_stream(spark, tmp_path):
+    """Renaming the KEY column (pk→id, same ordinal) must remap cfg.keys
+    alongside the sink and payload_schema: the decode looks up
+    types[cfg.keys[i]] and builds __before_{key} images — a stale key
+    name KeyErrors on the first post-DDL batch (stream crash-loop)."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a"), (2, "b")], "pk long, val string") \
+        .write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+
+    rel = {"columns": [
+        {"name": "id", "typ": "long", "pk_ordinal": 1},
+        {"name": "val", "typ": "string"},
+    ]}
+    _drop_batch(spark, source, [
+        _row("UPDATE", 40, after={"pk": 1, "val": "a1"}),
+        _row("RELATION", 41, rel=rel),
+        _row("UPDATE", 42, after={"id": 2, "val": "b2"}),
+        _row("DELETE", 43, before={"id": 1}, kind="KEY"),
+    ], "b1.parquet")
+
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+    p.run_until_drained()
+
+    assert cfg.keys == ["id"]
+    assert sink.keys == ["id"]
+    out = sink.read("users")
+    assert "pk" not in out.columns
+    got = {r.id: r.val for r in out.select("id", "val").collect()}
+    assert got == {2: "b2"}  # id=1 deleted post-rename by its NEW key name
+
+
+def test_pipeline_key_rename_survives_restart(spark, tmp_path):
+    """A restarted pipeline is rebuilt from the STORED config, whose keys
+    predate the mid-stream key rename; hydrate_schemas must walk the
+    registry's rename chain so the restart decodes and merges on the
+    current key name instead of KeyError-ing."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a"), (2, "b")], "pk long, val string") \
+        .write.parquet(snap)
+    sink_root = str(tmp_path / "sink")
+    work = str(tmp_path / "work")
+    rel = {"columns": [
+        {"name": "id", "typ": "long", "pk_ordinal": 1},
+        {"name": "val", "typ": "string"},
+    ]}
+    _drop_batch(spark, source, [
+        _row("RELATION", 41, rel=rel),
+        _row("UPDATE", 42, after={"id": 1, "val": "a1"}),
+    ], "b1.parquet")
+    sink = ParquetCurrentStateSink(sink_root, keys=["pk"], spark=spark)
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    Pipeline(spark, source, [cfg], sink, work).run_until_drained()
+
+    # restart from the ORIGINAL (now stale) config — fresh objects
+    _drop_batch(spark, source, [
+        _row("UPDATE", 50, after={"id": 2, "val": "b2"}),
+    ], "b2.parquet")
+    sink2 = ParquetCurrentStateSink(sink_root, keys=["pk"], spark=spark)
+    sink2.sync_keys("users")
+    cfg2 = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                       payload_schema="pk long, val string")
+    p2 = Pipeline(spark, source, [cfg2], sink2, work)
+    p2.run_until_drained()
+    assert cfg2.keys == ["id"]
+    got = {r.id: r.val for r in sink2.read("users").select("id", "val").collect()}
+    assert got == {1: "a1", 2: "b2"}
+
+
+def test_rename_then_readd_old_name(spark, tmp_path):
+    """rename val→val2, then ADD a NEW column named val: the old name is
+    live again, so it must leave val2's alias chain — keeping it would
+    duplicate the from_json parse field (invalid schema) and bleed the
+    new val's values into val2 on pre-DDL rows."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "old1"), (9, "old9")], "pk long, val string") \
+        .write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    rel1 = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val2", "typ": "string"},
+    ]}
+    rel2 = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1},
+        {"name": "val2", "typ": "string"},
+        {"name": "val", "typ": "string", "default": "fresh"},
+    ]}
+    _drop_batch(spark, source, [
+        _row("RELATION", 41, rel=rel1),
+        _row("INSERT", 42, after={"pk": 2, "val2": "two"}),
+        _row("RELATION", 43, rel=rel2),
+        # the new val column carries its own values; val2 must NOT read them
+        _row("INSERT", 44, after={"pk": 3, "val2": "three", "val": "new3"}),
+        _row("UPDATE", 45, after={"pk": 1, "val2": "one", "val": "new1"}),
+    ], "b1.parquet")
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    p = Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"))
+    p.run_until_drained()
+    out = {r.pk: (r.val2, r.val)
+           for r in sink.read("users").select("pk", "val2", "val").collect()}
+    assert out == {
+        1: ("one", "new1"),
+        2: ("two", "fresh"),   # pre-re-add row reads the ADD..DEFAULT
+        3: ("three", "new3"),
+        9: ("old9", "fresh"),  # snapshot row: renamed, then defaulted
+    }
+
+
+def test_duckdb_default_backfill_is_transactional(spark, tmp_path):
+    """ADD COLUMN + backfill UPDATE commit atomically: a failing backfill
+    (bad cast) must roll back the ADD too, so the retry actually re-runs
+    both — autocommitted halves would leave the column added-but-NULL and
+    the idempotent replay would skip it forever."""
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    sink = DuckDBCurrentStateSink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"),
+    )
+    sink.write_snapshot("t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    with pytest.raises(Exception):
+        sink.apply_schema_change("t", defaults=[("n", "not-a-number", "INTEGER")])
+    # rollback removed the half-applied ADD — the retry with a good
+    # default must add AND backfill
+    sink.apply_schema_change("t", defaults=[("n", "7", "INTEGER")])
+    assert {r["pk"]: r["n"] for r in sink.read("t")} == {1: 7}
+
+
+def test_sync_keys_replays_rename_chain(spark, tmp_path):
+    """A sink built from a stored config after a key rename (maintenance,
+    rollback, restart) must re-derive the current key name from the
+    manifest ddl_log before hashing buckets."""
+    root = str(tmp_path / "wh")
+    sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+    sink.write_snapshot("t", _batch(spark, [("INSERT", 1, 0, 1, "a"),
+                                            ("INSERT", 1, 1, 2, "b")]))
+    sink.apply_schema_change("t", renames=[("pk", "id")])
+    # fresh instance from the stale config
+    stale = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+    assert stale.sync_keys("t") == ["id"]
+    stale.rebucket("t", 8)  # would KeyError / mis-hash with the stale key
+    got = {r.id: r.val for r in stale.read("t").select("id", "val").collect()}
+    assert got == {1: "a", 2: "b"}
+    # idempotent: syncing an already-current sink is a no-op
+    assert stale.sync_keys("t") == ["id"]
