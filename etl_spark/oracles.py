@@ -4179,3 +4179,40 @@ SELECT label_a, label_b,
        round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS dist
 FROM pairs GROUP BY 1, 2
 """
+
+# --- round-8 additions -------------------------------------------------
+
+# DDL (key + value rename, defaulted add) composed with rebucket,
+# compaction, expiry, and a replayed batch must land on exactly the
+# one-shot batch LWW state with the renames folded in.
+ORACLES["cdc_ddl_rebucket_compact"] = f"""
+WITH {ENVELOPE_CTE},
+bounds AS (SELECT min(commit_lsn) AS lo, max(commit_lsn) AS hi FROM env),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM env
+)
+SELECT pk AS id, op, commit_lsn, tx_ordinal, value AS amount,
+       CASE WHEN commit_lsn <= (SELECT lo + (hi - lo) // 3 FROM bounds)
+            THEN 'standard' END AS tier
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+# SCD2 destination under mid-stream DDL: the batch SCD2 window with the
+# rename folded in; version rows OPENED at or before the DDL cut read the
+# lazily-backfilled default, later versions carry NULL.
+ORACLES["cdc_scd2_schema_evolution"] = f"""
+WITH {ENVELOPE_CTE},
+bounds AS (SELECT min(commit_lsn) AS lo, max(commit_lsn) AS hi FROM env),
+h AS (
+  SELECT pk, op, commit_lsn AS valid_from, tx_ordinal,
+         lead(commit_lsn) OVER (PARTITION BY pk ORDER BY commit_lsn, tx_ordinal) AS valid_to,
+         value
+  FROM env
+)
+SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE) AS valid_to,
+       (valid_to IS NULL) AS is_current, value AS amount,
+       CASE WHEN valid_from <= (SELECT lo + (hi - lo) // 3 FROM bounds)
+            THEN 'standard' END AS tier
+FROM h WHERE op <> 'DELETE'
+"""

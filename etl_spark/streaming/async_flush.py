@@ -107,7 +107,7 @@ class AsyncFlushSink(Sink):
         self._pending.append(self._pool.submit(self.inner.truncate, table))
 
     def apply_schema_change(self, table, renames=None, drops=None,
-                            defaults=None) -> None:
+                            defaults=None, nullability=None) -> None:
         # same serial-pool ordering as writes: the DDL must land after
         # every already-dispatched pre-DDL write — then SETTLE before
         # returning. The pipeline durably records the new schema version
@@ -121,7 +121,8 @@ class AsyncFlushSink(Sink):
         # async boundary, so DDL is pipelined-in-order but synchronous.
         self._pending.append(
             self._pool.submit(
-                self.inner.apply_schema_change, table, renames, drops, defaults
+                self.inner.apply_schema_change, table, renames, drops, defaults,
+                nullability,
             )
         )
         self.await_pending()

@@ -227,6 +227,7 @@ class CrossBatchFlushSink(Sink):
                         [tuple(r) for r in a.get("renames", [])],
                         a.get("drops", []),
                         [tuple(d) for d in a.get("defaults", [])],
+                        [tuple(n) for n in a.get("nullability", [])],
                     )
                 else:
                     df = self.spark.read.parquet(op["path"])
@@ -275,15 +276,17 @@ class CrossBatchFlushSink(Sink):
         self._current["futures"].append(self._pool.submit(_trunc))
 
     def apply_schema_change(self, table, renames=None, drops=None,
-                            defaults=None) -> None:
+                            defaults=None, nullability=None) -> None:
         renames = [tuple(r) for r in (renames or [])]
         drops = list(drops or [])
         defaults = [tuple(d) for d in (defaults or [])]
-        if not renames and not drops and not defaults:
+        nullability = [tuple(n) for n in (nullability or [])]
+        if not renames and not drops and not defaults and not nullability:
             return
         if self._current is None:
             self.settle_previous()
-            self.inner.apply_schema_change(table, renames, drops, defaults)
+            self.inner.apply_schema_change(table, renames, drops, defaults,
+                                           nullability)
             return
         # ledger-ordered like writes: the op replays from its recorded
         # args on crash recovery (the inner sink's DDL is replay-idempotent)
@@ -291,11 +294,13 @@ class CrossBatchFlushSink(Sink):
         op_idx = self.ledger.add_op(
             batch_id, "ddl", table, None,
             args={"renames": [list(r) for r in renames], "drops": drops,
-                  "defaults": [list(d) for d in defaults]},
+                  "defaults": [list(d) for d in defaults],
+                  "nullability": [list(n) for n in nullability]},
         )
 
         def _ddl():
-            self.inner.apply_schema_change(table, renames, drops, defaults)
+            self.inner.apply_schema_change(table, renames, drops, defaults,
+                                           nullability)
             self.ledger.mark_op_acked(batch_id, op_idx)
 
         self._current["futures"].append(self._pool.submit(_ddl))

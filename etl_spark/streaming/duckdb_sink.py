@@ -108,11 +108,12 @@ class DuckDBCurrentStateSink(Sink):
         con.close()
 
     def apply_schema_change(self, table, renames=None, drops=None,
-                            defaults=None) -> None:
+                            defaults=None, nullability=None) -> None:
         """SchemaDiff at a SQL destination (schema.rs:729-784): RENAME,
-        DROP and ADD .. DEFAULT are real ALTER TABLE statements, idempotent
-        under batch replay (a rename whose source column no longer exists,
-        or a drop of an already-dropped column, is skipped)."""
+        DROP, ADD .. DEFAULT and SET/DROP NOT NULL are real ALTER TABLE
+        statements, idempotent under batch replay (a rename whose source
+        column no longer exists, or a drop of an already-dropped column,
+        is skipped; nullability ALTERs are naturally idempotent)."""
         con = self._con()
         exists = con.execute(
             "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
@@ -156,6 +157,10 @@ class DuckDBCurrentStateSink(Sink):
                     con.execute("ROLLBACK")
                     raise
                 cols.add(col)
+        for col, nullable in (nullability or []):
+            if col in cols:
+                verb = "DROP NOT NULL" if nullable else "SET NOT NULL"
+                con.execute(f'ALTER TABLE "{table}" ALTER COLUMN "{col}" {verb}')
         # key columns follow renames so the staged MERGE keeps matching
         ren = dict(renames or [])
         if table in self.keys:

@@ -518,10 +518,12 @@ class Pipeline:
                     for c in d.columns_to_add
                     if c.default is not None
                 ]
-                if d.renames or d.columns_to_remove or added_defaults:
+                if (d.renames or d.columns_to_remove or added_defaults
+                        or d.nullability_changes):
                     self.sink.apply_schema_change(
                         table, renames=d.renames, drops=d.columns_to_remove,
                         defaults=added_defaults,
+                        nullability=d.nullability_changes,
                     )
                 if d.renames:
                     # key columns follow renames in the PIPELINE config

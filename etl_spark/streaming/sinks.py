@@ -73,18 +73,24 @@ class Sink(ABC):
         renames: list[tuple[str, str]] | None = None,
         drops: list[str] | None = None,
         defaults: list[tuple[str, str, str]] | None = None,
+        nullability: list[tuple[str, bool]] | None = None,
     ) -> None:
         """Apply a DDL delta to stored rows — the reference's ``SchemaDiff``
-        at destinations (crates/etl/src/schema.rs:729-784, docs
+        at destinations (crates/etl/src/schema.rs:729-784 — its
+        ``ColumnModification`` is Rename | Default | Nullability, docs
         schema-changes.md:20-30): RENAME remaps the stored column, DROP
         projects it away, ``defaults`` (col, value, typ) backfills an ADD
-        COLUMN .. DEFAULT for pre-DDL rows. Plain column ADDs need no
-        call — every sink here already merges by name with missing→NULL.
+        COLUMN .. DEFAULT for pre-DDL rows, ``nullability`` (col,
+        nullable) records the constraint change. Plain column ADDs need
+        no call — every sink here already merges by name with
+        missing→NULL.
 
-        The default is a LOUD error, never silence: without remapping, a
-        renamed column's post-DDL values would land under the new name
-        while stored rows keep the old one — the merge would silently
-        NULL one side (data loss)."""
+        The default for the LOSSY ops is a LOUD error, never silence:
+        without remapping, a renamed column's post-DDL values would land
+        under the new name while stored rows keep the old one — the merge
+        would silently NULL one side (data loss). A nullability-ONLY
+        change is metadata (no stored value moves or disappears), so a
+        sink with no constraint surface may ignore it."""
         if renames or drops or defaults:
             raise NotImplementedError(
                 f"{type(self).__name__} cannot apply column renames/drops; "
@@ -330,6 +336,24 @@ class _BucketedVersionedTable:
         self.keys = keys
         return keys
 
+    def current_nullability(self, table: str) -> dict[str, bool]:
+        """Column → nullable for every column a ``set_nullable`` ledger
+        entry has touched, folded through later renames/drops (the
+        metadata read-back for the evolution ledger's Nullability ops —
+        parquet stores no live constraint, the manifest is the record)."""
+        meta = self._current_meta(table)
+        if meta["version"] < 0:
+            return {}
+        out: dict[str, bool] = {}
+        for op in self._manifest(table, meta["version"]).get("ddl_log", []):
+            if op["op"] == "set_nullable":
+                out[op["col"]] = op["nullable"]
+            elif op["op"] == "rename" and op["from"] in out:
+                out[op["to"]] = out.pop(op["from"])
+            elif op["op"] == "drop":
+                out.pop(op["col"], None)
+        return out
+
     # -- DDL log (rename/drop as metadata, applied lazily at read) ----------
     @staticmethod
     def _apply_ddl_ops(df: DataFrame, ddl_log: list[dict], epoch: int) -> DataFrame:
@@ -553,6 +577,7 @@ class _BucketedVersionedTable:
         renames: list[tuple[str, str]] | None = None,
         drops: list[str] | None = None,
         defaults: list[tuple[str, str, str]] | None = None,
+        nullability: list[tuple[str, bool]] | None = None,
     ) -> None:
         """RENAME/DROP as a manifest-only commit — O(1) metadata, zero data
         rewrite (the reference applies SchemaDiff at destinations,
@@ -566,11 +591,18 @@ class _BucketedVersionedTable:
         ends with is a no-op — the crash-replay window is one batch.
 
         ``defaults`` = ``[(col, value, typ)]`` for ADD COLUMN .. DEFAULT:
-        pre-DDL rows read the default (PG attmissingval semantics)."""
+        pre-DDL rows read the default (PG attmissingval semantics).
+        ``nullability`` = ``[(col, nullable)]``: recorded as a
+        metadata-only ``set_nullable`` ledger entry so the evolution log
+        is complete against the reference's ColumnModification set
+        (Rename | Default | Nullability, schema.rs:762-784) — parquet
+        holds no live NOT NULL constraint, so no data moves; current
+        nullability is readable via :meth:`current_nullability`."""
         renames = list(renames or [])
         drops = list(drops or [])
         defaults = list(defaults or [])
-        if not renames and not drops and not defaults:
+        nullability = list(nullability or [])
+        if not renames and not drops and not defaults and not nullability:
             return
         meta = self._current_meta(table)
         if meta["version"] < 0:
@@ -587,6 +619,10 @@ class _BucketedVersionedTable:
         ops += [
             {"op": "add_default", "col": c, "value": v, "typ": t}
             for c, v, t in defaults
+        ]
+        ops += [
+            {"op": "set_nullable", "col": c, "nullable": bool(n)}
+            for c, n in nullability
         ]
         manifest = dict(self._manifest(table, meta["version"]))
         log = list(manifest.get("ddl_log", []))
@@ -747,11 +783,14 @@ class MemorySink(Sink):
         self.truncated.append(table)
 
     def apply_schema_change(self, table, renames=None, drops=None,
-                            defaults=None) -> None:
+                            defaults=None, nullability=None) -> None:
         self.ddl = getattr(self, "ddl", [])
         self.ddl.append(
             (table, list(renames or []), list(drops or []), list(defaults or []))
         )
+        if nullability:
+            self.nullability = getattr(self, "nullability", [])
+            self.nullability.append((table, list(nullability)))
 
 
 class TableRoutingSink(Sink):
@@ -781,8 +820,10 @@ class TableRoutingSink(Sink):
         self._route(table).truncate(table)
 
     def apply_schema_change(self, table, renames=None, drops=None,
-                            defaults=None) -> None:
-        self._route(table).apply_schema_change(table, renames, drops, defaults)
+                            defaults=None, nullability=None) -> None:
+        self._route(table).apply_schema_change(
+            table, renames, drops, defaults, nullability
+        )
 
     def read(self, table: str) -> DataFrame:
         return self._route(table).read(table)

@@ -1498,3 +1498,129 @@ def cdc_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink2.read("users").select(
         "pk", "op", "commit_lsn", "tx_ordinal", "value", "props"
     )
+
+
+def cdc_ddl_rebucket_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three manifest mutations COMPOSED in one stream (X151): DDL
+    epochs (rename of the KEY column pk→id plus value→amount plus ADD
+    tier DEFAULT), an online bucket-count migration (4→16), a compaction
+    fold, version expiry, and an at-least-once batch replay — each is
+    gate-proven alone (``cdc_schema_evolution``,
+    ``cdc_rebucket_migration``, the maintenance pytest matrix); this gate
+    proves their COMPOSITION lands on exactly the one-shot batch LWW
+    state (reference parity: schema.rs:729-784 SchemaDiff + the D4
+    maintenance verbs driven against one table).
+
+    Every maintenance/writer step after the DDL uses a FRESH sink
+    instance built with the STALE configured key name and re-derives the
+    current name from the manifest ddl_log (``sync_keys``) — the
+    control-plane restart path.
+    """
+    import os
+    import tempfile
+
+    from etl_spark.maintenance import expire_versions
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    root = tempfile.mkdtemp(prefix="ddl_rebucket_gate_")
+    sink = ParquetCurrentStateSink(root, keys=["pk"], spark=spark, n_buckets=4)
+    sink.write_snapshot("users", env.limit(0))
+    sink.write_changes(
+        "users", env.filter(F.col("commit_lsn").between(*ranges[0])), batch_id=0
+    )
+    # DDL: rename the KEY and a value column, add a defaulted column
+    sink.apply_schema_change(
+        "users",
+        renames=[("pk", "id"), ("value", "amount")],
+        defaults=[("tier", "standard", "string")],
+    )
+    # maintenance window (restarted process: stale config keys): migrate
+    # 4 -> 16 buckets, fold the manifest chain, expire old versions
+    maint = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+    assert maint.sync_keys("users") == ["id"]
+    maint.rebucket("users", 16)
+    maint.compact("users")
+    expire_versions(os.path.join(root, "users"), keep=1)
+    # restarted writer: fresh instance, stale config keys, post-DDL batches
+    post = env.withColumnRenamed("pk", "id").withColumnRenamed("value", "amount")
+    w = ParquetCurrentStateSink(root, keys=["pk"], spark=spark)
+    w.sync_keys("users")
+    w.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(*ranges[1])), batch_id=1
+    )
+    # at-least-once replay of the SAME batch (applied-batches fast path)
+    w.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(*ranges[1])), batch_id=1
+    )
+    w.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(*ranges[2])), batch_id=2
+    )
+    return w.read("users").select(
+        "id", "op", "commit_lsn", "tx_ordinal", "amount", "tier"
+    )
+
+
+def cdc_scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream DDL through the SCD2 (versioned-dimension) destination
+    (X152) — the ``cdc_schema_evolution`` twin for
+    :class:`~etl_spark.streaming.sinks.ParquetScd2Sink`: three LSN-range
+    micro-batches with a RENAME ``value``→``amount`` + ADD ``tier``
+    DEFAULT ``'standard'`` between batches 1 and 2. Version rows OPENED
+    before the DDL surface under ``amount`` with ``tier='standard'`` —
+    including rows whose validity is CLOSED by a post-DDL event (the
+    closure rewrite must preserve the lazily-backfilled default, not
+    re-NULL it) — and post-DDL versions carry streamed values with
+    ``tier`` NULL. Hash-checked against the batch SCD2 window oracle with
+    the rename/default folded in (reference SchemaDiff at destinations,
+    schema.rs:729-784).
+    """
+    import tempfile
+
+    from etl_spark.streaming.sinks import ParquetScd2Sink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    sink = ParquetScd2Sink(
+        tempfile.mkdtemp(prefix="scd2_ddl_gate_"), keys=["pk"], spark=spark
+    )
+    sink.write_snapshot("users", spark.createDataFrame([], "pk long, value double"))
+    sink.write_changes(
+        "users", env.filter(F.col("commit_lsn").between(b["lo"], cut1)), batch_id=0
+    )
+    sink.apply_schema_change(
+        "users",
+        renames=[("value", "amount")],
+        defaults=[("tier", "standard", "string")],
+    )
+    post = env.withColumnRenamed("value", "amount")
+    sink.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(cut1 + 1, cut2)), batch_id=1
+    )
+    sink.write_changes(
+        "users", post.filter(F.col("commit_lsn").between(cut2 + 1, b["hi"])), batch_id=2
+    )
+    return sink.read("users").select(
+        "pk",
+        "op",
+        "valid_from",
+        "tx_ordinal",
+        F.col("valid_to").cast("double").alias("valid_to"),
+        "is_current",
+        "amount",
+        "tier",
+    )

@@ -627,3 +627,80 @@ def test_sync_keys_replays_rename_chain(spark, tmp_path):
     assert got == {1: "a", 2: "b"}
     # idempotent: syncing an already-current sink is a no-op
     assert stale.sync_keys("t") == ["id"]
+
+
+def test_nullability_recorded_in_ddl_log(spark, cs_sink):
+    """SET/DROP NOT NULL is a metadata-only ledger op (the third member of
+    the reference's ColumnModification set, schema.rs:762-784): recorded
+    in the manifest ddl_log, replay-idempotent, readable back, and it
+    follows later renames."""
+    cs_sink.apply_schema_change("t", nullability=[("val", False)])
+    assert cs_sink.current_nullability("t") == {"val": False}
+    # replayed delivery is a no-op (no new version)
+    v = cs_sink._current_version("t")
+    cs_sink.apply_schema_change("t", nullability=[("val", False)])
+    assert cs_sink._current_version("t") == v
+    # data untouched
+    got = {r.pk: r.val for r in cs_sink.read("t").collect()}
+    assert got == {1: "a", 2: "b"}
+    # the constraint record follows a later rename
+    cs_sink.apply_schema_change("t", renames=[("val", "amount")])
+    assert cs_sink.current_nullability("t") == {"amount": False}
+    cs_sink.apply_schema_change("t", nullability=[("amount", True)])
+    assert cs_sink.current_nullability("t") == {"amount": True}
+
+
+def test_duckdb_nullability_alter(spark, tmp_path):
+    import duckdb
+
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    db = str(tmp_path / "wh.duckdb")
+    sink = DuckDBCurrentStateSink(
+        db, keys={"t": ["pk"]}, staging_dir=str(tmp_path / "stage"),
+    )
+    sink.write_snapshot("t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    sink.apply_schema_change("t", nullability=[("val", False)])
+    con = duckdb.connect(db)
+    nn = con.execute(
+        "SELECT is_nullable FROM information_schema.columns "
+        "WHERE table_name='t' AND column_name='val'"
+    ).fetchone()[0]
+    con.close()
+    assert nn == "NO"
+    # idempotent replay + relax back
+    sink.apply_schema_change("t", nullability=[("val", False)])
+    sink.apply_schema_change("t", nullability=[("val", True)])
+    con = duckdb.connect(db)
+    nn = con.execute(
+        "SELECT is_nullable FROM information_schema.columns "
+        "WHERE table_name='t' AND column_name='val'"
+    ).fetchone()[0]
+    con.close()
+    assert nn == "YES"
+
+
+def test_pipeline_nullability_reaches_sink(spark, tmp_path):
+    """A RELATION that only tightens a column to NOT NULL must drive
+    apply_schema_change (nullability op) — previously diffed and recorded
+    in the registry but never surfaced at the destination."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    rel = {"columns": [
+        {"name": "pk", "typ": "long", "pk_ordinal": 1, "nullable": False},
+        {"name": "val", "typ": "string", "nullable": False},
+    ]}
+    _drop_batch(spark, source, [
+        _row("RELATION", 41, rel=rel),
+        _row("UPDATE", 42, after={"pk": 1, "val": "a1"}),
+    ], "b1.parquet")
+    cfg = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    Pipeline(spark, source, [cfg], sink, str(tmp_path / "work")).run_until_drained()
+    assert sink.current_nullability("users") == {"pk": False, "val": False}
+    assert {r.pk: r.val for r in sink.read("users").collect()} == {1: "a1"}
