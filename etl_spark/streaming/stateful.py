@@ -137,20 +137,28 @@ def session_apply(
             [[uid, start, last, n, mx, "timeout"]], columns=_SESSION_COLS
         )
         return
-    data = pd.concat(list(pdfs)).sort_values("us")
+    data = pd.concat(list(pdfs))
     us = data["us"].to_numpy(dtype="int64")
     vals = data["value"].to_numpy(dtype="float64")
+    order = np.argsort(us, kind="stable")
+    us = us[order]
+    vals = vals[order]
     # batch gap-groups as intervals [start, last, n, max]; each is
-    # internally gap-connected by construction
-    sid = np.zeros(len(us), dtype="int64")
-    if len(us) > 1:
-        sid[1:] = np.cumsum((np.diff(us) > gap_us).astype("int64"))
-    intervals = []
-    for s in range(int(sid[-1]) + 1 if len(us) else 0):
-        m = sid == s
-        intervals.append(
-            [int(us[m][0]), int(us[m][-1]), int(m.sum()), float(np.nanmax(vals[m]))]
-        )
+    # internally gap-connected by construction. Group bounds come from
+    # one diff + reduceat pass — O(events), never O(groups x events):
+    # at 10^9 keys the kernel's per-key cost is the scale limit, so no
+    # per-group boolean masks.
+    intervals: list[list] = []
+    if len(us):
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us) > gap_us) + 1))
+        ends = np.concatenate((starts[1:], [len(us)]))
+        maxes = np.maximum.reduceat(np.nan_to_num(vals, nan=-np.inf), starts)
+        # nanmax semantics: an all-NaN group's max is NaN, not -inf
+        maxes = np.where(np.isneginf(maxes), np.nan, maxes)
+        intervals = [
+            [int(us[s]), int(us[e - 1]), int(e - s), float(mx)]
+            for s, e, mx in zip(starts, ends, maxes)
+        ]
     # fold the carried open session in as one more interval, then
     # sweep-merge by start. A late (within-watermark) group may land
     # INSIDE or BEFORE the carried session — folding groups onto the state

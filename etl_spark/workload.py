@@ -1291,9 +1291,12 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.streaming.stateful import sessionize_stateful
 
     GAP_US = 1_800_000_000  # 30 min, the sessionize_events gap
+    # one scan: the bounds agg, both batch filters, and the writes all
+    # consume the checkpointed blocks instead of re-reading the parquet
+    # three times (the harness cost was 1.5x the stream itself)
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("us"), "value"
-    )
+    ).localCheckpoint()
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
     work = tempfile.mkdtemp(prefix="stateful_sess_")
@@ -1308,11 +1311,23 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emit(ev.filter(F.col("us") < mid), "b0")
     emit(ev.filter(F.col("us") >= mid), "b1")
-    sentinel = spark.createDataFrame(
-        [(-1, bounds["hi"] + 10 * GAP_US, 0.0)], "user_id long, us long, value double"
+    # the sentinels are 1-row LITERALS — write them driver-side with
+    # pyarrow; a createDataFrame().write job costs seconds of fixed
+    # overhead per file and was the harness's dominant cost
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("us", pa.int64()), ("value", pa.float64())]
     )
-    emit(sentinel, "b2")
-    emit(sentinel.withColumn("us", F.col("us") + GAP_US // 2), "b3")
+    for name, s_us in (
+        ("b2", bounds["hi"] + 10 * GAP_US),
+        ("b3", bounds["hi"] + 10 * GAP_US + GAP_US // 2),
+    ):
+        pq.write_table(
+            pa.table({"user_id": [-1], "us": [s_us], "value": [0.0]}, schema=schema),
+            os.path.join(src, f"{name}.parquet"),
+        )
 
     stream = (
         spark.readStream.schema("user_id long, us long, value double")

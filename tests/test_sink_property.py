@@ -91,7 +91,7 @@ def test_sink_matches_lww_model_under_random_ops(spark, tmp_path, seed):
             # online bucket-count migration interleaved with everything
             # else: content must be invariant and later batches must
             # merge at the manifest-pinned count
-            n = rng.choice([1, 4, 16, 64])
+            n = rng.choice([1, 4, 16, 64, 512])
             sink.rebucket("t", n)
             v = sink._current_version("t")
             assert sink._manifest("t", v)["n_buckets"] == n
@@ -170,7 +170,7 @@ def test_scd2_sink_matches_version_model_under_random_ops(spark, tmp_path, seed)
         elif action == "restart":
             sink = ParquetScd2Sink(root, keys=["pk"], spark=spark)
         elif action == "rebucket":
-            n = rng.choice([1, 4, 32])
+            n = rng.choice([1, 4, 32, 512])
             sink.rebucket("t", n)
 
         got = {(r.pk, r.valid_from): (r.val, r.valid_to, bool(r.is_current))
