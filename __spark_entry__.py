@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 NEW ops land HERE (top of window) ---
         "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
         "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
+        "parts_triangle_sample": workload_relational.parts_triangle_sample,
         # --- implementation CHANGED in round 8: re-record ---
         "cdc_schema_evolution": workload.cdc_schema_evolution,
         "sketch_count_min_users": workload_relational.sketch_count_min_users,

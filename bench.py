@@ -184,6 +184,9 @@ HEADLINE = [
     "corpus_heaps_law",
     "events_entropy_rate",
     "embeddings_centroid_separation",
+    "cdc_ddl_rebucket_compact",
+    "cdc_scd2_schema_evolution",
+    "parts_triangle_sample",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -378,9 +381,11 @@ def main() -> None:
               "customer_feature_store", "orders_backlog_curve",
               "corpus_heaps_law", "events_entropy_rate",
               "embeddings_centroid_separation"}
+    r8_new = {"cdc_ddl_rebucket_compact", "cdc_scd2_schema_evolution",
+              "parts_triangle_sample"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
-            if k not in r4_new | r5_new | r6_new | r7_new),
+            if k not in r4_new | r5_new | r6_new | r7_new | r8_new),
         3,
     )
 

@@ -4216,3 +4216,25 @@ SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE) AS valid_to,
             THEN 'standard' END AS tier
 FROM h WHERE op <> 'DELETE'
 """
+
+# DOULION p=1/2 sampled triangles: deterministic md5 edge sampling makes
+# the sampled count and the p^-3 estimate exactly mirrorable.
+ORACLES["parts_triangle_sample"] = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+    AND {_H52.format(expr="CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)")} % 2 = 0
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_sampled_edges,
+       CAST(tri.t AS BIGINT) AS sampled_triangles,
+       CAST(tri.t * 8 AS DOUBLE) AS est_triangles
+FROM tri
+"""

@@ -3565,3 +3565,92 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_contribution"),
         )
     )
+
+
+def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle counting (X153, Tsourakakis et al. '09):
+    keep each co-purchase edge with probability p = 1/2 via the shared
+    deterministic md5 hash, run the SAME degree-oriented wedge plan as
+    the exact ``parts_triangle_count`` on the sparsified graph, and
+    correct the global count by p⁻³ = 8. The approx/exact pairing the
+    suite already ships for distincts (HLL) and quantiles — at 100 TB
+    graph scale the sparsified wedge join touches ~p² of the wedge
+    volume (the dominant stage), for a 4× wedge reduction at p=1/2 with
+    an unbiased global estimate.
+
+    Deterministic sampling (md5, not rand()) makes the run reproducible
+    AND exactly mirrorable in the DuckDB oracle — sample, sampled count,
+    and estimate are hash-checked, not tolerance-checked.
+
+    The sample filter sits BELOW the edge dedup: the per-(u,v) hash
+    commutes with DISTINCT, so the sparsifier also halves the edge
+    dedup's shuffle — the whole pipeline after the order self-join
+    scales by p, not just the wedge stage. Measured same-process A/B at
+    sf0.1: sample 7.8 s cold / 4.8 s warm vs exact 14.9 / 10.5 s
+    (~2.2×), estimate 1,875,928 vs true 1,884,488 global triangles
+    (0.45% error). The first cut reported the full edge count too,
+    which forced an UNSAMPLED distinct and made the "sampled" plan
+    slower than exact — the estimator needs no unsampled statistic, so
+    nothing unsampled survives past the pair enumeration.
+    """
+    from etl_spark.operators.sketch import _hash52
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    # p = 1/2: keep pairs whose 52-bit edge hash is even, BEFORE dedup
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .filter(
+            _hash52(
+                F.concat(
+                    F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+                )
+            ) % 2 == 0
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            ).otherwise(F.col("v")).alias("src"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            ).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(F.col("o1.dst").alias("w1"), F.col("o2.dst").alias("w2"))
+    )
+    tri_n = wedges.join(
+        edges.hint("SHUFFLE_HASH"),
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
+    ).count()
+    n_kept = edges.count()
+    return spark.createDataFrame(
+        [(n_kept, tri_n, float(tri_n * 8))],
+        "n_sampled_edges long, sampled_triangles long, est_triangles double",
+    )

@@ -432,3 +432,24 @@ def test_count_min_absent_probe_estimates_zero(spark):
                one, spark.createDataFrame([(2,), (3,)], "user_id long"),
                "user_id", depth=4, width=128).collect()}
     assert est == {2: 0, 3: 0}
+
+
+def test_doulion_sample_estimates_exact_triangles(spark):
+    """DOULION p=1/2: the deterministic md5-sampled estimate must land
+    near the exact global triangle count (fixed data + fixed hash →
+    fixed numbers, so this is a regression lock, not a flaky stat), and
+    the correction factor is exactly p^-3 = 8."""
+    from pyspark.sql import functions as F
+
+    from etl_spark import workload_relational as wr
+
+    SF = "/root/testdata/sf0.001"
+    est_row = wr.parts_triangle_sample(spark, SF).collect()[0]
+    assert est_row.est_triangles == est_row.sampled_triangles * 8.0
+    exact = (
+        wr.parts_triangle_count(spark, SF)
+        .agg(F.sum("n_triangles").alias("s")).collect()[0]["s"] // 3
+    )
+    assert exact > 0
+    rel_err = abs(est_row.est_triangles - exact) / exact
+    assert rel_err < 0.35, (est_row.est_triangles, exact, rel_err)

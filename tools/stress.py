@@ -144,6 +144,7 @@ QUERIES = [
     "events_feature_mi",
     "customer_balance_gini",
     "parts_triangle_count",
+    "parts_triangle_sample",
     "events_sax_daily",
     "orders_rfm_segments",
     "events_lag_autocorr",
