@@ -343,7 +343,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = envelope_from_events(spark, sf_dir).select(
         "op", "table", "commit_lsn", "tx_ordinal", "pk", "value"
-    ).filter(F.col("pk").isNotNull())
+    ).filter(F.col("pk").isNotNull()).localCheckpoint()
     mid = env.agg(F.expr("percentile(commit_lsn, 0.5)").alias("m")).collect()[0]["m"]
     first = env.filter(F.col("commit_lsn") <= mid)
     rest = env.filter(F.col("commit_lsn") > mid)
@@ -396,7 +396,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.expr("ts div 1000000000 div 3600 * 3600").alias("hour_epoch"),
-    )
+    ).localCheckpoint()
     work = tempfile.mkdtemp(prefix="rollup_")
     roll = IncrementalRollup(
         spark, f"{work}/rollup", "hour_epoch", ["event_type"], "value"
@@ -442,7 +442,7 @@ def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines compute identically (`ts div 1000` == epoch_us(ts))
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", F.expr("ts div 1000").alias("us"), "event_type", "value"
-    )
+    ).localCheckpoint()
     bounds = ev.agg(
         F.min("us").alias("lo"), F.max("us").alias("hi")
     ).collect()[0]
@@ -525,7 +525,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", F.expr("ts div 1000").alias("us"), "user_id", "event_type"
-    )
+    ).localCheckpoint()
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
     work = tempfile.mkdtemp(prefix="stream_ssj_")
@@ -612,7 +612,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", F.expr("ts div 1000").alias("us"), "user_id"
-    )
+    ).localCheckpoint()
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
     work = tempfile.mkdtemp(prefix="stream_sw_")
@@ -747,7 +747,7 @@ def stream_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", F.expr("ts div 1000").alias("us"),
         "user_id", "event_type", "value",
-    )
+    ).localCheckpoint()
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
     span_sec = max(1, (bounds["hi"] - bounds["lo"]) // 1_000_000)
@@ -811,7 +811,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
-    )
+    ).localCheckpoint()
     work = tempfile.mkdtemp(prefix="stream_enrich_")
     src = os.path.join(work, "src")
     os.makedirs(src)
@@ -1377,7 +1377,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", F.expr("ts div 1000").alias("us"), "event_type"
-    )
+    ).localCheckpoint()
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
     work = tempfile.mkdtemp(prefix="stream_slide_")
