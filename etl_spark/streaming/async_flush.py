@@ -106,6 +106,9 @@ class AsyncFlushSink(Sink):
         # sequencing inside a batch must survive the async boundary)
         self._pending.append(self._pool.submit(self.inner.truncate, table))
 
+    def reconcile_keys(self, table: str, keys) -> None:
+        self.inner.reconcile_keys(table, keys)
+
     def apply_schema_change(self, table, renames=None, drops=None,
                             defaults=None, nullability=None) -> None:
         # same serial-pool ordering as writes: the DDL must land after

@@ -260,6 +260,9 @@ class CrossBatchFlushSink(Sink):
 
         self._current["futures"].append(self._pool.submit(_flush))
 
+    def reconcile_keys(self, table: str, keys) -> None:
+        self.inner.reconcile_keys(table, keys)
+
     def truncate(self, table: str) -> None:
         if self._current is None:
             # outside a batch (backfill path): settle + synchronous

@@ -97,6 +97,9 @@ class DuckDBCurrentStateSink(Sink):
         con.execute("COMMIT")
         con.close()
 
+    def reconcile_keys(self, table: str, keys) -> None:
+        self.keys[table] = list(keys)
+
     def truncate(self, table: str) -> None:
         con = self._con()
         exists = con.execute(

@@ -205,6 +205,10 @@ class Pipeline:
                 fixed.append(cur)
             if fixed != cfg.keys:
                 cfg.keys = fixed
+                # the sink was likewise built from the stored config —
+                # hand it the registry-derived current names (bucket
+                # sinks re-hash by key name; DuckDB merges by key name)
+                self.sink.reconcile_keys(name, fixed)
                 if name not in restored:
                     restored.append(name)
         return restored

@@ -99,6 +99,14 @@ class Sink(ABC):
                 "renamed columns)"
             )
 
+    def reconcile_keys(self, table: str, keys: list[str]) -> None:
+        """Adopt ``keys`` as ``table``'s current replica-identity column
+        names. Called on restart after the pipeline re-derives key names
+        from the schema registry's rename chain — a sink built from a
+        stored config carries pre-rename names and would mis-hash or
+        KeyError. Default no-op: sinks that never index by key name
+        (changelog appenders) have nothing to reconcile."""
+
     def startup(self) -> None:  # pragma: no cover - default noop
         pass
 
@@ -335,6 +343,12 @@ class _BucketedVersionedTable:
                 keys = [op["to"] if k == op["from"] else k for k in keys]
         self.keys = keys
         return keys
+
+    def reconcile_keys(self, table: str, keys: list[str]) -> None:
+        """Adopt the pipeline's registry-derived current key names (one
+        keys list per sink instance — the per-table-sink convention the
+        control plane builds under)."""
+        self.keys = list(keys)
 
     def current_nullability(self, table: str) -> dict[str, bool]:
         """Column → nullable for every column a ``set_nullable`` ledger
@@ -824,6 +838,9 @@ class TableRoutingSink(Sink):
         self._route(table).apply_schema_change(
             table, renames, drops, defaults, nullability
         )
+
+    def reconcile_keys(self, table: str, keys) -> None:
+        self._route(table).reconcile_keys(table, keys)
 
     def read(self, table: str) -> DataFrame:
         return self._route(table).read(table)

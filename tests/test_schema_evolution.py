@@ -531,17 +531,19 @@ def test_pipeline_key_rename_survives_restart(spark, tmp_path):
                       payload_schema="pk long, val string")
     Pipeline(spark, source, [cfg], sink, work).run_until_drained()
 
-    # restart from the ORIGINAL (now stale) config — fresh objects
+    # restart from the ORIGINAL (now stale) config — fresh objects; the
+    # pipeline's hydrate walks the registry rename chain and reconciles
+    # BOTH cfg.keys and the freshly-built sink's keys (no manual sync)
     _drop_batch(spark, source, [
         _row("UPDATE", 50, after={"id": 2, "val": "b2"}),
     ], "b2.parquet")
     sink2 = ParquetCurrentStateSink(sink_root, keys=["pk"], spark=spark)
-    sink2.sync_keys("users")
     cfg2 = TableConfig(name="users", snapshot_path=snap, keys=["pk"],
                        payload_schema="pk long, val string")
     p2 = Pipeline(spark, source, [cfg2], sink2, work)
     p2.run_until_drained()
     assert cfg2.keys == ["id"]
+    assert sink2.keys == ["id"]
     got = {r.id: r.val for r in sink2.read("users").select("id", "val").collect()}
     assert got == {1: "a1", 2: "b2"}
 
