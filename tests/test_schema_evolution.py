@@ -323,10 +323,12 @@ def test_ddl_log_matches_model_under_random_ops(spark, tmp_path, seed):
         }
         return cols, rows
 
+    model_nn: dict[str, bool] = {}  # expected current_nullability view
     for step in range(14):
         action = rng.choices(
-            ["batch", "rename", "toggle_extra", "restart", "replay", "compact"],
-            weights=[6, 2, 2, 2, 1, 1],
+            ["batch", "rename", "toggle_extra", "restart", "replay", "compact",
+             "set_nullable"],
+            weights=[6, 2, 2, 2, 1, 1, 1],
         )[0]
         if action == "batch" or last is None:
             schema = f"op string, commit_lsn long, tx_ordinal long, pk long, {val_name} string"
@@ -353,11 +355,18 @@ def test_ddl_log_matches_model_under_random_ops(spark, tmp_path, seed):
         elif action == "rename":
             new = f"val{val_gen + 1}"
             sink.apply_schema_change("t", renames=[(val_name, new)])
+            if val_name in model_nn:
+                model_nn[new] = model_nn.pop(val_name)
             val_name, val_gen = new, val_gen + 1
+        elif action == "set_nullable":
+            nn = rng.random() < 0.5
+            sink.apply_schema_change("t", nullability=[(val_name, nn)])
+            model_nn[val_name] = nn
         elif action == "toggle_extra":
             if has_extra:
                 sink.apply_schema_change("t", drops=["extra"])
                 has_extra = False
+                model_nn.pop("extra", None)
                 for r in model.values():
                     r["x"] = None
             else:
@@ -388,6 +397,9 @@ def test_ddl_log_matches_model_under_random_ops(spark, tmp_path, seed):
         got = {pk: {"v": r["v"], "x": r["x"] if has_extra else None}
                for pk, r in rows.items()}
         assert got == want, f"seed={seed} step={step} action={action}"
+        assert sink.current_nullability("t") == model_nn, (
+            f"seed={seed} step={step} action={action}"
+        )
 
 
 def test_pipeline_rename_survives_full_replay(spark, tmp_path):
