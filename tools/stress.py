@@ -173,6 +173,8 @@ QUERIES = [
     "mm_image_tiles",
     "mm_video_scene_cuts",
     "cdc_rebucket_migration",
+    "cdc_ddl_rebucket_compact",
+    "cdc_scd2_schema_evolution",
     "events_haar_wavelet",
     "customer_feature_store",
     "orders_backlog_curve",
