@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
         "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
         "parts_triangle_sample": workload_relational.parts_triangle_sample,
+        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         # --- implementation CHANGED in round 8: re-record ---
         "cdc_schema_evolution": workload.cdc_schema_evolution,
         "sketch_count_min_users": workload_relational.sketch_count_min_users,

@@ -187,6 +187,7 @@ HEADLINE = [
     "cdc_ddl_rebucket_compact",
     "cdc_scd2_schema_evolution",
     "parts_triangle_sample",
+    "cdc_duckdb_current_state",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -382,7 +383,7 @@ def main() -> None:
               "corpus_heaps_law", "events_entropy_rate",
               "embeddings_centroid_separation"}
     r8_new = {"cdc_ddl_rebucket_compact", "cdc_scd2_schema_evolution",
-              "parts_triangle_sample"}
+              "parts_triangle_sample", "cdc_duckdb_current_state"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new),

@@ -4238,3 +4238,15 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_sampled_edges,
        CAST(tri.t * 8 AS DOUBLE) AS est_triangles
 FROM tri
 """
+
+# DuckDB warehouse destination (staging-merge + applied-batches dedup)
+# must land on exactly the batch LWW state.
+ORACLES["cdc_duckdb_current_state"] = f"""
+WITH {ENVELOPE_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY commit_lsn DESC, tx_ordinal DESC) AS rn
+  FROM env
+)
+SELECT pk, value, props
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""

@@ -1639,3 +1639,56 @@ def cdc_scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amount",
         "tier",
     )
+
+
+def cdc_duckdb_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-warehouse destination gate (X154): the sim envelope drives
+    :class:`~etl_spark.streaming.duckdb_sink.DuckDBCurrentStateSink` —
+    the staging-merge pattern of the reference's DuckLake / Snowflake
+    destinations (ducklake/core.rs:1133-1216: stage parquet, winner per
+    key by sequence, delete-superseded + insert-survivors in ONE
+    transaction, applied-batches replay dedup) — over three LSN-range
+    micro-batches with the middle batch REPLAYED (at-least-once). The
+    warehouse table must hash-equal the batch LWW oracle. Previously the
+    D4/D5 family had pytest evidence only; this puts a driver-recorded
+    row on it.
+
+    Scale note: the read-back is gate verification, not the data path —
+    the DuckDB table IS the destination; its current state is
+    replica-identity-dim-bounded (distinct users), so the pandas
+    round-trip is dim-sized, never fact-sized.
+    """
+    import os
+    import tempfile
+
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value", "props"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    work = tempfile.mkdtemp(prefix="duckdb_gate_")
+    sink = DuckDBCurrentStateSink(
+        os.path.join(work, "wh.duckdb"), keys={"users": ["pk"]},
+        staging_dir=os.path.join(work, "stage"),
+    )
+    sink.write_snapshot("users", env.select("pk", "value", "props").limit(0))
+    for i, (lo, hi) in enumerate(ranges):
+        sink.write_changes(
+            "users", env.filter(F.col("commit_lsn").between(lo, hi)), batch_id=i
+        )
+        if i == 1:  # replayed delivery: applied_batches must no-op it
+            sink.write_changes(
+                "users", env.filter(F.col("commit_lsn").between(lo, hi)), batch_id=i
+            )
+    import duckdb as _duckdb
+
+    con = _duckdb.connect(os.path.join(work, "wh.duckdb"))
+    pdf = con.execute('SELECT pk, value, props FROM "users"').df()
+    con.close()
+    return spark.createDataFrame(pdf)

@@ -175,6 +175,7 @@ QUERIES = [
     "cdc_rebucket_migration",
     "cdc_ddl_rebucket_compact",
     "cdc_scd2_schema_evolution",
+    "cdc_duckdb_current_state",
     "events_haar_wavelet",
     "customer_feature_store",
     "orders_backlog_curve",
