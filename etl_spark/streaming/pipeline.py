@@ -191,18 +191,28 @@ class Pipeline:
             # payload_schema does: a restart after a key-column RENAME
             # rebuilds the pipeline from the constructor config, whose
             # keys still carry the pre-DDL name — the decode would
-            # KeyError on the first batch. The alias map is
-            # current-name -> prior names; a configured key found in a
-            # chain resolves to that chain's current name.
-            live = {c.name for c in cols}
-            aliases = self._rename_aliases(name)
+            # KeyError on the first batch. The configured key refers to
+            # the column BORN with that name (the config predates every
+            # rename), so an identity whose timeline STARTS at origin
+            # with the configured name wins even over a later column
+            # that RE-USED the name.
+            idents = self._column_identities(name)
             fixed = []
             for k in cfg.keys:
-                if k in live:
-                    fixed.append(k)
-                    continue
-                cur = next((n for n, olds in aliases.items() if k in olds), k)
-                fixed.append(cur)
+                born = next(
+                    (cur for cur, segs in idents.items() if segs[0] == (None, k)),
+                    None,
+                )
+                if born is not None:
+                    fixed.append(born)
+                elif k in idents:
+                    fixed.append(k)  # live column of that name
+                else:
+                    # historical name of some later-born column
+                    fixed.append(next(
+                        (cur for cur, segs in idents.items()
+                         if any(n == k for _s, n in segs)), k,
+                    ))
             if fixed != cfg.keys:
                 cfg.keys = fixed
                 # the sink was likewise built from the stored config —
@@ -546,28 +556,48 @@ class Pipeline:
             self.schemas.record(table, lsn, cols)
             cfg.payload_schema = ", ".join(f"{c.name} {c.typ}" for c in cols)
 
-    def _rename_aliases(self, table: str) -> dict[str, list[str]]:
-        """Current column name → its prior names (rename chain), derived
-        from consecutive registry versions — lets one decode pass resolve
-        row images written under any schema version in the batch."""
+    def _column_identities(
+        self, table: str
+    ) -> dict[str, list[tuple[int | None, str]]]:
+        """Current column name → its NAME TIMELINE: ordered segments
+        ``(start_lsn, name)`` where the column carried ``name`` from
+        ``start_lsn`` (None = since table origin) until the next
+        segment's start. Derived from consecutive registry versions:
+        renames extend a column's timeline, ADDs start a fresh identity
+        (a re-ADD of a previously-renamed-away name is a NEW column —
+        its timeline must not inherit the old one), DROPs end one.
+
+        This is what makes one decode pass exact over a batch spanning
+        DDL: a row image written at commit_lsn L keyed ``"a"`` means the
+        column that was NAMED ``a`` AT L — with re-added names that is
+        ambiguous under any LSN-blind coalesce (the old column's values
+        would bleed into the new column or vanish), and the LSN resolves
+        it exactly."""
         vs = self.schemas._versions.get(table, [])
-        alias: dict[str, list[str]] = {}
-        for (_l0, c0), (_l1, c1) in zip(vs, vs[1:]):
-            for old, new in diff_schemas(c0, c1).renames:
-                alias[new] = alias.pop(old, []) + [old]
-        # an old name can RE-APPEAR as a new column (rename a->b, later
-        # ADD a): it is then a live field in its own right — keeping it in
-        # b's chain would both duplicate the from_json parse field
-        # (invalid schema) and coalesce the new a's values into b where b
-        # is NULL. Live columns never alias.
-        if vs:
-            live = {c.name for c in vs[-1][1]}
-            alias = {
-                new: kept
-                for new, olds in alias.items()
-                if (kept := [o for o in olds if o not in live])
-            }
-        return alias
+        if not vs:
+            return {}
+        idents: dict[str, list[tuple[int | None, str]]] = {
+            c.name: [(None, c.name)] for c in vs[0][1]
+        }
+        for (_l0, c0), (l1, c1) in zip(vs, vs[1:]):
+            d = diff_schemas(c0, c1)
+            for old, new in d.renames:
+                idents[new] = idents.pop(old, [(None, old)]) + [(l1, new)]
+            for c in d.columns_to_add:
+                idents[c.name] = [(l1, c.name)]
+            for name in d.columns_to_remove:
+                idents.pop(name, None)
+        return idents
+
+    def _rename_aliases(self, table: str) -> dict[str, list[str]]:
+        """Current column name → its prior names (oldest first), the
+        flat view of :meth:`_column_identities` used by restart key
+        resolution."""
+        return {
+            cur: [n for _s, n in segs[:-1]]
+            for cur, segs in self._column_identities(table).items()
+            if len(segs) > 1
+        }
 
     def _defaults_at(self, table: str) -> dict[str, tuple[int, str]]:
         """Column → (LSN it was ADDed at, default literal) for columns
@@ -615,20 +645,41 @@ class Pipeline:
         # newest-schema switch would NULL pre-DDL values of renamed
         # columns) — the row images are name-keyed JSON and old/new names
         # never coexist in one image, so coalesce(new, old-chain) is exact
-        aliases = self._rename_aliases(cfg.name)
-        parse_names = [n for n, _ in fields] + [
-            o for n, _ in fields for o in aliases.get(n, [])
-        ]
+        idents = self._column_identities(cfg.name)
+        parse_names: list[str] = []
+        for n, _t in fields:
+            for _s, nm in idents.get(n, [(None, n)]):
+                if nm not in parse_names:
+                    parse_names.append(nm)
         str_schema = ", ".join(f"{n} string" for n in parse_names)
         after = F.from_json("after", str_schema)
         before = F.from_json("before", str_schema)
         dec = rows.withColumn("__a", after).withColumn("__b", before)
 
         def _img(side: str, n: str):
-            cols = [F.col(f"__{side}.{n}")] + [
-                F.col(f"__{side}.{o}") for o in reversed(aliases.get(n, []))
-            ]
-            return F.coalesce(*cols) if len(cols) > 1 else cols[0]
+            # LSN-exact name resolution: the image key that means THIS
+            # column at the event's commit_lsn. A plain coalesce over the
+            # rename chain is ambiguous once a name is re-used (the old
+            # column's values bleed into the new one, or vanish when the
+            # chain is pruned); selecting by the column's name timeline
+            # is exact for every interleaving. Events before a fresh
+            # identity's birth read NULL (the ADD..DEFAULT rule below
+            # then supplies a recorded default).
+            segs = idents.get(n, [(None, n)])
+            first_start, first_name = segs[0]
+            expr = (
+                F.col(f"__{side}.{first_name}")
+                if first_start is None
+                else F.when(
+                    F.col("commit_lsn") >= F.lit(first_start),
+                    F.col(f"__{side}.{first_name}"),
+                )
+            )
+            for start, nm in segs[1:]:
+                expr = F.when(
+                    F.col("commit_lsn") >= F.lit(start), F.col(f"__{side}.{nm}")
+                ).otherwise(expr)
+            return expr
 
         missing = F.coalesce(F.col("missing_cols"), F.array())
         resolvable = (F.size(missing) == 0) | (F.col("before_kind") == "FULL")

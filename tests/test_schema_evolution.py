@@ -726,3 +726,173 @@ def test_pipeline_nullability_reaches_sink(spark, tmp_path):
     Pipeline(spark, source, [cfg], sink, str(tmp_path / "work")).run_until_drained()
     assert sink.current_nullability("users") == {"pk": False, "val": False}
     assert {r.pk: r.val for r in sink.read("users").collect()} == {1: "a1"}
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed):
+    """END-TO-END randomized schema-evolution model test (the sink model
+    tests drive the sink directly; this drives the FULL pipeline): a
+    seeded script of RELATION changes — value-column renames, KEY
+    renames, ADD..DEFAULT, drops, re-adds of previously-renamed-away
+    names, nullability flips — interleaved with row events under the
+    schema current at their LSN, split across several batch files, with
+    the pipeline RESTARTED from the ORIGINAL (stale) config between
+    files. A driver-side model applies the same events in LSN order with
+    PG semantics; the destination must equal the model exactly under the
+    final schema, and the registry's nullability view must match."""
+    import random
+    import shutil
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+
+    rng = random.Random(seed)
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    work = str(tmp_path / "work")
+    sink_root = str(tmp_path / "sink")
+    # initial schema: key k0 (long) + value columns c0, c1 (string)
+    spark.createDataFrame(
+        [(1, "s1a", "s1b"), (2, "s2a", "s2b")], "k0 long, c0 string, c1 string"
+    ).write.parquet(snap)
+
+    key = "k0"
+    cols: list[tuple[str, str | None]] = [("c0", None), ("c1", None)]  # (name, default)
+    retired: list[str] = []           # names renamed/dropped away (re-add pool)
+    gen = 0
+    model: dict[int, dict] = {
+        1: {"c0": "s1a", "c1": "s1b"},
+        2: {"c0": "s2a", "c1": "s2b"},
+    }
+    model_nn: dict[str, bool] = {}
+    lsn = 100
+    rows: list[Row] = []
+    batch_files = 0
+
+    def rel_event(l):
+        spec = {"columns": (
+            [{"name": key, "typ": "long", "pk_ordinal": 1,
+              "nullable": model_nn.get(key, True)}]
+            + [{"name": n, "typ": "string",
+                **({"default": d} if d is not None else {}),
+                "nullable": model_nn.get(n, True)}
+               for n, d in cols]
+        )}
+        return Row(op="RELATION", table="t", commit_lsn=l, start_lsn=l,
+                   tx_ordinal=0, after=json.dumps(spec), before=None,
+                   before_kind=None, missing_cols=None, schema_snapshot_lsn=l)
+
+    def row_event(l, op, pk, img=None):
+        return Row(op=op, table="t", commit_lsn=l, start_lsn=l, tx_ordinal=0,
+                   after=json.dumps(img) if img else None,
+                   before=json.dumps({key: pk}) if op == "DELETE" else None,
+                   before_kind="KEY" if op == "DELETE" else None,
+                   missing_cols=None, schema_snapshot_lsn=None)
+
+    def flush_batch():
+        nonlocal rows, batch_files
+        if not rows:
+            return
+        _drop_batch(spark, source, rows, f"b{batch_files}.parquet")
+        rows = []
+        batch_files += 1
+
+    def run_pipeline():
+        # ALWAYS from the ORIGINAL (stale) config — the restart path
+        sink = ParquetCurrentStateSink(sink_root, keys=["k0"], spark=spark)
+        cfg = TableConfig(name="t", snapshot_path=snap, keys=["k0"],
+                          payload_schema="k0 long, c0 string, c1 string")
+        Pipeline(spark, source, [cfg], sink, work).run_until_drained()
+        return sink
+
+    for step in range(16):
+        action = rng.choices(
+            ["row", "rename_val", "rename_key", "add_default", "drop",
+             "readd", "nullable", "flush_restart"],
+            weights=[8, 2, 1, 2, 1, 2, 1, 2],
+        )[0]
+        lsn += 1
+        if action == "row" or not cols:
+            pk = rng.randint(1, 6)
+            op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+            if op == "DELETE":
+                rows.append(row_event(lsn, "DELETE", pk))
+                model.pop(pk, None)
+            else:
+                img = {key: pk}
+                vals = {}
+                for n, _d in cols:
+                    v = f"v{lsn}_{n}" if rng.random() < 0.85 else None
+                    img[n] = v
+                    vals[n] = v
+                rows.append(row_event(lsn, op, pk, img))
+                model[pk] = vals
+        elif action == "rename_val":
+            i = rng.randrange(len(cols))
+            old, d = cols[i]
+            new = f"r{gen}"
+            gen += 1
+            cols[i] = (new, d)
+            retired.append(old)
+            for v in model.values():
+                v[new] = v.pop(old, None)
+            if old in model_nn:
+                model_nn[new] = model_nn.pop(old)
+            rows.append(rel_event(lsn))
+        elif action == "rename_key":
+            nonloc = f"k{gen}"
+            gen += 1
+            retired.append(key)
+            if key in model_nn:
+                model_nn[nonloc] = model_nn.pop(key)
+            key = nonloc
+            rows.append(rel_event(lsn))
+        elif action == "add_default":
+            new = f"a{gen}"
+            gen += 1
+            d = f"d{gen}"
+            cols.append((new, d))
+            for v in model.values():
+                v[new] = d  # lazy default backfills pre-DDL rows
+            rows.append(rel_event(lsn))
+        elif action == "drop":
+            if len(cols) <= 1:
+                continue
+            i = rng.randrange(len(cols))
+            old, _d = cols.pop(i)
+            retired.append(old)
+            for v in model.values():
+                v.pop(old, None)
+            model_nn.pop(old, None)
+            rows.append(rel_event(lsn))
+        elif action == "readd":
+            pool = [n for n in retired if n not in [c for c, _ in cols] and n != key]
+            if not pool:
+                continue
+            name = rng.choice(pool)
+            d = f"rd{gen}" if rng.random() < 0.5 else None
+            gen += 1
+            cols.append((name, d))
+            for v in model.values():
+                v[name] = d  # default (or NULL) — old values never resurface
+            rows.append(rel_event(lsn))
+        elif action == "nullable":
+            targets = [key] + [n for n, _ in cols]
+            n = rng.choice(targets)
+            model_nn[n] = rng.random() < 0.5
+            rows.append(rel_event(lsn))
+        elif action == "flush_restart":
+            flush_batch()
+            run_pipeline()
+    flush_batch()
+    sink = run_pipeline()
+
+    out = sink.read("t")
+    live = [key] + [n for n, _ in cols]
+    assert set(live) <= set(out.columns), (out.columns, live)
+    got = {
+        r[key]: {n: r[n] for n, _ in cols}
+        for r in out.select(*live).collect()
+    }
+    assert got == model, f"seed={seed}\n got={got}\n want={model}"
+    assert sink.current_nullability("t") == model_nn, seed
