@@ -599,15 +599,54 @@ class Pipeline:
             if len(segs) > 1
         }
 
+    def _ordinal_exprs(self, table: str, fields: list[tuple[str, str]]):
+        """Field name → Column expr giving the field's ORDINAL in the
+        schema version in force at the event's ``commit_lsn`` (−1 when
+        the column did not exist yet). TOAST ``missing_cols`` indexes are
+        tuple positions under the EVENT'S schema (pgoutput lays 'u' cells
+        by the RELATION in force when the frame was written); checking
+        them against the current field position silently NULLs an
+        unchanged-TOAST column as soon as a mid-batch DROP shifts
+        ordinals."""
+        vs = self.schemas._versions.get(table, [])
+        idents = self._column_identities(table)
+        out = {}
+        for i, (n, _t) in enumerate(fields):
+            segs = idents.get(n, [(None, n)])
+            if not vs:
+                out[n] = F.lit(i)
+                continue
+            chain: list[tuple[int, int]] = []
+            for lv, colsv in vs:
+                nm = None
+                for s, cand in segs:
+                    if s is None or s <= lv:
+                        nm = cand
+                o = next((c.ordinal for c in colsv if c.name == nm), -1)
+                chain.append((lv, o))
+            expr = F.lit(chain[0][1])
+            for lv, o in chain[1:]:
+                expr = F.when(
+                    F.col("commit_lsn") >= F.lit(lv), F.lit(o)
+                ).otherwise(expr)
+            out[n] = expr
+        return out
+
     def _defaults_at(self, table: str) -> dict[str, tuple[int, str]]:
         """Column → (LSN it was ADDed at, default literal) for columns
         introduced with a DEFAULT, derived from consecutive registry
-        versions. A later re-add overwrites an earlier entry (the newest
-        add is the one whose LSN gates same-batch events)."""
+        versions. The rule FOLLOWS renames (a column added with a default
+        and renamed in the same batch keeps its original add-LSN gate
+        under its current name); a later re-add overwrites an earlier
+        entry (the newest add is the one whose LSN gates same-batch
+        events); a drop retires the rule."""
         vs = self.schemas._versions.get(table, [])
         out: dict[str, tuple[int, str]] = {}
         for (_l0, c0), (l1, c1) in zip(vs, vs[1:]):
             d = diff_schemas(c0, c1)
+            for old, new in d.renames:
+                if old in out:
+                    out[new] = out.pop(old)
             for c in d.columns_to_add:
                 if c.default is not None:
                     out[c.name] = (l1, c.default)
@@ -696,11 +735,12 @@ class Pipeline:
         # stays NULL). Sink-side lazy defaults cover earlier batches' dirs;
         # this rule covers the same-batch window.
         defaults_at = self._defaults_at(cfg.name)
+        ord_exprs = self._ordinal_exprs(cfg.name, fields)
         proj = [F.col("op"), F.col("commit_lsn"), F.col("tx_ordinal"), F.col("event_seq")]
         for i, (n, t) in enumerate(fields):
             src = F.when(F.col("op") == "DELETE", _img("b", n)).otherwise(
                 F.when(
-                    F.array_contains(missing, F.lit(i)), _img("b", n)
+                    F.array_contains(missing, ord_exprs[n]), _img("b", n)
                 ).otherwise(_img("a", n))
             )
             rule = defaults_at.get(n)

@@ -782,12 +782,18 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
                    tx_ordinal=0, after=json.dumps(spec), before=None,
                    before_kind=None, missing_cols=None, schema_snapshot_lsn=l)
 
-    def row_event(l, op, pk, img=None):
+    def row_event(l, op, pk, img=None, before=None, missing=None):
         return Row(op=op, table="t", commit_lsn=l, start_lsn=l, tx_ordinal=0,
                    after=json.dumps(img) if img else None,
-                   before=json.dumps({key: pk}) if op == "DELETE" else None,
-                   before_kind="KEY" if op == "DELETE" else None,
-                   missing_cols=None, schema_snapshot_lsn=None)
+                   before=json.dumps(
+                       before if before is not None
+                       else ({key: pk} if op == "DELETE" else None)
+                   ) if (before is not None or op == "DELETE") else None,
+                   before_kind=(
+                       "FULL" if before is not None
+                       else ("KEY" if op == "DELETE" else None)
+                   ),
+                   missing_cols=missing, schema_snapshot_lsn=None)
 
     def flush_batch():
         nonlocal rows, batch_files
@@ -807,12 +813,37 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
 
     for step in range(16):
         action = rng.choices(
-            ["row", "rename_val", "rename_key", "add_default", "drop",
+            ["row", "toast", "rename_val", "rename_key", "add_default", "drop",
              "readd", "nullable", "flush_restart"],
-            weights=[8, 2, 1, 2, 1, 2, 1, 2],
+            weights=[7, 2, 2, 1, 2, 1, 2, 1, 2],
         )[0]
         lsn += 1
-        if action == "row" or not cols:
+        if action == "toast":
+            # unchanged-TOAST update: one column absent from the after
+            # image, listed in missing_cols by its ORDINAL UNDER THE
+            # EVENT'S schema (key is ordinal 0), FULL before image; the
+            # column keeps its previous value — exercises ordinal
+            # resolution when later DDL shifts positions mid-batch
+            known = [pk for pk in model]
+            if not known or not cols:
+                continue
+            pk = rng.choice(known)
+            j = rng.randrange(len(cols))
+            toast_col = cols[j][0]
+            before = {key: pk, **model[pk]}
+            img = {key: pk}
+            vals = {}
+            for n, _d in cols:
+                if n == toast_col:
+                    vals[n] = model[pk].get(n)  # unchanged
+                else:
+                    v = f"t{lsn}_{n}"
+                    img[n] = v
+                    vals[n] = v
+            rows.append(row_event(lsn, "UPDATE", pk, img, before=before,
+                                  missing=[j + 1]))
+            model[pk] = vals
+        elif action == "row" or not cols:
             pk = rng.randint(1, 6)
             op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
             if op == "DELETE":
@@ -877,9 +908,12 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
                 v[name] = d  # default (or NULL) — old values never resurface
             rows.append(rel_event(lsn))
         elif action == "nullable":
+            # always FLIP the effective nullability (default True): a
+            # no-op "change" produces no SchemaDiff entry, so nothing
+            # reaches the sink ledger — only real flips are observable
             targets = [key] + [n for n, _ in cols]
             n = rng.choice(targets)
-            model_nn[n] = rng.random() < 0.5
+            model_nn[n] = not model_nn.get(n, True)
             rows.append(rel_event(lsn))
         elif action == "flush_restart":
             flush_batch()
