@@ -623,23 +623,43 @@ def parse_frame(buf: bytes) -> dict:
 # Relation registry + distributed decode
 # ---------------------------------------------------------------------------
 
+def _rel_spec(p: dict) -> dict:
+    return {
+        "table": f"{p['namespace']}.{p['name']}",
+        "columns": [c["name"] for c in p["columns"]],
+        "key_cols": [c["name"] for c in p["columns"] if c["flags"] & 1],
+        "type_oids": [c["type_oid"] for c in p["columns"]],
+        "key_oids": [c["type_oid"] for c in p["columns"] if c["flags"] & 1],
+        "replident": p["replident"],
+    }
+
+
 def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, dict]:
     """Collect RELATION frames driver-side (catalog-metadata-sized: one per
-    table per schema change) → {rel_id: {table, columns, key_cols}}."""
+    table per schema change) → {rel_id: {table, columns, key_cols}} —
+    the NEWEST spec per relation by stream position."""
+    versioned = relation_registry_versioned(frames, frame_col)
+    return {rid: specs[-1][1] for rid, specs in versioned.items()}
+
+
+def relation_registry_versioned(
+    frames: DataFrame, frame_col: str = "frame", lsn_col: str = "wal_start"
+) -> dict[int, list[tuple[int, dict]]]:
+    """Collect RELATION frames WITH their stream positions, sorted:
+    {rel_id: [(wal_start, spec), ...]}. Catalog-metadata-sized. The
+    versioned form lets the decoder resolve each DML frame against the
+    relation IN FORCE at that frame — positional tuple decode against
+    any other version misaligns cells the moment a mid-batch DDL drops
+    or reorders a column."""
     rel_rows = frames.filter(
         F.substring(F.col(frame_col).cast("binary"), 1, 1) == F.lit(b"R")
-    ).select(frame_col).collect()
-    reg: dict[int, dict] = {}
+    ).select(lsn_col, frame_col).collect()
+    reg: dict[int, list[tuple[int, dict]]] = {}
     for r in rel_rows:
-        p = parse_frame(bytes(r[0]))
-        reg[p["rel_id"]] = {
-            "table": f"{p['namespace']}.{p['name']}",
-            "columns": [c["name"] for c in p["columns"]],
-            "key_cols": [c["name"] for c in p["columns"] if c["flags"] & 1],
-            "type_oids": [c["type_oid"] for c in p["columns"]],
-            "key_oids": [c["type_oid"] for c in p["columns"] if c["flags"] & 1],
-            "replident": p["replident"],
-        }
+        p = parse_frame(bytes(r[1]))
+        reg.setdefault(p["rel_id"], []).append((r[0], _rel_spec(p)))
+    for specs in reg.values():
+        specs.sort(key=lambda t: t[0])
     return reg
 
 
@@ -842,9 +862,24 @@ def decode_frames(
     ``K`` tuples → KEY (values laid into the identity columns; other
     columns absent from the JSON), no old tuple → NONE. Unchanged-TOAST
     cells ('u') in the new tuple become ``missing_cols`` indexes.
+
+    Relation resolution is PER FRAME by stream position: ``relations``
+    (if given) is the CARRIED pre-batch base (schemas learned in earlier
+    batches), and this batch's RELATION frames form a VERSIONED overlay —
+    each DML frame decodes against the spec with the largest
+    ``wal_start ≤`` its own. Decoding every tuple against the batch's
+    newest relation (the previous behavior) mis-keys pre-DDL tuples after
+    a rename and MISALIGNS cells positionally after a mid-batch DROP;
+    per-frame selection is also deterministic under any partitioning
+    (the overlay is driver-collected, never mutated executor-side).
     """
-    if relations is None:
-        relations = relation_registry(frames, frame_col)
+    base = dict(relations) if relations else {}
+    versioned = relation_registry_versioned(frames, frame_col, lsn_col)
+    # per-rel parallel arrays for bisect selection in the hot loop
+    _sel: dict[int, tuple[list[int], list[dict]]] = {
+        rid: ([w for w, _s in specs], [s for _w, s in specs])
+        for rid, specs in versioned.items()
+    }
 
     def run(batches: Iterator) -> Iterator:
         import struct as _struct
@@ -889,6 +924,19 @@ def decode_frames(
             return cells, pos
 
         bcell = BinaryCell
+        from bisect import bisect_right as _br
+
+        def rel_at(rid: int, w: int):
+            """The relation spec in force at stream position ``w``: the
+            batch overlay's newest entry with wal ≤ w, else the carried
+            pre-batch base."""
+            entry = _sel.get(rid)
+            if entry is not None:
+                wals, specs = entry
+                i = _br(wals, w)
+                if i > 0:
+                    return specs[i - 1]
+            return base.get(rid)
 
         def bdecode(oids, i, v):
             # oids may be absent from registry snapshots persisted before
@@ -914,7 +962,7 @@ def decode_frames(
                 op = OPS.get(tag)
                 if op is not None:  # DML fast path
                     (rel_id,) = u_I(buf, 1)
-                    rel = relations.get(rel_id)
+                    rel = rel_at(rel_id, wal)
                     if rel is None:
                         continue  # unknown relation: P4 drop-with-warning
                     cols = rel["columns"]
@@ -997,7 +1045,7 @@ def decode_frames(
                 elif tag == 84:  # 'T'
                     p = parse_frame(buf)
                     for rid in p["rel_ids"]:
-                        rel = relations.get(rid)
+                        rel = rel_at(rid, wal)
                         if rel:
                             ap((wal, xid, "TRUNCATE", rel["table"],
                                 None, None, "NONE", None, None))

@@ -318,11 +318,16 @@ class Pipeline:
             from etl_spark.sources.pgoutput import decode_frames
 
             raw_frames = batch
+            # snapshot BEFORE learning this batch's relations: the decoder
+            # takes the PRE-batch base and resolves this batch's RELATION
+            # frames per-position itself — handing it the post-update
+            # snapshot would decode pre-DDL frames against post-DDL specs
+            carried_relations = self.relations.snapshot()
             self.relations.update_from(batch)
             self.types.update_from(batch)
             batch = decode_frames(
                 batch,
-                relations=self.relations.snapshot(),
+                relations=carried_relations,
                 carry_tx=self.txs.snapshot(),
             )
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
@@ -424,12 +429,15 @@ class Pipeline:
             .collect()
         )
 
-        # RELATION frames can arrive outside any transaction (no BEGIN →
-        # NULL commit_lsn since the wrong-domain xid fallback was removed);
-        # their WAL position (start_lsn) is the correct same-domain
-        # ordering / versioning key in that case.
+        # Versioning key = the RELATION's STREAM POSITION (start_lsn), not
+        # its transaction's commit LSN: a relation change applies to the
+        # tuples that FOLLOW it in the stream, including later tuples of
+        # the SAME transaction (they share one commit_lsn, so the commit
+        # key cannot separate pre- from post-DDL rows inside a tx — the
+        # decode gates on the event's own stream position, below).
+        # Explicit schema_snapshot_lsn (envelope producers) still wins.
         def _lsn(r) -> int:
-            return r["commit_lsn"] if r["commit_lsn"] is not None else r["start_lsn"]
+            return r["start_lsn"] if r["start_lsn"] is not None else r["commit_lsn"]
 
         for r in sorted(rel, key=_lsn):
             table = r["table"]
@@ -625,10 +633,9 @@ class Pipeline:
                 o = next((c.ordinal for c in colsv if c.name == nm), -1)
                 chain.append((lv, o))
             expr = F.lit(chain[0][1])
+            pos = F.coalesce(F.col("start_lsn"), F.col("commit_lsn"))
             for lv, o in chain[1:]:
-                expr = F.when(
-                    F.col("commit_lsn") >= F.lit(lv), F.lit(o)
-                ).otherwise(expr)
+                expr = F.when(pos >= F.lit(lv), F.lit(o)).otherwise(expr)
             out[n] = expr
         return out
 
@@ -694,6 +701,11 @@ class Pipeline:
         after = F.from_json("after", str_schema)
         before = F.from_json("before", str_schema)
         dec = rows.withColumn("__a", after).withColumn("__b", before)
+        # the event's STREAM POSITION: schema changes take effect at their
+        # WAL position, so intra-transaction DDL (all rows share one
+        # commit_lsn) still splits exactly; envelope producers that only
+        # carry commit_lsn fall back to it
+        _pos = F.coalesce(F.col("start_lsn"), F.col("commit_lsn"))
 
         def _img(side: str, n: str):
             # LSN-exact name resolution: the image key that means THIS
@@ -710,13 +722,13 @@ class Pipeline:
                 F.col(f"__{side}.{first_name}")
                 if first_start is None
                 else F.when(
-                    F.col("commit_lsn") >= F.lit(first_start),
+                    _pos >= F.lit(first_start),
                     F.col(f"__{side}.{first_name}"),
                 )
             )
             for start, nm in segs[1:]:
                 expr = F.when(
-                    F.col("commit_lsn") >= F.lit(start), F.col(f"__{side}.{nm}")
+                    _pos >= F.lit(start), F.col(f"__{side}.{nm}")
                 ).otherwise(expr)
             return expr
 
@@ -747,7 +759,7 @@ class Pipeline:
             if rule is not None:
                 add_lsn, dflt = rule
                 src = F.when(
-                    F.col("commit_lsn") < F.lit(add_lsn), F.lit(dflt)
+                    _pos < F.lit(add_lsn), F.lit(dflt)
                 ).otherwise(src)
             proj.append(src.cast(t).alias(n))
         # PK-changing updates (D1 semantics, bigquery/core.rs:1421-1478):

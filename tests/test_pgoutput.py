@@ -655,3 +655,91 @@ def test_pipeline_pgoutput_relation_rename_remaps_destination(spark, tmp_path):
     assert "val" not in out.columns
     rows = {r.pk: r.val2 for r in out.select("pk", "val2").collect()}
     assert rows == {1: "a", 2: "b"}  # pre-DDL value preserved under val2
+
+
+def test_pgoutput_cross_tx_rename_in_one_batch(spark, tmp_path):
+    """A batch containing a COMMITTED pre-rename transaction AND the
+    rename: the pre-rename tuples must decode against the relation IN
+    FORCE at their stream position (per-frame versioned selection) and
+    the decode's stream-position gate must pick the OLD name for them —
+    commit-LSN gating alone cannot separate them once both transactions
+    are in one batch."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel_v1 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "val2", 25, -1)])
+    _write_frames(spark, source, [
+        (1, -1, rel_v1),
+        # tx 1: commits at 50, entirely PRE-rename
+        (10, 1, pgo.encode_begin(final_lsn=50, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["1", "a"])),
+        (12, 1, pgo.encode_commit(50, 51)),
+        # the rename republish, then tx 2 under the new name
+        (60, 2, pgo.encode_begin(final_lsn=100, xid=2)),
+        (61, 2, rel_v2),
+        (62, 2, pgo.encode_insert(1, ["2", "b"])),
+        (63, 2, pgo.encode_commit(100, 101)),
+    ], "b1")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"),
+             source_fmt="pgoutput").run_until_drained()
+    out = sink.read("public.users")
+    assert "val" not in out.columns
+    assert {r.pk: r.val2 for r in out.select("pk", "val2").collect()} == \
+        {1: "a", 2: "b"}
+
+
+def test_pgoutput_mid_batch_drop_keeps_positional_alignment(spark, tmp_path):
+    """DROP of a MIDDLE column mid-batch: pre-drop tuples are one cell
+    WIDER and their later cells sit at shifted positions — decoding them
+    against the post-drop relation (the old newest-wins behavior) keys
+    cell 2's value under cell 1's post-drop name, silently corrupting
+    every column after the drop point. Per-frame versioned selection
+    keeps each tuple aligned with ITS schema."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    # v1: pk, gone, keep   (drop the MIDDLE column)
+    rel_v1 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "gone", 25, -1),
+                                  (0, "keep", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "keep", 25, -1)])
+    _write_frames(spark, source, [
+        (1, -1, rel_v1),
+        (10, 1, pgo.encode_begin(final_lsn=50, xid=1)),
+        # pre-drop tuple: keep='K1' sits at POSITION 2
+        (11, 1, pgo.encode_insert(1, ["1", "G1", "K1"])),
+        (12, 1, pgo.encode_commit(50, 51)),
+        (60, 2, pgo.encode_begin(final_lsn=100, xid=2)),
+        (61, 2, rel_v2),
+        # post-drop tuple: keep='K2' at POSITION 1
+        (62, 2, pgo.encode_insert(1, ["2", "K2"])),
+        (63, 2, pgo.encode_commit(100, 101)),
+    ], "b1")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, gone string, keep string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, gone string, keep string")
+    Pipeline(spark, source, [cfg], sink, str(tmp_path / "work"),
+             source_fmt="pgoutput").run_until_drained()
+    out = sink.read("public.t")
+    assert "gone" not in out.columns
+    got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
+    assert got == {1: "K1", 2: "K2"}  # K1 must NOT land under 'gone'/'keep' swap
