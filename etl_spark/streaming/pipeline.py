@@ -322,8 +322,19 @@ class Pipeline:
             # takes the PRE-batch base and resolves this batch's RELATION
             # frames per-position itself — handing it the post-update
             # snapshot would decode pre-DDL frames against post-DDL specs
+            # The registry ADVANCE is deferred to batch success (below,
+            # with txs.advance_from): persisting the newest-only spec
+            # before the batch is applied would reopen the same hazard in
+            # the at-least-once replay window — a crash mid-apply replays
+            # the batch, and its pre-DDL frames (whose RELATION was
+            # learned in an EARLIER batch, so absent from this batch's
+            # overlay) would fall back to the already-advanced post-DDL
+            # base, mis-keying renames and misaligning cells after a drop.
             carried_relations = self.relations.snapshot()
-            self.relations.update_from(batch)
+            # TYPE names are exempt from the deferral: they are idempotent
+            # oid→name metadata (never positional), and _apply_relations
+            # needs same-batch TYPE frames visible when naming custom-typed
+            # columns mid-batch.
             self.types.update_from(batch)
             batch = decode_frames(
                 batch,
@@ -398,9 +409,15 @@ class Pipeline:
                 # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
             if raw_frames is not None:
-                # tx-registry advance is deliberately LAST: a batch that
-                # fails above replays on restart, and the replayed decode
-                # must see the same carried state it saw the first time
+                # tx- AND relation-registry advance is deliberately LAST:
+                # a batch that fails above replays on restart, and the
+                # replayed decode must see the same carried state it saw
+                # the first time — for relations specifically, advancing
+                # before apply would persist the post-DDL spec, and the
+                # replay's pre-DDL frames would resolve through rel_at's
+                # base fallback to it (the exact mis-decode the per-frame
+                # versioned selection exists to prevent)
+                self.relations.update_from(raw_frames)
                 self.txs.advance_from(raw_frames)
         finally:
             batch.unpersist()

@@ -152,9 +152,14 @@ def session_apply(
     if len(us):
         starts = np.concatenate(([0], np.flatnonzero(np.diff(us) > gap_us) + 1))
         ends = np.concatenate((starts[1:], [len(us)]))
-        maxes = np.maximum.reduceat(np.nan_to_num(vals, nan=-np.inf), starts)
-        # nanmax semantics: an all-NaN group's max is NaN, not -inf
-        maxes = np.where(np.isneginf(maxes), np.nan, maxes)
+        # nanmax semantics, vectorized: remap ONLY NaNs to -inf before the
+        # reduce (np.nan_to_num would also clamp genuine ±inf to ±1.8e308);
+        # then restore NaN for all-NaN groups — counted exactly, so a
+        # group whose true max IS -inf still reports -inf, not NaN
+        nan_mask = np.isnan(vals)
+        maxes = np.maximum.reduceat(np.where(nan_mask, -np.inf, vals), starts)
+        all_nan = np.add.reduceat(nan_mask.astype(np.int64), starts) == (ends - starts)
+        maxes = np.where(all_nan, np.nan, maxes)
         intervals = [
             [int(us[s]), int(us[e - 1]), int(e - s), float(mx)]
             for s, e, mx in zip(starts, ends, maxes)

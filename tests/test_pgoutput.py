@@ -743,3 +743,78 @@ def test_pgoutput_mid_batch_drop_keeps_positional_alignment(spark, tmp_path):
     assert "gone" not in out.columns
     got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
     assert got == {1: "K1", 2: "K2"}  # K1 must NOT land under 'gone'/'keep' swap
+
+
+def test_pgoutput_crash_replay_keeps_pre_ddl_decode(spark, tmp_path):
+    """ADVICE r9 regression (medium): the relation registry must advance
+    only after the batch SUCCEEDS. Batch 1 teaches v1 (pk, gone, keep).
+    Batch 2 carries a pre-DDL 3-cell tuple (its RELATION learned in batch
+    1, so absent from batch 2's overlay), the mid-column DROP republish
+    (v2: pk, keep), a post-DDL 2-cell tuple — and FAILS at
+    STORE_REPLICATION_PROGRESS after apply. Advancing the registry before
+    apply would persist v2 newest-only, and the restart's replay would
+    decode the pre-DDL tuple against v2 via rel_at's base fallback,
+    keying 'G1' under 'keep'. With the deferred advance, the persisted
+    registry still holds v1 across the crash and the replay decodes
+    exactly as the first run did."""
+    import json as _json
+    import os
+
+    from etl_spark import failpoints as fp
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel_v1 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "gone", 25, -1),
+                                  (0, "keep", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "keep", 25, -1)])
+    _write_frames(spark, source, [
+        (1, -1, rel_v1),
+        (10, 1, pgo.encode_begin(final_lsn=50, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["0", "G0", "K0"])),
+        (12, 1, pgo.encode_commit(50, 51)),
+    ], "b1")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, gone string, keep string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, gone string, keep string")
+    work = str(tmp_path / "work")
+    Pipeline(spark, source, [cfg], sink, work,
+             source_fmt="pgoutput").run_until_drained()
+
+    # batch 2: pre-DDL tuple + DROP republish + post-DDL tuple, then crash
+    _write_frames(spark, source, [
+        (60, 2, pgo.encode_begin(final_lsn=90, xid=2)),
+        (61, 2, pgo.encode_insert(1, ["1", "G1", "K1"])),  # 3 cells, v1
+        (62, 2, pgo.encode_commit(90, 91)),
+        (100, 3, pgo.encode_begin(final_lsn=140, xid=3)),
+        (101, 3, rel_v2),                                   # the DROP
+        (102, 3, pgo.encode_insert(1, ["2", "K2"])),        # 2 cells, v2
+        (103, 3, pgo.encode_commit(140, 141)),
+    ], "b2")
+    fp.arm(fp.STORE_REPLICATION_PROGRESS)
+    p = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    with pytest.raises(Exception):
+        p.run_until_drained()
+    fp.disarm_all()
+
+    # the sharp assertion: the PERSISTED registry survived the crash at
+    # v1 — the replay's base is the same base the first attempt saw
+    with open(os.path.join(work, "pgoutput_relations.json")) as f:
+        persisted = _json.load(f)
+    assert persisted["1"]["columns"] == ["pk", "gone", "keep"]
+
+    p2 = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    p2.run_until_drained()
+    out = sink.read("public.t")
+    assert "gone" not in out.columns
+    got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
+    assert got == {0: "K0", 1: "K1", 2: "K2"}  # K1 never keyed under v2
+    # and the registry advanced with the successful replay
+    with open(os.path.join(work, "pgoutput_relations.json")) as f:
+        advanced = _json.load(f)
+    assert advanced["1"]["columns"] == ["pk", "keep"]

@@ -229,3 +229,29 @@ def test_session_sweep_merge_matches_bruteforce(times, gap, data):
         s0, s1, n, _mx = state.get
         emitted.append((s0, s1, n))
     assert sorted(emitted) == sorted(truth), (times, gap, chunks)
+
+
+def test_session_kernel_max_preserves_infinity(spark_noop=None):
+    """ADVICE r9 regression (stateful.py): np.nan_to_num(nan=-inf) also
+    clamps genuine +/-inf to +/-1.8e308 — a group whose true max IS
+    infinite must report it. Only NaNs are remapped before the reduce;
+    all-NaN groups still report NaN (exact nanmax semantics)."""
+    import math
+
+    import pandas as pd
+
+    inf = float("inf")
+    # +inf survives the reduce
+    st1 = FakeSessionState()
+    out1 = _sess([pd.DataFrame({"us": [0, 50, 300], "value": [1.0, inf, 2.0]})], st1)
+    assert out1["max_value"].tolist() == [inf]
+    # a group of only -inf reports -inf (NOT the all-NaN NaN sentinel,
+    # NOT -1.8e308)
+    st2 = FakeSessionState()
+    out2 = _sess([pd.DataFrame({"us": [0, 50, 300], "value": [-inf, -inf, 2.0]})], st2)
+    assert out2["max_value"].tolist() == [-inf]
+    # an all-NaN group still reports NaN
+    st3 = FakeSessionState()
+    nan = float("nan")
+    out3 = _sess([pd.DataFrame({"us": [0, 50, 300], "value": [nan, nan, 2.0]})], st3)
+    assert math.isnan(out3["max_value"].tolist()[0])
