@@ -32,88 +32,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    ROUND-8 WINDOW = EVIDENCE REFRESH (the round-7 verdict's #1 item: the
-    r7 window was 100% consumed by 50 new operators, so the refresh queue
-    must drain this round). In order: [round-8 NEW ops] + [2 CHANGED in
-    r8: cdc_schema_evolution (decode gained the LSN-gated mid-batch
-    ADD..DEFAULT rule + key-rename remap), sketch_count_min_users
-    (count_min_estimate probe join is now a LEFT join with coalesce(c,0)
-    so absent keys estimate 0 — gate result unchanged, impl changed)] +
-    [1 NEVER GATED: embeddings_centroid_separation (r7 slot 51)] +
-    [5 CHANGED in r7 whose green rows predate the change:
-    stream_stateful_sessions, cdc_changelog_compact,
-    docs_exact_jaccard_join, cdc_scd2_incremental, cdc_xbatch_recovery]
-    + [4 r3 rows: corpus_pack_sequences, corpus_token_mixture,
-    docs_pii_redact, docs_repetition] + [the r4-latest rows oldest-first
-    — the window cuts inside this block; whatever slides past slot 50
-    leads the round-9 queue]. Tail = r5, then r6, then r7 green rows
-    (freshest last). All 193+ entries verified locally via
+    ROUND-9 WINDOW = FINISH THE REFRESH DRAIN (round-8 verdict item #1):
+    [round-9 NEW ops] + [1 CHANGED in r9: stream_stateful_sessions
+    (session kernel's max now preserves genuine +/-inf — ADVICE r8 low)]
+    + [the 6 r4-latest rows that slid past r8's slot 50:
+    events_gapfill_locf, stream_incremental_rollup, dedup_exact,
+    dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash] + [the r5-latest
+    rows oldest-first — the window cuts inside this block; whatever slides
+    past slot 50 leads the round-10 queue]. Tail = remaining r5, then r6,
+    then r7, then r8 green rows (freshest last). After this round every
+    row sits <=4 rounds fresh and the 50-slot rotation is self-sustaining
+    over the 197-query registry. All entries verified locally via
     tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
     """
     return {
-        # --- round-8 NEW ops land HERE (top of window) ---
-        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
-        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
-        "parts_triangle_sample": workload_relational.parts_triangle_sample,
-        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
-        # --- implementation CHANGED in round 8: re-record ---
-        "cdc_schema_evolution": workload.cdc_schema_evolution,
-        "sketch_count_min_users": workload_relational.sketch_count_min_users,
-        # --- never driver-gated (r7 slot 51): first gate shot ---
-        "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
-        # --- impl CHANGED in r7 but window was full: re-record ---
+        # --- round-9 NEW ops land HERE (top of window) ---
+        # --- implementation CHANGED in round 9: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
-        "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
-        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
-        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
-        # --- oldest green rows (r3) refreshed oldest-first ---
-        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
-        "corpus_token_mixture": workload_text.corpus_token_mixture,
-        "docs_pii_redact": workload_text.docs_pii_redact,
-        "docs_repetition": workload_text.docs_repetition,
-        # --- r4-latest rows, oldest-first (window cuts inside this block) ---
-        "docs_contamination": workload_text.docs_contamination,
-        "stream_windowed_watermark": workload.stream_windowed_watermark,
-        "docs_passage_dedup": workload_text.docs_passage_dedup,
-        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
-        "docs_rag_chunks": workload_text.docs_rag_chunks,
-        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
-        "events_promo_range_join": workload_relational.events_promo_range_join,
-        "stream_click_purchase_join": workload.stream_click_purchase_join,
-        "mm_resize": workload_mm.mm_resize,
-        "stream_session_window": workload.stream_session_window,
-        "cdc_scd2_history": workload.cdc_scd2_history,
-        "cdc_state_asof": workload.cdc_state_asof,
-        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
-        "stream_native_dedup": workload.stream_native_dedup,
-        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
-        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
-        "stream_static_enrich": workload.stream_static_enrich,
-        "cdc_gap_audit": workload.cdc_gap_audit,
-        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
-        "events_rolling_1h": workload_relational.events_rolling_1h,
-        "corpus_drop_audit": workload_text.corpus_drop_audit,
-        "docs_profile": workload_text.docs_profile,
-        "events_quality_checks": workload_relational.events_quality_checks,
-        "sketch_merge_global": workload_relational.sketch_merge_global,
-        "bloom_prune_probe": workload_relational.bloom_prune_probe,
-        "cdc_changed_columns": workload.cdc_changed_columns,
-        "sessionize_events": workload_relational.sessionize_events,
-        "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        "events_retention_cohorts": workload_relational.events_retention_cohorts,
-        "events_grouping_sets": workload_relational.events_grouping_sets,
-        "events_pivot_daily": workload_relational.events_pivot_daily,
-        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        # --- oldest green rows (r4) refreshed oldest-first ---
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
         "dedup_simhash": workload_text.dedup_simhash,
-        # --- past the window: r5-latest green rows ---
+        # --- r5-latest rows, oldest-first (window cuts inside this block) ---
         "text_langid": workload_text.text_langid,
         "text_quality": workload_text.text_quality,
         "text_tokens": workload_text.text_tokens,
@@ -157,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_diff": workload.cdc_table_diff,
         "cdc_state_diff": workload.cdc_state_diff,
         "events_zorder_stats": workload_relational.events_zorder_stats,
+        # --- past the window: the r5 rows that lead the round-10 queue ---
         "ann_pq_codes": workload_text.ann_pq_codes,
         "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
         "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
@@ -208,7 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
         "events_time_weighted_value": workload_relational.events_time_weighted_value,
-        # --- r7-latest green rows (freshest evidence) ---
+        # --- r7-latest green rows ---
         "sketch_hll_users": workload_relational.sketch_hll_users,
         "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "events_cusum_alerts": workload_relational.events_cusum_alerts,
@@ -257,6 +201,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_backlog_curve": workload_relational.orders_backlog_curve,
         "corpus_heaps_law": workload_text.corpus_heaps_law,
         "events_entropy_rate": workload_relational.events_entropy_rate,
+        # --- r8-latest green rows (freshest evidence) ---
+        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
+        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
+        "parts_triangle_sample": workload_relational.parts_triangle_sample,
+        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
+        "cdc_schema_evolution": workload.cdc_schema_evolution,
+        "sketch_count_min_users": workload_relational.sketch_count_min_users,
+        "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
+        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
+        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
+        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_repetition": workload_text.docs_repetition,
+        "docs_contamination": workload_text.docs_contamination,
+        "stream_windowed_watermark": workload.stream_windowed_watermark,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
+        "events_promo_range_join": workload_relational.events_promo_range_join,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
+        "mm_resize": workload_mm.mm_resize,
+        "stream_session_window": workload.stream_session_window,
+        "cdc_scd2_history": workload.cdc_scd2_history,
+        "cdc_state_asof": workload.cdc_state_asof,
+        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
+        "stream_native_dedup": workload.stream_native_dedup,
+        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
+        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "stream_static_enrich": workload.stream_static_enrich,
+        "cdc_gap_audit": workload.cdc_gap_audit,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "events_rolling_1h": workload_relational.events_rolling_1h,
+        "corpus_drop_audit": workload_text.corpus_drop_audit,
+        "docs_profile": workload_text.docs_profile,
+        "events_quality_checks": workload_relational.events_quality_checks,
+        "sketch_merge_global": workload_relational.sketch_merge_global,
+        "bloom_prune_probe": workload_relational.bloom_prune_probe,
+        "cdc_changed_columns": workload.cdc_changed_columns,
+        "sessionize_events": workload_relational.sessionize_events,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
     }
 
 
