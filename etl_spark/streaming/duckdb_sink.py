@@ -28,7 +28,26 @@ from etl_spark.streaming.sinks import Sink
 
 
 class DuckDBCurrentStateSink(Sink):
-    """Current-state (LWW) tables materialized inside a DuckDB database."""
+    """Current-state (LWW) tables materialized inside a DuckDB database.
+
+    DELIVERY CONTRACT — what the LWW protection spans. A key's
+    ``_etl_seq`` lives WITH its row, so it dies with the row's tombstone:
+    after a DELETE wins, nothing in the warehouse remembers the key's
+    high-water sequence. Protection therefore covers exactly what Spark
+    micro-batches deliver — (a) batches arriving in order and (b)
+    whole-batch replays of already-applied batches (absorbed by the
+    ``applied_batches`` ledger). It does NOT cover arbitrary cross-batch
+    reordering: a never-applied batch arriving AFTER a newer batch whose
+    tombstone deleted a key would resurrect that key, because the stale
+    row's NOT-EXISTS insert sees no surviving row to compare sequences
+    against. This is the same stance as the reference's DuckLake
+    destination (ducklake/core.rs:1133-1216) and deliberately weaker than
+    BigQuery's persisted ``_CHANGE_SEQUENCE_NUMBER``
+    (bigquery/core.rs:1391-1407), which survives reordering by keeping
+    the sequence in the destination table even through deletes. Spark's
+    checkpointed foreachBatch guarantees ordered delivery + whole-batch
+    replay, so the stronger contract is unnecessary here; pinned by
+    ``tests/test_streaming.py::test_duckdb_sink_delivery_contract``."""
 
     def __init__(self, db_path: str, keys: dict[str, list[str]], staging_dir: str | None = None):
         self.db_path = db_path

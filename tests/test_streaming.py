@@ -484,6 +484,59 @@ def test_duckdb_warehouse_sink(spark, tmp_path):
     assert {r["pk"]: r["val"] for r in sink.read("users")} == {2: "b2", 3: "c"}
 
 
+def test_duckdb_sink_delivery_contract(spark, tmp_path):
+    """Pins the documented delivery contract (duckdb_sink.py docstring):
+    LWW protection spans ORDERED batches + WHOLE-BATCH REPLAYS of
+    already-applied batches; it does NOT span a never-applied OLD batch
+    arriving after a newer one (a key's _etl_seq dies with its tombstone,
+    so a stale pre-image resurrects the key — the DuckLake stance,
+    ducklake/core.rs:1133-1216, vs BigQuery's persisted
+    _CHANGE_SEQUENCE_NUMBER which survives reordering)."""
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "op string, pk long, val string, commit_lsn long, tx_ordinal long",
+        ).selectExpr(
+            "op", "pk", "val", "commit_lsn", "tx_ordinal",
+            "CAST(commit_lsn AS DECIMAL(38,0)) * 18446744073709551616"
+            " + tx_ordinal AS event_seq",
+        )
+
+    db = str(tmp_path / "wh.duckdb")
+    sink = DuckDBCurrentStateSink(db, keys={"users": ["pk"]},
+                                  staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot("users", spark.createDataFrame([(1, "a")], PAYLOAD))
+
+    b1 = batch([("UPDATE", 1, "a1", 10, 0), ("INSERT", 2, "b", 11, 0)])
+    b2 = batch([("DELETE", 2, None, 20, 0), ("UPDATE", 1, "a2", 21, 0)])
+    sink.write_changes("users", b1, batch_id=1)
+    sink.write_changes("users", b2, batch_id=2)
+    assert {r["pk"]: r["val"] for r in sink.read("users")} == {1: "a2"}
+
+    # IN CONTRACT: replaying the OLDER already-applied batch after the
+    # newer one is absorbed by the applied_batches ledger — the tombstoned
+    # key 2 stays dead, key 1 keeps the newer value
+    sink.write_changes("users", b1, batch_id=1)
+    assert {r["pk"]: r["val"] for r in sink.read("users")} == {1: "a2"}
+
+    # the surviving row's sequence ALSO protects in-row staleness from a
+    # never-applied old batch: key 1's stale image loses to _etl_seq
+    stale_update = batch([("UPDATE", 1, "a0", 5, 0)])
+    sink.write_changes("users", stale_update, batch_id=3)
+    assert {r["pk"]: r["val"] for r in sink.read("users")} == {1: "a2"}
+
+    # OUT OF CONTRACT (documented): a never-applied old batch carrying a
+    # pre-tombstone image for key 2 resurrects it — nothing in the
+    # warehouse remembers the deleted key's sequence. Spark's checkpointed
+    # foreachBatch never delivers this shape; the assertion pins the
+    # boundary so a silent behavior change is caught.
+    stale_insert = batch([("INSERT", 2, "b-old", 12, 0)])
+    sink.write_changes("users", stale_insert, batch_id=4)
+    assert {r["pk"]: r["val"] for r in sink.read("users")} == {1: "a2", 2: "b-old"}
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Streaming-native event-time aggregation: watermarked 1-hour windows
     over the change stream (the watermark bounds state for late data —
