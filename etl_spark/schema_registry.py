@@ -91,33 +91,67 @@ class SchemaRegistry:
         self._versions: dict[str, list[tuple[int, list[ColumnDef]]]] = {}
         self._load()
 
+    # Layout: one file per table (tables/<quoted-name>.json) — recording a
+    # schema version rewrites only THAT table's version list, so a wide
+    # pipeline's first RELATION sweep (one record per table) is O(n), not
+    # the O(n^2) a whole-registry rewrite per record would cost (same
+    # restructure as ControlStore; see SCALE.md "table-count scaling").
+    # The reference stores schema versions as per-(table, version) rows
+    # (store/schema/base.rs) for the same reason. A legacy single-file
+    # schemas.json migrates on first load.
+
     @property
-    def _path(self) -> str:
+    def _legacy_path(self) -> str:
         return os.path.join(self.root, "schemas.json")
 
-    def _load(self) -> None:
-        if not os.path.exists(self._path):
-            return
-        with open(self._path) as f:
-            raw = json.load(f)
-        for table, versions in raw.items():
-            self._versions[table] = [
-                (v["snapshot_lsn"], [ColumnDef(**c) for c in v["columns"]])
-                for v in versions
-            ]
+    @property
+    def _tables_dir(self) -> str:
+        return os.path.join(self.root, "tables")
 
-    def _save(self) -> None:
+    def _table_path(self, table: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self._tables_dir, quote(table, safe="") + ".json")
+
+    @staticmethod
+    def _decode_versions(versions: list) -> list:
+        return [
+            (v["snapshot_lsn"], [ColumnDef(**c) for c in v["columns"]])
+            for v in versions
+        ]
+
+    def _load(self) -> None:
+        if os.path.exists(self._legacy_path):
+            # one-time migration from the single-file layout
+            with open(self._legacy_path) as f:
+                raw = json.load(f)
+            for table, versions in raw.items():
+                self._versions[table] = self._decode_versions(versions)
+                self._save_table(table)
+            os.remove(self._legacy_path)
+            return
+        if not os.path.isdir(self._tables_dir):
+            return
+        for fn in os.listdir(self._tables_dir):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self._tables_dir, fn)) as f:
+                t = json.load(f)
+            self._versions[t["table"]] = self._decode_versions(t["versions"])
+
+    def _save_table(self, table: str) -> None:
         payload = {
-            table: [
+            "table": table,
+            "versions": [
                 {"snapshot_lsn": lsn, "columns": [vars(c) for c in cols]}
-                for lsn, cols in versions
-            ]
-            for table, versions in self._versions.items()
+                for lsn, cols in self._versions.get(table, [])
+            ],
         }
-        fd, tmp = tempfile.mkstemp(dir=self.root)
+        os.makedirs(self._tables_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._tables_dir)
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f, indent=1)
-        os.replace(tmp, self._path)
+        os.replace(tmp, self._table_path(table))
 
     def record(self, table: str, snapshot_lsn: int, columns: list[ColumnDef]) -> bool:
         """Returns True when a NEW version was recorded (False on the
@@ -127,7 +161,7 @@ class SchemaRegistry:
             return False  # idempotent re-delivery of the same DDL event
         vs.append((snapshot_lsn, columns))
         vs.sort(key=lambda kv: kv[0])
-        self._save()
+        self._save_table(table)
         return True
 
     def asof(self, table: str, lsn: int) -> tuple[int, list[ColumnDef]] | None:
@@ -151,7 +185,7 @@ class SchemaRegistry:
         keep = [(l, c) for l, c in vs if l >= boundary]
         removed = len(vs) - len(keep)
         self._versions[table] = keep
-        self._save()
+        self._save_table(table)
         return removed
 
     def versions(self, table: str) -> list[int]:

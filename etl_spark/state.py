@@ -92,9 +92,11 @@ class IllegalTransition(Exception):
 class ControlStore:
     """Durable pipeline control state: table lifecycle + flush progress.
 
-    File layout: ``{root}/control.json`` rewritten atomically (write temp +
-    rename) — the single-writer driver-side pattern; executors never touch
-    it.
+    File layout: ``{root}/tables/<name>.json`` (one per table) +
+    ``{root}/flush.json``, each written atomically (temp + rename) — the
+    single-writer driver-side pattern; executors never touch it. See the
+    persistence section below for why per-table files (O(1) per
+    transition at any table count).
     """
 
     root: str
@@ -113,50 +115,95 @@ class ControlStore:
         self._load()
 
     # -- persistence -------------------------------------------------------
+    # Layout: ONE file per table (tables/<quoted-name>.json) plus a tiny
+    # flush.json — each transition rewrites only its own table's entry, so
+    # a pipeline with n tables pays O(1) per transition instead of the
+    # single-file O(n) rewrite, which made backfill O(n^2) in total JSON
+    # bytes (measured: 0.33s at 100 tables, 13.1s at 1000 — see SCALE.md
+    # "table-count scaling"). The reference stores per-table replication
+    # state as ROWS in its state store for the same reason
+    # (store/state/base.rs) — one row updated per transition, never the
+    # whole table list. A legacy single-file control.json is migrated to
+    # the per-table layout on first load.
+
     @property
-    def _path(self) -> str:
+    def _legacy_path(self) -> str:
         return os.path.join(self.root, "control.json")
 
-    def _load(self) -> None:
-        if not os.path.exists(self._path):
-            return
-        with open(self._path) as f:
-            raw = json.load(f)
-        self.flush_lsn = raw.get("flush_lsn", 0)
-        self.tables = {
-            t["table"]: TableEntry(
-                table=t["table"],
-                state=TableState(t["state"]),
-                lsn=t.get("lsn", 0),
-                error=t.get("error"),
-                retry_policy=RetryPolicy(t["retry_policy"]) if t.get("retry_policy") else None,
-                errored_at=t.get("errored_at"),
-                attempts=t.get("attempts", 0),
-            )
-            for t in raw.get("tables", [])
-        }
+    @property
+    def _flush_path(self) -> str:
+        return os.path.join(self.root, "flush.json")
 
-    def _save(self) -> None:
-        payload = {
-            "flush_lsn": self.flush_lsn,
-            "tables": [
-                {
-                    "table": e.table,
-                    "state": e.state.value,
-                    "lsn": e.lsn,
-                    "error": e.error,
-                    "retry_policy": e.retry_policy.value if e.retry_policy else None,
-                    "errored_at": e.errored_at,
-                    "attempts": e.attempts,
-                }
-                for e in self.tables.values()
-                if e.state in DURABLE_STATES
-            ],
-        }
-        fd, tmp = tempfile.mkstemp(dir=self.root)
+    @property
+    def _tables_dir(self) -> str:
+        return os.path.join(self.root, "tables")
+
+    def _table_path(self, name: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self._tables_dir, quote(name, safe="") + ".json")
+
+    @staticmethod
+    def _entry_from(t: dict) -> TableEntry:
+        return TableEntry(
+            table=t["table"],
+            state=TableState(t["state"]),
+            lsn=t.get("lsn", 0),
+            error=t.get("error"),
+            retry_policy=RetryPolicy(t["retry_policy"]) if t.get("retry_policy") else None,
+            errored_at=t.get("errored_at"),
+            attempts=t.get("attempts", 0),
+        )
+
+    def _load(self) -> None:
+        if os.path.exists(self._legacy_path):
+            # one-time migration from the single-file layout
+            with open(self._legacy_path) as f:
+                raw = json.load(f)
+            self.flush_lsn = raw.get("flush_lsn", 0)
+            self.tables = {
+                t["table"]: self._entry_from(t) for t in raw.get("tables", [])
+            }
+            self._save_flush()
+            for e in self.tables.values():
+                self._save_table(e)
+            os.remove(self._legacy_path)
+            return
+        if os.path.exists(self._flush_path):
+            with open(self._flush_path) as f:
+                self.flush_lsn = json.load(f).get("flush_lsn", 0)
+        if os.path.isdir(self._tables_dir):
+            for fn in os.listdir(self._tables_dir):
+                if not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(self._tables_dir, fn)) as f:
+                    t = json.load(f)
+                self.tables[t["table"]] = self._entry_from(t)
+
+    def _write_atomic(self, path: str, payload: dict) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f, indent=1)
-        os.replace(tmp, self._path)
+        os.replace(tmp, path)
+
+    def _save_flush(self) -> None:
+        self._write_atomic(self._flush_path, {"flush_lsn": self.flush_lsn})
+
+    def _save_table(self, e: TableEntry) -> None:
+        if e.state not in DURABLE_STATES:
+            # memory-only states (SyncWait/Catchup) keep the previous
+            # durable file; restart_reset sends both back to Init anyway
+            return
+        self._write_atomic(self._table_path(e.table), {
+            "table": e.table,
+            "state": e.state.value,
+            "lsn": e.lsn,
+            "error": e.error,
+            "retry_policy": e.retry_policy.value if e.retry_policy else None,
+            "errored_at": e.errored_at,
+            "attempts": e.attempts,
+        })
 
     # -- lifecycle ---------------------------------------------------------
     def get(self, table: str) -> TableEntry:
@@ -188,7 +235,7 @@ class ControlStore:
             elif to in (TableState.SYNC_DONE, TableState.READY):
                 e.errored_at = None
                 e.attempts = 0  # healthy again: the failure streak resets
-            self._save()
+            self._save_table(e)
             return e
 
     def restart_reset(self) -> list[str]:
@@ -205,7 +252,8 @@ class ControlStore:
                 # memory-only states can't appear after a load, but guard
                 e.state = TableState.INIT
                 reset.append(e.table)
-        self._save()
+        for name in reset:
+            self._save_table(self.tables[name])
         return reset
 
     def remove(self, table: str) -> bool:
@@ -214,7 +262,10 @@ class ControlStore:
         replication state so a re-add starts from a fresh snapshot)."""
         if table in self.tables:
             del self.tables[table]
-            self._save()
+            try:
+                os.remove(self._table_path(table))
+            except FileNotFoundError:
+                pass
             return True
         return False
 
@@ -225,5 +276,5 @@ class ControlStore:
         with self._mu:
             if lsn > self.flush_lsn:
                 self.flush_lsn = lsn
-                self._save()
+                self._save_flush()
             return self.flush_lsn
