@@ -33,8 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never goes stale. The tail is everything with a newer green row.
 
     ROUND-9 WINDOW = FINISH THE REFRESH DRAIN (round-8 verdict item #1):
-    [round-9 NEW ops] + [1 CHANGED in r9: stream_stateful_sessions
-    (session kernel's max now preserves genuine +/-inf — ADVICE r8 low)]
+    [round-9 NEW ops] + [CHANGED in r9: stream_stateful_sessions
+    (session kernel's max now preserves genuine +/-inf — ADVICE r8 low);
+    stream_incremental_rollup (storage partition decoupled from bucket
+    granularity: day dirs / hour buckets, whole-partition read-back —
+    profiled 2.2x, already in-window as an r4 row)]
     + [the 6 r4-latest rows that slid past r8's slot 50:
     events_gapfill_locf, stream_incremental_rollup, dedup_exact,
     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash] + [the r5-latest

@@ -11,8 +11,14 @@ combinable, tiny output; (2) reads back only the rollup partitions its
 buckets touch (partition pruning — the table-sized merge never happens);
 (3) re-aggregates union(existing, partial) and rewrites JUST those
 partitions via dynamic partition overwrite. Work per batch is
-O(batch + touched buckets), independent of rollup-table size — the
+O(batch + touched partitions), independent of rollup-table size — the
 property that keeps a year-old 100 TB rollup updatable in seconds.
+Storage-partition granularity is decoupled from bucket granularity
+(``partition_of``, e.g. hour buckets in day dirs): the pruning a batch
+needs follows its TIME SPAN, while per-dir filesystem cost (dynamic
+overwrite commit, read-back listing, file count) follows dir count —
+profiled round 9, 24x fewer dirs took the gate query's update cost from
+~6s to ~2s per fold at sf0.1 (SCALE.md).
 
 Only re-aggregatable functions (sum/count/min/max) participate; avg is a
 sum/count pair composed at read time. Decimal sums keep the incremental
@@ -56,12 +62,29 @@ class IncrementalRollup:
         bucket_col: str,
         group_cols: list[str],
         value_col: str,
+        partition_of=None,
     ):
         self.spark = spark
         self.path = path
         self.bucket = bucket_col
         self.groups = group_cols
         self.value = value_col
+        #: storage-partition granularity DECOUPLED from bucket granularity:
+        #: ``partition_of(bucket_value) -> partition_value`` (driver-side,
+        #: e.g. hour → day). Fine buckets as directories explode the
+        #: filesystem (an hourly rollup = 8,760 dirs/year; each update's
+        #: dynamic-overwrite commit and read-back pays per-dir), while the
+        #: PRUNING a batch needs follows its time span, not its bucket
+        #: count — so partition coarser than you bucket. Hive tables make
+        #: the same distinction (partition by day, cluster by hour).
+        #: Default: partition by the bucket itself.
+        self.partition_of = partition_of
+        self.partcol = f"__part_{bucket_col}" if partition_of else bucket_col
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        if self.partition_of is None:
+            return df
+        return df.withColumn(self.partcol, self.partition_of(F.col(self.bucket)))
 
     def _schema_pin(self, df: DataFrame) -> DataFrame:
         # decimal SUM widens precision per fold (20,2 → 30,2 → …); pin the
@@ -87,12 +110,22 @@ class IncrementalRollup:
 
     def update(self, batch: DataFrame) -> None:
         partial = self._partial(batch).localCheckpoint(eager=True)
-        buckets = [r[0] for r in partial.select(self.bucket).distinct().collect()]
-        if not buckets:
+        keys = self._with_part(partial).select(
+            self.partcol, self.bucket
+        ).distinct().collect()
+        if not keys:
             return
+        parts = sorted({r[0] for r in keys})
         try:
-            existing = self.spark.read.parquet(self.path).filter(
-                F.col(self.bucket).isin(buckets)
+            # partition pruning on the COARSE dir list — and NOTHING
+            # finer: dynamic overwrite replaces each touched dir WHOLE,
+            # so every row of a touched partition must ride through the
+            # merge (untouched buckets pass through the re-aggregation
+            # as identity). Filtering to touched buckets here would
+            # silently drop their dir-mates on the rewrite.
+            existing = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col(self.partcol).isin(parts))
             )
         except AnalysisException as exc:
             if not _is_missing_path(exc):
@@ -113,11 +146,17 @@ class IncrementalRollup:
                 )
             )
         (
-            merged.write.mode("overwrite")
+            # cluster by the storage partition so each touched dir gets ONE
+            # file per update (the post-merge hash layout would otherwise
+            # scatter every dir across up to shuffle-partitions writers)
+            self._with_part(merged)
+            .repartition(F.col(self.partcol))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.bucket)
+            .partitionBy(self.partcol)
             .parquet(self.path)
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self.path)
+        return df.drop(self.partcol) if self.partition_of is not None else df

@@ -398,8 +398,13 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 1000000000 div 3600 * 3600").alias("hour_epoch"),
     ).localCheckpoint()
     work = tempfile.mkdtemp(prefix="rollup_")
+    # storage partitioned by DAY, bucketed by HOUR: the pruning unit is
+    # the batch's time span, not its bucket count — 24x fewer dirs per
+    # dynamic-overwrite commit and per read-back (profiled round 9: the
+    # per-dir filesystem toll WAS the query's cost; see SCALE.md)
     roll = IncrementalRollup(
-        spark, f"{work}/rollup", "hour_epoch", ["event_type"], "value"
+        spark, f"{work}/rollup", "hour_epoch", ["event_type"], "value",
+        partition_of=lambda c: c - (c % 86400),
     )
     # three deterministic micro-batches by event_id band (overlapping
     # hours across batches exercise the read-back merge path)

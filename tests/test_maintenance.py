@@ -112,6 +112,43 @@ def test_incremental_rollup_untouched_partitions_preserved(spark, tmp_path):
     assert dict(roll.read().dtypes)["sum_value"] == "decimal(20,2)"
 
 
+def test_incremental_rollup_coarse_partition_keeps_dir_mates(spark, tmp_path):
+    """partition_of decouples storage dirs from bucket granularity (round
+    9: per-dir overwrite-commit cost was the gate query's toll). The
+    invariant the coarse layout must keep: dynamic overwrite replaces a
+    touched dir WHOLE, so a batch touching SOME buckets of a partition
+    must carry the partition's untouched buckets through the merge —
+    filtering the read-back to touched buckets silently drops their
+    dir-mates (the profiler caught exactly this: 3485/3600 rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.streaming.rollup import IncrementalRollup
+
+    path = str(tmp_path / "roll")
+    # buckets 0..47 are hours; partition = day (bucket div 24)
+    roll = IncrementalRollup(
+        spark, path, "b", ["g"], "v", partition_of=lambda c: c - (c % 24)
+    )
+    df = lambda rows: spark.createDataFrame(rows, "b long, g string, v double")
+    # batch 1: hours 1 and 5 of day 0, hour 30 of day 1
+    roll.update(df([(1, "x", 1.0), (5, "x", 2.0), (30, "y", 5.0)]))
+    dirs = sorted(d for d in os.listdir(path) if "=" in d)
+    assert dirs == ["__part_b=0", "__part_b=24"]
+    # batch 2 touches ONLY hour 1 — day 0's dir is rewritten whole; hour
+    # 5 (untouched dir-mate) must survive the rewrite
+    roll.update(df([(1, "x", 10.0)]))
+    got = {(r.b, r.g): (r.n, float(r.sum_value)) for r in roll.read().collect()}
+    assert got == {(1, "x"): (2, 11.0), (5, "x"): (1, 2.0), (30, "y"): (1, 5.0)}
+    # the internal partition column never leaks to readers
+    assert "__part_b" not in roll.read().columns
+    # one file per touched dir per update generation (repartition by dir)
+    day0 = [f for f in os.listdir(os.path.join(path, "__part_b=0"))
+            if f.endswith(".parquet")]
+    assert len(day0) == 1
+
+
 def test_compact_live_sink_and_manifest_expiry(spark, tmp_path):
     """Sink-level compaction folds the manifest chain into one fresh
     version; manifest-aware expiry then reclaims every superseded dir but
