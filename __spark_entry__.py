@@ -37,7 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (session kernel's max now preserves genuine +/-inf — ADVICE r8 low);
     stream_incremental_rollup (storage partition decoupled from bucket
     granularity: day dirs / hour buckets, whole-partition read-back —
-    profiled 2.2x, already in-window as an r4 row)]
+    profiled 2.2x, already in-window as an r4 row);
+    stream_click_purchase_join (state partitions sized to trigger volume
+    + no-data finalization batch dropped for the inner join — profiled
+    1.7x; pulled from the r8 tail into the window)]
     + [the 6 r4-latest rows that slid past r8's slot 50:
     events_gapfill_locf, stream_incremental_rollup, dedup_exact,
     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash] + [the r5-latest
@@ -52,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 NEW ops land HERE (top of window) ---
         # --- implementation CHANGED in round 9: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
         # --- oldest green rows (r4) refreshed oldest-first ---
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
@@ -227,7 +231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rag_chunks": workload_text.docs_rag_chunks,
         "docs_semantic_dedup": workload_text.docs_semantic_dedup,
         "events_promo_range_join": workload_relational.events_promo_range_join,
-        "stream_click_purchase_join": workload.stream_click_purchase_join,
         "mm_resize": workload_mm.mm_resize,
         "stream_session_window": workload.stream_session_window,
         "cdc_scd2_history": workload.cdc_scd2_history,

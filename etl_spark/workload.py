@@ -583,15 +583,36 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_time") - F.unix_micros("click_time")).alias("lag_us"),
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # profiled round 9 (SCALE.md): the per-trigger floor was state-store
+    # commit overhead, not join compute — 32 shuffle partitions x 4 join
+    # state stores per trigger, plus a 3.7s ZERO-ROW finalization batch.
+    # (a) state partitions sized to the trigger's data (8 here; at
+    # cluster scale this knob grows with trigger volume — state commits
+    # are per-partition-per-store); (b) the no-data batch only EVICTS
+    # state — an INNER join's rows all emit on match arrival, so output
+    # is complete without it (NOT safe for watermark-finalized append
+    # aggregations, which need it to emit). Both restored after the run.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
     return spark.table(name)
 
 
