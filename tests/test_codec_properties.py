@@ -486,3 +486,91 @@ def test_binary_text_array_roundtrip_via_text_codec(spark, vals):
     txt = pgo.decode_binary_cell(1009, pgo.encode_binary_cell(1009, vals).data)
     got = decode(spark, [txt], codec.pg_array_full)[0]
     assert got == vals
+
+
+# ---------------------------------------------------------------------------
+# malformed-frame fuzz (reference fuzz layer 5:
+# fuzz/fuzz_targets/parse_copy_row.rs etc. — the codec must REJECT bad
+# input with a clean error, never hang, crash the process, or silently
+# return garbage). Python analog of "no panic/UB": any mutation of a
+# valid pgoutput frame, and arbitrary random bytes, either parse to a
+# tagged dict or raise one of the bounded, expected exception types.
+# ---------------------------------------------------------------------------
+
+_FRAME_EXCS = (ValueError, IndexError, KeyError, UnicodeDecodeError,
+               OverflowError, MemoryError)
+try:
+    import struct as _struct
+
+    _FRAME_EXCS = _FRAME_EXCS + (_struct.error,)
+except ImportError:  # pragma: no cover
+    pass
+
+
+def _valid_frames():
+    from etl_spark.sources import pgoutput as pgo
+
+    return [
+        pgo.encode_begin(final_lsn=100, commit_ts=7, xid=42),
+        pgo.encode_commit(100, 101, commit_ts=7),
+        pgo.encode_relation(9, "public", "users", "d",
+                            [(1, "pk", 20, -1), (0, "val", 25, -1)]),
+        pgo.encode_insert(9, ["1", "a"]),
+        pgo.encode_update(9, ["1", "b"], old=["1", "a"]),
+        pgo.encode_delete(9, key=["1"]),
+        pgo.encode_truncate([9, 10]),
+        pgo.encode_type(90001, "public", "mood"),
+        pgo.encode_origin(55, "origin_a"),
+        pgo.encode_message(77, "prefix", "payload", transactional=True),
+    ]
+
+
+@given(st.data())
+@settings(max_examples=400, deadline=1000)
+def test_parse_frame_mutation_rejects_cleanly(data):
+    """Byte-flip / truncate / extend a VALID frame: parse_frame must
+    either return a tagged dict or raise a bounded exception type —
+    reject-not-corrupt, and never hang (deadline above)."""
+    from etl_spark.sources import pgoutput as pgo
+
+    frames = _valid_frames()
+    buf = bytearray(frames[data.draw(st.integers(0, len(frames) - 1))])
+    mode = data.draw(st.sampled_from(["flip", "truncate", "extend", "splice"]))
+    if mode == "flip" and buf:
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] ^= data.draw(st.integers(1, 255))
+    elif mode == "truncate":
+        buf = buf[: data.draw(st.integers(0, max(len(buf) - 1, 0)))]
+    elif mode == "extend":
+        buf += data.draw(st.binary(min_size=1, max_size=32))
+    else:  # splice random bytes into the middle
+        i = data.draw(st.integers(0, len(buf)))
+        buf = buf[:i] + data.draw(st.binary(min_size=1, max_size=16)) + buf[i:]
+    try:
+        out = pgo.parse_frame(bytes(buf))
+    except _FRAME_EXCS:
+        return  # clean rejection
+    assert isinstance(out, dict) and "kind" in out
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=400, deadline=1000)
+def test_parse_frame_random_bytes_reject_cleanly(buf):
+    from etl_spark.sources import pgoutput as pgo
+
+    try:
+        out = pgo.parse_frame(buf)
+    except _FRAME_EXCS:
+        return
+    assert isinstance(out, dict) and "kind" in out
+
+
+def test_parse_frame_valid_frames_roundtrip():
+    """The unmutated encodings all parse to their own kind (anchors the
+    fuzz: the generator really produces valid frames)."""
+    from etl_spark.sources import pgoutput as pgo
+
+    kinds = [pgo.parse_frame(f)["kind"] for f in _valid_frames()]
+    assert kinds == ["BEGIN", "COMMIT", "RELATION", "INSERT", "UPDATE",
+                     "DELETE", "TRUNCATE", "TYPE", "ORIGIN", "MESSAGE"]
