@@ -4250,3 +4250,40 @@ ranked AS (
 SELECT pk, value, props
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
+
+# Crash-replay across two in-batch DDLs (X155): the final current-state
+# table equals the batch LWW over the four pgoutput transactions with the
+# drop + rename folded in. Winner per pk = max event_id (commit_lsn rises
+# by range; tx_ordinal = in-range event rank). Integer cuts mirror the
+# Spark harness's // arithmetic exactly.
+ORACLES["cdc_crash_replay_ddl"] = """
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+c AS (SELECT lo, hi,
+        lo + (hi - lo) // 4 AS q1,
+        lo + (hi - lo) // 2 AS q2,
+        lo + (hi - lo) * 3 // 4 AS q3 FROM b),
+env AS (
+  SELECT e.user_id AS pk,
+         CASE WHEN e.event_type = 'error' THEN 'DELETE'
+              WHEN e.event_id <= c.q1 THEN 'INSERT'
+              ELSE 'UPDATE' END AS op,
+         CAST(CASE WHEN e.event_id <= c.q1 THEN c.q1 * 10 + 5
+                   WHEN e.event_id <= c.q2 THEN c.q2 * 10 + 5
+                   WHEN e.event_id <= c.q3 THEN c.q3 * 10 + 5
+                   ELSE c.hi * 10 + 5 END AS BIGINT) AS commit_lsn,
+         CAST(row_number() OVER (
+             PARTITION BY CASE WHEN e.event_id <= c.q1 THEN 1
+                               WHEN e.event_id <= c.q2 THEN 2
+                               WHEN e.event_id <= c.q3 THEN 3 ELSE 4 END
+             ORDER BY e.event_id) - 1 AS BIGINT) AS tx_ordinal,
+         CAST(e.value AS DOUBLE) AS amount,
+         e.event_id
+  FROM events e CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY event_id DESC) AS rn
+  FROM env
+)
+SELECT pk, op, commit_lsn, tx_ordinal, amount
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""

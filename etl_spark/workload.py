@@ -1718,3 +1718,147 @@ def cdc_duckdb_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = con.execute('SELECT pk, value, props FROM "users"').df()
     con.close()
     return spark.createDataFrame(pdf)
+
+
+def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-replay across TWO in-batch DDL boundaries (X155): the
+    at-least-once window the round-9 relation-registry fix closes,
+    driver-gated end-to-end.
+
+    Events become real pgoutput binary frames in four transactions over
+    two batch files. Batch 1 teaches relation v1 ``(pk, gone, value)``
+    and applies tx1. Batch 2 carries tx2 (3-cell tuples under v1 — its
+    RELATION learned in batch 1, so ABSENT from batch 2's overlay), the
+    DROP republish (v2a: ``pk, value``), tx3 (2-cell), the RENAME
+    republish (v2b: ``pk, amount``), tx4 — and the pipeline CRASHES at
+    the durable-progress failpoint AFTER batch 2 applies. The restart
+    replays batch 2: the replayed decode must resolve tx2 against v1 via
+    the registry base (advancing the registry before batch success would
+    hand the replay v2b — a 3-cell tuple against a 2-column schema
+    mis-keys ``gone`` under ``value``'s position and loses the value).
+    Final current-state table hash-equals the batch LWW oracle with both
+    DDLs folded in (reference semantics: apply.rs replay +
+    schema.rs:729-784 SchemaDiff; regression twin at unit level:
+    test_pgoutput_crash_replay_keeps_pre_ddl_decode).
+    """
+    import os
+    import shutil
+    import tempfile
+    from collections.abc import Iterator
+
+    from etl_spark import failpoints as fp
+    from etl_spark.sources import pgoutput as pgo
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    b = ev.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    q1 = lo + (hi - lo) // 4
+    q2 = lo + (hi - lo) // 2
+    q3 = lo + (hi - lo) * 3 // 4
+    C = {1: q1 * 10 + 5, 2: q2 * 10 + 5, 3: q3 * 10 + 5, 4: hi * 10 + 5}
+
+    def enc(rng: int):
+        def inner(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"wal_start": [], "xid": [], "frame": []}
+                for eid, uid, et, val in zip(
+                    pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+                ):
+                    eid, uid = int(eid), int(uid)
+                    pk, v = str(uid), str(float(val))
+                    if et == "error":
+                        frame = pgo.encode_delete(1, key=[pk])
+                    elif rng == 1:
+                        frame = pgo.encode_insert(1, [pk, "g", v])  # v1: 3 cells
+                    elif rng == 2:
+                        frame = pgo.encode_update(1, [pk, "g", v])  # v1: 3 cells
+                    else:
+                        frame = pgo.encode_update(1, [pk, v])  # v2a/v2b: 2 cells
+                    out["wal_start"].append(eid * 10)
+                    out["xid"].append(rng)
+                    out["frame"].append(frame)
+                yield pd.DataFrame(out)
+
+        return inner
+
+    r1 = ev.filter(F.col("event_id") <= q1).mapInPandas(enc(1), pgo.FRAME_SCHEMA)
+    r2 = ev.filter((F.col("event_id") > q1) & (F.col("event_id") <= q2)).mapInPandas(
+        enc(2), pgo.FRAME_SCHEMA
+    )
+    r3 = ev.filter((F.col("event_id") > q2) & (F.col("event_id") <= q3)).mapInPandas(
+        enc(3), pgo.FRAME_SCHEMA
+    )
+    r4 = ev.filter(F.col("event_id") > q3).mapInPandas(enc(4), pgo.FRAME_SCHEMA)
+
+    rel_v1 = pgo.encode_relation(1, "public", "users", "d",
+                                 [(1, "pk", 20, -1), (0, "gone", 25, -1),
+                                  (0, "value", 701, -1)])
+    rel_v2a = pgo.encode_relation(1, "public", "users", "d",
+                                  [(1, "pk", 20, -1), (0, "value", 701, -1)])
+    rel_v2b = pgo.encode_relation(1, "public", "users", "d",
+                                  [(1, "pk", 20, -1), (0, "amount", 701, -1)])
+    ctrl1 = spark.createDataFrame([
+        (1, -1, bytearray(rel_v1)),
+        (2, 1, bytearray(pgo.encode_begin(final_lsn=C[1], xid=1))),
+        (C[1], 1, bytearray(pgo.encode_commit(C[1], C[1] + 1))),
+    ], pgo.FRAME_SCHEMA)
+    ctrl2 = spark.createDataFrame([
+        (q1 * 10 + 6, 2, bytearray(pgo.encode_begin(final_lsn=C[2], xid=2))),
+        (C[2], 2, bytearray(pgo.encode_commit(C[2], C[2] + 1))),
+        (C[2] + 2, -1, bytearray(rel_v2a)),
+        (C[2] + 3, 3, bytearray(pgo.encode_begin(final_lsn=C[3], xid=3))),
+        (C[3], 3, bytearray(pgo.encode_commit(C[3], C[3] + 1))),
+        (C[3] + 2, -1, bytearray(rel_v2b)),
+        (C[3] + 3, 4, bytearray(pgo.encode_begin(final_lsn=C[4], xid=4))),
+        (C[4], 4, bytearray(pgo.encode_commit(C[4], C[4] + 1))),
+    ], pgo.FRAME_SCHEMA)
+
+    work = tempfile.mkdtemp(prefix="crashddl_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def emit(df, name):
+        stage = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    emit(r1.unionByName(ctrl1), "b1")
+    snap = os.path.join(work, "snap")
+    spark.createDataFrame([], "pk long, gone string, value double").write.parquet(snap)
+    sink = ParquetCurrentStateSink(os.path.join(work, "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, gone string, value double")
+    pwork = os.path.join(work, "pipe")
+    Pipeline(spark, src, [cfg], sink, pwork,
+             source_fmt="pgoutput").run_until_drained()
+
+    emit(r2.unionByName(r3).unionByName(r4).unionByName(ctrl2), "b2")
+    fp.arm(fp.STORE_REPLICATION_PROGRESS)
+    try:
+        Pipeline(spark, src, [cfg], sink, pwork,
+                 source_fmt="pgoutput").run_until_drained()
+        raise AssertionError("crash failpoint did not fire")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the simulated crash
+    finally:
+        fp.disarm_all()
+    # restart: batch 2 replays; tx2 must decode against the v1 base
+    Pipeline(spark, src, [cfg], sink, pwork,
+             source_fmt="pgoutput").run_until_drained()
+    out = sink.read("public.users")
+    return out.select(
+        "pk", "op",
+        F.col("commit_lsn").cast("long").alias("commit_lsn"),
+        F.col("tx_ordinal").cast("long").alias("tx_ordinal"),
+        F.col("amount").cast("double").alias("amount"),
+    )
