@@ -182,6 +182,8 @@ QUERIES = [
     "corpus_heaps_law",
     "events_entropy_rate",
     "embeddings_centroid_separation",
+    # round-9 additions
+    "cdc_crash_replay_ddl",
 ]
 
 
