@@ -737,7 +737,8 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
     names, nullability flips — interleaved with row events under the
     schema current at their LSN, split across several batch files, with
     the pipeline RESTARTED from the ORIGINAL (stale) config between
-    files. A driver-side model applies the same events in LSN order with
+    files and randomly CRASHED at the durable-progress failpoint so
+    whole batches (rows + DDL) replay at-least-once. A driver-side model applies the same events in LSN order with
     PG semantics; the destination must equal the model exactly under the
     final schema, and the registry's nullability view must match."""
     import random
@@ -814,8 +815,8 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
     for step in range(16):
         action = rng.choices(
             ["row", "toast", "rename_val", "rename_key", "add_default", "drop",
-             "readd", "nullable", "flush_restart"],
-            weights=[7, 2, 2, 1, 2, 1, 2, 1, 2],
+             "readd", "nullable", "flush_restart", "flush_crash"],
+            weights=[7, 2, 2, 1, 2, 1, 2, 1, 2, 2],
         )[0]
         lsn += 1
         if action == "toast":
@@ -918,6 +919,27 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
         elif action == "flush_restart":
             flush_batch()
             run_pipeline()
+        elif action == "flush_crash":
+            # at-least-once CRASH-REPLAY composed with the DDL space: the
+            # run fails at the durable-progress failpoint AFTER its first
+            # batch applies (data + sink DDL already landed once); the
+            # next incarnation replays that batch from the checkpoint.
+            # Convergence relies on LSN-keyed schema versions (replayed
+            # pre-DDL rows still resolve their identity timelines
+            # exactly), idempotent sink DDL, and LWW row merge — the
+            # model is untouched, so any replay-induced drift fails the
+            # final equality
+            from etl_spark import failpoints as fpp
+
+            flush_batch()
+            fpp.arm(fpp.STORE_REPLICATION_PROGRESS)
+            try:
+                run_pipeline()
+            except Exception:
+                pass  # the simulated crash (no pending batch -> no hit)
+            finally:
+                fpp.disarm_all()
+            run_pipeline()  # replay must converge
     flush_batch()
     sink = run_pipeline()
 
