@@ -4287,3 +4287,19 @@ ranked AS (
 SELECT pk, op, commit_lsn, tx_ordinal, amount
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
+
+# SCD2 at the SQL warehouse (X156): the version table equals the batch
+# SCD2 window over the envelope — the cdc_scd2_history derivation with
+# value only (the sink stores exactly the staged payload columns).
+ORACLES["cdc_duckdb_scd2"] = f"""
+WITH {ENVELOPE_CTE},
+h AS (
+  SELECT pk, op, commit_lsn AS valid_from, tx_ordinal,
+         lead(commit_lsn) OVER (PARTITION BY pk ORDER BY commit_lsn, tx_ordinal) AS valid_to,
+         value
+  FROM env
+)
+SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE) AS valid_to,
+       (valid_to IS NULL) AS is_current, value
+FROM h WHERE op <> 'DELETE'
+"""

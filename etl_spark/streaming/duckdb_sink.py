@@ -27,6 +27,59 @@ from pyspark.sql import DataFrame
 from etl_spark.streaming.sinks import Sink
 
 
+def _alter_table(con, table, renames=None, drops=None,
+                 defaults=None, nullability=None) -> None:
+    """SchemaDiff as real ALTER statements on ONE warehouse table
+    (schema.rs:729-784), idempotent under batch replay (a rename whose
+    source column no longer exists, or a drop of an already-dropped
+    column, is skipped; nullability ALTERs are naturally idempotent)."""
+    exists = con.execute(
+        "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
+    ).fetchone()
+    if not exists:
+        return
+    cols = {
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = ?", [table],
+        ).fetchall()
+    }
+    for old, new in (renames or []):
+        if old in cols and new not in cols:
+            con.execute(f'ALTER TABLE "{table}" RENAME COLUMN "{old}" TO "{new}"')
+            cols.discard(old)
+            cols.add(new)
+    for col in (drops or []):
+        if col in cols:
+            con.execute(f'ALTER TABLE "{table}" DROP COLUMN "{col}"')
+            cols.discard(col)
+    for col, value, typ in (defaults or []):
+        if col not in cols:
+            # DDL takes no bind parameters: add the column, then backfill
+            # existing rows with a parameterized UPDATE — in ONE
+            # transaction. Autocommitted, a crash between the two
+            # statements leaves the column added but not backfilled, and
+            # the idempotent replay skips it (col already exists), so
+            # pre-DDL rows would permanently read NULL instead of the
+            # declared default.
+            con.execute("BEGIN TRANSACTION")
+            try:
+                con.execute(f'ALTER TABLE "{table}" ADD COLUMN "{col}" {typ}')
+                con.execute(
+                    f'UPDATE "{table}" SET "{col}" = CAST(? AS {typ})', [value]
+                )
+                con.execute("COMMIT")
+            except Exception:
+                con.execute("ROLLBACK")
+                raise
+            cols.add(col)
+    for col, nullable in (nullability or []):
+        if col in cols:
+            verb = "DROP NOT NULL" if nullable else "SET NOT NULL"
+            con.execute(f'ALTER TABLE "{table}" ALTER COLUMN "{col}" {verb}')
+
+
 class DuckDBCurrentStateSink(Sink):
     """Current-state (LWW) tables materialized inside a DuckDB database.
 
@@ -131,59 +184,182 @@ class DuckDBCurrentStateSink(Sink):
 
     def apply_schema_change(self, table, renames=None, drops=None,
                             defaults=None, nullability=None) -> None:
-        """SchemaDiff at a SQL destination (schema.rs:729-784): RENAME,
-        DROP, ADD .. DEFAULT and SET/DROP NOT NULL are real ALTER TABLE
-        statements, idempotent under batch replay (a rename whose source
-        column no longer exists, or a drop of an already-dropped column,
-        is skipped; nullability ALTERs are naturally idempotent)."""
         con = self._con()
-        exists = con.execute(
-            "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
+        _alter_table(con, table, renames, drops, defaults, nullability)
+        # key columns follow renames so the staged MERGE keeps matching
+        ren = dict(renames or [])
+        if table in self.keys:
+            self.keys[table] = [ren.get(k, k) for k in self.keys[table]]
+        con.close()
+
+    def read(self, table: str):
+        """Driver-side read-back (tests): list of dict rows."""
+        con = self._con()
+        out = con.execute(f'SELECT * FROM "{table}"').df().to_dict("records")
+        con.close()
+        return out
+
+
+class DuckDBScd2Sink(Sink):
+    """Versioned-dimension (SCD type-2) tables maintained inside a DuckDB
+    database — the warehouse twin of :class:`~etl_spark.streaming.sinks.
+    ParquetScd2Sink`, with the same division of labor as
+    :class:`DuckDBCurrentStateSink`: Spark stages the micro-batch as
+    parquet; the WAREHOUSE executes the versioned merge in SQL.
+
+    Storage: ``{table}__events`` holds the key's full event history
+    (including DELETE tombstones — they close versions but never surface),
+    deduplicated on (key, _etl_seq) so replayed rows are inert; ``{table}``
+    holds the derived version rows (valid_from / valid_to / is_current).
+    Per batch, ONE transaction: append the batch's new events, then
+    recompute versions for ONLY the touched keys (delete + re-derive via a
+    per-key lead window over that key's history) — O(batch + touched
+    keys' history), the same incremental shape as the bucket sink, with
+    ``applied_batches`` absorbing whole-batch replays. Delivery contract
+    identical to :class:`DuckDBCurrentStateSink` (ordered batches +
+    whole-batch replays; the event-history dedup additionally makes
+    PARTIAL replays of mixed batches inert, which the current-state sink
+    cannot promise after tombstones)."""
+
+    def __init__(self, db_path: str, keys: dict[str, list[str]], staging_dir: str | None = None):
+        self.db_path = db_path
+        self.keys = keys
+        self.staging_dir = staging_dir or tempfile.mkdtemp(prefix="etl_stage_")
+        con = self._con()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS applied_batches ("
+            "  tbl VARCHAR, batch_id BIGINT, PRIMARY KEY (tbl, batch_id))"
+        )
+        con.close()
+
+    def _con(self):
+        return duckdb.connect(self.db_path)
+
+    def _stage(self, table: str, df: DataFrame, tag: str) -> str:
+        out = os.path.join(self.staging_dir, table, tag)
+        df.write.mode("overwrite").parquet(out)
+        return out
+
+    def _derive_sql(self, table: str, keys: list[str], payload: list[str],
+                    key_filter: str) -> str:
+        """INSERT..SELECT re-deriving version rows from the event history
+        (the cdc_scd2_history window): every INSERT/UPDATE opens a version
+        at its commit LSN; the key's next event — update OR delete —
+        closes it; DELETEs emit no version row."""
+        key_list = ", ".join(f'"{k}"' for k in keys)
+        pay_list = "".join(f', "{c}"' for c in payload)
+        return (
+            f'INSERT INTO "{table}" '
+            f"SELECT {key_list}, op, valid_from, tx_ordinal, valid_to, "
+            f"       (valid_to IS NULL AND op <> 'DELETE') AS is_current"
+            f"       {pay_list} "
+            f"FROM ("
+            f"  SELECT *, commit_lsn AS valid_from,"
+            f"         lead(commit_lsn) OVER ("
+            f"           PARTITION BY {key_list} ORDER BY _etl_seq) AS valid_to"
+            f'  FROM "{table}__events" e {key_filter}'
+            f") WHERE op <> 'DELETE'"
+        )
+
+    # -- Sink ----------------------------------------------------------------
+    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
+        staged = self._stage(table, df, "snapshot")
+        keys = self.keys[table]
+        payload = [c for c in df.columns
+                   if c not in keys + ["op", "commit_lsn", "tx_ordinal", "event_seq"]]
+        key_list = ", ".join(f'"{k}"' for k in keys)
+        pay_list = "".join(f', "{c}"' for c in payload)
+        con = self._con()
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'DROP TABLE IF EXISTS "{table}__events"')
+        con.execute(
+            f'CREATE TABLE "{table}__events" AS '
+            f"SELECT {key_list}{pay_list}, 'INSERT' AS op,"
+            f"       CAST({snapshot_lsn} AS BIGINT) AS commit_lsn,"
+            f"       CAST(0 AS BIGINT) AS tx_ordinal,"
+            f"       CAST({snapshot_lsn} AS HUGEINT) * 18446744073709551616 AS _etl_seq "
+            f"FROM read_parquet('{staged}/*.parquet')"
+        )
+        con.execute(
+            f'CREATE TABLE "{table}" AS '
+            f"SELECT {key_list}, op, commit_lsn AS valid_from, tx_ordinal,"
+            f"       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current"
+            f"{pay_list} "
+            f'FROM "{table}__events" WHERE 1 = 0'
+        )
+        con.execute(self._derive_sql(table, keys, payload, ""))
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
+        con = self._con()
+        seen = con.execute(
+            "SELECT 1 FROM applied_batches WHERE tbl = ? AND batch_id = ?",
+            [table, batch_id],
         ).fetchone()
-        if not exists:
+        if seen:
             con.close()
             return
-        cols = {
-            r[0]
-            for r in con.execute(
-                "SELECT column_name FROM information_schema.columns "
-                "WHERE table_name = ?", [table],
-            ).fetchall()
-        }
-        for old, new in (renames or []):
-            if old in cols and new not in cols:
-                con.execute(f'ALTER TABLE "{table}" RENAME COLUMN "{old}" TO "{new}"')
-                cols.discard(old)
-                cols.add(new)
-        for col in (drops or []):
-            if col in cols:
-                con.execute(f'ALTER TABLE "{table}" DROP COLUMN "{col}"')
-                cols.discard(col)
-        for col, value, typ in (defaults or []):
-            if col not in cols:
-                # DDL takes no bind parameters: add the column, then
-                # backfill existing rows with a parameterized UPDATE —
-                # in ONE transaction. Autocommitted, a crash between the
-                # two statements leaves the column added but not
-                # backfilled, and the idempotent replay skips it (col
-                # already exists), so pre-DDL rows would permanently read
-                # NULL instead of the declared default.
-                con.execute("BEGIN TRANSACTION")
-                try:
-                    con.execute(f'ALTER TABLE "{table}" ADD COLUMN "{col}" {typ}')
-                    con.execute(
-                        f'UPDATE "{table}" SET "{col}" = CAST(? AS {typ})', [value]
-                    )
-                    con.execute("COMMIT")
-                except Exception:
-                    con.execute("ROLLBACK")
-                    raise
-                cols.add(col)
-        for col, nullable in (nullability or []):
-            if col in cols:
-                verb = "DROP NOT NULL" if nullable else "SET NOT NULL"
-                con.execute(f'ALTER TABLE "{table}" ALTER COLUMN "{col}" {verb}')
-        # key columns follow renames so the staged MERGE keeps matching
+        staged = self._stage(table, df, f"batch_{batch_id}")
+        keys = self.keys[table]
+        key_list = ", ".join(f'"{k}"' for k in keys)
+        key_eq = " AND ".join(f'e."{k}" = s."{k}"' for k in keys)
+        payload = [c for c in df.columns
+                   if c not in keys + ["op", "commit_lsn", "tx_ordinal", "event_seq"]]
+        ev_cols = keys + payload + ["op", "commit_lsn", "tx_ordinal"]
+        ev_list = ", ".join(f'"{c}"' for c in ev_cols)
+        con.execute("BEGIN")
+        con.execute(
+            f"CREATE TEMP TABLE s AS "
+            f"SELECT * EXCLUDE (event_seq), CAST(event_seq AS HUGEINT) AS _etl_seq "
+            f"FROM read_parquet('{staged}/*.parquet')"
+        )
+        # append only events the history hasn't seen (partial-replay belt
+        # on top of the whole-batch applied_batches ledger)
+        con.execute(
+            f'INSERT INTO "{table}__events" '
+            f"SELECT {ev_list}, _etl_seq FROM s "
+            f"WHERE NOT EXISTS ("
+            f'  SELECT 1 FROM "{table}__events" e'
+            f"  WHERE {key_eq} AND e._etl_seq = s._etl_seq)"
+        )
+        # re-derive ONLY the touched keys' version rows
+        tkey_eq = " AND ".join(f't.\"{k}\" = s.\"{k}\"' for k in keys)
+        con.execute(
+            f'DELETE FROM "{table}" t WHERE EXISTS ('
+            f"  SELECT 1 FROM (SELECT DISTINCT {key_list} FROM s) s "
+            f"  WHERE {tkey_eq})"
+        )
+        con.execute(self._derive_sql(
+            table, keys, payload,
+            f"WHERE EXISTS (SELECT 1 FROM (SELECT DISTINCT {key_list} FROM s) s "
+            f"WHERE {key_eq})",
+        ))
+        con.execute("INSERT INTO applied_batches VALUES (?, ?)", [table, batch_id])
+        con.execute("COMMIT")
+        con.close()
+
+    def reconcile_keys(self, table: str, keys) -> None:
+        self.keys[table] = list(keys)
+
+    def truncate(self, table: str) -> None:
+        con = self._con()
+        for t in (table, f"{table}__events"):
+            exists = con.execute(
+                "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [t]
+            ).fetchone()
+            if exists:
+                con.execute(f'DELETE FROM "{t}"')
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None, nullability=None) -> None:
+        """Apply the SchemaDiff to BOTH the version table and the event
+        history, so later re-derivations see the evolved payload."""
+        con = self._con()
+        _alter_table(con, table, renames, drops, defaults, nullability)
+        _alter_table(con, f"{table}__events", renames, drops, defaults, nullability)
         ren = dict(renames or [])
         if table in self.keys:
             self.keys[table] = [ren.get(k, k) for k in self.keys[table]]

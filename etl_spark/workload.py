@@ -1862,3 +1862,57 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tx_ordinal").cast("long").alias("tx_ordinal"),
         F.col("amount").cast("double").alias("amount"),
     )
+
+
+def cdc_duckdb_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 at the SQL warehouse (X156): the sim envelope drives
+    :class:`~etl_spark.streaming.duckdb_sink.DuckDBScd2Sink` — the
+    versioned-dimension twin of the X154 staging-merge destination
+    (reference division of labor: Spark stages parquet, the warehouse
+    executes the merge; ducklake/core.rs:1133-1216) — over three
+    LSN-range micro-batches with the middle batch REPLAYED. Per batch the
+    warehouse appends the event history (deduplicated on key+sequence)
+    and re-derives version rows for ONLY the touched keys in one
+    transaction. The final version table must hash-equal the batch SCD2
+    window — the same oracle family as ``cdc_scd2_history``.
+
+    Scale note: the read-back is gate verification, not the data path;
+    the versions table is bounded by distinct (key, version) pairs.
+    """
+    import os
+    import tempfile
+
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    work = tempfile.mkdtemp(prefix="duckdb_scd2_")
+    sink = DuckDBScd2Sink(
+        os.path.join(work, "wh.duckdb"), keys={"users": ["pk"]},
+        staging_dir=os.path.join(work, "stage"),
+    )
+    sink.write_snapshot("users", env.select("pk", "value").limit(0))
+    for i, (lo, hi) in enumerate(ranges):
+        sink.write_changes(
+            "users", env.filter(F.col("commit_lsn").between(lo, hi)), batch_id=i
+        )
+        if i == 1:  # replayed delivery: the ledger must no-op it
+            sink.write_changes(
+                "users", env.filter(F.col("commit_lsn").between(lo, hi)), batch_id=i
+            )
+    import duckdb as _duckdb
+
+    con = _duckdb.connect(os.path.join(work, "wh.duckdb"))
+    pdf = con.execute(
+        'SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE)'
+        ' AS valid_to, is_current, value FROM "users"'
+    ).df()
+    con.close()
+    return spark.createDataFrame(pdf)

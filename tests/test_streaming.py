@@ -537,6 +537,65 @@ def test_duckdb_sink_delivery_contract(spark, tmp_path):
     assert {r["pk"]: r["val"] for r in sink.read("users")} == {1: "a2", 2: "b-old"}
 
 
+def test_duckdb_scd2_sink(spark, tmp_path):
+    """SCD2 at the SQL warehouse: event history + touched-key re-derive
+    in one transaction, whole-batch replays absorbed by the ledger and
+    PARTIAL replays by the (key, seq) event dedup; DDL reaches both the
+    version table and the event history so later re-derivations see it."""
+    import math
+
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "op string, pk long, val string, commit_lsn long, tx_ordinal long",
+        ).selectExpr(
+            "op", "pk", "val", "commit_lsn", "tx_ordinal",
+            "CAST(commit_lsn AS DECIMAL(38,0)) * 18446744073709551616"
+            " + tx_ordinal AS event_seq",
+        )
+
+    def vt(r):
+        v = r["valid_to"]
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)
+
+    sink = DuckDBScd2Sink(str(tmp_path / "wh.duckdb"), keys={"users": ["pk"]},
+                          staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot("users", spark.createDataFrame([(1, "a")], PAYLOAD))
+    sink.write_changes("users", batch([("UPDATE", 1, "a1", 10, 0),
+                                       ("INSERT", 2, "b", 11, 0)]), 1)
+    b2 = batch([("DELETE", 2, None, 20, 0), ("UPDATE", 1, "a2", 21, 0)])
+    sink.write_changes("users", b2, 2)
+    sink.write_changes("users", b2, 2)  # whole-batch replay: ledger no-op
+    # PARTIAL replay under a NEW batch id: the event-history dedup keeps
+    # the duplicate (key, seq) rows inert — versions unchanged
+    sink.write_changes("users", b2, 3)
+    got = [
+        (r["pk"], r["op"], int(r["valid_from"]), vt(r),
+         bool(r["is_current"]), r["val"])
+        for r in sorted(sink.read("users"),
+                        key=lambda r: (r["pk"], r["valid_from"]))
+    ]
+    assert got == [
+        (1, "INSERT", 0, 10, False, "a"),
+        (1, "UPDATE", 10, 21, False, "a1"),
+        (1, "UPDATE", 21, None, True, "a2"),
+        (2, "INSERT", 11, 20, False, "b"),  # closed by the tombstone
+    ]
+    # DDL: rename reaches the version table AND the event history, so a
+    # later batch (new column name) re-derives old versions correctly
+    sink.apply_schema_change("users", renames=[("val", "amount")])
+    post = batch([("UPDATE", 1, "a3", 30, 0)]).withColumnRenamed("val", "amount")
+    sink.write_changes("users", post, 4)
+    rows = sorted(sink.read("users"), key=lambda r: (r["pk"], r["valid_from"]))
+    assert all("amount" in r and "val" not in r for r in rows)
+    k1 = [(r["op"], int(r["valid_from"]), vt(r), r["amount"])
+          for r in rows if r["pk"] == 1]
+    assert k1 == [("INSERT", 0, 10, "a"), ("UPDATE", 10, 21, "a1"),
+                  ("UPDATE", 21, 30, "a2"), ("UPDATE", 30, None, "a3")]
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Streaming-native event-time aggregation: watermarked 1-hour windows
     over the change stream (the watermark bounds state for late data —

@@ -184,6 +184,7 @@ QUERIES = [
     "embeddings_centroid_separation",
     # round-9 additions
     "cdc_crash_replay_ddl",
+    "cdc_duckdb_scd2",
 ]
 
 
