@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 NEW ops land HERE (top of window) ---
         "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
         "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
+        "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
         # --- implementation CHANGED in round 9: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "stream_click_purchase_join": workload.stream_click_purchase_join,

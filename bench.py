@@ -190,6 +190,7 @@ HEADLINE = [
     "cdc_duckdb_current_state",
     "cdc_crash_replay_ddl",
     "cdc_duckdb_scd2",
+    "cdc_duckdb_changelog",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -386,7 +387,7 @@ def main() -> None:
               "embeddings_centroid_separation"}
     r8_new = {"cdc_ddl_rebucket_compact", "cdc_scd2_schema_evolution",
               "parts_triangle_sample", "cdc_duckdb_current_state"}
-    r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2"}
+    r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2", "cdc_duckdb_changelog"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new),

@@ -4303,3 +4303,10 @@ SELECT pk, op, valid_from, tx_ordinal, CAST(valid_to AS DOUBLE) AS valid_to,
        (valid_to IS NULL) AS is_current, value
 FROM h WHERE op <> 'DELETE'
 """
+
+# Changelog fidelity at the SQL warehouse (X157): every envelope event
+# exactly once, replays (whole-batch and partial) absorbed.
+ORACLES["cdc_duckdb_changelog"] = f"""
+WITH {ENVELOPE_CTE}
+SELECT op, commit_lsn, tx_ordinal, pk, value FROM env
+"""

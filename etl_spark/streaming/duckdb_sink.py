@@ -371,3 +371,98 @@ class DuckDBScd2Sink(Sink):
         out = con.execute(f'SELECT * FROM "{table}"').df().to_dict("records")
         con.close()
         return out
+
+
+class DuckDBChangelogSink(Sink):
+    """Append-only changelog tables inside a DuckDB database — the
+    warehouse twin of the ClickHouse/Iceberg changelog destinations
+    (SURVEY D2/D3): every change event lands exactly once, in total
+    ``_etl_seq`` order, with no merge. Whole-batch replays are absorbed
+    by the ``applied_batches`` ledger; partial replays by the per-event
+    sequence dedup (``_etl_seq`` is globally unique — commit LSN packed
+    above the intra-transaction ordinal)."""
+
+    def __init__(self, db_path: str, staging_dir: str | None = None):
+        self.db_path = db_path
+        self.staging_dir = staging_dir or tempfile.mkdtemp(prefix="etl_stage_")
+        con = self._con()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS applied_batches ("
+            "  tbl VARCHAR, batch_id BIGINT, PRIMARY KEY (tbl, batch_id))"
+        )
+        con.close()
+
+    def _con(self):
+        return duckdb.connect(self.db_path)
+
+    def _stage(self, table: str, df: DataFrame, tag: str) -> str:
+        out = os.path.join(self.staging_dir, table, tag)
+        df.write.mode("overwrite").parquet(out)
+        return out
+
+    # -- Sink ----------------------------------------------------------------
+    def write_snapshot(self, table: str, df: DataFrame, snapshot_lsn: int = 0) -> None:
+        staged = self._stage(table, df, "snapshot")
+        con = self._con()
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(
+            f'CREATE TABLE "{table}" AS '
+            f"SELECT *, 'INSERT' AS op, CAST({snapshot_lsn} AS BIGINT) AS commit_lsn,"
+            f"       CAST(0 AS BIGINT) AS tx_ordinal,"
+            f"       CAST({snapshot_lsn} AS HUGEINT) * 18446744073709551616 AS _etl_seq "
+            f"FROM read_parquet('{staged}/*.parquet')"
+        )
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def write_changes(self, table: str, df: DataFrame, batch_id: int) -> None:
+        con = self._con()
+        seen = con.execute(
+            "SELECT 1 FROM applied_batches WHERE tbl = ? AND batch_id = ?",
+            [table, batch_id],
+        ).fetchone()
+        if seen:
+            con.close()
+            return
+        staged = self._stage(table, df, f"batch_{batch_id}")
+        data_cols = [c for c in df.columns
+                     if c not in ("op", "commit_lsn", "tx_ordinal", "event_seq")]
+        col_list = ", ".join(f'"{c}"' for c in data_cols)
+        con.execute("BEGIN")
+        con.execute(
+            f'INSERT INTO "{table}" '
+            f"SELECT {col_list}, op, commit_lsn, tx_ordinal,"
+            f"       CAST(event_seq AS HUGEINT) AS _etl_seq "
+            f"FROM read_parquet('{staged}/*.parquet') s "
+            f"WHERE NOT EXISTS ("
+            f'  SELECT 1 FROM "{table}" t'
+            f"  WHERE t._etl_seq = CAST(s.event_seq AS HUGEINT))"
+        )
+        con.execute("INSERT INTO applied_batches VALUES (?, ?)", [table, batch_id])
+        con.execute("COMMIT")
+        con.close()
+
+    def reconcile_keys(self, table: str, keys) -> None:
+        pass  # changelog fidelity: no keyed merge, keys irrelevant
+
+    def truncate(self, table: str) -> None:
+        con = self._con()
+        exists = con.execute(
+            "SELECT 1 FROM information_schema.tables WHERE table_name = ?", [table]
+        ).fetchone()
+        if exists:
+            con.execute(f'DELETE FROM "{table}"')
+        con.execute("DELETE FROM applied_batches WHERE tbl = ?", [table])
+        con.close()
+
+    def apply_schema_change(self, table, renames=None, drops=None,
+                            defaults=None, nullability=None) -> None:
+        con = self._con()
+        _alter_table(con, table, renames, drops, defaults, nullability)
+        con.close()
+
+    def read(self, table: str):
+        con = self._con()
+        out = con.execute(f'SELECT * FROM "{table}"').df().to_dict("records")
+        con.close()
+        return out

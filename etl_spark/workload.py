@@ -1916,3 +1916,49 @@ def cdc_duckdb_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df()
     con.close()
     return spark.createDataFrame(pdf)
+
+
+def cdc_duckdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog fidelity at the SQL warehouse (X157): the sim envelope
+    drives :class:`~etl_spark.streaming.duckdb_sink.DuckDBChangelogSink`
+    — the append-only twin of the X154/X156 staging destinations
+    (ClickHouse/Iceberg changelog semantics, SURVEY D2/D3) — over three
+    LSN-range micro-batches with the middle batch REPLAYED (whole batch,
+    ledger-absorbed) AND replayed again under a NEW batch id (partial
+    replay, absorbed by the per-event sequence dedup). The warehouse
+    table must contain every change event exactly once — hash-equal to
+    the envelope itself.
+    """
+    import os
+    import tempfile
+
+    from etl_spark.streaming.duckdb_sink import DuckDBChangelogSink
+
+    env = envelope_from_events(spark, sf_dir).select(
+        "op", "commit_lsn", "tx_ordinal", "event_seq", "pk", "value"
+    )
+    b = env.agg(
+        F.min("commit_lsn").alias("lo"), F.max("commit_lsn").alias("hi")
+    ).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + (b["hi"] - b["lo"]) * 2 // 3
+    ranges = [(b["lo"], cut1), (cut1 + 1, cut2), (cut2 + 1, b["hi"])]
+    work = tempfile.mkdtemp(prefix="duckdb_cl_")
+    sink = DuckDBChangelogSink(
+        os.path.join(work, "wh.duckdb"), staging_dir=os.path.join(work, "stage")
+    )
+    sink.write_snapshot("users", env.select("pk", "value").limit(0))
+    for i, (lo, hi) in enumerate(ranges):
+        batch = env.filter(F.col("commit_lsn").between(lo, hi))
+        sink.write_changes("users", batch, batch_id=i)
+        if i == 1:
+            sink.write_changes("users", batch, batch_id=i)  # whole replay
+            sink.write_changes("users", batch, batch_id=99)  # partial replay
+    import duckdb as _duckdb
+
+    con = _duckdb.connect(os.path.join(work, "wh.duckdb"))
+    pdf = con.execute(
+        'SELECT op, commit_lsn, tx_ordinal, pk, value FROM "users"'
+    ).df()
+    con.close()
+    return spark.createDataFrame(pdf)

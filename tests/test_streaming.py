@@ -596,6 +596,43 @@ def test_duckdb_scd2_sink(spark, tmp_path):
                   ("UPDATE", 21, 30, "a2"), ("UPDATE", 30, None, "a3")]
 
 
+def test_duckdb_changelog_sink(spark, tmp_path):
+    """Append-only warehouse changelog: every event exactly once under
+    whole-batch replays (ledger) AND partial replays (per-event sequence
+    dedup); no keyed merge ever happens."""
+    from etl_spark.streaming.duckdb_sink import DuckDBChangelogSink
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "op string, pk long, val string, commit_lsn long, tx_ordinal long",
+        ).selectExpr(
+            "op", "pk", "val", "commit_lsn", "tx_ordinal",
+            "CAST(commit_lsn AS DECIMAL(38,0)) * 18446744073709551616"
+            " + tx_ordinal AS event_seq",
+        )
+
+    sink = DuckDBChangelogSink(str(tmp_path / "wh.duckdb"),
+                               staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot("users", spark.createDataFrame([(1, "a")], PAYLOAD))
+    b1 = batch([("UPDATE", 1, "a1", 10, 0), ("DELETE", 1, None, 10, 1),
+                ("INSERT", 1, "a2", 11, 0)])
+    sink.write_changes("users", b1, 1)
+    sink.write_changes("users", b1, 1)   # whole-batch replay
+    sink.write_changes("users", b1, 2)   # partial replay, new batch id
+    got = sorted(
+        ((r["op"], int(r["commit_lsn"]), int(r["tx_ordinal"]), r["val"])
+         for r in sink.read("users")),
+        key=lambda t: (t[1], t[2]),
+    )
+    assert got == [
+        ("INSERT", 0, 0, "a"),           # snapshot stamp
+        ("UPDATE", 10, 0, "a1"),
+        ("DELETE", 10, 1, None),         # deletes KEPT (changelog fidelity)
+        ("INSERT", 11, 0, "a2"),
+    ]
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Streaming-native event-time aggregation: watermarked 1-hour windows
     over the change stream (the watermark bounds state for late data —

@@ -185,6 +185,7 @@ QUERIES = [
     # round-9 additions
     "cdc_crash_replay_ddl",
     "cdc_duckdb_scd2",
+    "cdc_duckdb_changelog",
 ]
 
 
