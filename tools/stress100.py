@@ -97,8 +97,10 @@ def main() -> None:
     if spark is not None:
         spark.stop()  # children get their own fresh JVMs
 
+    only = os.environ.get("STRESS100_ONLY")
+    names = [n for n in only.split(",") if n] if only else QUERIES
     result: dict[str, dict] = {}
-    for q in QUERIES:
+    for q in names:
         row = {}
         for k in (10, 100):
             sec = run_isolated(q, datasets[k])
