@@ -295,7 +295,12 @@ def pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "wal_start": [int(x) * 10 - 1 for x in pdf["xid"]],
                 "xid": [int(x) for x in pdf["xid"]],
-                "frame": [pgo.encode_begin(final_lsn=int(x), xid=int(x)) for x in pdf["xid"]],
+                # wire xid is u32 and WRAPS (PG xid semantics);
+                # transaction identity rides the envelope xid COLUMN
+                # (int64) — the wire field is informational, so replicated
+                # id spaces beyond 2^32 (the 100x stress set) stay valid
+                "frame": [pgo.encode_begin(final_lsn=int(x), xid=int(x) % 4294967296)
+                          for x in pdf["xid"]],
             })
 
     begins = (
