@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profiled 2.2x, already in-window as an r4 row);
     stream_click_purchase_join (state partitions sized to trigger volume
     + no-data finalization batch dropped for the inner join — profiled
-    1.7x; pulled from the r8 tail into the window)]
+    1.7x; pulled from the r8 tail into the window);
+    pgoutput_decode (wire BEGIN xid now wraps at 2^32, PG xid semantics —
+    found by the 100x stress; pulled from the r6 tail)]
     + [the 6 r4-latest rows that slid past r8's slot 50:
     events_gapfill_locf, stream_incremental_rollup, dedup_exact,
     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash] + [the r5-latest
@@ -59,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementation CHANGED in round 9: re-record ---
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "stream_click_purchase_join": workload.stream_click_purchase_join,
+        "pgoutput_decode": workload.pgoutput_decode,
         # --- oldest green rows (r4) refreshed oldest-first ---
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
@@ -151,7 +154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
         "corpus_curation": workload_text.corpus_curation,
         "events_ks_drift": workload_relational.events_ks_drift,
-        "pgoutput_decode": workload.pgoutput_decode,
         "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
         "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
         "events_regression": workload_relational.events_regression,
