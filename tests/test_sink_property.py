@@ -176,3 +176,101 @@ def test_scd2_sink_matches_version_model_under_random_ops(spark, tmp_path, seed)
         got = {(r.pk, r.valid_from): (r.val, r.valid_to, bool(r.is_current))
                for r in sink.read("t").collect()}
         assert got == expected(), f"seed={seed} step={step} action={action}"
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_scd2_parquet_vs_duckdb_differential(spark, tmp_path, seed):
+    """DIFFERENTIAL model: the bucket-manifest SCD2 sink and the SQL-
+    warehouse SCD2 sink are independent implementations of one contract
+    (every INSERT/UPDATE opens a version; the key's next event closes it;
+    DELETEs close silently; replays whole AND partial are inert). One
+    seeded action stream drives both; after every step their version
+    tables must be identical — any divergence is a bug in one of them,
+    with no hand-written model in the loop."""
+    import math
+
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+    from etl_spark.streaming.sinks import ParquetScd2Sink
+
+    rng = random.Random(seed)
+    pq_root = str(tmp_path / "pq")
+    db = str(tmp_path / "wh.duckdb")
+
+    def mk():
+        return (
+            ParquetScd2Sink(pq_root, keys=["pk"], spark=spark, n_buckets=4),
+            DuckDBScd2Sink(db, keys={"t": ["pk"]},
+                           staging_dir=str(tmp_path / "stage")),
+        )
+
+    pq, dk = mk()
+    snap = spark.createDataFrame([(1, "s1"), (2, "s2")], "pk long, val string")
+    pq.write_snapshot("t", snap)
+    dk.write_snapshot("t", snap)
+
+    def norm_pq():
+        rows = pq.read("t").select(
+            "pk", "op", "valid_from", "tx_ordinal", "valid_to",
+            "is_current", "val",
+        ).collect()
+        return sorted(
+            (r.pk, r.op, int(r.valid_from), int(r.tx_ordinal),
+             None if r.valid_to is None else int(r.valid_to),
+             bool(r.is_current), r.val)
+            for r in rows
+        )
+
+    def norm_dk():
+        out = []
+        for r in dk.read("t"):
+            vt = r["valid_to"]
+            vt = None if vt is None or (
+                isinstance(vt, float) and math.isnan(vt)) else int(vt)
+            out.append((int(r["pk"]), r["op"], int(r["valid_from"]),
+                        int(r["tx_ordinal"]), vt, bool(r["is_current"]),
+                        r["val"]))
+        return sorted(out)
+
+    lsn = 10
+    batch_id = 0
+    last = None
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "whole_replay", "partial_replay", "truncate", "restart"],
+            weights=[6, 2, 2, 1, 2],
+        )[0]
+        if action == "batch" or last is None:
+            events = []
+            for _ in range(rng.randint(1, 5)):
+                pk = rng.randint(0, 9)
+                kind = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                events.append((kind, lsn, pk,
+                               None if kind == "DELETE" else f"v{lsn}_{pk}"))
+            lsn += 1
+            batch_id += 1
+            b = _batch(spark, events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+            last = (batch_id, events)
+        elif action == "whole_replay":
+            bid, events = last
+            b = _batch(spark, events)
+            pq.write_changes("t", b, bid)
+            dk.write_changes("t", b, bid)
+        elif action == "partial_replay":
+            # the same events under a NEW batch id: the per-event
+            # (key, seq) dedup must make them inert in both sinks
+            _bid, events = last
+            batch_id += 1
+            b = _batch(spark, events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+        elif action == "truncate":
+            pq.truncate("t")
+            dk.truncate("t")
+            pq.write_snapshot("t", snap)
+            dk.write_snapshot("t", snap)
+            last = None
+        elif action == "restart":
+            pq, dk = mk()
+        assert norm_pq() == norm_dk(), (seed, step, action)
