@@ -274,3 +274,75 @@ def test_scd2_parquet_vs_duckdb_differential(spark, tmp_path, seed):
         elif action == "restart":
             pq, dk = mk()
         assert norm_pq() == norm_dk(), (seed, step, action)
+
+
+@pytest.mark.parametrize("seed", [17, 41])
+def test_current_state_parquet_vs_duckdb_differential(spark, tmp_path, seed):
+    """DIFFERENTIAL: the bucket-manifest current-state sink and the SQL-
+    warehouse current-state sink under ONE seeded IN-CONTRACT action
+    stream (ordered batches, whole-batch replays, truncate, restart)
+    must hold identical key→value state after every step. Partial
+    replays are deliberately excluded: outside the delivery contract the
+    two implementations legitimately diverge on tombstoned keys (the
+    warehouse sink's _etl_seq dies with the row — documented in
+    duckdb_sink.py and pinned by test_duckdb_sink_delivery_contract)."""
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    rng = random.Random(seed)
+    pq_root = str(tmp_path / "pq")
+    db = str(tmp_path / "wh.duckdb")
+
+    def mk():
+        return (
+            ParquetCurrentStateSink(pq_root, keys=["pk"], spark=spark,
+                                    n_buckets=4),
+            DuckDBCurrentStateSink(db, keys={"t": ["pk"]},
+                                   staging_dir=str(tmp_path / "stage")),
+        )
+
+    pq, dk = mk()
+    snap = spark.createDataFrame([(1, "s1"), (2, "s2")], "pk long, val string")
+    pq.write_snapshot("t", snap)
+    dk.write_snapshot("t", snap)
+
+    def norm_pq():
+        return sorted((r.pk, r.val) for r in pq.read("t").select("pk", "val").collect())
+
+    def norm_dk():
+        return sorted((int(r["pk"]), r["val"]) for r in dk.read("t"))
+
+    lsn = 10
+    batch_id = 0
+    last = None
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "whole_replay", "truncate", "restart"],
+            weights=[6, 2, 1, 2],
+        )[0]
+        if action == "batch" or last is None:
+            events = []
+            for _ in range(rng.randint(1, 5)):
+                pk = rng.randint(0, 9)
+                kind = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                events.append((kind, lsn, pk,
+                               None if kind == "DELETE" else f"v{lsn}_{pk}"))
+            lsn += 1
+            batch_id += 1
+            b = _batch(spark, events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+            last = (batch_id, events)
+        elif action == "whole_replay":
+            bid, events = last
+            b = _batch(spark, events)
+            pq.write_changes("t", b, bid)
+            dk.write_changes("t", b, bid)
+        elif action == "truncate":
+            pq.truncate("t")
+            dk.truncate("t")
+            pq.write_snapshot("t", snap)
+            dk.write_snapshot("t", snap)
+            last = None
+        elif action == "restart":
+            pq, dk = mk()
+        assert norm_pq() == norm_dk(), (seed, step, action)
