@@ -26,6 +26,78 @@ from pyspark.sql import DataFrame
 
 from etl_spark.streaming.sinks import Sink
 
+# Spark type names (as they appear in SchemaDiff / payload_schema) →
+# DuckDB DDL type names. 'string'/'long'/'double' happen to be DuckDB
+# aliases, but the pipeline also emits names DuckDB does not accept
+# ('timestamp_ntz', 'float' means 32-bit in Spark but is an alias for
+# DOUBLE in DuckDB, ...) — every ALTER goes through this map.
+_DUCK_TYPES = {
+    "string": "VARCHAR",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "smallint": "SMALLINT",
+    "byte": "TINYINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "real": "REAL",
+    "boolean": "BOOLEAN",
+    "binary": "BLOB",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP WITH TIME ZONE",
+    "timestamp_ntz": "TIMESTAMP",
+    "timestamp_ltz": "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def _duck_type(typ: str) -> str:
+    """Map a Spark type name to a DuckDB DDL type. decimal(p,s) passes
+    through (same spelling both sides); unknown names pass through so a
+    caller handing us a genuine DuckDB type (tests do) still works."""
+    t = typ.strip().lower()
+    if t.startswith("decimal"):
+        return typ
+    return _DUCK_TYPES.get(t, typ)
+
+
+def _table_columns(con, table: str) -> list[str]:
+    return [
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = ? ORDER BY ordinal_position", [table],
+        ).fetchall()
+    ]
+
+
+def _staged_types(con, staged: str) -> dict[str, str]:
+    """Column → DuckDB type of the staged parquet batch."""
+    return {
+        r[0]: r[1]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{staged}/*.parquet')"
+        ).fetchall()
+    }
+
+
+def _ensure_columns(con, table: str, want: list[str], types: dict[str, str]) -> None:
+    """ALTER TABLE ADD any of ``want`` missing from the warehouse table
+    (as nullable, typed from the staged parquet schema). This is how a
+    pure ADD COLUMN (no default — the pipeline's SchemaDiff carries no
+    ALTER for it, only the widened batch) reaches the warehouse table:
+    the first batch that stages the new column adds it, with pre-DDL
+    rows reading NULL — the same semantics as the parquet sinks."""
+    have = set(_table_columns(con, table))
+    for col in want:
+        if col not in have:
+            con.execute(
+                f'ALTER TABLE "{table}" ADD COLUMN "{col}" {types[col]}'
+            )
+            have.add(col)
+
 
 def _alter_table(con, table, renames=None, drops=None,
                  defaults=None, nullability=None) -> None:
@@ -54,7 +126,8 @@ def _alter_table(con, table, renames=None, drops=None,
         if col in cols:
             con.execute(f'ALTER TABLE "{table}" DROP COLUMN "{col}"')
             cols.discard(col)
-    for col, value, typ in (defaults or []):
+    for col, value, spark_typ in (defaults or []):
+        typ = _duck_type(spark_typ)
         if col not in cols:
             # DDL takes no bind parameters: add the column, then backfill
             # existing rows with a parameterized UPDATE — in ONE
@@ -148,6 +221,9 @@ class DuckDBCurrentStateSink(Sink):
         keys = self.keys[table]
         key_eq = " AND ".join(f't."{k}" = w.{k}' for k in keys)
         col_list = ", ".join(f'"{c}"' for c in cols)
+        # a pure ADD COLUMN arrives only as a wider batch — add it to the
+        # warehouse table before the merge (typed from the staged parquet)
+        _ensure_columns(con, table, cols, _staged_types(con, staged))
         con.execute("BEGIN")
         # winner per key within the batch (LWW by event_seq), then delete
         # superseded target rows and insert survivors — the staging-merge
@@ -160,8 +236,12 @@ class DuckDBCurrentStateSink(Sink):
             f"  FROM read_parquet('{staged}/*.parquet')) WHERE rn = 1"
         )
         con.execute(f'DELETE FROM "{table}" t USING w WHERE {key_eq} AND CAST(w.event_seq AS HUGEINT) > t._etl_seq')
+        # explicit target column list: ALTER ADD appends at the table's
+        # end (after _etl_seq), so a positional INSERT would misalign the
+        # first post-ADD batch — name every column on both sides
         con.execute(
-            f'INSERT INTO "{table}" SELECT {col_list}, CAST(event_seq AS HUGEINT) FROM w '
+            f'INSERT INTO "{table}" ({col_list}, _etl_seq) '
+            f"SELECT {col_list}, CAST(event_seq AS HUGEINT) FROM w "
             f"WHERE op <> 'DELETE' AND NOT EXISTS ("
             f'  SELECT 1 FROM "{table}" t WHERE {key_eq})'
         )
@@ -248,8 +328,11 @@ class DuckDBScd2Sink(Sink):
         closes it; DELETEs emit no version row."""
         key_list = ", ".join(f'"{k}"' for k in keys)
         pay_list = "".join(f', "{c}"' for c in payload)
+        # explicit target columns: post-ADD the version table's physical
+        # order ends with the added column, not is_current/payload order
         return (
             f'INSERT INTO "{table}" '
+            f"({key_list}, op, valid_from, tx_ordinal, valid_to, is_current{pay_list}) "
             f"SELECT {key_list}, op, valid_from, tx_ordinal, valid_to, "
             f"       (valid_to IS NULL AND op <> 'DELETE') AS is_current"
             f"       {pay_list} "
@@ -308,6 +391,11 @@ class DuckDBScd2Sink(Sink):
                    if c not in keys + ["op", "commit_lsn", "tx_ordinal", "event_seq"]]
         ev_cols = keys + payload + ["op", "commit_lsn", "tx_ordinal"]
         ev_list = ", ".join(f'"{c}"' for c in ev_cols)
+        # pure ADD COLUMN arrives only as a wider batch: add the new
+        # payload column to BOTH the event history and the version table
+        staged_types = _staged_types(con, staged)
+        _ensure_columns(con, f"{table}__events", ev_cols, staged_types)
+        _ensure_columns(con, table, payload, staged_types)
         con.execute("BEGIN")
         con.execute(
             f"CREATE TEMP TABLE s AS "
@@ -317,7 +405,7 @@ class DuckDBScd2Sink(Sink):
         # append only events the history hasn't seen (partial-replay belt
         # on top of the whole-batch applied_batches ledger)
         con.execute(
-            f'INSERT INTO "{table}__events" '
+            f'INSERT INTO "{table}__events" ({ev_list}, _etl_seq) '
             f"SELECT {ev_list}, _etl_seq FROM s "
             f"WHERE NOT EXISTS ("
             f'  SELECT 1 FROM "{table}__events" e'
@@ -428,9 +516,10 @@ class DuckDBChangelogSink(Sink):
         data_cols = [c for c in df.columns
                      if c not in ("op", "commit_lsn", "tx_ordinal", "event_seq")]
         col_list = ", ".join(f'"{c}"' for c in data_cols)
+        _ensure_columns(con, table, data_cols, _staged_types(con, staged))
         con.execute("BEGIN")
         con.execute(
-            f'INSERT INTO "{table}" '
+            f'INSERT INTO "{table}" ({col_list}, op, commit_lsn, tx_ordinal, _etl_seq) '
             f"SELECT {col_list}, op, commit_lsn, tx_ordinal,"
             f"       CAST(event_seq AS HUGEINT) AS _etl_seq "
             f"FROM read_parquet('{staged}/*.parquet') s "

@@ -952,3 +952,145 @@ def test_pipeline_ddl_matches_model_under_random_evolution(spark, tmp_path, seed
     }
     assert got == model, f"seed={seed}\n got={got}\n want={model}"
     assert sink.current_nullability("t") == model_nn, seed
+
+
+# --- warehouse-sink column-add alignment (ADVICE r9 medium) ------------------
+#
+# _alter_table's ADD COLUMN appends at the warehouse table's END (after
+# _etl_seq / the envelope columns), while the staged batch carries the new
+# column in the PIPELINE's order — a positional INSERT INTO..SELECT
+# misaligned the first post-ADD batch (added value landed in op's slot,
+# op failed the BIGINT commit_lsn cast). Every warehouse INSERT now names
+# its target columns, and a PURE add (no default — SchemaDiff carries no
+# ALTER for it, only the widened batch) is auto-ADDed from the staged
+# parquet schema before the merge.
+
+WIDE = ("op string, commit_lsn long, tx_ordinal long, "
+        "pk long, val string, tier string")
+
+
+def test_duckdb_current_state_add_default_then_batch(spark, tmp_path):
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    sink = DuckDBCurrentStateSink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a"), (3, "c")], "pk long, val string"))
+    sink.apply_schema_change("t", defaults=[("tier", "basic", "string")])
+    sink.write_changes("t", _batch(spark, [
+        ("UPDATE", 5, 0, 1, "a2", "silver"),
+        ("INSERT", 5, 1, 2, "b", "gold"),
+    ], WIDE), batch_id=0)
+    got = {r["pk"]: (r["val"], r["tier"]) for r in sink.read("t")}
+    assert got == {1: ("a2", "silver"), 2: ("b", "gold"), 3: ("c", "basic")}
+
+
+def test_duckdb_current_state_pure_add_via_wider_batch(spark, tmp_path):
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    sink = DuckDBCurrentStateSink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a"), (3, "c")], "pk long, val string"))
+    # NO apply_schema_change: the widened batch alone must add the column
+    sink.write_changes("t", _batch(spark, [
+        ("UPDATE", 5, 0, 1, "a2", "silver"),
+        ("INSERT", 5, 1, 2, "b", "gold"),
+    ], WIDE), batch_id=0)
+    got = {r["pk"]: (r["val"], r["tier"]) for r in sink.read("t")}
+    import pandas as pd
+    assert got[1] == ("a2", "silver") and got[2] == ("b", "gold")
+    assert got[3][0] == "c" and (got[3][1] is None or pd.isna(got[3][1]))
+
+
+def test_duckdb_scd2_add_column_then_batch(spark, tmp_path):
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+
+    sink = DuckDBScd2Sink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    sink.apply_schema_change("t", defaults=[("tier", "basic", "string")])
+    sink.write_changes("t", _batch(spark, [
+        ("UPDATE", 5, 0, 1, "a2", "silver"),
+        ("INSERT", 5, 1, 2, "b", "gold"),
+    ], WIDE), batch_id=0)
+    rows = {(r["pk"], bool(r["is_current"])): (r["val"], r["tier"], r["op"])
+            for r in sink.read("t")}
+    # pk=1: closed snapshot version (backfilled default) + open update
+    assert rows[(1, False)] == ("a", "basic", "INSERT")
+    assert rows[(1, True)] == ("a2", "silver", "UPDATE")
+    assert rows[(2, True)] == ("b", "gold", "INSERT")
+
+
+def test_duckdb_scd2_pure_add_via_wider_batch(spark, tmp_path):
+    import pandas as pd
+
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+
+    sink = DuckDBScd2Sink(
+        str(tmp_path / "wh.duckdb"), keys={"t": ["pk"]},
+        staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    sink.write_changes("t", _batch(spark, [
+        ("UPDATE", 5, 0, 1, "a2", "silver"),
+    ], WIDE), batch_id=0)
+    rows = {(r["pk"], bool(r["is_current"])): (r["val"], r["tier"])
+            for r in sink.read("t")}
+    assert rows[(1, True)] == ("a2", "silver")
+    old_val, old_tier = rows[(1, False)]
+    assert old_val == "a" and (old_tier is None or pd.isna(old_tier))
+
+
+def test_duckdb_changelog_add_column_then_batch(spark, tmp_path):
+    import pandas as pd
+
+    from etl_spark.streaming.duckdb_sink import DuckDBChangelogSink
+
+    sink = DuckDBChangelogSink(
+        str(tmp_path / "wh.duckdb"), staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    sink.write_changes("t", _batch(spark, [
+        ("UPDATE", 5, 0, 1, "a2", "silver"),
+    ], WIDE), batch_id=0)
+    by_op = {r["op"]: r for r in sink.read("t")}
+    assert by_op["UPDATE"]["val"] == "a2"
+    assert by_op["UPDATE"]["tier"] == "silver"
+    assert int(by_op["UPDATE"]["commit_lsn"]) == 5
+    snap_tier = by_op["INSERT"]["tier"]
+    assert snap_tier is None or pd.isna(snap_tier)
+
+
+def test_duckdb_alter_maps_spark_type_names(spark, tmp_path):
+    """ADVICE r9 low: 'timestamp_ntz'/'float' are Spark type names, not
+    DuckDB DDL — ADD..DEFAULT on such a column used to raise (quarantine).
+    The ALTER path maps Spark names to DuckDB types."""
+    import duckdb
+
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    db = str(tmp_path / "wh.duckdb")
+    sink = DuckDBCurrentStateSink(
+        db, keys={"t": ["pk"]}, staging_dir=str(tmp_path / "stage"))
+    sink.write_snapshot(
+        "t", spark.createDataFrame([(1, "a")], "pk long, val string"))
+    sink.apply_schema_change("t", defaults=[
+        ("score", "1.5", "float"),
+        ("seen", "2021-01-02 03:04:05", "timestamp_ntz"),
+        ("n", "7", "long"),
+    ])
+    con = duckdb.connect(db)
+    types = dict(con.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name='t'").fetchall())
+    con.close()
+    assert types["score"] == "FLOAT"  # DuckDB reports REAL as FLOAT
+    assert types["seen"].startswith("TIMESTAMP")
+    assert types["n"] == "BIGINT"
+    row = sink.read("t")[0]
+    assert abs(row["score"] - 1.5) < 1e-6 and int(row["n"]) == 7
