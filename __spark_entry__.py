@@ -32,44 +32,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    ROUND-9 WINDOW = FINISH THE REFRESH DRAIN (round-8 verdict item #1):
-    [round-9 NEW ops] + [CHANGED in r9: stream_stateful_sessions
-    (session kernel's max now preserves genuine +/-inf — ADVICE r8 low);
-    stream_incremental_rollup (storage partition decoupled from bucket
-    granularity: day dirs / hour buckets, whole-partition read-back —
-    profiled 2.2x, already in-window as an r4 row);
-    stream_click_purchase_join (state partitions sized to trigger volume
-    + no-data finalization batch dropped for the inner join — profiled
-    1.7x; pulled from the r8 tail into the window);
-    pgoutput_decode (wire BEGIN xid now wraps at 2^32, PG xid semantics —
-    found by the 100x stress; pulled from the r6 tail)]
-    + [the 6 r4-latest rows that slid past r8's slot 50:
-    events_gapfill_locf, stream_incremental_rollup, dedup_exact,
-    dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash] + [the r5-latest
-    rows oldest-first — the window cuts inside this block; whatever slides
-    past slot 50 leads the round-10 queue]. Tail = remaining r5, then r6,
-    then r7, then r8 green rows (freshest last). After this round every
-    row sits <=4 rounds fresh and the 50-slot rotation is self-sustaining
-    over the 197-query registry. All entries verified locally via
-    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
+    ROUND-10 WINDOW = DRAIN THE r5/r6 TAIL (round-9 verdict item #3):
+    [round-10 NEW op: docs_exact_jaccard_clusters — the linear-output
+    default form of the exact set-similarity join (r9 verdict item #1)]
+    + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
+    operator default flipped to the cluster form); cdc_duckdb_current_state
+    / cdc_duckdb_scd2 / cdc_duckdb_changelog (warehouse INSERTs now name
+    target columns + auto-ADD staged payload columns + Spark→DuckDB type
+    mapping — ADVICE r9 medium/low)]
+    + [the 8 remaining r5-latest rows (judge re-verified in r9, now
+    driver-re-recorded): docs_ngram_novelty, events_winsorize,
+    cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
+    ann_pq_adc_topk, ann_ivfpq_topk]
+    + [37 of the 46 r6-latest rows, oldest-first; the remaining 9
+    (lineitem_rollup_metrics ... events_time_weighted_value) lead the
+    round-11 queue]. Tail = those 9 r6 rows, then r7/r8/r9 green rows.
+    After this round nothing recorded is older than r6, and the r11
+    window (9 r6 + oldest r7 rows) finishes the drain. All window
+    entries verified locally via tools/check_oracle.py at sf0.01 before
+    rotation (COVERAGE.md).
     """
     return {
-        # --- round-9 NEW ops land HERE (top of window) ---
-        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
+        # --- round-10 NEW op ---
+        "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
+        # --- implementation CHANGED in round 10: re-record ---
+        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
+        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
         "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
-        # --- implementation CHANGED in round 9: re-record ---
+        # --- the 8 remaining r5-latest rows (rotation tail drain) ---
+        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
+        "events_winsorize": workload_relational.events_winsorize,
+        "cdc_table_diff": workload.cdc_table_diff,
+        "cdc_state_diff": workload.cdc_state_diff,
+        "events_zorder_stats": workload_relational.events_zorder_stats,
+        "ann_pq_codes": workload_text.ann_pq_codes,
+        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
+        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
+        # --- oldest r6 rows, oldest-first (37 of 46; the other 9 lead r11) ---
+        "cdc_current_state": workload.cdc_current_state,
+        "cdc_changelog": workload.cdc_changelog,
+        "cdc_tx_metrics": workload.cdc_tx_metrics,
+        "stream_stateful_dedup": workload.stream_stateful_dedup,
+        "cdc_toast_lww": workload.cdc_toast_lww,
+        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
+        "cdc_schema_asof": workload.cdc_schema_asof,
+        "cdc_truncate_reset": workload.cdc_truncate_reset,
+        "cdc_pk_change": workload.cdc_pk_change,
+        "events_json_props": workload_relational.events_json_props,
+        "q21_waiting_orders": workload_relational.q21_waiting_orders,
+        "q9_product_profit": workload_relational.q9_product_profit,
+        "q11_important_parts": workload_relational.q11_important_parts,
+        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
+        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
+        "orders_price_tiers": workload_relational.orders_price_tiers,
+        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
+        "events_funnel": workload_relational.events_funnel,
+        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
+        "events_value_zscores": workload_relational.events_value_zscores,
+        "events_value_percentiles": workload_relational.events_value_percentiles,
+        "events_window_suite": workload_relational.events_window_suite,
+        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
+        "events_running_total": workload_relational.events_running_total,
+        "sketch_distinct_users": workload_relational.sketch_distinct_users,
+        "set_ops_customers": workload_relational.set_ops_customers,
+        "mm_features": workload_mm.mm_features,
+        "mm_frame_plan": workload_mm.mm_frame_plan,
+        "mm_payload_dedup": workload_mm.mm_payload_dedup,
+        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
+        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
+        "cdc_replica_identity": workload.cdc_replica_identity,
+        "cdc_partition_root": workload.cdc_partition_root,
+        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
+        "corpus_curation": workload_text.corpus_curation,
+        "events_ks_drift": workload_relational.events_ks_drift,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        # --- tail: fresher green rows (r6 remainder, r7, r8, r9) ---
+        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
         "stream_stateful_sessions": workload.stream_stateful_sessions,
         "stream_click_purchase_join": workload.stream_click_purchase_join,
         "pgoutput_decode": workload.pgoutput_decode,
-        # --- oldest green rows (r4) refreshed oldest-first ---
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         "dedup_exact": workload_text.dedup_exact,
         "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
         "dedup_simhash": workload_text.dedup_simhash,
-        # --- r5-latest rows, oldest-first (window cuts inside this block) ---
         "text_langid": workload_text.text_langid,
         "text_quality": workload_text.text_quality,
         "text_tokens": workload_text.text_tokens,
@@ -108,53 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bigram_logprob": workload_text.docs_bigram_logprob,
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
         "docs_quality_calibration": workload_text.docs_quality_calibration,
-        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
-        "events_winsorize": workload_relational.events_winsorize,
-        "cdc_table_diff": workload.cdc_table_diff,
-        "cdc_state_diff": workload.cdc_state_diff,
-        "events_zorder_stats": workload_relational.events_zorder_stats,
-        # --- past the window: the r5 rows that lead the round-10 queue ---
-        "ann_pq_codes": workload_text.ann_pq_codes,
-        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
-        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
-        # --- r6-latest green rows ---
-        "cdc_current_state": workload.cdc_current_state,
-        "cdc_changelog": workload.cdc_changelog,
-        "cdc_tx_metrics": workload.cdc_tx_metrics,
-        "stream_stateful_dedup": workload.stream_stateful_dedup,
-        "cdc_toast_lww": workload.cdc_toast_lww,
-        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
-        "cdc_schema_asof": workload.cdc_schema_asof,
-        "cdc_truncate_reset": workload.cdc_truncate_reset,
-        "cdc_pk_change": workload.cdc_pk_change,
-        "events_json_props": workload_relational.events_json_props,
-        "q21_waiting_orders": workload_relational.q21_waiting_orders,
-        "q9_product_profit": workload_relational.q9_product_profit,
-        "q11_important_parts": workload_relational.q11_important_parts,
-        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
-        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
-        "orders_price_tiers": workload_relational.orders_price_tiers,
-        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
-        "events_funnel": workload_relational.events_funnel,
-        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
-        "events_value_zscores": workload_relational.events_value_zscores,
-        "events_value_percentiles": workload_relational.events_value_percentiles,
-        "events_window_suite": workload_relational.events_window_suite,
-        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
-        "events_running_total": workload_relational.events_running_total,
-        "sketch_distinct_users": workload_relational.sketch_distinct_users,
-        "set_ops_customers": workload_relational.set_ops_customers,
-        "mm_features": workload_mm.mm_features,
-        "mm_frame_plan": workload_mm.mm_frame_plan,
-        "mm_payload_dedup": workload_mm.mm_payload_dedup,
-        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
-        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
-        "cdc_replica_identity": workload.cdc_replica_identity,
-        "cdc_partition_root": workload.cdc_partition_root,
-        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        "corpus_curation": workload_text.corpus_curation,
-        "events_ks_drift": workload_relational.events_ks_drift,
-        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
         "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
         "events_regression": workload_relational.events_regression,
         "events_markov_transitions": workload_relational.events_markov_transitions,
@@ -164,7 +165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
         "events_time_weighted_value": workload_relational.events_time_weighted_value,
-        # --- r7-latest green rows ---
         "sketch_hll_users": workload_relational.sketch_hll_users,
         "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "events_cusum_alerts": workload_relational.events_cusum_alerts,
@@ -213,16 +213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_backlog_curve": workload_relational.orders_backlog_curve,
         "corpus_heaps_law": workload_text.corpus_heaps_law,
         "events_entropy_rate": workload_relational.events_entropy_rate,
-        # --- r8-latest green rows (freshest evidence) ---
         "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
         "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
         "parts_triangle_sample": workload_relational.parts_triangle_sample,
-        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         "cdc_schema_evolution": workload.cdc_schema_evolution,
         "sketch_count_min_users": workload_relational.sketch_count_min_users,
         "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
         "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "cdc_scd2_incremental": workload.cdc_scd2_incremental,
         "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
         "corpus_pack_sequences": workload_text.corpus_pack_sequences,

@@ -198,9 +198,28 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    emit: str = "clusters",
+    max_pairs: int | None = None,
 ) -> DataFrame:
-    """EXACT set-similarity self-join: all pairs with token-set Jaccard ≥
-    ``threshold``, found without LSH approximation OR an all-pairs join.
+    """EXACT set-similarity self-join: documents related by token-set
+    Jaccard ≥ ``threshold``, found without LSH approximation OR an
+    all-pairs join.
+
+    **Output contract — safe by default.** ``emit='clusters'`` (the
+    default) returns ONE ROW PER DOCUMENT ``(id_col, rep_id)`` where
+    ``rep_id`` is the smallest document id reachable through ≥threshold
+    similarity (connected components over the verified set-pair graph) —
+    output is LINEAR in corpus size no matter how duplicate-heavy the
+    data is, because identical token sets collapse to one graph node and
+    are never pairwise expanded. ``emit='pairs'`` is the opt-in explicit
+    pair list ``(id_a, id_b, inter, union_, jaccard)``; its output is
+    Ω(#qualifying pairs), which grows ~k² per group of k near-identical
+    documents — on a duplicate-heavy 100 TB corpus that is unbounded, so
+    pair mode should be reserved for audits at high thresholds or capped
+    with ``max_pairs``: when set, the expansion size is pre-counted from
+    the linear-size set-pair/membership tables (an aggregate, no pair is
+    materialized) and a ``ValueError`` is raised if it would exceed the
+    cap.
 
     The prefix-filtering principle (Chaudhuri et al. ICDE'06 SSJoin;
     Bayardo et al. WWW'07 All-Pairs): order the vocabulary by a global
@@ -250,10 +269,13 @@ def jaccard_prefix_join(
     cut points become parquet intermediates — same plan shape, durable
     storage.
 
-    Returns ``(id_a, id_b, inter, union_, jaccard)``.
+    Returns ``(id_col, rep_id)`` for ``emit='clusters'``;
+    ``(id_a, id_b, inter, union_, jaccard)`` for ``emit='pairs'``.
     """
     from pyspark.sql import Window
 
+    if emit not in ("clusters", "pairs"):
+        raise ValueError(f"emit must be 'clusters' or 'pairs', got {emit!r}")
     t = threshold
     docs = df.select(
         F.col(id_col).alias("__id"),
@@ -395,6 +417,57 @@ def jaccard_prefix_join(
         .filter(F.col("jaccard") >= t)
         .dropDuplicates(["fp_a", "fp_b"])
     )
+    if emit == "clusters":
+        # LINEAR form: label every distinct set with its min member id
+        # (injective — each doc belongs to exactly one set), lift the
+        # verified set pairs to label edges, and min-label CC gives each
+        # document the smallest doc id reachable through ≥t similarity.
+        # Same-set documents share a label, so k identical texts are ONE
+        # graph node — no clique is ever expanded.
+        from etl_spark.operators.graph import connected_components
+
+        lids = members.groupBy("set_fp").agg(F.min("__id").alias("lid"))
+        edges = (
+            fp_pairs.select("fp_a", "fp_b")
+            .join(lids.select(F.col("set_fp").alias("fp_a"),
+                              F.col("lid").alias("src")), "fp_a")
+            .join(lids.select(F.col("set_fp").alias("fp_b"),
+                              F.col("lid").alias("dst")), "fp_b")
+            .select("src", "dst")
+        )
+        comp = connected_components(
+            lids.select(F.col("lid").alias("id")), edges,
+            id_col="id", src_col="src", dst_col="dst",
+        )
+        return (
+            members.join(lids, "set_fp")
+            .join(comp, F.col("lid") == F.col("id"))
+            .select(F.col("__id").alias(id_col), F.col("component").alias("rep_id"))
+        )
+    if max_pairs is not None:
+        # pre-flight expansion count over the LINEAR tables (set sizes ×
+        # verified set pairs) — no pair row exists before this decides
+        sizes = members.groupBy("set_fp").agg(F.count("*").alias("k"))
+        cross_ct = (
+            fp_pairs.select("fp_a", "fp_b")
+            .join(sizes.select(F.col("set_fp").alias("fp_a"),
+                               F.col("k").alias("ka")), "fp_a")
+            .join(sizes.select(F.col("set_fp").alias("fp_b"),
+                               F.col("k").alias("kb")), "fp_b")
+            .agg(F.sum(F.col("ka") * F.col("kb")).alias("c"))
+            .first()["c"] or 0
+        )
+        same_ct = (
+            sizes.agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("c"))
+            .first()["c"] or 0
+        )
+        total = int(cross_ct) + int(same_ct)
+        if total > max_pairs:
+            raise ValueError(
+                f"jaccard_prefix_join(emit='pairs') would emit {total} pairs "
+                f"(> max_pairs={max_pairs}); use emit='clusters' (linear) or "
+                f"raise the cap"
+            )
     # expansion 1: cross-set pairs — every (doc of A) × (doc of B), the
     # similarity computed ONCE per set pair; streamed join output
     ma = members.select(F.col("set_fp").alias("fp_a"), F.col("__id").alias("id_x"))

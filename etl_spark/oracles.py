@@ -1982,6 +1982,37 @@ WHERE len(list_intersect(sa.s, sb.s)) /
       greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1) >= 0.9
 """
 
+ORACLES["docs_exact_jaccard_clusters"] = r"""
+-- clusters twin of docs_exact_jaccard_join: connected components
+-- (min reachable doc_id) over the exact Jaccard >= 0.9 pair graph
+WITH RECURSIVE tok AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+  FROM documents
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM tok),
+tokd AS (SELECT doc_id, unnest(s) AS t FROM tok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tokd a JOIN tokd b USING (t)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT c.id_a AS a, c.id_b AS b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s)) /
+        greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1) >= 0.9
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+"""
+
 ORACLES["corpus_temperature_mix"] = f"""
 -- exact-integer keep decision: m*S*c < N*fs*2^52 in HUGEINT mirrors the
 -- Spark side's DECIMAL(38,0) arithmetic digit-for-digit

@@ -789,11 +789,30 @@ def docs_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same no-all-pairs scale shape. Threshold 0.9: the synthetic corpus
     is heavily templated (~90k pairs at 0.5 over 500 docs); 0.9 keeps the
     gate output ~10k rows AND exercises the aggressive-prefix regime
-    (prefix length ≈ 0.1·|doc| + 1) where the filter earns its keep."""
-    out = dedup.jaccard_prefix_join(_docs(spark, sf_dir), threshold=0.9)
+    (prefix length ≈ 0.1·|doc| + 1) where the filter earns its keep.
+
+    ``emit='pairs'`` is the OPT-IN audit form (output Ω(#pairs), ~k² per
+    group of k identical texts — the one output-bound non-finisher of the
+    r9 100× stress); the operator's safe DEFAULT is the linear
+    ``emit='clusters'`` form gated as :func:`docs_exact_jaccard_clusters`."""
+    out = dedup.jaccard_prefix_join(_docs(spark, sf_dir), threshold=0.9,
+                                    emit="pairs")
     return out.select(
         "id_a", "id_b", "inter", "union_", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def docs_exact_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT (linear-output) form of the exact set-similarity join:
+    one row per document with the smallest doc id reachable through
+    token-set Jaccard ≥ 0.9 (connected components over the verified
+    distinct-set pair graph). Identical token sets are ONE graph node, so
+    a duplicate-heavy corpus grows this output linearly where the pair
+    form grows ~k² per clique — this is the form that finishes the 100×
+    stress and the one a 100 TB dedup pipeline should consume
+    ("keep rep_id, drop the rest")."""
+    out = dedup.jaccard_prefix_join(_docs(spark, sf_dir), threshold=0.9)
+    return out.select("doc_id", "rep_id")
 
 
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,14 +169,14 @@ def test_jaccard_prefix_join_exact_semantics(spark, docs):
     t=1.0 only the identical pair."""
     out = {
         (r.id_a, r.id_b): round(r.jaccard, 6)
-        for r in dedup.jaccard_prefix_join(docs, threshold=0.7).collect()
+        for r in dedup.jaccard_prefix_join(docs, threshold=0.7, emit="pairs").collect()
     }
     assert out[(1, 2)] == 1.0
     assert out[(1, 3)] == out[(2, 3)] == round(7 / 9, 6)
     assert all(4 not in p and 5 not in p for p in out) or (1, 5) not in out
     strict = {
         (r.id_a, r.id_b)
-        for r in dedup.jaccard_prefix_join(docs, threshold=1.0).collect()
+        for r in dedup.jaccard_prefix_join(docs, threshold=1.0, emit="pairs").collect()
     }
     assert strict == {(1, 2)}
 
@@ -185,7 +185,7 @@ def test_jaccard_prefix_join_empty_and_single(spark):
     """Empty-text and singleton inputs don't crash and produce no pairs."""
     d = spark.createDataFrame([(1, ""), (2, "only doc with words")],
                               "doc_id long, text string")
-    assert dedup.jaccard_prefix_join(d, threshold=0.5).count() == 0
+    assert dedup.jaccard_prefix_join(d, threshold=0.5, emit="pairs").count() == 0
 
 
 def test_minhash_incremental_only_new_pairs(spark, docs):
@@ -229,7 +229,7 @@ def test_jaccard_prefix_join_matches_bruteforce_random(spark, seed):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         (r.id_a, r.id_b)
-        for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
+        for r in dedup.jaccard_prefix_join(df, threshold=t, emit="pairs").collect()
     }
     assert got == expected
 
@@ -370,3 +370,35 @@ def test_kmeans_step_matches_python_mirror(spark, seed):
         for r in similarity.kmeans_step(emb).collect()
     }
     assert got == expected
+
+
+def test_jaccard_default_emits_linear_clusters(spark, docs):
+    """SAFE-BY-DEFAULT (r9 verdict item #1): the default output is one
+    row per document labeled with the min doc id reachable through >= t
+    similarity — the connected components of the pair graph — so k
+    identical texts cost k rows, never k^2 pairs."""
+    out = dedup.jaccard_prefix_join(docs, threshold=0.7)
+    assert set(out.columns) == {"doc_id", "rep_id"}
+    got = {r.doc_id: r.rep_id for r in out.collect()}
+    # pairs at 0.7: (1,2)=1.0, (1,3)/(2,3)=7/9 -> component {1,2,3};
+    # every doc present exactly once, others are singletons
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    assert got[1] == got[2] == got[3] == 1
+    assert all(got[d] == d for d in got if d not in (1, 2, 3))
+
+
+def test_jaccard_pairs_max_pairs_guard(spark, docs):
+    """Opt-in pair mode with max_pairs pre-counts the expansion from the
+    linear set tables and refuses to materialize an over-cap pair list."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_pairs"):
+        dedup.jaccard_prefix_join(
+            docs, threshold=0.7, emit="pairs", max_pairs=1
+        ).count()
+    # a generous cap passes through unchanged
+    n = dedup.jaccard_prefix_join(
+        docs, threshold=0.7, emit="pairs", max_pairs=1_000_000
+    ).count()
+    assert n == 3

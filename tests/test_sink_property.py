@@ -346,3 +346,124 @@ def test_current_state_parquet_vs_duckdb_differential(spark, tmp_path, seed):
         elif action == "restart":
             pq, dk = mk()
         assert norm_pq() == norm_dk(), (seed, step, action)
+
+
+@pytest.mark.parametrize("seed", [3, 13, 19, 31, 37, 43, 53, 61, 71, 83])
+def test_changelog_parquet_vs_duckdb_differential(spark, tmp_path, seed):
+    """DIFFERENTIAL model, third sink family (r9 verdict item #5): the
+    batch-dir parquet changelog and the SQL-warehouse changelog are
+    independent implementations of one contract — every event lands
+    exactly once in sequence order, whole-batch replays (same id) are
+    inert, and PARTIAL replays under a new id must not duplicate the
+    consumer-visible stream. Their dedup machinery differs on purpose:
+    the warehouse sink dedups per event on _etl_seq (exactly-once rows in
+    the table), the parquet sink dedups per batch DIR and leaves
+    per-event dedup to the reader's cdc_sequence (at-least-once files,
+    exactly-once sequence set). So the invariant compared after every
+    step is: DISTINCT (pk, val, op, seq) of the parquet read == the FULL
+    multiset of the warehouse table (which must therefore also be
+    internally duplicate-free — a failed _etl_seq dedup shows up as a
+    multiset mismatch, not just a weaker distinct-set equality)."""
+    import math
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.duckdb_sink import DuckDBChangelogSink
+    from etl_spark.streaming.sinks import ParquetChangelogSink
+
+    rng = random.Random(seed)
+    pq_root = str(tmp_path / "pq")
+    db = str(tmp_path / "wh.duckdb")
+
+    def _nkey(t):
+        # DELETE rows carry val=None — make the sort total
+        return (t[0], t[1] is not None, t[1] or "", t[2], t[3])
+
+    def mk():
+        return (
+            ParquetChangelogSink(pq_root),
+            DuckDBChangelogSink(db, staging_dir=str(tmp_path / "stage")),
+        )
+
+    def batch5(events):
+        # events carry their ORIGINAL (lsn, ordinal): a partial replay
+        # must re-deliver identical sequence numbers, so no re-enumerate
+        return with_sequence(spark.createDataFrame(
+            [(op, lsn, o, pk, v) for (op, lsn, o, pk, v) in events], PAYLOAD))
+
+    pq, dk = mk()
+    snap = spark.createDataFrame([(1, "s1"), (2, "s2")], "pk long, val string")
+    pq.write_snapshot("t", snap)
+    dk.write_snapshot("t", snap)
+
+    def norm_pq():
+        from pyspark.sql import functions as F
+
+        rows = (
+            pq.read(spark, "t")
+            .select(
+                "pk", "val",
+                F.coalesce(F.col("cdc_operation"), F.lit("INSERT")).alias("op"),
+                F.coalesce(F.col("cdc_sequence").cast("decimal(38,0)"),
+                           F.lit(0)).alias("seq"),
+            )
+            .collect()
+        )
+        return sorted({(r.pk, r.val, r.op, int(r.seq)) for r in rows},
+                      key=_nkey)
+
+    def norm_dk():
+        import duckdb as _duckdb
+
+        # read via SQL, not .df(): pandas degrades HUGEINT _etl_seq to
+        # float64 and loses the tx_ordinal low bits
+        con = _duckdb.connect(db)
+        rows = con.execute(
+            'SELECT pk, val, op, CAST(_etl_seq AS VARCHAR) FROM "t"'
+        ).fetchall()
+        con.close()
+        # FULL multiset: sorted list, so an undeduped partial replay
+        # (duplicate row) breaks equality with the parquet distinct set
+        return sorted(((int(pk), val, op, int(seq)) for pk, val, op, seq in rows),
+                      key=_nkey)
+
+    lsn = 10
+    batch_id = 0
+    last = None
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "whole_replay", "partial_replay", "compact", "restart"],
+            weights=[6, 2, 2, 1, 2],
+        )[0]
+        if action == "batch" or last is None:
+            events = []
+            for o in range(rng.randint(1, 5)):
+                pk = rng.randint(0, 9)
+                kind = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                events.append((kind, lsn, o, pk,
+                               None if kind == "DELETE" else f"v{lsn}_{pk}"))
+            lsn += 1
+            batch_id += 1
+            b = batch5(events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+            last = (batch_id, events)
+        elif action == "whole_replay":
+            bid, events = last
+            b = batch5(events)
+            pq.write_changes("t", b, bid)
+            dk.write_changes("t", b, bid)
+        elif action == "partial_replay":
+            # a strict subset of the last batch under a NEW id, original
+            # sequence numbers: the warehouse _etl_seq dedup must absorb
+            # it; the parquet side's new dir is deduped by the reader
+            _bid, events = last
+            subset = [e for e in events if rng.random() < 0.6] or events[:1]
+            batch_id += 1
+            b = batch5(subset)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+        elif action == "compact":
+            pq.compact(spark, "t", keep_batches=rng.choice([0, 2]))
+        elif action == "restart":
+            pq, dk = mk()
+        assert norm_pq() == norm_dk(), (seed, step, action)

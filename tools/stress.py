@@ -186,6 +186,9 @@ QUERIES = [
     "cdc_crash_replay_ddl",
     "cdc_duckdb_scd2",
     "cdc_duckdb_changelog",
+    # round-10 addition: the linear-output default of the exact jaccard
+    # join — the form that must FINISH the 100x stress (r9 verdict #1)
+    "docs_exact_jaccard_clusters",
 ]
 
 
