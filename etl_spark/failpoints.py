@@ -41,6 +41,11 @@ FORCE_SCHEMA_CLEANUP = "force_schema_cleanup"
 # inject CONCURRENT work at the two commit-adjacent points of a fold
 COMPACT_BEFORE_COMMIT = "changelog_compact.before_manifest_commit"
 COMPACT_AFTER_COMMIT = "changelog_compact.after_manifest_commit"
+# the residual registry-advance window: the relation registry persisted
+# its advance but Spark's commit log has not marked the batch done — a
+# crash here replays the batch against the ADVANCED registry (the
+# versioned base makes that safe; see PersistentRelationRegistry)
+ADVANCE_RELATION_REGISTRY = "advance_relation_registry"
 
 ALL = (
     BEFORE_DATA_SYNC,
@@ -52,6 +57,7 @@ ALL = (
     FORCE_SCHEMA_CLEANUP,
     COMPACT_BEFORE_COMMIT,
     COMPACT_AFTER_COMMIT,
+    ADVANCE_RELATION_REGISTRY,
 )
 
 

@@ -686,37 +686,80 @@ FRAME_SCHEMA = "wal_start long, xid long, frame binary"
 
 
 class PersistentRelationRegistry:
-    """Relation metadata persisted across micro-batches and restarts.
+    """Relation metadata persisted across micro-batches and restarts,
+    VERSIONED by the RELATION frame's ``wal_start``.
 
     Relation messages arrive once per (table, schema version) — a restart
     with an intact checkpoint will NOT re-deliver old frames, so the
     registry must outlive the stream (the reference stores table schemas
-    in its store for exactly this reason, store/schema/base.rs)."""
+    in its store for exactly this reason, store/schema/base.rs).
 
-    def __init__(self, path: str):
+    Versioning makes the carried decode base LSN-exact, which makes the
+    *advance order* insensitive to crashes: the pipeline defers
+    ``update_from`` to batch success, but Spark's commit log is written
+    only after foreachBatch RETURNS — a crash in that residual window
+    replays a batch whose registry already advanced. With a newest-only
+    base the replay's pre-DDL frames (RELATION learned in an earlier
+    batch) would fall back to the post-DDL spec and mis-decode; with the
+    versioned base the decoder bisects to the spec with the largest
+    ``wal_start <=`` the frame's own, exactly as it does for same-batch
+    RELATION overlays (ADVICE r9: pipeline.py registry-advance window).
+
+    Growth is bounded by ``max_versions`` per relation (newest kept):
+    DDL is rare, a replay window spans ~1 micro-batch, and a frame older
+    than every retained version degrades to the OLDEST retained spec —
+    still never worse than the previous newest-only behavior.
+
+    Persisted shape: ``{rel_id: [[wal_start, spec], ...]}`` sorted by
+    position; legacy newest-only snapshots (``{rel_id: spec}``) migrate
+    in place as a single version at position 0 (matches every frame).
+    """
+
+    def __init__(self, path: str, max_versions: int = 64):
         self.path = path
-        self._reg: dict[int, dict] = {}
+        self.max_versions = max_versions
+        self._reg: dict[int, list[list]] = {}
         try:
             with open(path) as f:
-                self._reg = {int(k): v for k, v in json.load(f).items()}
+                raw = json.load(f)
+            for k, v in raw.items():
+                if isinstance(v, dict):  # legacy newest-only snapshot
+                    self._reg[int(k)] = [[0, v]]
+                else:
+                    self._reg[int(k)] = sorted(
+                        ([int(w), s] for w, s in v), key=lambda t: t[0]
+                    )
         except FileNotFoundError:
             pass
 
     def update_from(self, frames: DataFrame, frame_col: str = "frame") -> None:
-        new = relation_registry(frames, frame_col)
-        if new:
-            self._reg.update(new)
-            import os
-            import tempfile
+        new = relation_registry_versioned(frames, frame_col)
+        if not new:
+            return
+        for rid, specs in new.items():
+            cur = self._reg.setdefault(rid, [])
+            have = {w for w, _s in cur}
+            cur.extend([int(w), s] for w, s in specs if int(w) not in have)
+            cur.sort(key=lambda t: t[0])
+            if len(cur) > self.max_versions:
+                del cur[: len(cur) - self.max_versions]
+        import os
+        import tempfile
 
-            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
-            with os.fdopen(fd, "w") as f:
-                json.dump({str(k): v for k, v in self._reg.items()}, f)
-            os.replace(tmp, self.path)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump({str(k): v for k, v in self._reg.items()}, f)
+        os.replace(tmp, self.path)
 
-    def snapshot(self) -> dict[int, dict]:
-        return dict(self._reg)
+    def snapshot(self) -> dict[int, list[tuple[int, dict]]]:
+        """Versioned view: ``{rel_id: [(wal_start, spec), ...]}`` sorted.
+        :func:`decode_frames` accepts this directly (and still accepts
+        the flat newest-only shape for callers that build one by hand)."""
+        return {
+            rid: [(w, dict(s)) for w, s in specs]
+            for rid, specs in self._reg.items()
+        }
 
 
 class PersistentTypeRegistry:
@@ -872,8 +915,25 @@ def decode_frames(
     a rename and MISALIGNS cells positionally after a mid-batch DROP;
     per-frame selection is also deterministic under any partitioning
     (the overlay is driver-collected, never mutated executor-side).
+
+    ``relations`` may be flat (``{rel_id: spec}`` — every frame resolves
+    to that spec) or versioned (``{rel_id: [(wal_start, spec), ...]}`` —
+    the :class:`PersistentRelationRegistry` snapshot): the versioned base
+    gets the same bisect selection as the overlay, so a replayed batch
+    whose registry already advanced past a DDL still decodes its pre-DDL
+    frames against the pre-DDL spec. A frame older than every retained
+    base version uses the OLDEST retained spec (never worse than the
+    newest-only fallback it replaces).
     """
-    base = dict(relations) if relations else {}
+    base: dict[int, tuple[list[int], list[dict]]] = {}
+    if relations:
+        for _rid, _v in relations.items():
+            if isinstance(_v, dict):  # flat newest-only shape
+                base[_rid] = ([0], [_v])
+            else:
+                _pairs = sorted(_v, key=lambda t: t[0])
+                base[_rid] = ([int(w) for w, _s in _pairs],
+                              [_s for _w, _s in _pairs])
     versioned = relation_registry_versioned(frames, frame_col, lsn_col)
     # per-rel parallel arrays for bisect selection in the hot loop
     _sel: dict[int, tuple[list[int], list[dict]]] = {
@@ -929,14 +989,21 @@ def decode_frames(
         def rel_at(rid: int, w: int):
             """The relation spec in force at stream position ``w``: the
             batch overlay's newest entry with wal ≤ w, else the carried
-            pre-batch base."""
+            pre-batch base's newest entry with wal ≤ w (LSN-exact — a
+            replay after the registry advanced still resolves pre-DDL
+            frames to the pre-DDL spec), else the base's oldest entry."""
             entry = _sel.get(rid)
             if entry is not None:
                 wals, specs = entry
                 i = _br(wals, w)
                 if i > 0:
                     return specs[i - 1]
-            return base.get(rid)
+            bentry = base.get(rid)
+            if bentry is not None:
+                bwals, bspecs = bentry
+                i = _br(bwals, w)
+                return bspecs[i - 1] if i > 0 else bspecs[0]
+            return None
 
         def bdecode(oids, i, v):
             # oids may be absent from registry snapshots persisted before

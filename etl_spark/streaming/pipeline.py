@@ -412,12 +412,19 @@ class Pipeline:
                 # tx- AND relation-registry advance is deliberately LAST:
                 # a batch that fails above replays on restart, and the
                 # replayed decode must see the same carried state it saw
-                # the first time — for relations specifically, advancing
-                # before apply would persist the post-DDL spec, and the
-                # replay's pre-DDL frames would resolve through rel_at's
-                # base fallback to it (the exact mis-decode the per-frame
-                # versioned selection exists to prevent)
+                # the first time. For relations the deferral alone is not
+                # sufficient — Spark writes the batch's commit log only
+                # after foreachBatch RETURNS, so a crash after this line
+                # still replays the batch against the advanced registry.
+                # The registry is therefore persisted VERSIONED by
+                # wal_start (ADVICE r9): the replay's pre-DDL frames
+                # bisect to the spec in force at their own position, so
+                # the advance order is crash-insensitive either way.
                 self.relations.update_from(raw_frames)
+                # ADVANCE_RELATION_REGISTRY: crash in exactly that
+                # residual window (registry advanced, commit log not yet
+                # written) — the restart must replay with correct decode
+                failpoints.hit(failpoints.ADVANCE_RELATION_REGISTRY)
                 self.txs.advance_from(raw_frames)
         finally:
             batch.unpersist()

@@ -502,6 +502,42 @@ def test_persistent_type_registry_survives_restart(spark, tmp_path):
     assert reg2.snapshot() == {99999: "public.citext"}
 
 
+def test_persistent_relation_registry_migrates_legacy_snapshot(spark, tmp_path):
+    """A newest-only snapshot persisted before versioning migrates as a
+    single version at position 0 (matches every frame), and the next
+    update appends at its own wal position instead of overwriting."""
+    import json as _json
+
+    path = str(tmp_path / "rels.json")
+    legacy = {"1": {"table": "public.t", "columns": ["pk", "v"],
+                    "key_cols": ["pk"], "type_oids": [20, 25],
+                    "key_oids": [20], "replident": "d"}}
+    with open(path, "w") as f:
+        _json.dump(legacy, f)
+    reg = pgo.PersistentRelationRegistry(path)
+    snap = reg.snapshot()
+    assert snap[1][0][0] == 0 and snap[1][0][1]["columns"] == ["pk", "v"]
+    reg.update_from(_frames_df(spark, [
+        (77, -1, pgo.encode_relation(1, "public", "t", "d",
+                                     [(1, "pk", 20, -1), (0, "w", 25, -1)]))]))
+    snap = pgo.PersistentRelationRegistry(path).snapshot()
+    assert [w for w, _s in snap[1]] == [0, 77]
+    assert snap[1][-1][1]["columns"] == ["pk", "w"]
+
+
+def test_persistent_relation_registry_caps_versions(spark, tmp_path):
+    """Growth bound: only the newest ``max_versions`` specs survive."""
+    path = str(tmp_path / "rels.json")
+    reg = pgo.PersistentRelationRegistry(path, max_versions=3)
+    for i in range(5):
+        reg.update_from(_frames_df(spark, [
+            (10 + i, -1, pgo.encode_relation(
+                1, "public", "t", "d",
+                [(1, "pk", 20, -1), (0, f"c{i}", 25, -1)]))]))
+    snap = reg.snapshot()
+    assert [w for w, _s in snap[1]] == [12, 13, 14]
+
+
 def test_pipeline_records_custom_type_in_schema(spark, tmp_path):
     """End-to-end 'Y' surfacing: a custom-typed column arrives as a string
     AND its schema-registry ColumnDef carries the PG type name from the
@@ -804,9 +840,10 @@ def test_pgoutput_crash_replay_keeps_pre_ddl_decode(spark, tmp_path):
 
     # the sharp assertion: the PERSISTED registry survived the crash at
     # v1 — the replay's base is the same base the first attempt saw
+    # (versioned store: newest entry is [wal_start, spec])
     with open(os.path.join(work, "pgoutput_relations.json")) as f:
         persisted = _json.load(f)
-    assert persisted["1"]["columns"] == ["pk", "gone", "keep"]
+    assert persisted["1"][-1][1]["columns"] == ["pk", "gone", "keep"]
 
     p2 = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
     p2.run_until_drained()
@@ -814,7 +851,81 @@ def test_pgoutput_crash_replay_keeps_pre_ddl_decode(spark, tmp_path):
     assert "gone" not in out.columns
     got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
     assert got == {0: "K0", 1: "K1", 2: "K2"}  # K1 never keyed under v2
-    # and the registry advanced with the successful replay
+    # and the registry advanced with the successful replay: BOTH versions
+    # retained, newest is v2 (the versioned store is what makes the
+    # advance order crash-insensitive — see the next test)
     with open(os.path.join(work, "pgoutput_relations.json")) as f:
         advanced = _json.load(f)
-    assert advanced["1"]["columns"] == ["pk", "keep"]
+    assert advanced["1"][-1][1]["columns"] == ["pk", "keep"]
+    assert advanced["1"][0][1]["columns"] == ["pk", "gone", "keep"]
+
+
+def test_pgoutput_crash_after_registry_advance_replays_correctly(spark, tmp_path):
+    """ADVICE r9 regression (low): Spark writes the batch's commit log
+    only after foreachBatch RETURNS, so deferring the registry advance to
+    batch success still leaves a residual window — registry advanced,
+    commit log not yet written. A crash there replays the batch against
+    the ADVANCED registry. Same frames as the deferred-advance test, but
+    the failpoint fires AFTER ``relations.update_from``: the persisted
+    registry holds v2 when the replay decodes the pre-DDL 3-cell tuple.
+    The versioned base must bisect that tuple (wal 61) to v1 (wal 1),
+    not the newest v2 — a newest-only base would key 'G1' under 'keep'."""
+    import json as _json
+    import os
+
+    from etl_spark import failpoints as fp
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel_v1 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "gone", 25, -1),
+                                  (0, "keep", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "keep", 25, -1)])
+    _write_frames(spark, source, [
+        (1, -1, rel_v1),
+        (10, 1, pgo.encode_begin(final_lsn=50, xid=1)),
+        (11, 1, pgo.encode_insert(1, ["0", "G0", "K0"])),
+        (12, 1, pgo.encode_commit(50, 51)),
+    ], "b1")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, gone string, keep string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"], spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, gone string, keep string")
+    work = str(tmp_path / "work")
+    Pipeline(spark, source, [cfg], sink, work,
+             source_fmt="pgoutput").run_until_drained()
+
+    # batch 2: pre-DDL tuple + DROP republish + post-DDL tuple, then
+    # crash AFTER the registry advance (the residual window)
+    _write_frames(spark, source, [
+        (60, 2, pgo.encode_begin(final_lsn=90, xid=2)),
+        (61, 2, pgo.encode_insert(1, ["1", "G1", "K1"])),  # 3 cells, v1
+        (62, 2, pgo.encode_commit(90, 91)),
+        (100, 3, pgo.encode_begin(final_lsn=140, xid=3)),
+        (101, 3, rel_v2),                                   # the DROP
+        (102, 3, pgo.encode_insert(1, ["2", "K2"])),        # 2 cells, v2
+        (103, 3, pgo.encode_commit(140, 141)),
+    ], "b2")
+    fp.arm(fp.ADVANCE_RELATION_REGISTRY)
+    p = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    with pytest.raises(Exception):
+        p.run_until_drained()
+    fp.disarm_all()
+
+    # the registry DID advance before the crash: v2 is persisted
+    with open(os.path.join(work, "pgoutput_relations.json")) as f:
+        persisted = _json.load(f)
+    assert persisted["1"][-1][1]["columns"] == ["pk", "keep"]
+    # ... and v1 is retained at its wal position for the replay's bisect
+    assert persisted["1"][0][1]["columns"] == ["pk", "gone", "keep"]
+
+    p2 = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    p2.run_until_drained()
+    out = sink.read("public.t")
+    assert "gone" not in out.columns
+    got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
+    assert got == {0: "K0", 1: "K1", 2: "K2"}  # K1 never keyed under v2
