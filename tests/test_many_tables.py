@@ -7,7 +7,9 @@ semantics) — the sim harness elsewhere drives 1-3 tables, so a driver-side
 O(n^2) in the per-table loops (backfill, hydrate, routing, control-store
 persistence) would never surface there. This test drives 100 tables with
 heterogeneous key shapes, mid-stream DDL on a few of them, and one purge,
-with a wall-time ceiling that a quadratic driver loop would blow through.
+asserting the algorithmic property directly: control-store writes stay
+linear in table count and each write carries one entry, not the store
+(a wall-clock ceiling would flake on a loaded box — ADVICE r9).
 """
 
 from __future__ import annotations
@@ -15,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import time
 
 from pyspark.sql import Row
 
@@ -61,8 +62,25 @@ def _ev(op, table, commit, ordinal, after=None, before=None, schema_lsn=None):
     )
 
 
-def test_hundred_table_pipeline_breadth(spark, tmp_path):
-    t0 = time.monotonic()
+def test_hundred_table_pipeline_breadth(spark, tmp_path, monkeypatch):
+    # Algorithmic gate (ADVICE r9: a wall-clock ceiling flakes on loaded
+    # boxes): count control-store writes and pin the payload size. O(1)
+    # persistence per transition means the write COUNT is linear in table
+    # count and every payload is ONE table's entry — a regression to
+    # whole-store rewrites shows up as payload bytes ~ N_TABLES.
+    from etl_spark import state as state_mod
+
+    io_stats = {"writes": 0, "max_bytes": 0}
+    orig_write = state_mod.ControlStore._write_atomic
+
+    def counting_write(self, path, payload):
+        io_stats["writes"] += 1
+        io_stats["max_bytes"] = max(io_stats["max_bytes"],
+                                    len(json.dumps(payload)))
+        return orig_write(self, path, payload)
+
+    monkeypatch.setattr(state_mod.ControlStore, "_write_atomic",
+                        counting_write)
     source = str(tmp_path / "source")
     os.makedirs(source)
     # two shared snapshots (one per key shape) — the per-table copy still
@@ -158,9 +176,13 @@ def test_hundred_table_pipeline_breadth(spark, tmp_path):
     # the other 99 survived untouched
     assert len(p2.control.tables) == N_TABLES - 1
 
-    elapsed = time.monotonic() - t0
-    # wall ceiling: measured ~linear cost is well under this; a quadratic
-    # per-table driver loop (each table's apply re-walking all tables'
-    # state or re-persisting all entries per step) blows through it.
-    # Measured on local[32]: see SCALE.md "table-count scaling".
-    assert elapsed < 300, f"100-table pipeline took {elapsed:.0f}s"
+    # Algorithmic ceiling, machine-independent (replaces the former 300 s
+    # wall-clock assert): each table makes a bounded number of state
+    # transitions (init, copy start/done, sync, ready, DDL, purge) and
+    # each transition writes exactly its own entry + at most one flush
+    # marker — linear in N_TABLES with a small constant. Measured on this
+    # scenario: 401 writes (~4/table); 10× that is a regression, not load.
+    assert io_stats["writes"] <= 10 * N_TABLES, io_stats
+    # ... and every payload is ONE table entry (a whole-store rewrite
+    # would serialize ~100 entries ≈ 100× this)
+    assert io_stats["max_bytes"] < 2048, io_stats
