@@ -191,6 +191,8 @@ HEADLINE = [
     "cdc_crash_replay_ddl",
     "cdc_duckdb_scd2",
     "cdc_duckdb_changelog",
+    # round-10 additions (first timed here)
+    "docs_exact_jaccard_clusters",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -388,10 +390,48 @@ def main() -> None:
     r8_new = {"cdc_ddl_rebucket_compact", "cdc_scd2_schema_evolution",
               "parts_triangle_sample", "cdc_duckdb_current_state"}
     r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2", "cdc_duckdb_changelog"}
+    r10_new = {"docs_exact_jaccard_clusters"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
-            if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new),
+            if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new
+            | r10_new),
         3,
+    )
+
+    # Isolated headline analogs (standing protocol since r10, BASELINE.md):
+    # the in-suite events/s / copy-rows/s numbers carry suite pressure (GC
+    # debt from 140+ prior queries — observed dips up to 1.5× with no code
+    # change), so the record ALWAYS carries a fresh-process measurement of
+    # the two analog queries alongside. Skippable for quick iteration with
+    # SPARK_GRAFT_ISOLATED_HEADLINE=0.
+    isolated_analogs: dict[str, float | None] = {}
+    if not only and os.environ.get("SPARK_GRAFT_ISOLATED_HEADLINE", "1") != "0":
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        for name in ("cdc_current_state", "cdc_snapshot_handoff"):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_ONLY"] = name
+            res = subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py")],
+                capture_output=True, text=True, env=env, check=False,
+            )
+            isolated_analogs[name] = None
+            for line in reversed(res.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "queries" in rec and name in rec["queries"]:
+                    isolated_analogs[name] = rec["queries"][name]
+                    break
+    events_per_sec_isolated = (
+        round(ev_count / isolated_analogs["cdc_current_state"], 1)
+        if isolated_analogs.get("cdc_current_state") else None
+    )
+    copy_rows_per_sec_isolated = (
+        round((snap_rows + ev_count) / isolated_analogs["cdc_snapshot_handoff"], 1)
+        if isolated_analogs.get("cdc_snapshot_handoff") else None
     )
 
     result = {
@@ -405,6 +445,8 @@ def main() -> None:
         "sf": sf,
         "events_per_second": events_per_sec,
         "copy_rows_per_second": copy_rows_per_sec,
+        "events_per_second_isolated": events_per_sec_isolated,
+        "copy_rows_per_second_isolated": copy_rows_per_sec_isolated,
         "conf": {
             "runs_per_query": reps,
             "cpus": cpus,
@@ -433,6 +475,8 @@ def main() -> None:
         "n_queries": len(timings),
         "events_per_second": events_per_sec,
         "copy_rows_per_second": copy_rows_per_sec,
+        "events_per_second_isolated": events_per_sec_isolated,
+        "copy_rows_per_second_isolated": copy_rows_per_sec_isolated,
         "full_record": "BENCH_LOCAL.json",
     }))
 

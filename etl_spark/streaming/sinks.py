@@ -376,20 +376,48 @@ class _BucketedVersionedTable:
         Rename remaps the stored column to its current logical name; drop
         projects it away. A column re-added after a drop is safe: newer
         dirs carry a higher epoch, so the old drop op never touches them —
-        and ``unionByName(allowMissingColumns)`` NULLs the old rows."""
+        and ``unionByName(allowMissingColumns)`` NULLs the old rows.
+
+        The replay folds DRIVER-SIDE over the column list and emits ONE
+        ``select``: chaining a plan node per op (the previous shape) made
+        plan depth linear in log length and overflowed the JVM analyzer
+        stack near ~1000 accumulated ops (measured in SCALE.md
+        "manifest/DDL-log growth"); the net projection is O(1) depth at
+        any log length."""
+        # name -> ("col", physical_name) | ("lit", value, typ), insertion
+        # order preserved so the output column order matches the previous
+        # withColumn/drop/withColumnRenamed sequence exactly
+        origin: dict[str, tuple] = {c: ("col", c) for c in df.columns}
+        changed = False
         for op in ddl_log[epoch:]:
-            if op["op"] == "rename" and op["from"] in df.columns:
-                df = df.withColumnRenamed(op["from"], op["to"])
-            elif op["op"] == "drop" and op["col"] in df.columns:
-                df = df.drop(op["col"])
-            elif op["op"] == "add_default" and op["col"] not in df.columns:
+            if op["op"] == "rename" and op["from"] in origin:
+                # rebuild preserving position (renames keep column order)
+                origin = {
+                    (op["to"] if k == op["from"] else k): v
+                    for k, v in origin.items()
+                }
+                changed = True
+            elif op["op"] == "drop" and op["col"] in origin:
+                origin.pop(op["col"])
+                changed = True
+            elif op["op"] == "add_default" and op["col"] not in origin:
                 # PG's lazy default materialization (attmissingval): rows
                 # written before ADD COLUMN .. DEFAULT read as the default,
                 # without rewriting a single file
-                df = df.withColumn(
-                    op["col"], F.lit(op["value"]).cast(op.get("typ", "string"))
-                )
-        return df
+                origin[op["col"]] = ("lit", op["value"], op.get("typ", "string"))
+                changed = True
+        if not changed:
+            return df
+        exprs = []
+        for name, src in origin.items():
+            if src[0] == "col":
+                # backtick-quote: PG column names may contain dots, which
+                # bare F.col would parse as struct access
+                e = F.col(f"`{src[1]}`")
+                exprs.append(e.alias(name) if src[1] != name else e)
+            else:
+                exprs.append(F.lit(src[1]).cast(src[2]).alias(name))
+        return df.select(*exprs)
 
     def _touched_buckets(self, df: DataFrame, n_buckets: int) -> list[int]:
         """Distinct bucket ids in a batch — bounded by n_buckets, so the

@@ -1094,3 +1094,27 @@ def test_duckdb_alter_maps_spark_type_names(spark, tmp_path):
     assert types["n"] == "BIGINT"
     row = sink.read("t")[0]
     assert abs(row["score"] - 1.5) < 1e-6 and int(row["n"]) == 7
+
+
+def test_deep_ddl_log_reads_flat_plan(spark, cs_sink):
+    """1200 accumulated DDL ops must not grow the read plan: the replay
+    folds driver-side into ONE select, so plan depth is O(1) in log
+    length. The previous per-op withColumn chain overflowed the JVM
+    analyzer stack near ~1000 ops (SCALE.md "manifest/DDL-log growth")."""
+    cur = "val"
+    for _ in range(1200):
+        nxt = "val1" if cur == "val" else "val"
+        cs_sink.apply_schema_change("t", renames=[(cur, nxt)])
+        cur = nxt
+    # read through the 1200-op log: correct values, no stack overflow
+    got = {r.pk: r[cur] for r in cs_sink.read("t").select("pk", cur).collect()}
+    assert got == {1: "a", 2: "b"}
+    # and a post-log batch merges fine
+    cs_sink.write_changes(
+        "t",
+        _batch(spark, [("INSERT", 9, 0, 3, "c")],
+               f"op string, commit_lsn long, tx_ordinal long, pk long, {cur} string"),
+        batch_id=1,
+    )
+    got = {r.pk: r[cur] for r in cs_sink.read("t").select("pk", cur).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
