@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never goes stale. The tail is everything with a newer green row.
 
     ROUND-10 WINDOW = DRAIN THE r5/r6 TAIL (round-9 verdict item #3):
-    [round-10 NEW op: docs_exact_jaccard_clusters — the linear-output
-    default form of the exact set-similarity join (r9 verdict item #1)]
+    [round-10 NEW ops: docs_exact_jaccard_clusters — the linear-output
+    default form of the exact set-similarity join (r9 verdict item #1);
+    docs_source_caps — skew-safe per-domain top-k cap]
     + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
     operator default flipped to the cluster form); cdc_duckdb_current_state
     / cdc_duckdb_scd2 / cdc_duckdb_changelog (warehouse INSERTs now name
@@ -44,17 +45,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-re-recorded): docs_ngram_novelty, events_winsorize,
     cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
     ann_pq_adc_topk, ann_ivfpq_topk]
-    + [37 of the 46 r6-latest rows, oldest-first; the remaining 9
-    (lineitem_rollup_metrics ... events_time_weighted_value) lead the
-    round-11 queue]. Tail = those 9 r6 rows, then r7/r8/r9 green rows.
-    After this round nothing recorded is older than r6, and the r11
-    window (9 r6 + oldest r7 rows) finishes the drain. All window
-    entries verified locally via tools/check_oracle.py at sf0.01 before
-    rotation (COVERAGE.md).
+    + [36 of the 46 r6-latest rows, oldest-first; the remaining 10
+    (dedup_simhash_pairs, lineitem_rollup_metrics ...
+    events_time_weighted_value) lead the round-11 queue]. Tail = those
+    10 r6 rows, then r7/r8/r9 green rows. After this round nothing
+    recorded is older than r6, and the r11 window (10 r6 + oldest r7
+    rows) finishes the drain. All window entries verified locally via
+    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
     """
     return {
-        # --- round-10 NEW op ---
+        # --- round-10 NEW ops ---
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
+        "docs_source_caps": workload_text.docs_source_caps,
         # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,

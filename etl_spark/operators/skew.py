@@ -90,3 +90,40 @@ def top_frequent_keys(df: DataFrame, keys: list[str], top_n: int = 10) -> DataFr
         .orderBy(F.col("n_rows").desc())
         .limit(top_n)
     )
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase top-k per key for SKEWED keys (the per-domain document
+    cap shape: domains are Zipfian, so a single row_number window puts a
+    hot domain's entire sort in one task).
+
+    Phase 1 windows over ``(key, salt)`` and keeps k rows per shard —
+    each task sorts at most one shard of the hot key. Phase 2 windows
+    over ``key`` on the ≤ ``n_salts * k`` survivors. The union of
+    per-shard top-k sets is a superset of the global top-k under any
+    row→shard assignment, so the result is row-identical to the naive
+    single window with ``rank <= k``; ``order_by`` must be a total order
+    (tie-broken) and ``salt_col`` a deterministic row attribute, making
+    reruns byte-stable.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    w_local = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w_final = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .drop("__salt")
+    )

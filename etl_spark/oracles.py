@@ -4341,3 +4341,34 @@ ORACLES["cdc_duckdb_changelog"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT op, commit_lsn, tx_ordinal, pk, value FROM env
 """
+
+ORACLES["docs_source_caps"] = r"""
+WITH tok AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+           / greatest(len(toks), 1) AS stopword_ratio
+  FROM tok
+),
+scored AS (
+  SELECT source, doc_id,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+               + (1.0 - punct_ratio) * 0.3, 6) AS quality
+  FROM feat
+),
+ranked AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""

@@ -1889,3 +1889,31 @@ def embeddings_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.sum(d2).cast("double"), 6).alias("dist_sq"),
         F.round(F.sqrt(F.sum(d2).cast("double")), 6).alias("dist"),
     )
+
+
+def docs_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (X158): keep the top-10 documents per
+    source by quality score — the C4/RefinedWeb-style per-domain cap
+    that stops one hot domain from dominating a pretraining mix.
+
+    Skew-safe by construction: at corpus scale source/domain frequencies
+    are Zipfian, so a single row_number window would put the hottest
+    domain's entire sort in one task. ``salted_topk_per_key`` windows
+    over (source, salt) first — any task sorts at most one shard — then
+    ranks the <= n_salts*k survivors. Ranking uses the ROUNDED quality
+    (6 dp, the gate-proven cross-engine-stable form) tie-broken by
+    doc_id, so the order is total and oracle-exact.
+    """
+    from etl_spark.operators import skew
+
+    scored = text.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "source", F.round("quality", 6).alias("quality")
+    )
+    kept = skew.salted_topk_per_key(
+        scored,
+        keys=["source"],
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        k=10,
+        salt_col="doc_id",
+    )
+    return kept.select("source", "doc_id", "quality", "rank")

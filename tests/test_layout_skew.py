@@ -155,3 +155,34 @@ def test_bucketed_full_outer_diff_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_cur")
         spark.sql("DROP TABLE IF EXISTS b_dest")
+
+
+def test_salted_topk_matches_naive_window(spark):
+    """Two-phase top-k equals the single-window rank<=k result exactly —
+    including on a hot key holding most rows and keys with < k rows."""
+    from pyspark.sql import Window
+
+    df = spark.range(0, 5_000).select(
+        # Zipf-ish: key 0 takes ~80% of rows, the rest spread over 50 keys
+        F.when(F.col("id") % 5 != 0, F.lit(0))
+        .otherwise((F.col("id") % 50) + 1).alias("k"),
+        F.col("id").alias("row_id"),
+        (F.xxhash64("id") % 1000).alias("score"),
+    )
+    naive_w = Window.partitionBy("k").orderBy(
+        F.col("score").desc(), F.col("row_id").asc())
+    naive = (
+        df.withColumn("rank", F.row_number().over(naive_w))
+        .filter(F.col("rank") <= 7)
+    )
+    salted = skew.salted_topk_per_key(
+        df, keys=["k"],
+        order_by=[F.col("score").desc(), F.col("row_id").asc()],
+        k=7, salt_col="row_id", n_salts=4,
+    )
+    want = {(r.k, r.row_id, r.rank) for r in naive.collect()}
+    got = {(r.k, r.row_id, r.rank) for r in salted.collect()}
+    assert got == want
+    # sparse keys (< k rows) all survive with complete ranks
+    sparse = [r for r in got if r[0] != 0]
+    assert sparse and max(r[2] for r in sparse) <= 7
