@@ -37,21 +37,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     default form of the exact set-similarity join (r9 verdict item #1);
     docs_source_caps — skew-safe per-domain top-k cap]
     + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
-    operator default flipped to the cluster form); cdc_duckdb_current_state
-    / cdc_duckdb_scd2 / cdc_duckdb_changelog (warehouse INSERTs now name
-    target columns + auto-ADD staged payload columns + Spark→DuckDB type
-    mapping — ADVICE r9 medium/low)]
+    operator default flipped to the cluster form); stream_stateful_sessions
+    (state partitions sized to trigger volume + no-data batch dropped —
+    r9 verdict stretch #7, result contract unchanged);
+    cdc_duckdb_current_state / cdc_duckdb_scd2 / cdc_duckdb_changelog
+    (warehouse INSERTs now name target columns + auto-ADD staged payload
+    columns + Spark→DuckDB type mapping — ADVICE r9 medium/low)]
     + [the 8 remaining r5-latest rows (judge re-verified in r9, now
     driver-re-recorded): docs_ngram_novelty, events_winsorize,
     cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
     ann_pq_adc_topk, ann_ivfpq_topk]
-    + [36 of the 46 r6-latest rows, oldest-first; the remaining 10
-    (dedup_simhash_pairs, lineitem_rollup_metrics ...
+    + [35 of the 46 r6-latest rows, oldest-first (2 new + 5 changed +
+    8 r5 = 15 head slots); the remaining 11 (events_ks_drift,
+    dedup_simhash_pairs, lineitem_rollup_metrics ...
     events_time_weighted_value) lead the round-11 queue]. Tail = those
-    10 r6 rows, then r7/r8/r9 green rows. After this round nothing
-    recorded is older than r6, and the r11 window (10 r6 + oldest r7
+    11 r6 rows, then r7/r8/r9 green rows. After this round nothing
+    recorded is older than r6, and the r11 window (11 r6 + oldest r7
     rows) finishes the drain. All window entries verified locally via
-    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
+    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md —
+    this round: the full-registry sf0.01 sweep ran green, 201/201 +
+    the two r10 additions individually).
     """
     return {
         # --- round-10 NEW ops ---
@@ -59,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_caps": workload_text.docs_source_caps,
         # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
+        "stream_stateful_sessions": workload.stream_stateful_sessions,
         "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
         "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
@@ -111,7 +117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
         # --- tail: fresher green rows (r6 remainder, r7, r8, r9) ---
         "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
-        "stream_stateful_sessions": workload.stream_stateful_sessions,
         "stream_click_purchase_join": workload.stream_click_purchase_join,
         "pgoutput_decode": workload.pgoutput_decode,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,

@@ -1368,15 +1368,37 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = sessionize_stateful(stream, gap_us=GAP_US)
     name = f"stateful_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # profiled round 10 (SCALE.md): the stream is MACHINERY-bound — the
+    # vectorized kernel is <0.5s of a ~10s run; each trigger pays ~1.2s
+    # of state-store commit/planning (x5 triggers incl. a zero-row
+    # finalization batch). Same two knobs as the r9 click-purchase fix:
+    # (a) state partitions sized to trigger volume (8; grows with volume
+    # at cluster scale); (b) the no-data batch dropped — SAFE here by
+    # harness construction: the second far-future sentinel advances the
+    # watermark past every real session's last+gap, so all timeouts fire
+    # inside the LAST DATA trigger; the trailing no-data batch emitted
+    # nothing (the sentinel user's own session is filtered out anyway).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id", "start_us", "end_us", "n_events",
         F.round("max_value", 6).alias("max_value"), "closed_by",
