@@ -1101,3 +1101,24 @@ def test_centroid_separation_broadcast_pair_join(spark):
     assert "CartesianProduct" not in plan
     # the |labels|*d centroid table broadcasts for the pair stage
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_caps_two_phase_topk_plan(spark):
+    """The per-domain cap is the two-phase top-k shape: exactly two
+    shuffle exchanges (by (source, salt), then by source on the bounded
+    survivors), no Python stage, no cartesian, and the quality algebra
+    runs in the scan stage (single codegen expression, no extra
+    exchange for the scoring)."""
+    plan = plan_of(workload_text.docs_source_caps(spark, SF_DIR))
+    # 3 exchanges: the _docs scan-spreading round-robin + exactly the
+    # two keyed phases — by (source, salt) then by source alone
+    assert n_shuffles(plan) == 3, plan
+    assert "hashpartitioning(source" in plan and "__salt" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both phases are row_number windows with Spark's WindowGroupLimit
+    # pre-filter, so the hot key never sorts whole in one task
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2, plan
+    assert "WindowGroupLimit" in plan, plan
