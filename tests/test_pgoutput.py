@@ -929,3 +929,146 @@ def test_pgoutput_crash_after_registry_advance_replays_correctly(spark, tmp_path
     assert "gone" not in out.columns
     got = {r.pk: r.keep for r in out.select("pk", "keep").collect()}
     assert got == {0: "K0", 1: "K1", 2: "K2"}  # K1 never keyed under v2
+
+
+@pytest.mark.parametrize(
+    "seed",
+    [int(s) for s in __import__("os").environ.get(
+        "PGO_MODEL_SEEDS", "5,17,29,47").split(",")],
+)
+def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
+    """Randomized end-to-end model over the PGOUTPUT pipeline's DDL x
+    crash space (round-10 hardening of the versioned relation registry):
+    a seeded script interleaves positional DML (one tx per event, cells
+    under the schema in force at the event's LSN), ADD/DROP-last
+    RELATION republishes, batch flushes, and crashes at BOTH
+    registry-sensitive points — STORE_REPLICATION_PROGRESS (before the
+    registry advance: replay sees the PRE-batch base) and
+    ADVANCE_RELATION_REGISTRY (after it: replay sees the ADVANCED base
+    and must bisect per frame). A driver-side LWW model applies the
+    same events in LSN order; after every drain the destination must
+    equal the model exactly under the current schema — any
+    replay-induced positional mis-decode or schema drift fails the
+    equality."""
+    import os
+    import random
+
+    from etl_spark import failpoints as fp
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rng = random.Random(seed)
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "s1"), (2, "s2")],
+                          "pk long, c0 string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    work = str(tmp_path / "work")
+
+    def mk_cfg():
+        # deliberately the ORIGINAL (stale) config every incarnation:
+        # restarts must resync schema state from the persisted registry
+        return TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                           payload_schema="pk long, c0 string")
+
+    cols = ["c0"]                     # value columns; ADD appends, DROP pops
+    model = {1: {"c0": "s1"}, 2: {"c0": "s2"}}
+    lsn = 100
+    xid = 10
+    gen = 1
+    pend: list[tuple] = []
+    batch_no = 0
+
+    def rel_frame():
+        nonlocal lsn
+        lsn += 1
+        cdefs = [(1, "pk", 20, -1)] + [(0, c, 25, -1) for c in cols]
+        return (lsn, -1, pgo.encode_relation(1, "public", "t", "d", cdefs))
+
+    def dml_frames(op, pk, vals):
+        nonlocal lsn, xid
+        xid += 1
+        b, d, c = lsn + 1, lsn + 2, lsn + 3
+        lsn += 3
+        if op == "DELETE":
+            body = pgo.encode_delete(1, key=[str(pk)])
+        elif op == "INSERT":
+            body = pgo.encode_insert(1, [str(pk)] + vals)
+        else:
+            body = pgo.encode_update(1, [str(pk)] + vals)
+        return [(b, xid, pgo.encode_begin(final_lsn=c, xid=xid)),
+                (d, xid, body),
+                (c, xid, pgo.encode_commit(c, c + 1))]
+
+    def flush():
+        nonlocal batch_no
+        if pend:
+            batch_no += 1
+            _write_frames(spark, source, list(pend), f"b{batch_no:03d}")
+            pend.clear()
+
+    def drain():
+        Pipeline(spark, source, [mk_cfg()], sink, work,
+                 source_fmt="pgoutput").run_until_drained()
+
+    def check():
+        out = sink.read("public.t")
+        # a pure pgoutput ADD (no default) materializes at the sink on
+        # the FIRST post-ADD write (documented engine behavior) — a
+        # column may be absent only while every model value for it is
+        # still NULL
+        present = [c for c in cols if c in out.columns]
+        for c in cols:
+            if c not in present:
+                assert all(v.get(c) is None for v in model.values()), (
+                    seed, c, model)
+        got = {r["pk"]: {c: r[c] for c in present}
+               for r in out.select("pk", *present).collect()}
+        want = {pk: {c: v.get(c) for c in present} for pk, v in model.items()}
+        assert got == want, f"seed={seed}\n got={got}\n want={want}"
+
+    pend.append(rel_frame())          # initial RELATION: registry learns v1
+
+    for _step in range(14):
+        action = rng.choices(
+            ["dml", "add", "drop", "flush_run", "crash_early", "crash_late"],
+            weights=[7, 2, 1, 2, 2, 2])[0]
+        if action == "add":
+            cols.append(f"c{gen}")
+            gen += 1
+            pend.append(rel_frame())  # pgoutput plain ADD: NULL backfill
+        elif action == "drop" and len(cols) > 1:
+            dropped = cols.pop()      # drop-last: unambiguous ordinal diff
+            for v in model.values():
+                v.pop(dropped, None)
+            pend.append(rel_frame())
+        elif action in ("flush_run", "crash_early", "crash_late"):
+            fresh = bool(pend)  # a crash needs an unprocessed batch to hit
+            flush()
+            crash = {"crash_early": fp.STORE_REPLICATION_PROGRESS,
+                     "crash_late": fp.ADVANCE_RELATION_REGISTRY}.get(action)
+            if crash and fresh:
+                fp.arm(crash)
+                try:
+                    with pytest.raises(Exception):
+                        drain()
+                finally:
+                    fp.disarm_all()
+            drain()                   # (re)play to convergence
+            check()
+        else:  # dml
+            pk = rng.randint(1, 5)
+            op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+            if op == "DELETE":
+                pend.extend(dml_frames("DELETE", pk, []))
+                model.pop(pk, None)
+            else:
+                vals = [f"v{lsn}_{c}" if rng.random() < 0.85 else None
+                        for c in cols]
+                pend.extend(dml_frames(op, pk, vals))
+                model[pk] = dict(zip(cols, vals))
+    flush()
+    drain()
+    check()
