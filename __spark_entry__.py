@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-10 WINDOW = DRAIN THE r5/r6 TAIL (round-9 verdict item #3):
     [round-10 NEW ops: docs_exact_jaccard_clusters — the linear-output
     default form of the exact set-similarity join (r9 verdict item #1);
-    docs_source_caps — skew-safe per-domain top-k cap]
+    docs_source_caps — skew-safe per-domain top-k cap;
+    docs_source_js_divergence — domain-shift audit, exact decimal-sum JS]
     + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
     operator default flipped to the cluster form); stream_stateful_sessions
     (state partitions sized to trigger volume + no-data batch dropped —
@@ -47,21 +48,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-re-recorded): docs_ngram_novelty, events_winsorize,
     cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
     ann_pq_adc_topk, ann_ivfpq_topk]
-    + [35 of the 46 r6-latest rows, oldest-first (2 new + 5 changed +
-    8 r5 = 15 head slots); the remaining 11 (events_ks_drift,
-    dedup_simhash_pairs, lineitem_rollup_metrics ...
+    + [34 of the 46 r6-latest rows, oldest-first (3 new + 5 changed +
+    8 r5 = 16 head slots); the remaining 12 (corpus_curation,
+    events_ks_drift, dedup_simhash_pairs, lineitem_rollup_metrics ...
     events_time_weighted_value) lead the round-11 queue]. Tail = those
-    11 r6 rows, then r7/r8/r9 green rows. After this round nothing
-    recorded is older than r6, and the r11 window (11 r6 + oldest r7
+    12 r6 rows, then r7/r8/r9 green rows. After this round nothing
+    recorded is older than r6, and the r11 window (12 r6 + oldest r7
     rows) finishes the drain. All window entries verified locally via
     tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md —
     this round: the full-registry sf0.01 sweep ran green, 201/201 +
-    the two r10 additions individually).
+    the three r10 additions individually).
     """
     return {
         # --- round-10 NEW ops ---
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_source_caps": workload_text.docs_source_caps,
+        "docs_source_js_divergence": workload_text.docs_source_js_divergence,
         # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "stream_stateful_sessions": workload.stream_stateful_sessions,

@@ -194,6 +194,7 @@ HEADLINE = [
     # round-10 additions (first timed here)
     "docs_exact_jaccard_clusters",
     "docs_source_caps",
+    "docs_source_js_divergence",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -391,7 +392,8 @@ def main() -> None:
     r8_new = {"cdc_ddl_rebucket_compact", "cdc_scd2_schema_evolution",
               "parts_triangle_sample", "cdc_duckdb_current_state"}
     r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2", "cdc_duckdb_changelog"}
-    r10_new = {"docs_exact_jaccard_clusters", "docs_source_caps"}
+    r10_new = {"docs_exact_jaccard_clusters", "docs_source_caps",
+               "docs_source_js_divergence"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new

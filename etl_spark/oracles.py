@@ -4372,3 +4372,52 @@ ranked AS (
 SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+ORACLES["docs_source_js_divergence"] = r"""
+WITH toks AS (
+  SELECT source, t.tok
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+per AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+),
+gtab AS (
+  SELECT tok, count(*) AS gn FROM toks GROUP BY tok
+),
+src_tot AS (
+  SELECT source, sum(n) AS sn FROM per GROUP BY source
+),
+g_total AS (
+  SELECT count(*) AS gt FROM toks
+),
+j AS (
+  SELECT per.source,
+         per.n / src_tot.sn AS p,
+         gtab.gn / (SELECT CAST(gt AS DOUBLE) FROM g_total) AS q
+  FROM per
+  JOIN gtab USING (tok)
+  JOIN src_tot USING (source)
+),
+terms AS (
+  SELECT source,
+         CAST(round(0.5 * p * ln(2.0 * p / (p + q))
+                    + 0.5 * q * ln(2.0 * q / (p + q)), 9)
+              AS DECIMAL(38,9)) AS dec,
+         CAST(round(q, 9) AS DECIMAL(38,9)) AS qdec
+  FROM j
+),
+agg AS (
+  SELECT source,
+         sum(dec) AS present_sum,
+         sum(qdec) AS q_present
+  FROM terms GROUP BY source
+)
+SELECT a.source,
+       CAST(s.sn AS BIGINT) AS n_tokens_source,
+       round(CAST(a.present_sum AS DOUBLE)
+             + 0.5 * ln(2.0) * (1.0 - CAST(a.q_present AS DOUBLE)), 6)
+         AS js_div
+FROM agg a JOIN src_tot s ON a.source = s.source
+"""

@@ -1917,3 +1917,56 @@ def docs_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col="doc_id",
     )
     return kept.select("source", "doc_id", "quality", "rank")
+
+
+def docs_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence vs the corpus-global unigram
+    distribution (X159): the domain-shift audit a data-mixing pipeline
+    runs before reweighting — a source whose token distribution diverges
+    from the mix is over/under-represented.
+
+    Exact-sum formulation: JS(P,Q) = 0.5·Σ p·ln(2p/(p+q))
+    + 0.5·Σ q·ln(2q/(p+q)), and every token ABSENT from the source
+    contributes 0.5·q·ln2, so only the PRESENT (source, token) join is
+    materialized and the absent-token mass folds in as
+    0.5·ln2·(1 − Σ_present q) — no |sources| × |vocab| expansion, the
+    scale property that matters at a 100 TB vocab. Each term is fixed
+    to 9 dp and summed as DECIMAL(38,9) (order-independent exact sum),
+    so the result is bit-stable across engines and partitionings.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(text.tokens("text")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    glob = toks.groupBy("tok").agg(F.count("*").alias("gn"))
+    src_tot = per.groupBy("source").agg(F.sum("n").alias("sn"))
+    g_total = toks.count()
+
+    j = (
+        per.join(glob, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .withColumn("p", F.col("n") / F.col("sn"))
+        .withColumn("q", F.col("gn") / F.lit(float(g_total)))
+    )
+    term = (
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+        + 0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    dec = F.round(term, 9).cast("decimal(38,9)")
+    qdec = F.round(F.col("q"), 9).cast("decimal(38,9)")
+    import math
+
+    agg = j.groupBy("source").agg(
+        F.sum(dec).alias("present_sum"),
+        F.sum(qdec).alias("q_present"),
+        F.max("sn").alias("n_tokens_source"),
+    )
+    js = (
+        F.col("present_sum").cast("double")
+        + 0.5 * math.log(2.0) * (1.0 - F.col("q_present").cast("double"))
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens_source").cast("long").alias("n_tokens_source"),
+        F.round(js, 6).alias("js_div"),
+    )

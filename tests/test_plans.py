@@ -1122,3 +1122,14 @@ def test_source_caps_two_phase_topk_plan(spark):
 
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_source_js_divergence_plan(spark):
+    """The domain-shift audit never expands |sources| x |vocab|: only the
+    PRESENT (source, token) join materializes (absent-token mass folds in
+    algebraically), the per-source totals broadcast, and everything stays
+    JVM-side."""
+    plan = plan_of(workload_text.docs_source_js_divergence(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan  # the |sources|-row totals side
