@@ -46,6 +46,8 @@ COMPACT_AFTER_COMMIT = "changelog_compact.after_manifest_commit"
 # crash here replays the batch against the ADVANCED registry (the
 # versioned base makes that safe; see PersistentRelationRegistry)
 ADVANCE_RELATION_REGISTRY = "advance_relation_registry"
+# widest residual window: BOTH registries advanced, commit log unwritten
+ADVANCE_TX_REGISTRY = "advance_tx_registry"
 
 ALL = (
     BEFORE_DATA_SYNC,
@@ -58,6 +60,7 @@ ALL = (
     COMPACT_BEFORE_COMMIT,
     COMPACT_AFTER_COMMIT,
     ADVANCE_RELATION_REGISTRY,
+    ADVANCE_TX_REGISTRY,
 )
 
 

@@ -797,7 +797,8 @@ class PersistentTypeRegistry:
 
 
 class PersistentTxRegistry:
-    """In-flight transaction state persisted across micro-batches.
+    """In-flight transaction state persisted across micro-batches,
+    GENERATION-VERSIONED by the fold watermark (max ``wal_start`` folded).
 
     Long transactions split across micro-batches: the BEGIN frame lands in
     batch N, DML continues in N+1..N+k, COMMIT in N+k. Batches after the
@@ -807,24 +808,71 @@ class PersistentTxRegistry:
     across its apply stream (crates/etl/src/replication/apply.rs:942-965,
     2311-2321). Same storage pattern as :class:`PersistentRelationRegistry`.
 
-    Entry shape: ``{xid: {"final_lsn": int, "ordinal_offset": int}}`` —
-    ``ordinal_offset`` is the count of envelope rows the transaction has
-    already emitted in prior batches (the next batch's ``tx_ordinal``
-    continues from it). Entries are dropped when the COMMIT frame is seen.
-    State size is bounded by the number of *concurrently open* long
-    transactions, not WAL volume."""
+    Generations close the same residual replay window the relation
+    registry's versioning closes: Spark writes the batch's commit log
+    only after foreachBatch RETURNS, so a crash after ``advance_from``
+    replays a batch whose tx state already advanced. Against the
+    advanced state, a replayed continuation batch would (a) shift its
+    ``tx_ordinal`` by the already-folded count — the same events
+    re-apply under DIFFERENT sequence numbers, defeating sink dedup —
+    and (b) find a committed xid already POPPED, failing the strict
+    no-begin-state decode (a crash loop). ``snapshot_for(min_wal)``
+    instead returns the newest generation folded strictly BEFORE the
+    batch's first frame — the exact state the first attempt decoded
+    with. WAL positions are strictly increasing in delivery order, so
+    TWO generations (current + previous) cover the one-uncommitted-batch
+    replay window; a replayed ``advance_from`` is idempotent — it
+    re-folds from the same base and REPLACES the stale generation.
+
+    Entry shape per generation: ``{xid: {"final_lsn": int,
+    "ordinal_offset": int}}`` — ``ordinal_offset`` is the count of
+    envelope rows the transaction has already emitted in prior batches.
+    Entries drop when the COMMIT frame is folded. State size is bounded
+    by the number of *concurrently open* long transactions, not WAL
+    volume. Legacy flat snapshots migrate as one generation at
+    watermark 0.
+    """
 
     def __init__(self, path: str):
         self.path = path
-        self._tx: dict[int, dict] = {}
+        #: [[watermark_wal, {xid: state}], ...] sorted ASC, newest last
+        self._gens: list[list] = []
         try:
             with open(path) as f:
-                self._tx = {int(k): v for k, v in json.load(f).items()}
+                raw = json.load(f)
+            if isinstance(raw, dict) and "gens" in raw:
+                self._gens = [
+                    [int(w), {int(k): v for k, v in st.items()}]
+                    for w, st in raw["gens"]
+                ]
+                self._gens.sort(key=lambda g: g[0])
+            elif isinstance(raw, dict):  # legacy flat snapshot
+                self._gens = [[0, {int(k): v for k, v in raw.items()}]]
         except FileNotFoundError:
             pass
 
     def snapshot(self) -> dict[int, dict]:
-        return {k: dict(v) for k, v in self._tx.items()}
+        """Newest generation (the post-everything-folded state)."""
+        if not self._gens:
+            return {}
+        return {k: dict(v) for k, v in self._gens[-1][1].items()}
+
+    def snapshot_for(self, min_wal: int | None) -> dict[int, dict]:
+        """The tx state in force BEFORE stream position ``min_wal``: the
+        newest generation with watermark < min_wal — LSN-exact carry for
+        a (possibly replayed) batch whose first frame sits at ``min_wal``.
+        ``None`` (empty batch) falls back to the newest generation."""
+        if not self._gens:
+            return {}
+        if min_wal is None:
+            return self.snapshot()
+        base: dict[int, dict] = {}
+        for w, st in self._gens:
+            if w < min_wal:
+                base = st
+            else:
+                break
+        return {k: dict(v) for k, v in base.items()}
 
     def advance_from(
         self,
@@ -833,15 +881,24 @@ class PersistentTxRegistry:
         lsn_col: str = "wal_start",
         xid_col: str = "xid",
     ) -> None:
-        """Fold one micro-batch of raw frames into the registry.
+        """Fold one micro-batch of raw frames into a NEW generation.
 
         BEGIN/COMMIT frames are catalog-sized (one each per transaction in
         the batch) → collected and parsed driver-side, like
-        :func:`relation_registry`. Per-xid envelope-row counts come from a
-        distributed aggregation whose result is one row per transaction
-        touched in the batch — never proportional to frame volume.
+        :func:`relation_registry`. Per-xid envelope-row counts and the
+        batch's wal bounds come from distributed aggregations whose
+        results are one row per transaction / one row total — never
+        proportional to frame volume. Idempotent under whole-batch
+        replay: generations at/after the batch's first frame are replaced
+        by the re-fold from the same pre-batch base.
         """
         first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
+        bounds = frames.agg(
+            F.min(lsn_col).alias("mn"), F.max(lsn_col).alias("mx")
+        ).collect()[0]
+        if bounds["mn"] is None:
+            return  # empty batch: nothing to fold
+        mn, mx = int(bounds["mn"]), int(bounds["mx"])
         bc = frames.filter(first.isin([b"B", b"C"])).select(xid_col, frame_col).collect()
         # Envelope-row counts: every frame that emits an envelope row and
         # participates in tx_ordinal numbering (DML + R/T/M; B/C/Y/O do not).
@@ -852,25 +909,35 @@ class PersistentTxRegistry:
             .count()
             .collect()
         }
+        # re-fold from the state BEFORE this batch (replay-idempotent)
+        tx = self.snapshot_for(mn)
         committed: set[int] = set()
         for r in bc:
             p = parse_frame(bytes(r[1]))
             if p["kind"] == "BEGIN":
-                self._tx[int(r[0])] = {"final_lsn": p["final_lsn"], "ordinal_offset": 0}
+                tx[int(r[0])] = {"final_lsn": p["final_lsn"], "ordinal_offset": 0}
             else:
                 committed.add(int(r[0]))
         for xid, n in counts.items():
-            if int(xid) in self._tx:
-                self._tx[int(xid)]["ordinal_offset"] += int(n)
+            if int(xid) in tx:
+                tx[int(xid)]["ordinal_offset"] += int(n)
         for xid in committed:
-            self._tx.pop(xid, None)
+            tx.pop(xid, None)
+        # drop generations this batch supersedes (watermark >= its first
+        # frame — earlier attempts of the SAME batch), append, keep 2
+        self._gens = [g for g in self._gens if g[0] < mn]
+        self._gens.append([mx, tx])
+        if len(self._gens) > 2:
+            del self._gens[: len(self._gens) - 2]
         import os
         import tempfile
 
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
         with os.fdopen(fd, "w") as f:
-            json.dump({str(k): v for k, v in self._tx.items()}, f)
+            json.dump({"gens": [
+                [w, {str(k): v for k, v in st.items()}] for w, st in self._gens
+            ]}, f)
         os.replace(tmp, self.path)
 
 

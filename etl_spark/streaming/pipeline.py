@@ -336,10 +336,20 @@ class Pipeline:
             # needs same-batch TYPE frames visible when naming custom-typed
             # columns mid-batch.
             self.types.update_from(batch)
+            # LSN-exact tx carry (mirrors the versioned relation base): a
+            # crash after txs.advance_from but before Spark's commit log
+            # replays this batch against the ADVANCED tx state — shifted
+            # continuation ordinals (dedup-defeating duplicate sequence
+            # numbers) and popped committed xids (strict-decode crash
+            # loop). snapshot_for(first frame's wal) returns the state the
+            # FIRST attempt decoded with, whether or not the advance ran.
+            min_wal = batch.agg(F.min("wal_start").alias("m")).collect()[0]["m"]
             batch = decode_frames(
                 batch,
                 relations=carried_relations,
-                carry_tx=self.txs.snapshot(),
+                carry_tx=self.txs.snapshot_for(
+                    int(min_wal) if min_wal is not None else None
+                ),
             )
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
         batch = batch.persist()
@@ -426,6 +436,11 @@ class Pipeline:
                 # written) — the restart must replay with correct decode
                 failpoints.hit(failpoints.ADVANCE_RELATION_REGISTRY)
                 self.txs.advance_from(raw_frames)
+                # ADVANCE_TX_REGISTRY: crash after BOTH registries
+                # advanced, commit log still unwritten — the widest
+                # replay window; the generational tx carry above makes
+                # the replayed decode identical to the first attempt
+                failpoints.hit(failpoints.ADVANCE_TX_REGISTRY)
         finally:
             batch.unpersist()
 

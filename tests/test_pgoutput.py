@@ -1033,8 +1033,9 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
 
     for _step in range(14):
         action = rng.choices(
-            ["dml", "add", "drop", "flush_run", "crash_early", "crash_late"],
-            weights=[7, 2, 1, 2, 2, 2])[0]
+            ["dml", "add", "drop", "flush_run", "crash_early", "crash_late",
+             "crash_post"],
+            weights=[7, 2, 1, 2, 2, 2, 2])[0]
         if action == "add":
             cols.append(f"c{gen}")
             gen += 1
@@ -1044,11 +1045,12 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
             for v in model.values():
                 v.pop(dropped, None)
             pend.append(rel_frame())
-        elif action in ("flush_run", "crash_early", "crash_late"):
+        elif action in ("flush_run", "crash_early", "crash_late", "crash_post"):
             fresh = bool(pend)  # a crash needs an unprocessed batch to hit
             flush()
             crash = {"crash_early": fp.STORE_REPLICATION_PROGRESS,
-                     "crash_late": fp.ADVANCE_RELATION_REGISTRY}.get(action)
+                     "crash_late": fp.ADVANCE_RELATION_REGISTRY,
+                     "crash_post": fp.ADVANCE_TX_REGISTRY}.get(action)
             if crash and fresh:
                 fp.arm(crash)
                 try:
@@ -1072,3 +1074,65 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
     flush()
     drain()
     check()
+
+
+def test_pgoutput_crash_after_tx_advance_replays_correctly(spark, tmp_path):
+    """Round-10 hardening (sibling of the relation-registry window): a
+    crash AFTER txs.advance_from but before Spark's commit log replays
+    the batch against the ADVANCED tx state. For a cross-batch
+    transaction whose COMMIT was in the crashed batch, the advanced
+    state has the xid POPPED — the strict no-begin-state decode would
+    fail every replay (crash loop) — and a still-open continuation
+    would re-number its ordinals. The generational registry's
+    ``snapshot_for(first wal)`` hands the replay the exact pre-batch
+    state: the replay decodes identically (same commit_lsn, same
+    tx_ordinals) and sink dedup absorbs it."""
+    import os
+
+    from etl_spark import failpoints as fp
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    source = str(tmp_path / "frames")
+    os.makedirs(source)
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    # batch 1: tx 5 OPENS and stays open (BEGIN + one INSERT, no COMMIT)
+    _write_frames(spark, source, [
+        (1, -1, rel),
+        (10, 5, pgo.encode_begin(final_lsn=500, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "a"])),
+    ], "b1")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    work = str(tmp_path / "work")
+    Pipeline(spark, source, [cfg], sink, work,
+             source_fmt="pgoutput").run_until_drained()
+
+    # batch 2: tx 5 CONTINUES (no BEGIN here) and COMMITS; crash fires
+    # after BOTH registry advances (xid 5 now popped from the newest
+    # tx generation), before the batch's commit log is written
+    _write_frames(spark, source, [
+        (20, 5, pgo.encode_update(1, ["1", "a2"])),
+        (21, 5, pgo.encode_insert(1, ["2", "b"])),
+        (22, 5, pgo.encode_commit(500, 501)),
+    ], "b2")
+    fp.arm(fp.ADVANCE_TX_REGISTRY)
+    p = Pipeline(spark, source, [cfg], sink, work, source_fmt="pgoutput")
+    with pytest.raises(Exception):
+        p.run_until_drained()
+    fp.disarm_all()
+
+    # replay converges: no crash loop, exact values, and the ordinals
+    # CONTINUE the pre-crash numbering (offset 1 from batch 1) — a
+    # newest-state carry would have re-numbered or failed outright
+    Pipeline(spark, source, [cfg], sink, work,
+             source_fmt="pgoutput").run_until_drained()
+    out = sink.read("public.t")
+    got = {r.pk: (r.val, int(r.commit_lsn), int(r.tx_ordinal))
+           for r in out.select("pk", "val", "commit_lsn", "tx_ordinal").collect()}
+    assert got == {1: ("a2", 500, 1), 2: ("b", 500, 2)}, got
