@@ -48,16 +48,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-re-recorded): docs_ngram_novelty, events_winsorize,
     cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
     ann_pq_adc_topk, ann_ivfpq_topk]
-    + [34 of the 46 r6-latest rows, oldest-first (3 new + 5 changed +
-    8 r5 = 16 head slots); the remaining 12 (corpus_curation,
-    events_ks_drift, dedup_simhash_pairs, lineitem_rollup_metrics ...
-    events_time_weighted_value) lead the round-11 queue]. Tail = those
-    12 r6 rows, then r7/r8/r9 green rows. After this round nothing
-    recorded is older than r6, and the r11 window (12 r6 + oldest r7
-    rows) finishes the drain. All window entries verified locally via
-    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md —
-    this round: the full-registry sf0.01 sweep ran green, 201/201 +
-    the three r10 additions individually).
+    + [32 of the 46 r6-latest rows, oldest-first (3 new + 7 changed +
+    8 r5 = 18 head slots; window closes at cdc_replica_identity); the
+    remaining 14 (cdc_partition_root, pg_copy_roundtrip,
+    corpus_curation, events_ks_drift, dedup_simhash_pairs,
+    lineitem_rollup_metrics ... events_time_weighted_value) lead the
+    round-11 queue]. Tail = those 14 r6 rows, then r7/r8/r9 green
+    rows. After this round nothing recorded is older than r6, and the
+    r11 window (14 r6 + oldest r7 rows) finishes the drain. All window
+    entries verified locally via tools/check_oracle.py at sf0.01
+    before rotation (COVERAGE.md — this round: full-registry sf0.01
+    sweeps ran green at 201 and 203, and every changed query was
+    re-verified individually after its change).
     """
     return {
         # --- round-10 NEW ops ---
@@ -67,6 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "stream_stateful_sessions": workload.stream_stateful_sessions,
+        # pgoutput pipeline path changed (generational tx registry +
+        # LSN-exact carry): the two pgoutput-driven gates re-record
+        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
+        "pgoutput_decode": workload.pgoutput_decode,
         "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
         "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
@@ -118,9 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_drift": workload_relational.events_ks_drift,
         "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
         # --- tail: fresher green rows (r6 remainder, r7, r8, r9) ---
-        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
         "stream_click_purchase_join": workload.stream_click_purchase_join,
-        "pgoutput_decode": workload.pgoutput_decode,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
         "dedup_exact": workload_text.dedup_exact,
