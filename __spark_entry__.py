@@ -36,7 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     [round-10 NEW ops: docs_exact_jaccard_clusters — the linear-output
     default form of the exact set-similarity join (r9 verdict item #1);
     docs_source_caps — skew-safe per-domain top-k cap;
-    docs_source_js_divergence — domain-shift audit, exact decimal-sum JS]
+    docs_source_js_divergence — domain-shift audit, exact decimal-sum JS;
+    docs_dup_rate_by_source — per-source exact-dup + cross-source audit]
     + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
     operator default flipped to the cluster form); stream_stateful_sessions
     (state partitions sized to trigger volume + no-data batch dropped —
@@ -48,12 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-re-recorded): docs_ngram_novelty, events_winsorize,
     cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
     ann_pq_adc_topk, ann_ivfpq_topk]
-    + [32 of the 46 r6-latest rows, oldest-first (3 new + 7 changed +
-    8 r5 = 18 head slots; window closes at cdc_replica_identity); the
-    remaining 14 (cdc_partition_root, pg_copy_roundtrip,
-    corpus_curation, events_ks_drift, dedup_simhash_pairs,
-    lineitem_rollup_metrics ... events_time_weighted_value) lead the
-    round-11 queue]. Tail = those 14 r6 rows, then r7/r8/r9 green
+    + [31 of the 46 r6-latest rows, oldest-first (4 new + 7 changed +
+    8 r5 = 19 head slots; window closes at pg_array_roundtrip); the
+    remaining 15 (cdc_replica_identity, cdc_partition_root,
+    pg_copy_roundtrip, corpus_curation, events_ks_drift,
+    dedup_simhash_pairs, lineitem_rollup_metrics ...
+    events_time_weighted_value) lead the round-11 queue]. Tail = those 14 r6 rows, then r7/r8/r9 green
     rows. After this round nothing recorded is older than r6, and the
     r11 window (14 r6 + oldest r7 rows) finishes the drain. All window
     entries verified locally via tools/check_oracle.py at sf0.01
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_source_caps": workload_text.docs_source_caps,
         "docs_source_js_divergence": workload_text.docs_source_js_divergence,
+        "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,
         # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "stream_stateful_sessions": workload.stream_stateful_sessions,

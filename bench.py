@@ -195,6 +195,7 @@ HEADLINE = [
     "docs_exact_jaccard_clusters",
     "docs_source_caps",
     "docs_source_js_divergence",
+    "docs_dup_rate_by_source",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -393,7 +394,7 @@ def main() -> None:
               "parts_triangle_sample", "cdc_duckdb_current_state"}
     r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2", "cdc_duckdb_changelog"}
     r10_new = {"docs_exact_jaccard_clusters", "docs_source_caps",
-               "docs_source_js_divergence"}
+               "docs_source_js_divergence", "docs_dup_rate_by_source"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new

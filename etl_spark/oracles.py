@@ -4421,3 +4421,27 @@ SELECT a.source,
          AS js_div
 FROM agg a JOIN src_tot s ON a.source = s.source
 """
+
+ORACLES["docs_dup_rate_by_source"] = r"""
+WITH per AS (
+  SELECT source, md5(text) AS dig, count(*) AS n
+  FROM documents GROUP BY source, md5(text)
+),
+spread AS (
+  SELECT dig, count(*) AS n_src FROM per GROUP BY dig
+),
+agg AS (
+  SELECT per.source,
+         sum(per.n) AS n_docs,
+         sum(per.n) - count(*) AS n_dup_within,
+         sum(CASE WHEN spread.n_src > 1 THEN per.n ELSE 0 END) AS n_cross_source
+  FROM per JOIN spread USING (dig)
+  GROUP BY per.source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dup_within AS BIGINT) AS n_dup_within,
+       CAST(n_cross_source AS BIGINT) AS n_cross_source,
+       round(CAST(n_dup_within AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM agg
+"""

@@ -1970,3 +1970,32 @@ def docs_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_source").cast("long").alias("n_tokens_source"),
         F.round(js, 6).alias("js_div"),
     )
+
+
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate audit (X160): for each source, how much
+    of it is exact-duplicate text (within the source) and how much of
+    its content also appears in OTHER sources — the first audit run on
+    a new crawl before deciding per-domain caps and dedup strategy.
+
+    Shuffle algebra: one digest-level aggregation (md5 only — text never
+    shuffles), one digest→source-count map joined back, one per-source
+    fold. All counts are exact integers; the rate is rounded at 6 dp.
+    ``n_dup_within`` counts the EXTRA copies inside the source
+    (n − distinct); ``n_cross_source`` counts docs whose exact text
+    also appears in at least one other source.
+    """
+    d = _docs(spark, sf_dir).select("source", F.md5("text").alias("dig"))
+    per = d.groupBy("source", "dig").agg(F.count("*").alias("n"))
+    spread = per.groupBy("dig").agg(F.count("*").alias("n_src"))
+    j = per.join(spread, "dig")
+    out = j.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup_within"),
+        F.sum(F.when(F.col("n_src") > 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n_cross_source"),
+    )
+    return out.select(
+        "source", "n_docs", "n_dup_within", "n_cross_source",
+        F.round(F.col("n_dup_within") / F.col("n_docs"), 6).alias("dup_rate"),
+    )

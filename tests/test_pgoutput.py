@@ -1033,9 +1033,9 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
 
     for _step in range(14):
         action = rng.choices(
-            ["dml", "add", "drop", "flush_run", "crash_early", "crash_late",
-             "crash_post"],
-            weights=[7, 2, 1, 2, 2, 2, 2])[0]
+            ["dml", "add", "drop", "truncate", "flush_run", "crash_early",
+             "crash_late", "crash_post"],
+            weights=[7, 2, 1, 1, 2, 2, 2, 2])[0]
         if action == "add":
             cols.append(f"c{gen}")
             gen += 1
@@ -1045,6 +1045,18 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
             for v in model.values():
                 v.pop(dropped, None)
             pend.append(rel_frame())
+        elif action == "truncate":
+            # transactional TRUNCATE frame: destination resets; replays
+            # of the containing batch must stay convergent
+            xid += 1
+            b, d, c = lsn + 1, lsn + 2, lsn + 3
+            lsn += 3
+            pend.extend([
+                (b, xid, pgo.encode_begin(final_lsn=c, xid=xid)),
+                (d, xid, pgo.encode_truncate([1])),
+                (c, xid, pgo.encode_commit(c, c + 1)),
+            ])
+            model.clear()
         elif action in ("flush_run", "crash_early", "crash_late", "crash_post"):
             fresh = bool(pend)  # a crash needs an unprocessed batch to hit
             flush()
