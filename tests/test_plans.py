@@ -1133,3 +1133,20 @@ def test_source_js_divergence_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan  # the |sources|-row totals side
+
+
+def test_dup_rate_audit_digest_only_shuffle(spark):
+    """The per-source dup audit shuffles 16-byte md5 digests, never text:
+    the scan projects (source, md5(text)) before any exchange, and no
+    Python stage or cartesian appears."""
+    plan = plan_of(workload_text.docs_dup_rate_by_source(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # text is consumed by md5() inside the scan stage: no exchange other
+    # than the digest/source hash partitions, and the post-scan schema
+    # carries the digest, not the document body
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    assert all("text" not in e for e in exchanges), exchanges
