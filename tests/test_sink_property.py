@@ -467,3 +467,117 @@ def test_changelog_parquet_vs_duckdb_differential(spark, tmp_path, seed):
         elif action == "restart":
             pq, dk = mk()
         assert norm_pq() == norm_dk(), (seed, step, action)
+
+
+@pytest.mark.parametrize("seed", [9, 21])
+def test_scd2_differential_with_column_adds(spark, tmp_path, seed):
+    """DIFFERENTIAL under SCHEMA EVOLUTION (round-10 guard for the
+    warehouse column-add fix): the bucket-manifest SCD2 sink and the
+    SQL-warehouse SCD2 sink receive the same seeded stream of batches,
+    ADD COLUMN .. DEFAULT changes, whole replays, and restarts. Both
+    implement PG attmissingval semantics (pre-DDL version rows read the
+    default), and the warehouse INSERT path must keep columns aligned
+    after the ALTER — the exact bug class ADVICE r9 found (positional
+    INSERTs put post-ADD values in the wrong columns). Version tables
+    must be identical after every step."""
+    import math
+    import random
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.duckdb_sink import DuckDBScd2Sink
+    from etl_spark.streaming.sinks import ParquetScd2Sink
+
+    rng = random.Random(seed)
+    pq_root = str(tmp_path / "pq")
+    db = str(tmp_path / "wh.duckdb")
+
+    def mk():
+        return (
+            ParquetScd2Sink(pq_root, keys=["pk"], spark=spark, n_buckets=4),
+            DuckDBScd2Sink(db, keys={"t": ["pk"]},
+                           staging_dir=str(tmp_path / "stage")),
+        )
+
+    pq, dk = mk()
+    snap = spark.createDataFrame([(1, "s1"), (2, "s2")], "pk long, val string")
+    pq.write_snapshot("t", snap)
+    dk.write_snapshot("t", snap)
+
+    vcols = ["val"]          # value columns; ADD..DEFAULT appends fresh ones
+    gen = 1
+
+    def batch_dyn(events):
+        schema = ("op string, commit_lsn long, tx_ordinal long, pk long, "
+                  + ", ".join(f"{c} string" for c in vcols))
+        rows = [(op, lsn, i, pk, *[vals.get(c) for c in vcols])
+                for i, (op, lsn, pk, vals) in enumerate(events)]
+        return with_sequence(spark.createDataFrame(rows, schema))
+
+    base_cols = ["pk", "op", "valid_from", "tx_ordinal", "valid_to",
+                 "is_current"]
+
+    def norm_pq():
+        rows = pq.read("t").select(*base_cols, *vcols).collect()
+        return sorted(
+            (r["pk"], r["op"], int(r["valid_from"]), int(r["tx_ordinal"]),
+             None if r["valid_to"] is None else int(r["valid_to"]),
+             bool(r["is_current"]), *[r[c] for c in vcols])
+            for r in rows
+        )
+
+    def norm_dk():
+        out = []
+        for r in dk.read("t"):
+            vt = r["valid_to"]
+            vt = None if vt is None or (
+                isinstance(vt, float) and math.isnan(vt)) else int(vt)
+            vals = []
+            for c in vcols:
+                v = r.get(c)
+                vals.append(None if (isinstance(v, float) and math.isnan(v))
+                            else v)
+            out.append((int(r["pk"]), r["op"], int(r["valid_from"]),
+                        int(r["tx_ordinal"]), vt, bool(r["is_current"]),
+                        *vals))
+        return sorted(out)
+
+    lsn = 10
+    batch_id = 0
+    last = None
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "add_col", "whole_replay", "restart"],
+            weights=[6, 2, 2, 2],
+        )[0]
+        if action == "batch" or last is None:
+            events = []
+            for _ in range(rng.randint(1, 4)):
+                pk = rng.randint(0, 6)
+                kind = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                vals = ({} if kind == "DELETE" else
+                        {c: f"v{lsn}_{pk}_{c}" for c in vcols
+                         if rng.random() < 0.85})
+                events.append((kind, lsn, pk, vals))
+            lsn += 1
+            batch_id += 1
+            b = batch_dyn(events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+            last = (batch_id, events)
+        elif action == "add_col":
+            c = f"c{gen}"
+            d = f"d{gen}"
+            gen += 1
+            pq.apply_schema_change("t", defaults=[(c, d, "string")])
+            dk.apply_schema_change("t", defaults=[(c, d, "string")])
+            vcols.append(c)
+            # post-DDL batches now carry the column; pre-DDL versions
+            # must read the default on BOTH sides (attmissingval)
+        elif action == "whole_replay":
+            bid, events = last
+            b = batch_dyn(events)
+            pq.write_changes("t", b, bid)
+            dk.write_changes("t", b, bid)
+        elif action == "restart":
+            pq, dk = mk()
+        assert norm_pq() == norm_dk(), (seed, step, action)
