@@ -581,3 +581,98 @@ def test_scd2_differential_with_column_adds(spark, tmp_path, seed):
         elif action == "restart":
             pq, dk = mk()
         assert norm_pq() == norm_dk(), (seed, step, action)
+
+
+@pytest.mark.parametrize("seed", [14, 33])
+def test_current_state_differential_with_column_adds(spark, tmp_path, seed):
+    """DIFFERENTIAL under SCHEMA EVOLUTION, current-state family: same
+    seeded batch/ADD..DEFAULT/replay/restart stream against the
+    bucket-manifest LWW sink and the warehouse MERGE sink; key→row state
+    (including the added columns' backfilled defaults) must match after
+    every step. Guards the CurrentStateSink arm of the warehouse
+    column-add fix."""
+    import random
+
+    from etl_spark.envelope import with_sequence
+    from etl_spark.streaming.duckdb_sink import DuckDBCurrentStateSink
+
+    rng = random.Random(seed)
+    pq_root = str(tmp_path / "pq")
+    db = str(tmp_path / "wh.duckdb")
+
+    def mk():
+        return (
+            ParquetCurrentStateSink(pq_root, keys=["pk"], spark=spark,
+                                    n_buckets=4),
+            DuckDBCurrentStateSink(db, keys={"t": ["pk"]},
+                                   staging_dir=str(tmp_path / "stage")),
+        )
+
+    pq, dk = mk()
+    snap = spark.createDataFrame([(1, "s1"), (2, "s2")], "pk long, val string")
+    pq.write_snapshot("t", snap)
+    dk.write_snapshot("t", snap)
+
+    vcols = ["val"]
+    gen = 1
+
+    def batch_dyn(events):
+        schema = ("op string, commit_lsn long, tx_ordinal long, pk long, "
+                  + ", ".join(f"{c} string" for c in vcols))
+        rows = [(op, lsn, i, pk, *[vals.get(c) for c in vcols])
+                for i, (op, lsn, pk, vals) in enumerate(events)]
+        return with_sequence(spark.createDataFrame(rows, schema))
+
+    def norm_pq():
+        rows = pq.read("t").select("pk", *vcols).collect()
+        return sorted((r["pk"], *[r[c] for c in vcols]) for r in rows)
+
+    def norm_dk():
+        import math
+
+        out = []
+        for r in dk.read("t"):
+            vals = [None if (isinstance(r.get(c), float)
+                             and math.isnan(r.get(c))) else r.get(c)
+                    for c in vcols]
+            out.append((int(r["pk"]), *vals))
+        return sorted(out)
+
+    lsn = 10
+    batch_id = 0
+    last = None
+    for step in range(8):
+        action = rng.choices(
+            ["batch", "add_col", "whole_replay", "restart"],
+            weights=[6, 2, 2, 2],
+        )[0]
+        if action == "batch" or last is None:
+            events = []
+            for _ in range(rng.randint(1, 4)):
+                pk = rng.randint(0, 6)
+                kind = rng.choice(["INSERT", "UPDATE", "DELETE"])
+                vals = ({} if kind == "DELETE" else
+                        {c: f"v{lsn}_{pk}_{c}" for c in vcols
+                         if rng.random() < 0.85})
+                events.append((kind, lsn, pk, vals))
+            lsn += 1
+            batch_id += 1
+            b = batch_dyn(events)
+            pq.write_changes("t", b, batch_id)
+            dk.write_changes("t", b, batch_id)
+            last = (batch_id, events)
+        elif action == "add_col":
+            c = f"c{gen}"
+            d = f"d{gen}"
+            gen += 1
+            pq.apply_schema_change("t", defaults=[(c, d, "string")])
+            dk.apply_schema_change("t", defaults=[(c, d, "string")])
+            vcols.append(c)
+        elif action == "whole_replay":
+            bid, events = last
+            b = batch_dyn(events)
+            pq.write_changes("t", b, bid)
+            dk.write_changes("t", b, bid)
+        elif action == "restart":
+            pq, dk = mk()
+        assert norm_pq() == norm_dk(), (seed, step, action)
