@@ -112,9 +112,20 @@ def salted_topk_per_key(
     single window with ``rank <= k``; ``order_by`` must be a total order
     (tie-broken) and ``salt_col`` a deterministic row attribute, making
     reruns byte-stable.
+
+    Adds a ``rank`` output column (1..k per key) and uses ``__salt`` /
+    ``__lr`` internally; inputs already carrying any of these are
+    REJECTED rather than silently overwritten (ADVICE r10).
     """
     from pyspark.sql import Window
 
+    clash = {"__salt", "__lr", "rank"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_topk_per_key: input already has column(s) {sorted(clash)}; "
+            "the operator adds a 'rank' output column and uses '__salt'/'__lr' "
+            "internally — rename or drop them first"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     w_local = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
     w_final = Window.partitionBy(*keys).orderBy(*order_by)

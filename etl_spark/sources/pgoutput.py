@@ -880,6 +880,7 @@ class PersistentTxRegistry:
         frame_col: str = "frame",
         lsn_col: str = "wal_start",
         xid_col: str = "xid",
+        bounds: tuple[int | None, int | None] | None = None,
     ) -> None:
         """Fold one micro-batch of raw frames into a NEW generation.
 
@@ -891,14 +892,36 @@ class PersistentTxRegistry:
         proportional to frame volume. Idempotent under whole-batch
         replay: generations at/after the batch's first frame are replaced
         by the re-fold from the same pre-batch base.
+
+        ``bounds``: the batch's ``(min, max)`` wal_start, if the caller
+        already computed them (the pipeline computes them once per trigger
+        and shares them with :meth:`snapshot_for` — ADVICE r10: avoid a
+        second uncached scan of the raw micro-batch). Omitted → one agg
+        here.
         """
         first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
-        bounds = frames.agg(
-            F.min(lsn_col).alias("mn"), F.max(lsn_col).alias("mx")
-        ).collect()[0]
-        if bounds["mn"] is None:
+        if bounds is None:
+            b = frames.agg(
+                F.min(lsn_col).alias("mn"), F.max(lsn_col).alias("mx")
+            ).collect()[0]
+            bounds = (b["mn"], b["mx"])
+        if bounds[0] is None:
             return  # empty batch: nothing to fold
-        mn, mx = int(bounds["mn"]), int(bounds["mx"])
+        mn, mx = int(bounds[0]), int(bounds[1])
+        # Monotonicity guard (ADVICE r10): WAL positions are strictly
+        # increasing in delivery order, so a fold may supersede AT MOST the
+        # newest generation (the one-uncommitted-batch replay window). A
+        # batch whose first frame undercuts an OLDER generation too — e.g.
+        # a stray sentinel/keepalive wal position leaking into the fold —
+        # would silently drop committed carry state; fail loudly instead.
+        superseded = [g[0] for g in self._gens if g[0] >= mn]
+        if len(superseded) > 1:
+            raise RuntimeError(
+                "non-monotone WAL fold: batch min wal_start "
+                f"{mn} undercuts {len(superseded)} retained generations "
+                f"(watermarks {superseded}); only the newest generation may "
+                "be re-folded (one-uncommitted-batch replay window)"
+            )
         bc = frames.filter(first.isin([b"B", b"C"])).select(xid_col, frame_col).collect()
         # Envelope-row counts: every frame that emits an envelope row and
         # participates in tx_ordinal numbering (DML + R/T/M; B/C/Y/O do not).

@@ -343,12 +343,18 @@ class Pipeline:
             # numbers) and popped committed xids (strict-decode crash
             # loop). snapshot_for(first frame's wal) returns the state the
             # FIRST attempt decoded with, whether or not the advance ran.
-            min_wal = batch.agg(F.min("wal_start").alias("m")).collect()[0]["m"]
+            # one agg for the batch's wal bounds, shared with the
+            # registry advance below (ADVICE r10: raw_frames is never
+            # persisted, so a second bounds agg re-scanned the source)
+            wb = batch.agg(
+                F.min("wal_start").alias("mn"), F.max("wal_start").alias("mx")
+            ).collect()[0]
+            raw_wal_bounds = (wb["mn"], wb["mx"])
             batch = decode_frames(
                 batch,
                 relations=carried_relations,
                 carry_tx=self.txs.snapshot_for(
-                    int(min_wal) if min_wal is not None else None
+                    int(wb["mn"]) if wb["mn"] is not None else None
                 ),
             )
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
@@ -435,7 +441,7 @@ class Pipeline:
                 # residual window (registry advanced, commit log not yet
                 # written) — the restart must replay with correct decode
                 failpoints.hit(failpoints.ADVANCE_RELATION_REGISTRY)
-                self.txs.advance_from(raw_frames)
+                self.txs.advance_from(raw_frames, bounds=raw_wal_bounds)
                 # ADVANCE_TX_REGISTRY: crash after BOTH registries
                 # advanced, commit log still unwritten — the widest
                 # replay window; the generational tx carry above makes

@@ -391,6 +391,17 @@ class _BucketedVersionedTable:
         changed = False
         for op in ddl_log[epoch:]:
             if op["op"] == "rename" and op["from"] in origin:
+                # A rename whose target already exists would silently drop
+                # the pre-existing column via dict-key collision; the
+                # internally generated DDL log can never legally contain
+                # one (PG rejects RENAME onto an existing column), so a
+                # malformed log fails loudly instead of losing data
+                # (ADVICE r10).
+                if op["to"] != op["from"] and op["to"] in origin:
+                    raise ValueError(
+                        f"malformed DDL log: rename {op['from']!r} -> "
+                        f"{op['to']!r} collides with an existing column"
+                    )
                 # rebuild preserving position (renames keep column order)
                 origin = {
                     (op["to"] if k == op["from"] else k): v
@@ -413,6 +424,14 @@ class _BucketedVersionedTable:
             if src[0] == "col":
                 # backtick-quote: PG column names may contain dots, which
                 # bare F.col would parse as struct access
+                if "`" in src[1]:
+                    # a backtick would break the manual quoting below —
+                    # PG allows it in identifiers, Spark's parser can't
+                    # escape it here; fail loudly (ADVICE r10)
+                    raise ValueError(
+                        f"unsupported physical column name {src[1]!r}: "
+                        "contains a backtick"
+                    )
                 e = F.col(f"`{src[1]}`")
                 exprs.append(e.alias(name) if src[1] != name else e)
             else:

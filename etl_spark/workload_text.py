@@ -1938,15 +1938,23 @@ def docs_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(text.tokens("text")).alias("tok")
     ).filter(F.length("tok") > 0)
     per = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
-    glob = toks.groupBy("tok").agg(F.count("*").alias("gn"))
+    # cut point: tokenization is the expensive stage at corpus scale —
+    # aggregate (source, tok) → n ONCE, then derive the global unigram
+    # counts, per-source totals, and the corpus total by RE-AGGREGATING
+    # the checkpointed aggregate (zero extra corpus scans; previously
+    # glob + the g_total driver count each re-tokenized the corpus).
+    per = per.localCheckpoint(eager=True)
+    glob = per.groupBy("tok").agg(F.sum("n").alias("gn"))
     src_tot = per.groupBy("source").agg(F.sum("n").alias("sn"))
-    g_total = toks.count()
+    # corpus total as a broadcast 1-row frame, not a driver action
+    g_total = per.agg(F.sum("n").cast("double").alias("gt"))
 
     j = (
         per.join(glob, "tok")
         .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(g_total))
         .withColumn("p", F.col("n") / F.col("sn"))
-        .withColumn("q", F.col("gn") / F.lit(float(g_total)))
+        .withColumn("q", F.col("gn") / F.col("gt"))
     )
     term = (
         0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))

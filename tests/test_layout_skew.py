@@ -186,3 +186,17 @@ def test_salted_topk_matches_naive_window(spark):
     # sparse keys (< k rows) all survive with complete ranks
     sparse = [r for r in got if r[0] != 0]
     assert sparse and max(r[2] for r in sparse) <= 7
+
+
+def test_salted_topk_rejects_reserved_columns(spark):
+    """Inputs already carrying rank/__salt/__lr are rejected, not silently
+    overwritten (ADVICE r10)."""
+    df = spark.range(0, 10).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("row_id"),
+        F.lit(1).alias("rank"),
+    )
+    with pytest.raises(ValueError, match="rank"):
+        skew.salted_topk_per_key(
+            df, keys=["k"], order_by=[F.col("row_id").asc()],
+            k=3, salt_col="row_id",
+        )

@@ -1148,3 +1148,33 @@ def test_pgoutput_crash_after_tx_advance_replays_correctly(spark, tmp_path):
     got = {r.pk: (r.val, int(r.commit_lsn), int(r.tx_ordinal))
            for r in out.select("pk", "val", "commit_lsn", "tx_ordinal").collect()}
     assert got == {1: ("a2", 500, 1), 2: ("b", 500, 2)}, got
+
+
+def test_tx_registry_rejects_non_monotone_fold(spark, tmp_path):
+    """A fold whose min wal_start undercuts MORE than the newest retained
+    generation (e.g. a stray sentinel/keepalive wal leaking into the fold)
+    fails loudly instead of silently dropping committed carry state
+    (ADVICE r10). Legit same-batch replay (superseding exactly the newest
+    generation) still re-folds fine."""
+    reg = pgo.PersistentTxRegistry(str(tmp_path / "tx.json"))
+    b1 = _frames_df(spark, [
+        (10, 5, pgo.encode_begin(final_lsn=500, xid=5)),
+        (11, 5, pgo.encode_insert(1, ["1", "a"])),
+    ])
+    b2 = _frames_df(spark, [
+        (20, 5, pgo.encode_insert(1, ["2", "b"])),
+    ])
+    reg.advance_from(b1)
+    reg.advance_from(b2)
+    assert [g[0] for g in reg._gens] == [11, 20]
+    # legit replay of the newest batch: idempotent re-fold
+    reg.advance_from(b2)
+    assert [g[0] for g in reg._gens] == [11, 20]
+    assert reg.snapshot()[5]["ordinal_offset"] == 2
+    # non-monotone fold undercutting BOTH generations: loud failure
+    bad = _frames_df(spark, [(0, 9, pgo.encode_begin(final_lsn=900, xid=9))])
+    with pytest.raises(RuntimeError, match="non-monotone"):
+        reg.advance_from(bad)
+    # caller-precomputed bounds path behaves identically
+    with pytest.raises(RuntimeError, match="non-monotone"):
+        reg.advance_from(bad, bounds=(0, 0))

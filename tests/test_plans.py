@@ -1133,6 +1133,11 @@ def test_source_js_divergence_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan  # the |sources|-row totals side
+    # the (source, tok, n) aggregate is checkpointed once; glob / src_tot /
+    # the corpus total all derive from it by re-aggregation — the corpus is
+    # scanned+tokenized exactly once, upstream of this plan (ADVICE r10:
+    # previously glob and the g_total driver count re-tokenized it ~4x)
+    assert "Scan parquet" not in plan, plan
 
 
 def test_dup_rate_audit_digest_only_shuffle(spark):

@@ -1118,3 +1118,21 @@ def test_deep_ddl_log_reads_flat_plan(spark, cs_sink):
     )
     got = {r.pk: r[cur] for r in cs_sink.read("t").select("pk", cur).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_ddl_replay_rejects_rename_collision_and_backtick(spark):
+    """A malformed DDL log (rename onto an existing column, or a physical
+    name carrying a backtick the manual quoting can't escape) fails loudly
+    instead of silently dropping a column (ADVICE r10)."""
+    from etl_spark.streaming.sinks import _BucketedVersionedTable
+
+    df = spark.createDataFrame([(1, "a", "b")], "pk long, x string, y string")
+    with pytest.raises(ValueError, match="collides"):
+        _BucketedVersionedTable._apply_ddl_ops(
+            df, [{"op": "rename", "from": "x", "to": "y"}], epoch=0
+        )
+    with pytest.raises(ValueError, match="backtick"):
+        _BucketedVersionedTable._apply_ddl_ops(
+            df.withColumnRenamed("x", "x`q"),
+            [{"op": "rename", "from": "x`q", "to": "z"}], epoch=0
+        )
