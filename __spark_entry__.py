@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verified individually after its change).
     """
     return {
+        # --- round-11 NEW ops ---
+        "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         # --- round-10 NEW ops ---
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_source_caps": workload_text.docs_source_caps,

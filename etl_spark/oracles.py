@@ -133,6 +133,11 @@ SELECT CASE event_type WHEN 'signup' THEN 'INSERT'
 FROM events
 """
 
+# The wire-decode gate lands on the SAME logical envelope: the copy-both
+# framing (XLogData wrap, CopyData stream, keepalives, BEGIN-span xid
+# recovery) must be invisible in the result.
+ORACLES["pgoutput_wire_decode"] = ORACLES["pgoutput_decode"]
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,

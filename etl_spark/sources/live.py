@@ -105,3 +105,307 @@ class PostgresReplicationSource(ReplicationFrameSource):
 
     def send_status_update(self, write_lsn: int, flush_lsn: int) -> None:
         raise NotImplementedError(self._REASON)
+
+
+# ---------------------------------------------------------------------------
+# Copy-both wire framing (round-11: the transport boundary, one layer down)
+#
+# Byte layouts are the public PostgreSQL frontend/backend protocol
+# (protocol.sgml "Streaming Replication Protocol"; the reference consumes
+# the same shapes via postgres_replication::protocol —
+# crates/etl/src/postgres/stream/replication_message.rs:1-245):
+#
+#   XLogData        'w' + Int64 wal_start + Int64 wal_end + Int64 clock + data
+#   PrimaryKeepAlive 'k' + Int64 wal_end + Int64 clock + Byte1 reply_requested
+#   StandbyStatusUpdate (sent by us)
+#                   'r' + Int64 write + Int64 flush + Int64 apply
+#                       + Int64 clock + Byte1 reply_requested
+#
+# Each message is one CopyData payload; a RECORDED stream is the CopyBoth
+# byte sequence as captured off the socket: 'd' + Int32 length (incl. the
+# length field itself, excl. the tag) + payload, concatenated. All
+# integers are big-endian; the clock is microseconds since 2000-01-01
+# (the PG epoch).
+# ---------------------------------------------------------------------------
+
+import struct
+
+#: PG epoch (2000-01-01 UTC) in unix microseconds — clock fields in the
+#: replication protocol count from here, not from the unix epoch.
+POSTGRES_EPOCH_US = 946_684_800_000_000
+
+
+def encode_xlog_data(wal_start: int, wal_end: int, clock_us: int, frame: bytes) -> bytes:
+    """One XLogData message ('w'): the wrapper a live server puts around
+    every pgoutput frame."""
+    return b"w" + struct.pack(">qqq", wal_start, wal_end, clock_us) + frame
+
+
+def encode_keepalive(wal_end: int, clock_us: int, reply_requested: bool = False) -> bytes:
+    """PrimaryKeepAlive ('k'): server heartbeat; ``reply_requested`` asks
+    the client for an immediate standby status update."""
+    return b"k" + struct.pack(">qqB", wal_end, clock_us, 1 if reply_requested else 0)
+
+
+def encode_status_update(
+    write_lsn: int,
+    flush_lsn: int,
+    apply_lsn: int,
+    clock_us: int,
+    reply_requested: bool = False,
+) -> bytes:
+    """StandbyStatusUpdate ('r'): the ack we send back — flush_lsn is the
+    engine's durable ``ControlStore.flush_lsn`` (never ahead of the
+    destination ack; stream/mod.rs ``send_status_update``)."""
+    return b"r" + struct.pack(
+        ">qqqqB", write_lsn, flush_lsn, apply_lsn, clock_us,
+        1 if reply_requested else 0,
+    )
+
+
+def parse_copy_payload(payload: bytes) -> dict:
+    """Parse one CopyData payload from the replication stream.
+
+    Returns ``{"kind": "XLogData", wal_start, wal_end, clock, frame}``,
+    ``{"kind": "KeepAlive", wal_end, clock, reply_requested}`` or
+    ``{"kind": "StatusUpdate", write_lsn, flush_lsn, apply_lsn, clock,
+    reply_requested}`` ('r' appears when parsing a recorded CLIENT side).
+    Unknown tags fail loudly — a desynced stream must never be skipped
+    over silently."""
+    tag = payload[:1]
+    if tag == b"w":
+        if len(payload) < 25:
+            raise ValueError(f"truncated XLogData: {len(payload)} bytes")
+        ws, we, clk = struct.unpack_from(">qqq", payload, 1)
+        return {"kind": "XLogData", "wal_start": ws, "wal_end": we,
+                "clock": clk, "frame": payload[25:]}
+    if tag == b"k":
+        if len(payload) != 18:
+            raise ValueError(f"malformed keepalive: {len(payload)} bytes")
+        we, clk, rr = struct.unpack_from(">qqB", payload, 1)
+        return {"kind": "KeepAlive", "wal_end": we, "clock": clk,
+                "reply_requested": bool(rr)}
+    if tag == b"r":
+        if len(payload) != 34:
+            raise ValueError(f"malformed status update: {len(payload)} bytes")
+        w, fl, ap, clk, rr = struct.unpack_from(">qqqqB", payload, 1)
+        return {"kind": "StatusUpdate", "write_lsn": w, "flush_lsn": fl,
+                "apply_lsn": ap, "clock": clk, "reply_requested": bool(rr)}
+    raise ValueError(f"unknown replication message tag: {tag!r}")
+
+
+def encode_copy_stream(payloads: list[bytes]) -> bytes:
+    """Wrap message payloads as a recorded CopyBoth byte stream:
+    'd' + Int32 length (self-inclusive, tag-exclusive) + payload each."""
+    return b"".join(
+        b"d" + struct.pack(">i", len(p) + 4) + p for p in payloads
+    )
+
+
+def iter_copy_messages(stream: bytes):
+    """Split a recorded CopyBoth byte stream back into CopyData payloads.
+
+    Strict framing: any leftover/garbage bytes raise — a recorded stream
+    that doesn't parse end-to-end is corrupt, and resynchronizing by
+    scanning would silently drop WAL."""
+    pos, n = 0, len(stream)
+    while pos < n:
+        tag = stream[pos : pos + 1]
+        if tag != b"d":
+            raise ValueError(
+                f"recorded stream desync at byte {pos}: tag {tag!r} (want 'd')"
+            )
+        if pos + 5 > n:
+            raise ValueError(f"truncated CopyData header at byte {pos}")
+        (ln,) = struct.unpack_from(">i", stream, pos + 1)
+        end = pos + 1 + ln  # ln includes the length field itself
+        if ln < 4 or end > n:
+            raise ValueError(f"truncated CopyData body at byte {pos}: len={ln}")
+        yield stream[pos + 5 : end]
+        pos = end
+
+
+class RecordedReplicationSource(ReplicationFrameSource):
+    """`ReplicationFrameSource` over a RECORDED copy-both byte stream —
+    the wire-level transport minus the socket. Everything a live
+    implementation does off the socket happens here for real: CopyData
+    framing, XLogData unwrap, keepalive handling (reply_requested →
+    standby status update), BEGIN/COMMIT-scoped xid tracking, monotonic
+    flush reporting. A live source replaces ONLY the byte feed.
+
+    xid tracking mirrors the server's serialization: pgoutput (protocol
+    v1, non-streamed) delivers whole transactions back-to-back, so the
+    xid of every frame between a BEGIN and its COMMIT is the BEGIN's
+    xid (replication_message.rs feeds the same sequential stream).
+    Frames outside any transaction (RELATION/TYPE re-sent on
+    reconnect, keepalive-adjacent metadata) carry xid = -1, exactly the
+    sim's convention.
+    """
+
+    def __init__(self, recorded: bytes, slot: SlotInfo | None = None):
+        self._recorded = recorded
+        self._slot = slot or SlotInfo(slot_name="recorded", consistent_point=0)
+        self._messages = None  # armed by start()
+        self._pos = 0
+        self._current_xid = -1
+        self._last_wal_end = 0
+        self._write_lsn = 0
+        self._flush_lsn = 0
+        #: every standby status update sent, as raw 'r' payload bytes —
+        #: byte-checkable by tests, flushable by a live subclass
+        self.sent_updates: list[bytes] = []
+        #: deterministic clock for reproducible tests; a live source uses
+        #: wall time. Monotonic counter, PG-epoch based.
+        self._clock_us = 0
+
+    # -- ReplicationFrameSource ------------------------------------------
+    def create_slot(self, slot_name: str, export_snapshot: bool = False) -> SlotInfo:
+        return SlotInfo(
+            slot_name=slot_name,
+            consistent_point=self._slot.consistent_point,
+            snapshot_name=self._slot.snapshot_name if export_snapshot else None,
+        )
+
+    def start(self, slot_name: str, start_lsn: int) -> None:
+        """Materialize the message list and position at the first XLogData
+        whose wal_start >= start_lsn (the server replays from the slot's
+        confirmed point; restarting mid-stream re-delivers from the
+        durable flush LSN — at-least-once, absorbed downstream)."""
+        self._messages = list(iter_copy_messages(self._recorded))
+        self._pos = 0
+        self._current_xid = -1
+        while self._pos < len(self._messages):
+            p = parse_copy_payload(self._messages[self._pos])
+            if p["kind"] == "XLogData" and p["wal_start"] >= start_lsn:
+                break
+            # already-confirmed XLogData and stale keepalives are skipped
+            # during positioning (the server would not re-send them)
+            self._pos += 1
+
+    def poll_frames(self, max_bytes: int) -> list[tuple[int, int, bytes]]:
+        if self._messages is None:
+            raise RuntimeError("poll_frames before start()")
+        out: list[tuple[int, int, bytes]] = []
+        budget = 0
+        while self._pos < len(self._messages) and budget < max_bytes:
+            p = parse_copy_payload(self._messages[self._pos])
+            self._pos += 1
+            self._clock_us += 1
+            if p["kind"] == "KeepAlive":
+                self._last_wal_end = max(self._last_wal_end, p["wal_end"])
+                if p["reply_requested"]:
+                    self.send_status_update(self._last_wal_end, self._flush_lsn)
+                continue
+            if p["kind"] != "XLogData":
+                raise ValueError(f"server stream carried a {p['kind']} message")
+            frame = p["frame"]
+            self._last_wal_end = max(self._last_wal_end, p["wal_end"])
+            tag = frame[:1]
+            if tag == b"B":
+                from etl_spark.sources.pgoutput import parse_frame
+
+                self._current_xid = parse_frame(frame)["xid"]
+            out.append((p["wal_start"], self._current_xid, frame))
+            if tag == b"C":
+                self._current_xid = -1
+            budget += len(frame)
+        return out
+
+    def send_status_update(self, write_lsn: int, flush_lsn: int) -> None:
+        # monotonic, ack-gated (stream/mod.rs send_status_update clamps
+        # regressions rather than reporting a flush position moving back)
+        self._write_lsn = max(self._write_lsn, write_lsn)
+        self._flush_lsn = max(self._flush_lsn, flush_lsn)
+        self.sent_updates.append(
+            encode_status_update(
+                self._write_lsn, self._flush_lsn, self._flush_lsn,
+                self._clock_us, reply_requested=False,
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# Distributed wire decode (recorded stream chunks → FRAME_SCHEMA rows)
+#
+# A replication connection is one serialized byte stream, but a RECORDED
+# stream (capture files, queue segments) splits into message-aligned
+# chunks that unwrap in parallel: framing is per-message stateless, and
+# the one cross-message fact — which transaction a frame belongs to —
+# recovers from BEGIN positions alone, because pgoutput (protocol v1,
+# non-streamed) never interleaves transactions: every frame between a
+# BEGIN and the next BEGIN belongs to the earlier one. So xid assignment
+# is "latest BEGIN at wal_start <= mine": a driver-side collect of the
+# BEGIN frames (bounded by transaction count, the TxRegistry pattern —
+# pgoutput.py PersistentTxRegistry.advance_from) + a vectorized
+# searchsorted over the broadcast begin positions. No global sort, no
+# single-partition window.
+# ---------------------------------------------------------------------------
+
+
+def unwrap_xlog_chunks(chunks, chunk_col: str = "chunk"):
+    """Message-aligned recorded-stream chunks → ``(wal_start, frame)``.
+
+    Each input row carries one CopyBoth byte-stream chunk; the Arrow-
+    batched kernel splits CopyData framing and XLogData wrappers.
+    Keepalives are transport-level (their reply contract lives in
+    :class:`RecordedReplicationSource`) and carry no WAL data — dropped.
+    A chunk that does not parse end-to-end raises (strict framing:
+    resynchronizing by scanning would silently drop WAL)."""
+
+    def go(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws: list[int] = []
+            frames: list[bytes] = []
+            for blob in pdf[chunk_col]:
+                for payload in iter_copy_messages(bytes(blob)):
+                    p = parse_copy_payload(payload)
+                    if p["kind"] == "KeepAlive":
+                        continue
+                    if p["kind"] != "XLogData":
+                        raise ValueError(
+                            f"server stream carried a {p['kind']} message"
+                        )
+                    ws.append(p["wal_start"])
+                    frames.append(p["frame"])
+            yield pd.DataFrame({"wal_start": ws, "frame": frames})
+
+    return chunks.mapInPandas(go, schema="wal_start long, frame binary")
+
+
+def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start"):
+    """Recover the transaction of every frame from BEGIN positions and
+    add it as the ``xid`` column (completing FRAME_SCHEMA).
+
+    The assigned xid is the BEGIN's ORDINAL in wal order, not the wire
+    xid field: the wire field is u32 and wraps (PG xid semantics), so two
+    distant transactions in one decode window could collide under it —
+    the ordinal is unique at any volume, and transaction identity rides
+    the envelope xid column (int64), exactly the sim's convention
+    (workload.py pgoutput_decode: "the wire field is informational").
+    Frames before the first BEGIN (re-sent RELATION/TYPE metadata) get
+    xid = -1. The BEGIN collect is bounded by transaction count per
+    decode window, never frame volume."""
+    from pyspark.sql import functions as F
+
+    first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
+    begins = (
+        frames.filter(first == F.lit(b"B"))
+        .select(lsn_col)
+        .collect()
+    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    b_wal = np.sort(np.array([int(r[0]) for r in begins], dtype=np.int64))
+
+    def _xid_of(ws):
+        idx = np.searchsorted(b_wal, ws.to_numpy(dtype=np.int64), side="right") - 1
+        return pd.Series(idx)
+
+    _xid_of.__annotations__ = {"ws": pd.Series, "return": pd.Series}
+    xid_of = pandas_udf(_xid_of, "long")
+
+    return frames.withColumn("xid", xid_of(F.col(lsn_col)))

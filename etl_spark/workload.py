@@ -327,6 +327,108 @@ def pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pgoutput_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-level replication decode end-to-end (round-11: the transport
+    boundary one layer down from :func:`pgoutput_decode`): events are
+    rendered as pgoutput frames WRAPPED in the copy-both wire protocol —
+    XLogData ('w') messages with interleaved PrimaryKeepAlive ('k')
+    heartbeats, CopyData-framed into recorded byte-stream chunks exactly
+    as captured off a socket (replication_message.rs:1-245 shapes) — then
+    decoded by the distributed wire path: per-chunk CopyData/XLogData
+    unwrap (``live.unwrap_xlog_chunks``), BEGIN-span xid recovery
+    (``live.assign_xids`` — driver collect bounded by transaction count,
+    vectorized searchsorted; pgoutput never interleaves transactions),
+    and the same frame decoder the sim gate proves.
+
+    Sim wal layout (the only harness arithmetic): DML for event ``eid``
+    sits at wal ``16*eid + 8``; the BEGIN of transaction ``eid // 10``
+    at wal ``160*(eid // 10)`` — begins strictly precede their DML and
+    never collide with a neighbor's. The final select folds the layout
+    back so the oracle is IDENTICAL to ``pgoutput_decode``'s.
+    """
+    from collections.abc import Iterator
+
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+
+    def enc(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            msgs: list[bytes] = []
+            wal_max = 0
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid, uid = int(eid), int(uid)
+                pk, v = str(uid), str(float(val))
+                if et == "signup":
+                    frame = pgo.encode_insert(1, [pk, v])
+                elif et == "error":
+                    frame = pgo.encode_delete(1, key=[pk])
+                elif et == "purchase":
+                    frame = pgo.encode_update(1, [pk, v], key=[pk])
+                else:  # click/view: plain update; every 5th value TOASTed
+                    cell = pgo.UNCHANGED_TOAST if eid % 5 == 0 else v
+                    frame = pgo.encode_update(1, [pk, cell])
+                wal = 16 * eid + 8
+                wal_max = max(wal_max, wal + 1)
+                msgs.append(live.encode_xlog_data(wal, wal + 1, eid, frame))
+                if eid % 50 == 0:  # heartbeat traffic mixed into the stream
+                    msgs.append(live.encode_keepalive(wal_max, eid))
+            yield pd.DataFrame({"chunk": [live.encode_copy_stream(msgs)]})
+
+    dml_chunks = ev.mapInPandas(enc, schema="chunk binary")
+
+    def enc_begin(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            msgs = [
+                live.encode_xlog_data(
+                    160 * int(x),
+                    160 * int(x) + 1,
+                    int(x),
+                    # wire xid is u32 and WRAPS; transaction identity is
+                    # recovered by BEGIN position (assign_xids ordinal)
+                    pgo.encode_begin(final_lsn=int(x), xid=int(x) % 4294967296),
+                )
+                for x in pdf["xid"]
+            ]
+            yield pd.DataFrame({"chunk": [live.encode_copy_stream(msgs)]})
+
+    begin_chunks = (
+        ev.select((F.col("event_id") / 10).cast("long").alias("xid"))
+        .distinct()
+        .mapInPandas(enc_begin, schema="chunk binary")
+    )
+    rel_chunk = spark.createDataFrame(
+        [(bytearray(live.encode_copy_stream([
+            live.encode_xlog_data(-100, -99, 0, pgo.encode_relation(
+                1, "public", "users", "d",
+                [(1, "pk", 20, -1), (0, "value", 701, -1)],
+            ))
+        ])),)],
+        "chunk binary",
+    )
+    chunks = dml_chunks.unionByName(begin_chunks).unionByName(rel_chunk)
+    # cut point: unwrap once; reused by the BEGIN collect AND the decode
+    frames = live.unwrap_xlog_chunks(chunks).localCheckpoint(eager=True)
+    env = pgo.decode_frames(live.assign_xids(frames))
+    rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    return rows.select(
+        "op", "commit_lsn", "tx_ordinal",
+        ((F.col("start_lsn") - 8) / 16).cast("long").alias("start_lsn"),
+        F.coalesce(
+            F.get_json_object("after", "$.pk"), F.get_json_object("before", "$.pk")
+        ).cast("long").alias("pk"),
+        F.get_json_object("after", "$.value").cast("double").alias("value"),
+        "before_kind",
+    )
+
+
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured-Streaming run of the stateful in-stream dedup
     (:func:`etl_spark.streaming.stateful.dedup_by_sequence`).

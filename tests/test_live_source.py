@@ -49,3 +49,148 @@ def test_interface_contract_shape():
 
     with pytest.raises(TypeError):
         Incomplete()  # missing the other three verbs
+
+
+# ---------------------------------------------------------------------------
+# Round-11: wire-level copy-both framing over recorded byte streams
+# ---------------------------------------------------------------------------
+
+from etl_spark.sources import live
+from etl_spark.sources import pgoutput as pgo
+
+
+def test_wire_codec_roundtrip():
+    f = pgo.encode_insert(1, ["1", "a"])
+    x = live.parse_copy_payload(live.encode_xlog_data(7, 9, 1234, f))
+    assert x == {"kind": "XLogData", "wal_start": 7, "wal_end": 9,
+                 "clock": 1234, "frame": f}
+    k = live.parse_copy_payload(live.encode_keepalive(42, 5, reply_requested=True))
+    assert k == {"kind": "KeepAlive", "wal_end": 42, "clock": 5,
+                 "reply_requested": True}
+    r = live.parse_copy_payload(live.encode_status_update(10, 8, 8, 77))
+    assert r["kind"] == "StatusUpdate" and r["flush_lsn"] == 8
+
+
+def test_wire_codec_roundtrip_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lsn = st.integers(min_value=0, max_value=2**62)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ws=lsn, we=lsn, clk=lsn, frame=st.binary(max_size=200),
+           reply=st.booleans())
+    def go(ws, we, clk, frame, reply):
+        p = live.parse_copy_payload(live.encode_xlog_data(ws, we, clk, frame))
+        assert (p["wal_start"], p["wal_end"], p["clock"], p["frame"]) == (
+            ws, we, clk, frame)
+        k = live.parse_copy_payload(live.encode_keepalive(we, clk, reply))
+        assert (k["wal_end"], k["reply_requested"]) == (we, reply)
+        # stream framing survives arbitrary message mixes
+        msgs = [live.encode_xlog_data(ws, we, clk, frame),
+                live.encode_keepalive(we, clk, reply)]
+        assert list(live.iter_copy_messages(live.encode_copy_stream(msgs))) == msgs
+
+    go()
+
+
+def test_wire_stream_desync_fails_loudly():
+    f = live.encode_copy_stream([live.encode_keepalive(1, 1)])
+    with pytest.raises(ValueError, match="desync"):
+        list(live.iter_copy_messages(b"X" + f))
+    with pytest.raises(ValueError, match="truncated"):
+        list(live.iter_copy_messages(f[:-3]))
+    with pytest.raises(ValueError, match="unknown replication message"):
+        live.parse_copy_payload(b"z123")
+
+
+def _recorded_two_tx_stream():
+    """RELATION outside any tx, two back-to-back transactions, keepalives
+    (one requesting a reply) mixed through — the copy-both stream shape a
+    live server produces (replication_message.rs)."""
+    rel = pgo.encode_relation(1, "public", "users", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [
+        live.encode_xlog_data(5, 6, 0, rel),
+        live.encode_xlog_data(10, 11, 1, pgo.encode_begin(final_lsn=19, xid=701)),
+        live.encode_xlog_data(11, 12, 2, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_keepalive(12, 3, reply_requested=True),
+        live.encode_xlog_data(12, 13, 4, pgo.encode_insert(1, ["2", "b"])),
+        live.encode_xlog_data(19, 20, 5, pgo.encode_commit(19, 20)),
+        live.encode_xlog_data(30, 31, 6, pgo.encode_begin(final_lsn=39, xid=702)),
+        live.encode_xlog_data(31, 32, 7, pgo.encode_update(1, ["1", "a2"], key=["1"])),
+        live.encode_xlog_data(39, 40, 8, pgo.encode_commit(39, 40)),
+        live.encode_keepalive(40, 9, reply_requested=False),
+    ]
+    return live.encode_copy_stream(msgs)
+
+
+def test_recorded_source_end_to_end_with_keepalive_reply():
+    src = live.RecordedReplicationSource(_recorded_two_tx_stream())
+    src.start("slot", 0)
+    src.send_status_update(0, 19)  # engine reports a durable flush point
+    rows = src.poll_frames(1 << 20)
+    # every XLogData became one FRAME_SCHEMA row; keepalives did not
+    assert [(w, x, f[:1]) for w, x, f in rows] == [
+        (5, -1, b"R"),                     # outside any tx
+        (10, 701, b"B"), (11, 701, b"I"), (12, 701, b"I"), (19, 701, b"C"),
+        (30, 702, b"B"), (31, 702, b"U"), (39, 702, b"C"),
+    ]
+    # the reply-requested keepalive triggered a standby status update
+    # carrying the engine's ack-gated flush LSN — byte-checked
+    ups = [live.parse_copy_payload(u) for u in src.sent_updates]
+    assert ups[-1]["kind"] == "StatusUpdate"
+    assert ups[-1]["flush_lsn"] == 19          # never ahead of the ack
+    assert ups[-1]["write_lsn"] == 12          # max wal_end seen at reply time
+    # monotonic: a stale (lower) report never regresses the sent LSNs
+    src.send_status_update(1, 2)
+    last = live.parse_copy_payload(src.sent_updates[-1])
+    assert last["write_lsn"] == 40 or last["write_lsn"] >= 12
+    assert last["flush_lsn"] == 19
+
+
+def test_recorded_source_start_lsn_replays_midstream():
+    """START_REPLICATION from the durable flush LSN: only frames at/after
+    it re-deliver (at-least-once replay from the slot's confirmed point)."""
+    src = live.RecordedReplicationSource(_recorded_two_tx_stream())
+    src.start("slot", 30)
+    rows = src.poll_frames(1 << 20)
+    assert [(w, f[:1]) for w, _, f in rows] == [
+        (30, b"B"), (31, b"U"), (39, b"C")]
+    with pytest.raises(RuntimeError, match="before start"):
+        live.RecordedReplicationSource(b"").poll_frames(1)
+
+
+def test_recorded_source_max_bytes_budget():
+    src = live.RecordedReplicationSource(_recorded_two_tx_stream())
+    src.start("slot", 0)
+    a = src.poll_frames(1)          # one frame per poll at a 1-byte budget
+    assert len(a) == 1 and a[0][2][:1] == b"R"
+    rest = src.poll_frames(1 << 20)
+    assert len(rest) == 7           # drain continues where the poll stopped
+
+
+def test_distributed_unwrap_matches_sequential_source(spark):
+    """The distributed chunk unwrap + BEGIN-span xid recovery produces the
+    same frames as the sequential RecordedReplicationSource, and the
+    decoded envelope matches decoding the sequential rows directly."""
+    stream = _recorded_two_tx_stream()
+    src = live.RecordedReplicationSource(stream)
+    src.start("slot", 0)
+    seq_rows = src.poll_frames(1 << 20)
+
+    chunks = spark.createDataFrame([(bytearray(stream),)], "chunk binary")
+    dist = live.assign_xids(live.unwrap_xlog_chunks(chunks))
+    got = sorted((r.wal_start, r.frame) for r in dist.collect())
+    want = sorted((w, f) for w, _, f in seq_rows)
+    assert [(w, bytes(f)) for w, f in got] == [(w, bytes(f)) for w, f in want]
+
+    seq_df = spark.createDataFrame(
+        [(w, x, bytearray(f)) for w, x, f in seq_rows], pgo.FRAME_SCHEMA)
+    env_a = pgo.decode_frames(dist).filter("op != 'RELATION'")
+    env_b = pgo.decode_frames(seq_df).filter("op != 'RELATION'")
+    ka = sorted((r.op, r.commit_lsn, r.tx_ordinal, r.start_lsn, r.after)
+                for r in env_a.collect())
+    kb = sorted((r.op, r.commit_lsn, r.tx_ordinal, r.start_lsn, r.after)
+                for r in env_b.collect())
+    assert ka == kb and len(ka) == 3
