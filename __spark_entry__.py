@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 NEW ops ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
+        "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
+        "docs_profile_hll": workload_text.docs_profile_hll,
         # --- round-10 NEW ops ---
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_source_caps": workload_text.docs_source_caps,

@@ -3907,6 +3907,138 @@ SELECT obs_day AS day, dau, wau, mau,
 FROM agg CROSS JOIN bounds WHERE obs_day <= dmax
 """
 
+
+# The HLL swap-in must land on the identical estimates: the register
+# tables are bit-identical on both engines (shared 52-bit md5 domain,
+# exact-integer harmonic sum), and window merging is max-per-register.
+ORACLES["events_dau_mau_hll"] = f"""
+WITH pres AS (
+  SELECT epoch_ns(ts) // 1000000000 // 86400 AS d, user_id AS u FROM events
+),
+h AS (
+  SELECT d, CAST({_H52.format(expr="CAST(u AS VARCHAR)")} AS BIGINT) AS h52
+  FROM pres
+),
+regs AS (
+  SELECT d, CAST(h52 % 64 AS INT) AS reg,
+         max(CASE WHEN h52 // 64 = 0 THEN 47
+                  ELSE 46 - CAST(floor(log2(h52 // 64)) AS INT) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+bounds AS (SELECT max(d) AS dmax FROM regs),
+fan AS (SELECT reg, rho, d, unnest(range(d, d + 28)) AS obs_day FROM regs),
+dau_r AS (SELECT d AS obs_day, reg, rho FROM regs),
+wau_r AS (SELECT obs_day, reg, max(rho) AS rho FROM fan
+          WHERE obs_day - d < 7 GROUP BY 1, 2),
+mau_r AS (SELECT obs_day, reg, max(rho) AS rho FROM fan GROUP BY 1, 2),
+dau_est_agg AS (
+  SELECT obs_day,
+         sum(CAST(1 AS BIGINT) << (47 - rho)) AS s_present,
+         count(*) AS n_present
+  FROM dau_r GROUP BY obs_day
+),
+dau_est_c AS (
+  SELECT obs_day, 64 - n_present AS zeros,
+         CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(140737488355328 AS DOUBLE)
+           / CAST(CAST(s_present AS HUGEINT)
+                  + CAST(64 - n_present AS HUGEINT) * 140737488355328 AS DOUBLE) AS raw
+  FROM dau_est_agg
+),
+dau_est_e AS (
+  SELECT obs_day,
+         round(CASE WHEN raw <= 160.0 AND zeros > 0
+                    THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS dau_est
+  FROM dau_est_c
+),
+wau_est_agg AS (
+  SELECT obs_day,
+         sum(CAST(1 AS BIGINT) << (47 - rho)) AS s_present,
+         count(*) AS n_present
+  FROM wau_r GROUP BY obs_day
+),
+wau_est_c AS (
+  SELECT obs_day, 64 - n_present AS zeros,
+         CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(140737488355328 AS DOUBLE)
+           / CAST(CAST(s_present AS HUGEINT)
+                  + CAST(64 - n_present AS HUGEINT) * 140737488355328 AS DOUBLE) AS raw
+  FROM wau_est_agg
+),
+wau_est_e AS (
+  SELECT obs_day,
+         round(CASE WHEN raw <= 160.0 AND zeros > 0
+                    THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS wau_est
+  FROM wau_est_c
+),
+mau_est_agg AS (
+  SELECT obs_day,
+         sum(CAST(1 AS BIGINT) << (47 - rho)) AS s_present,
+         count(*) AS n_present
+  FROM mau_r GROUP BY obs_day
+),
+mau_est_c AS (
+  SELECT obs_day, 64 - n_present AS zeros,
+         CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(140737488355328 AS DOUBLE)
+           / CAST(CAST(s_present AS HUGEINT)
+                  + CAST(64 - n_present AS HUGEINT) * 140737488355328 AS DOUBLE) AS raw
+  FROM mau_est_agg
+),
+mau_est_e AS (
+  SELECT obs_day,
+         round(CASE WHEN raw <= 160.0 AND zeros > 0
+                    THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS mau_est
+  FROM mau_est_c
+)
+SELECT d.obs_day AS day, d.dau_est, w.wau_est, m.mau_est,
+       round(d.dau_est / m.mau_est, 6) AS stickiness_est
+FROM dau_est_e d JOIN wau_est_e w USING (obs_day)
+JOIN mau_est_e m USING (obs_day) CROSS JOIN bounds
+WHERE d.obs_day <= dmax
+"""
+
+
+ORACLES["docs_profile_hll"] = f"""
+WITH melted AS (
+  SELECT 'doc_id' AS "column", CAST(doc_id AS VARCHAR) AS val FROM documents
+  UNION ALL SELECT 'text', CAST(text AS VARCHAR) FROM documents
+  UNION ALL SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+),
+counts AS (
+  SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM melted GROUP BY 1
+),
+h AS (
+  SELECT "column", CAST({_H52.format(expr="val")} AS BIGINT) AS h52
+  FROM melted WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT "column", CAST(h52 % 64 AS INT) AS reg,
+         max(CASE WHEN h52 // 64 = 0 THEN 47
+                  ELSE 46 - CAST(floor(log2(h52 // 64)) AS INT) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT "column",
+         sum(CAST(1 AS BIGINT) << (47 - rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+calc AS (
+  SELECT "column", 64 - n_present AS zeros,
+         CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(140737488355328 AS DOUBLE)
+           / CAST(CAST(s_present AS HUGEINT)
+                  + CAST(64 - n_present AS HUGEINT) * 140737488355328 AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT c."column", c.n_rows, c.n_null,
+       round(CASE WHEN raw <= 160.0 AND zeros > 0
+                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS est_distinct,
+       CAST(zeros AS BIGINT) AS n_zero_registers
+FROM counts c JOIN calc USING ("column")
+"""
+
 ORACLES["lineitem_metric_correlations"] = """
 WITH ints AS (
   SELECT l_returnflag,

@@ -985,6 +985,54 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.select("p.*")
 
 
+def docs_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed column profiler (X163): the documented 100-TB
+    swap-in for :func:`docs_profile`'s exact distincts, now gate-proven.
+    The exact profiler's ``count_distinct`` per column expands map-side
+    but still shuffles every distinct value; here each column's
+    cardinality comes from a 64-register HLL built in the same single
+    pass — the shuffle carries at most ``columns × 64`` register rows
+    regardless of data volume, and per-partition register tables merge
+    by max (the partition-wise profiling property a warehouse needs).
+
+    One scan: the row melts to (column, value) pairs (bounded ×5 — the
+    same expansion the exact profiler's count-distinct does internally),
+    registers build per column, and null/row counts ride the same
+    aggregate. The from-scratch registers (operators/sketch.py, shared
+    52-bit md5 domain) are bit-identical on both engines, so estimates
+    hash-match the oracle exactly.
+    """
+    from etl_spark.operators.sketch import hll_estimate, hll_registers
+
+    docs = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    melted = docs.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("val"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.*")
+    counts = melted.groupBy("column").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+    regs = hll_registers(melted.filter(F.col("val").isNotNull()), "val",
+                         ["column"], p=6)
+    est = hll_estimate(regs, ["column"], p=6)
+    return counts.join(est, "column").select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        "est_distinct",
+        "n_zero_registers",
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ search (nprobe=2 coarse cells, then ADC over codes in
     probed cells only) for the first 10 vectors as queries
