@@ -32,57 +32,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    ROUND-10 WINDOW = DRAIN THE r5/r6 TAIL (round-9 verdict item #3):
-    [round-10 NEW ops: docs_exact_jaccard_clusters — the linear-output
-    default form of the exact set-similarity join (r9 verdict item #1);
-    docs_source_caps — skew-safe per-domain top-k cap;
-    docs_source_js_divergence — domain-shift audit, exact decimal-sum JS;
-    docs_dup_rate_by_source — per-source exact-dup + cross-source audit]
-    + [CHANGED in r10: docs_exact_jaccard_join (now opt-in emit='pairs';
-    operator default flipped to the cluster form); stream_stateful_sessions
-    (state partitions sized to trigger volume + no-data batch dropped —
-    r9 verdict stretch #7, result contract unchanged);
-    cdc_duckdb_current_state / cdc_duckdb_scd2 / cdc_duckdb_changelog
-    (warehouse INSERTs now name target columns + auto-ADD staged payload
-    columns + Spark→DuckDB type mapping — ADVICE r9 medium/low)]
-    + [the 8 remaining r5-latest rows (judge re-verified in r9, now
-    driver-re-recorded): docs_ngram_novelty, events_winsorize,
-    cdc_table_diff, cdc_state_diff, events_zorder_stats, ann_pq_codes,
-    ann_pq_adc_topk, ann_ivfpq_topk]
-    + [31 of the 46 r6-latest rows, oldest-first (4 new + 7 changed +
-    8 r5 = 19 head slots; window closes at pg_array_roundtrip); the
-    remaining 15 (cdc_replica_identity, cdc_partition_root,
-    pg_copy_roundtrip, corpus_curation, events_ks_drift,
-    dedup_simhash_pairs, lineitem_rollup_metrics ...
-    events_time_weighted_value) lead the round-11 queue]. Tail = those 14 r6 rows, then r7/r8/r9 green
-    rows. After this round nothing recorded is older than r6, and the
-    r11 window (14 r6 + oldest r7 rows) finishes the drain. All window
+    ROUND-11 WINDOW = FINISH THE ROTATION DRAIN (round-10 verdict
+    item #1): [round-11 NEW ops: pgoutput_wire_decode — copy-both
+    wire framing (XLogData/keepalive/CopyData) over recorded byte
+    streams, distributed unwrap + BEGIN-span xid recovery, oracle
+    identical to pgoutput_decode; events_dau_mau_hll /
+    docs_profile_hll — the documented 100-TB HLL swap-ins for the
+    exact DAU/MAU and column profiler, register-merged, estimates
+    hash-matched exactly]
+    + [CHANGED in r11: docs_source_js_divergence (single-scan
+    tokenize: (source,tok,n) aggregate checkpointed, glob/totals
+    re-derived — ADVICE r10); docs_source_caps (salted_topk_per_key
+    now rejects reserved-column collisions); cdc_crash_replay_ddl
+    (tx-registry fold hardened: non-monotone-WAL guard + shared
+    per-trigger wal bounds — ADVICE r10)]
+    + [the 15 r6-latest rows (all judge re-verified in r10; this
+    drains the r6 tail completely)]
+    + [29 of the 48 r7-latest rows, alphabetical; the remaining 19
+    (lineitem_benford_audit ... supplier_share_hhi) lead the r12
+    queue]. Tail = those 19 r7 rows, then r8/r9/r10 green rows.
+    After this round nothing recorded is older than r7. All window
     entries verified locally via tools/check_oracle.py at sf0.01
-    before rotation (COVERAGE.md — this round: full-registry sf0.01
-    sweeps ran green at 201 and 203, and every changed query was
-    re-verified individually after its change).
+    before rotation (COVERAGE.md).
     """
     return {
         # --- round-11 NEW ops ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
         "docs_profile_hll": workload_text.docs_profile_hll,
-        # --- round-10 NEW ops ---
-        "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
-        "docs_source_caps": workload_text.docs_source_caps,
+        # --- implementation CHANGED in round 11: re-record ---
         "docs_source_js_divergence": workload_text.docs_source_js_divergence,
+        "docs_source_caps": workload_text.docs_source_caps,
+        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
+        # --- the 15 r6-latest rows (rotation drain, judge-verified r10) ---
+        "cdc_partition_root": workload.cdc_partition_root,
+        "cdc_replica_identity": workload.cdc_replica_identity,
+        "corpus_curation": workload_text.corpus_curation,
+        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
+        "events_ks_drift": workload_relational.events_ks_drift,
+        "events_markov_transitions": workload_relational.events_markov_transitions,
+        "events_regression": workload_relational.events_regression,
+        "events_time_weighted_value": workload_relational.events_time_weighted_value,
+        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
+        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
+        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
+        "orders_decile_bands": workload_relational.orders_decile_bands,
+        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
+        # --- oldest r7 rows, alphabetical (29 of 48; other 19 lead r12) ---
+        "ann_recall_eval": workload_text.ann_recall_eval,
+        "cdc_hot_keys": workload.cdc_hot_keys,
+        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
+        "corpus_dsir_weights": workload_text.corpus_dsir_weights,
+        "corpus_heaps_law": workload_text.corpus_heaps_law,
+        "customer_balance_gini": workload_relational.customer_balance_gini,
+        "customer_feature_store": workload_relational.customer_feature_store,
+        "docs_gopher_rules": workload_text.docs_gopher_rules,
+        "docs_pmi_pairs": workload_text.docs_pmi_pairs,
+        "docs_readability_fk": workload_text.docs_readability_fk,
+        "docs_train_split": workload_text.docs_train_split,
+        "docs_winnowing": workload_text.docs_winnowing,
+        "docs_zipf_slope": workload_text.docs_zipf_slope,
+        "embeddings_covariance": workload_text.embeddings_covariance,
+        "embeddings_quantize_int8": workload_text.embeddings_quantize_int8,
+        "events_burstiness": workload_relational.events_burstiness,
+        "events_changepoint": workload_relational.events_changepoint,
+        "events_cusum_alerts": workload_relational.events_cusum_alerts,
+        "events_dau_mau": workload_relational.events_dau_mau,
+        "events_entropy_rate": workload_relational.events_entropy_rate,
+        "events_feature_mi": workload_relational.events_feature_mi,
+        "events_forecast_backtest": workload_relational.events_forecast_backtest,
+        "events_gapfill_interp": workload_relational.events_gapfill_interp,
+        "events_haar_wavelet": workload_relational.events_haar_wavelet,
+        "events_kanon_audit": workload_relational.events_kanon_audit,
+        "events_lag_autocorr": workload_relational.events_lag_autocorr,
+        "events_sax_daily": workload_relational.events_sax_daily,
+        "events_welch_ttest": workload_relational.events_welch_ttest,
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
+        # --- tail: fresher green rows (r7 remainder, r8, r9, r10) ---
+        "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,
-        # --- implementation CHANGED in round 10: re-record ---
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
         "stream_stateful_sessions": workload.stream_stateful_sessions,
-        # pgoutput pipeline path changed (generational tx registry +
-        # LSN-exact carry): the two pgoutput-driven gates re-record
-        "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
         "pgoutput_decode": workload.pgoutput_decode,
         "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
         "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
         "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
-        # --- the 8 remaining r5-latest rows (rotation tail drain) ---
         "docs_ngram_novelty": workload_text.docs_ngram_novelty,
         "events_winsorize": workload_relational.events_winsorize,
         "cdc_table_diff": workload.cdc_table_diff,
@@ -91,7 +127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": workload_text.ann_pq_codes,
         "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
         "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
-        # --- oldest r6 rows, oldest-first (37 of 46; the other 9 lead r11) ---
         "cdc_current_state": workload.cdc_current_state,
         "cdc_changelog": workload.cdc_changelog,
         "cdc_tx_metrics": workload.cdc_tx_metrics,
@@ -123,13 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_dedup": workload_mm.mm_payload_dedup,
         "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
         "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
-        "cdc_replica_identity": workload.cdc_replica_identity,
-        "cdc_partition_root": workload.cdc_partition_root,
-        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        "corpus_curation": workload_text.corpus_curation,
-        "events_ks_drift": workload_relational.events_ks_drift,
-        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
-        # --- tail: fresher green rows (r6 remainder, r7, r8, r9) ---
         "stream_click_purchase_join": workload.stream_click_purchase_join,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "stream_incremental_rollup": workload.stream_incremental_rollup,
@@ -175,63 +203,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bigram_logprob": workload_text.docs_bigram_logprob,
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
         "docs_quality_calibration": workload_text.docs_quality_calibration,
-        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
-        "events_regression": workload_relational.events_regression,
-        "events_markov_transitions": workload_relational.events_markov_transitions,
-        "orders_decile_bands": workload_relational.orders_decile_bands,
-        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
-        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
-        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
-        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
-        "events_time_weighted_value": workload_relational.events_time_weighted_value,
         "sketch_hll_users": workload_relational.sketch_hll_users,
-        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
-        "events_cusum_alerts": workload_relational.events_cusum_alerts,
-        "docs_gopher_rules": workload_text.docs_gopher_rules,
         "order_graph_pagerank": workload_relational.order_graph_pagerank,
         "lineitem_skyline": workload_relational.lineitem_skyline,
         "mm_audio_vad": workload_mm.mm_audio_vad,
-        "events_changepoint": workload_relational.events_changepoint,
-        "docs_winnowing": workload_text.docs_winnowing,
         "orders_abc_class": workload_relational.orders_abc_class,
-        "docs_train_split": workload_text.docs_train_split,
-        "corpus_dsir_weights": workload_text.corpus_dsir_weights,
-        "events_feature_mi": workload_relational.events_feature_mi,
-        "customer_balance_gini": workload_relational.customer_balance_gini,
         "parts_triangle_count": workload_relational.parts_triangle_count,
-        "events_sax_daily": workload_relational.events_sax_daily,
         "orders_rfm_segments": workload_relational.orders_rfm_segments,
-        "events_lag_autocorr": workload_relational.events_lag_autocorr,
-        "events_kanon_audit": workload_relational.events_kanon_audit,
-        "embeddings_covariance": workload_text.embeddings_covariance,
         "stream_sliding_topk": workload.stream_sliding_topk,
         "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
-        "embeddings_quantize_int8": workload_text.embeddings_quantize_int8,
         "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
         "supplier_share_hhi": workload_relational.supplier_share_hhi,
         "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
-        "docs_zipf_slope": workload_text.docs_zipf_slope,
-        "events_welch_ttest": workload_relational.events_welch_ttest,
-        "events_burstiness": workload_relational.events_burstiness,
         "orders_survival_km": workload_relational.orders_survival_km,
-        "docs_pmi_pairs": workload_text.docs_pmi_pairs,
-        "events_gapfill_interp": workload_relational.events_gapfill_interp,
         "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
-        "docs_readability_fk": workload_text.docs_readability_fk,
-        "cdc_hot_keys": workload.cdc_hot_keys,
-        "ann_recall_eval": workload_text.ann_recall_eval,
-        "events_forecast_backtest": workload_relational.events_forecast_backtest,
         "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
-        "events_dau_mau": workload_relational.events_dau_mau,
         "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
         "mm_image_tiles": workload_mm.mm_image_tiles,
         "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
-        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
-        "events_haar_wavelet": workload_relational.events_haar_wavelet,
-        "customer_feature_store": workload_relational.customer_feature_store,
         "orders_backlog_curve": workload_relational.orders_backlog_curve,
-        "corpus_heaps_law": workload_text.corpus_heaps_law,
-        "events_entropy_rate": workload_relational.events_entropy_rate,
         "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
         "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
         "parts_triangle_sample": workload_relational.parts_triangle_sample,

@@ -949,7 +949,18 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
     same events in LSN order; after every drain the destination must
     equal the model exactly under the current schema — any
     replay-induced positional mis-decode or schema drift fails the
-    equality."""
+    equality.
+
+    Round-11 extension (round-10 verdict item #6): PUBLICATION
+    MEMBERSHIP changes compose with the same action space. A second
+    table ``public.u`` toggles in/out of the pipeline config mid-stream
+    (always with an immediate drain, as a config change is): an
+    unpublish drain must purge u's state + destination data
+    (``reconcile_membership``, pipeline.rs:354-421) and DROP u's
+    still-streaming frames (unrouted events never apply); a republish
+    drain must re-copy from a fresh snapshot and apply only the events
+    consumed from then on — events consumed while unpublished stay
+    gone, exactly the reference's re-add semantics."""
     import os
     import random
 
@@ -963,22 +974,35 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
     snap = str(tmp_path / "snap")
     spark.createDataFrame([(1, "s1"), (2, "s2")],
                           "pk long, c0 string").write.parquet(snap)
+    snap_u = str(tmp_path / "snap_u")
+    spark.createDataFrame([(1, "u1"), (2, "u2")],
+                          "pk long, v string").write.parquet(snap_u)
     sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
                                    spark=spark)
     work = str(tmp_path / "work")
+    published_u = [True]
+    SNAP_U = {1: "u1", 2: "u2"}
 
-    def mk_cfg():
+    def mk_cfgs():
         # deliberately the ORIGINAL (stale) config every incarnation:
         # restarts must resync schema state from the persisted registry
-        return TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
-                           payload_schema="pk long, c0 string")
+        cfgs = [TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                            payload_schema="pk long, c0 string")]
+        if published_u[0]:
+            cfgs.append(TableConfig(
+                name="public.u", snapshot_path=snap_u, keys=["pk"],
+                payload_schema="pk long, v string"))
+        return cfgs
 
     cols = ["c0"]                     # value columns; ADD appends, DROP pops
     model = {1: {"c0": "s1"}, 2: {"c0": "s2"}}
+    model_u: dict | None = dict(SNAP_U)   # None = purged (unpublished)
     lsn = 100
     xid = 10
     gen = 1
     pend: list[tuple] = []
+    pend_u_mut: list[tuple] = []      # u mutations not yet flushed
+    consumable_u_mut: list[tuple] = []  # flushed, not yet consumed
     batch_no = 0
 
     def rel_frame():
@@ -987,17 +1011,17 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
         cdefs = [(1, "pk", 20, -1)] + [(0, c, 25, -1) for c in cols]
         return (lsn, -1, pgo.encode_relation(1, "public", "t", "d", cdefs))
 
-    def dml_frames(op, pk, vals):
+    def dml_frames(op, pk, vals, rel=1):
         nonlocal lsn, xid
         xid += 1
         b, d, c = lsn + 1, lsn + 2, lsn + 3
         lsn += 3
         if op == "DELETE":
-            body = pgo.encode_delete(1, key=[str(pk)])
+            body = pgo.encode_delete(rel, key=[str(pk)])
         elif op == "INSERT":
-            body = pgo.encode_insert(1, [str(pk)] + vals)
+            body = pgo.encode_insert(rel, [str(pk)] + vals)
         else:
-            body = pgo.encode_update(1, [str(pk)] + vals)
+            body = pgo.encode_update(rel, [str(pk)] + vals)
         return [(b, xid, pgo.encode_begin(final_lsn=c, xid=xid)),
                 (d, xid, body),
                 (c, xid, pgo.encode_commit(c, c + 1))]
@@ -1008,12 +1032,35 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
             batch_no += 1
             _write_frames(spark, source, list(pend), f"b{batch_no:03d}")
             pend.clear()
+            consumable_u_mut.extend(pend_u_mut)
+            pend_u_mut.clear()
 
     def drain():
-        Pipeline(spark, source, [mk_cfg()], sink, work,
+        nonlocal model_u
+        Pipeline(spark, source, mk_cfgs(), sink, work,
                  source_fmt="pgoutput").run_until_drained()
+        # everything flushed so far is consumed now: u's events apply
+        # only if u is routed (published); otherwise they are DROPPED
+        # for good — a later re-add must not resurrect them
+        if published_u[0] and model_u is not None:
+            for op, pk, val in consumable_u_mut:
+                if op == "DELETE":
+                    model_u.pop(pk, None)
+                else:
+                    model_u[pk] = val
+        consumable_u_mut.clear()
+
+    def check_u():
+        try:
+            rows = {r.pk: r.v for r in
+                    sink.read("public.u").select("pk", "v").collect()}
+        except Exception:
+            rows = {}
+        want = model_u if published_u[0] and model_u is not None else {}
+        assert rows == want, f"seed={seed} u: got={rows} want={want}"
 
     def check():
+        check_u()
         out = sink.read("public.t")
         # a pure pgoutput ADD (no default) materializes at the sink on
         # the FIRST post-ADD write (documented engine behavior) — a
@@ -1030,13 +1077,26 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
         assert got == want, f"seed={seed}\n got={got}\n want={want}"
 
     pend.append(rel_frame())          # initial RELATION: registry learns v1
+    lsn += 1                          # u's RELATION: rel_id 2, fixed schema
+    pend.append((lsn, -1, pgo.encode_relation(
+        2, "public", "u", "d", [(1, "pk", 20, -1), (0, "v", 25, -1)])))
 
     for _step in range(14):
         action = rng.choices(
             ["dml", "add", "drop", "truncate", "flush_run", "crash_early",
-             "crash_late", "crash_post"],
-            weights=[7, 2, 1, 1, 2, 2, 2, 2])[0]
-        if action == "add":
+             "crash_late", "crash_post", "toggle_u"],
+            weights=[7, 2, 1, 1, 2, 2, 2, 2, 2])[0]
+        if action == "toggle_u":
+            # membership change + immediate drain (a config change IS a
+            # restart): unpublish purges state+destination; republish
+            # re-copies the snapshot, then applies this drain's consumed
+            # events on top
+            published_u[0] = not published_u[0]
+            model_u = dict(SNAP_U) if published_u[0] else None
+            flush()
+            drain()
+            check()
+        elif action == "add":
             cols.append(f"c{gen}")
             gen += 1
             pend.append(rel_frame())  # pgoutput plain ADD: NULL backfill
@@ -1075,7 +1135,17 @@ def test_pgoutput_random_ddl_crash_model(spark, tmp_path, seed):
         else:  # dml
             pk = rng.randint(1, 5)
             op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
-            if op == "DELETE":
+            if rng.random() < 0.3:
+                # u's stream keeps flowing regardless of membership —
+                # the engine must drop unrouted frames, not choke on them
+                if op == "DELETE":
+                    pend.extend(dml_frames("DELETE", pk, [], rel=2))
+                    pend_u_mut.append(("DELETE", pk, None))
+                else:
+                    val = f"w{lsn}"
+                    pend.extend(dml_frames(op, pk, [val], rel=2))
+                    pend_u_mut.append((op, pk, val))
+            elif op == "DELETE":
                 pend.extend(dml_frames("DELETE", pk, []))
                 model.pop(pk, None)
             else:
