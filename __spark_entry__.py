@@ -39,7 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     identical to pgoutput_decode; events_dau_mau_hll /
     docs_profile_hll — the documented 100-TB HLL swap-ins for the
     exact DAU/MAU and column profiler, register-merged, estimates
-    hash-matched exactly]
+    hash-matched exactly; docs_boilerplate_coverage — RefinedWeb-style
+    boilerplate strip analog: exact token-position coverage by
+    cross-document repeated shingles, digest-keyed linear plan]
     + [CHANGED in r11: docs_source_js_divergence (single-scan
     tokenize: (source,tok,n) aggregate checkpointed, glob/totals
     re-derived — ADVICE r10); docs_source_caps (salted_topk_per_key
@@ -48,9 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-trigger wal bounds — ADVICE r10)]
     + [the 15 r6-latest rows (all judge re-verified in r10; this
     drains the r6 tail completely)]
-    + [29 of the 48 r7-latest rows, alphabetical; the remaining 19
-    (lineitem_benford_audit ... supplier_share_hhi) lead the r12
-    queue]. Tail = those 19 r7 rows, then r8/r9/r10 green rows.
+    + [28 of the 48 r7-latest rows, alphabetical; the remaining 20
+    (lineitem_basket_lift ... supplier_share_hhi) lead the r12
+    queue]. Tail = those 20 r7 rows, then r8/r9/r10 green rows.
     After this round nothing recorded is older than r7. All window
     entries verified locally via tools/check_oracle.py at sf0.01
     before rotation (COVERAGE.md).
@@ -60,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
         "docs_profile_hll": workload_text.docs_profile_hll,
+        "docs_boilerplate_coverage": workload_text.docs_boilerplate_coverage,
         # --- implementation CHANGED in round 11: re-record ---
         "docs_source_js_divergence": workload_text.docs_source_js_divergence,
         "docs_source_caps": workload_text.docs_source_caps,
@@ -80,7 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "orders_decile_bands": workload_relational.orders_decile_bands,
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        # --- oldest r7 rows, alphabetical (29 of 48; other 19 lead r12) ---
+        # --- oldest r7 rows, alphabetical (28 of 48; other 20 lead r12) ---
         "ann_recall_eval": workload_text.ann_recall_eval,
         "cdc_hot_keys": workload.cdc_hot_keys,
         "cdc_rebucket_migration": workload.cdc_rebucket_migration,
@@ -109,8 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_autocorr": workload_relational.events_lag_autocorr,
         "events_sax_daily": workload_relational.events_sax_daily,
         "events_welch_ttest": workload_relational.events_welch_ttest,
-        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         # --- tail: fresher green rows (r7 remainder, r8, r9, r10) ---
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,
         "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,

@@ -602,6 +602,33 @@ GROUP BY s.doc_id
 """
 
 
+ORACLES["docs_boilerplate_coverage"] = f"""
+-- boilerplate coverage: token positions covered by 3-gram shingles
+-- repeating across >= 3 distinct docs (exact interval union over
+-- positions via distinct covered-position count)
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, i - 1 AS p, md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS dig
+  FROM tok, UNNEST(CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1)
+                        ELSE [] END) AS t(i)
+),
+spread AS (
+  SELECT dig, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY dig
+),
+boiler AS (SELECT dig FROM spread WHERE n_docs >= 3),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT p + u) AS BIGINT) AS n_covered
+  FROM pos JOIN boiler USING (dig), UNNEST([0, 1, 2]) AS o(u)
+  GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(c.n_covered, 0) AS n_covered,
+       round(COALESCE(c.n_covered, 0) / CAST(b.n_tokens AS DOUBLE), 6) AS covered_frac,
+       COALESCE(c.n_covered, 0) / CAST(b.n_tokens AS DOUBLE) < 0.5 AS keep
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
 ORACLES["events_ks_drift"] = """
 -- exact two-sample KS per event type (event_id-parity split): per-value
 -- counts, ordered cumulative fractions, max absolute CDF gap

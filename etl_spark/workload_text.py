@@ -985,6 +985,68 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.select("p.*")
 
 
+def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage per document (X165): the token-position
+    fraction covered by 3-gram shingles that repeat across ≥3 DISTINCT
+    documents — the shingle-granularity analog of RefinedWeb/CCNet's
+    line-level boilerplate strip (this corpus has no line structure, so
+    the repeated-unit is the shingle, and coverage is an exact interval
+    union over token positions, not a shingle count). A document mostly
+    assembled from cross-document repeated fragments gets ``keep=false``
+    even when no whole-document dedup pair fires — the filter decision
+    the novelty metric (docs_ngram_novelty) only scores.
+
+    Shuffle algebra: positional shingles explode in the scan stage;
+    cross-doc spread is one digest-keyed agg over DISTINCT (doc,
+    shingle) [16-byte md5 keys — shingle text never shuffles twice];
+    the coverage join fans each BOILERPLATE occurrence to its ≤3
+    positions (bounded), then one doc-keyed distinct-count. Work is
+    O(tokens + boilerplate occurrences · k) — linear, no windows, no
+    self-join.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    n = F.size(toks)
+    idxs = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>"))
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idxs, lambda i: F.struct(
+                F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
+                .alias("dig"),
+                i.alias("p"),
+            ))
+        ).alias("s"),
+    ).select("doc_id", "s.dig", "s.p")
+    spread = (
+        pos.select("doc_id", "dig").distinct()
+        .groupBy("dig").agg(F.count("*").alias("n_docs"))
+    )
+    boiler = spread.filter(F.col("n_docs") >= 3).select("dig")
+    covered = (
+        pos.join(boiler, "dig")
+        .select("doc_id", F.explode(
+            F.sequence(F.col("p"), F.col("p") + 2)).alias("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(F.count("*").alias("n_covered"))
+    )
+    base = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("covered_frac"),
+            (F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens") < 0.5)
+            .alias("keep"),
+        )
+    )
+
+
 def docs_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-backed column profiler (X163): the documented 100-TB
     swap-in for :func:`docs_profile`'s exact distincts, now gate-proven.

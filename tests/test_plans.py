@@ -1155,3 +1155,32 @@ def test_dup_rate_audit_digest_only_shuffle(spark):
     exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert exchanges, plan
     assert all("text" not in e for e in exchanges), exchanges
+
+
+def test_boilerplate_coverage_plan(spark):
+    """X165: positional shingles explode in the scan stage, spread and
+    coverage shuffles are digest/doc keyed, and everything stays
+    JVM-side — no Python stage, no cartesian, no window."""
+    plan = plan_of(workload_text.docs_boilerplate_coverage(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    assert not re.search(r"^\(\d+\) Window\b", plan, re.M), plan
+
+
+def test_wire_decode_no_row_at_a_time_python(spark):
+    """X164: the wire path's Python stages are Arrow-batched kernels
+    (mapInPandas unwrap/decode, pandas-UDF xid searchsorted) — never
+    row-at-a-time BatchEvalPython — and no cartesian appears."""
+    plan = plan_of(workload.pgoutput_wire_decode(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dau_mau_hll_register_fanout_plan(spark):
+    """X162: the post-checkpoint plan never rescans parquet (the per-day
+    register table is the cut point) and the bounds frame broadcasts."""
+    plan = plan_of(workload_relational.events_dau_mau_hll(spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

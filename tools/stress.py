@@ -189,6 +189,12 @@ QUERIES = [
     # round-10 addition: the linear-output default of the exact jaccard
     # join — the form that must FINISH the 100x stress (r9 verdict #1)
     "docs_exact_jaccard_clusters",
+    # round-11 additions: the wire-framing decode, the HLL swap-ins,
+    # and the boilerplate-coverage filter
+    "pgoutput_wire_decode",
+    "events_dau_mau_hll",
+    "docs_profile_hll",
+    "docs_boilerplate_coverage",
 ]
 
 
