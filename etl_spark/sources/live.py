@@ -309,6 +309,11 @@ class RecordedReplicationSource(ReplicationFrameSource):
             if tag == b"C":
                 self._current_xid = -1
             budget += len(frame)
+        if out:
+            from etl_spark import telemetry
+
+            telemetry.DEFAULT.inc(
+                telemetry.ETL_REPLICATION_MESSAGES_TOTAL, len(out))
         return out
 
     def send_status_update(self, write_lsn: int, flush_lsn: int) -> None:
@@ -322,6 +327,9 @@ class RecordedReplicationSource(ReplicationFrameSource):
                 self._clock_us, reply_requested=False,
             )
         )
+        from etl_spark import telemetry
+
+        telemetry.DEFAULT.inc(telemetry.ETL_STATUS_UPDATES_TOTAL)
 
 
 # ---------------------------------------------------------------------------

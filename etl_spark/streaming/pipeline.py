@@ -92,6 +92,7 @@ class Pipeline:
         envelope_fmt: str = "parquet",
         compact_batches: bool = False,
         batch_budget_bytes: int | None = None,
+        metrics_registry=None,
     ):
         #: "envelope" = structured GENERIC_ENVELOPE files (parquet/json/csv
         #: per ``envelope_fmt`` — a WAL shipper that flushes JSON lines or
@@ -125,6 +126,13 @@ class Pipeline:
                 sink = AsyncFlushSink(sink)
         self.sink = sink
         self.work_dir = work_dir
+        # reference-parity telemetry (observability.rs inventory): the
+        # registry is driver-side metadata; increments below reuse
+        # already-computed batch aggregates — no extra Spark jobs
+        from etl_spark import telemetry
+
+        self.metrics = metrics_registry or telemetry.DEFAULT
+        self.metrics.set_gauge(telemetry.ETL_TABLES_TOTAL, len(self.tables))
         self.control = ControlStore(os.path.join(work_dir, "control"))
         self.schemas = SchemaRegistry(os.path.join(work_dir, "schemas"))
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
@@ -262,13 +270,29 @@ class Pipeline:
                     df = self.spark.read.parquet(cfg.snapshot_path)
                     if cfg.row_filter:
                         df = df.filter(F.expr(cfg.row_filter))
-                    self.sink.write_snapshot(cfg.name, df)
+                    # copy-rows telemetry rides the write job itself
+                    # (Observation — no second scan of the snapshot)
+                    from pyspark.sql import Observation
+
+                    from etl_spark import telemetry
+
+                    obs = Observation()
+                    self.sink.write_snapshot(
+                        cfg.name,
+                        df.observe(obs, F.count(F.lit(1)).alias("n")))
+                    self.metrics.inc(
+                        telemetry.ETL_TABLE_COPY_ROWS_TOTAL,
+                        int(obs.get["n"]), labels={"table": cfg.name})
                 self.control.transition(cfg.name, TableState.FINISHED_COPY)
                 failpoints.hit(failpoints.AFTER_FINISHED_COPY)
                 # snapshot LSN 0 = "before all events" for the sim source;
                 # a real source records the exported snapshot's LSN here
                 self.control.transition(cfg.name, TableState.SYNC_DONE, lsn=0)
             except Exception as exc:  # quarantine, don't kill the pipeline
+                from etl_spark import telemetry
+
+                self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
+                                 labels={"table": cfg.name})
                 self.control.transition(
                     cfg.name, TableState.ERRORED,
                     error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
@@ -376,9 +400,22 @@ class Pipeline:
             # prove as-of decode never needs a pruned version,
             # pipeline_with_failpoints.rs:1581)
             if failpoints.should_skip(failpoints.FORCE_SCHEMA_CLEANUP):
+                from etl_spark import telemetry
+
+                self.metrics.inc(telemetry.ETL_SCHEMA_CLEANUPS_TOTAL)
                 for name in self.tables:
-                    self.schemas.prune(name, self.control.flush_lsn)
-            max_lsn_row = batch.agg(F.max("commit_lsn").alias("m")).collect()[0]
+                    pruned = self.schemas.prune(name, self.control.flush_lsn)
+                    if pruned:
+                        self.metrics.inc(
+                            telemetry.ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL,
+                            pruned)
+            # one agg also feeds telemetry (events + transactions per
+            # batch ride the same job as the max-LSN read)
+            max_lsn_row = batch.agg(
+                F.max("commit_lsn").alias("m"),
+                F.count("*").alias("n"),
+                F.count_distinct("commit_lsn").alias("ntx"),
+            ).collect()[0]
             if cross_mode:
                 # settle batch N-1 (one in flight — apply.rs
                 # pending_flush_result), then open batch N in the ledger
@@ -394,6 +431,10 @@ class Pipeline:
                     if entry.state == TableState.SYNC_DONE:
                         self.control.transition(name, TableState.READY)
                 except Exception as exc:
+                    from etl_spark import telemetry
+
+                    self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
+                                     labels={"table": name})
                     self.control.transition(
                         name, TableState.ERRORED,
                         error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
@@ -424,6 +465,21 @@ class Pipeline:
                 # durable progress: every sink write above has completed
                 # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
+            from etl_spark import telemetry
+
+            self.metrics.inc(
+                telemetry.ETL_EVENTS_PROCESSED_TOTAL, int(max_lsn_row["n"]))
+            self.metrics.inc(
+                telemetry.ETL_TRANSACTIONS_TOTAL, int(max_lsn_row["ntx"]))
+            if lost:
+                self.metrics.inc(telemetry.ETL_STATUS_UPDATES_SKIPPED_TOTAL)
+            if max_lsn is not None:
+                # LSN distance to the durable flush point (the reference's
+                # apply-loop flush-lag gauge family, observability.rs:49)
+                self.metrics.set_gauge(
+                    telemetry.ETL_APPLY_LOOP_FLUSH_LAG_BYTES,
+                    max(0, int(max_lsn) - int(self.control.flush_lsn)),
+                )
             if raw_frames is not None:
                 # tx- AND relation-registry advance is deliberately LAST:
                 # a batch that fails above replays on restart, and the
@@ -592,6 +648,13 @@ class Pipeline:
                         defaults=added_defaults,
                         nullability=d.nullability_changes,
                     )
+                    from etl_spark import telemetry
+
+                    self.metrics.inc(
+                        telemetry.ETL_DDL_SCHEMA_CHANGES_TOTAL,
+                        len(d.renames) + len(d.columns_to_remove)
+                        + len(added_defaults) + len(d.nullability_changes),
+                        labels={"table": table})
                 if d.renames:
                     # key columns follow renames in the PIPELINE config
                     # too, not just inside the sink: post-rename

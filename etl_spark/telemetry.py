@@ -1,0 +1,179 @@
+"""Metrics registry + Prometheus text exposition (reference parity:
+``crates/etl-telemetry/src/metrics.rs`` and the metric inventory in
+``crates/etl/src/observability.rs``).
+
+The reference installs a Prometheus recorder with global labels
+(project / pipeline_id / destination, metrics.rs:98-123) and registers
+``etl_*`` counters/gauges/histograms (observability.rs:7-50). This is
+the engine-side twin: a driver-side registry the pipeline increments at
+the same semantic points (events processed, transactions, DDL changes,
+schema cleanups, status updates), rendered in the standard Prometheus
+text exposition format. Serving the rendered string over HTTP is a
+deployment concern (the reference binds :9000) — any web layer can call
+:func:`MetricsRegistry.render` per scrape; nothing here needs a socket.
+
+Registry state is metadata-sized (one float per (metric, label-set) —
+never row data) and lives on the driver, matching where Spark's own
+StreamingQueryListener metrics (streaming/metrics.py) are collected.
+"""
+
+from __future__ import annotations
+
+import threading
+from bisect import bisect_left
+
+# -- the reference's metric inventory (observability.rs:7-50) --------------
+ETL_TABLES_TOTAL = "etl_tables_total"
+ETL_TRANSACTIONS_TOTAL = "etl_transactions_total"
+ETL_EVENTS_RECEIVED_TOTAL = "etl_events_received_total"
+ETL_EVENTS_PROCESSED_TOTAL = "etl_events_processed_total"
+ETL_TABLE_COPY_ROWS_TOTAL = "etl_table_copy_rows_total"
+ETL_REPLICATION_MESSAGES_TOTAL = "etl_replication_messages_total"
+ETL_STATUS_UPDATES_TOTAL = "etl_status_updates_total"
+ETL_STATUS_UPDATES_SKIPPED_TOTAL = "etl_status_updates_skipped_total"
+ETL_SCHEMA_CLEANUPS_TOTAL = "etl_schema_cleanups_total"
+ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL = (
+    "etl_schema_cleanup_pruned_versions_total"
+)
+ETL_DDL_SCHEMA_CHANGES_TOTAL = "etl_ddl_schema_changes_total"
+ETL_WORKER_ERRORS_TOTAL = "etl_worker_errors_total"
+ETL_TRANSACTION_SIZE = "etl_transaction_size"
+ETL_BATCH_APPLY_DURATION_SECONDS = "etl_batch_apply_duration_seconds"
+ETL_APPLY_LOOP_FLUSH_LAG_BYTES = "etl_apply_loop_flush_lag_bytes"
+
+#: default histogram buckets (seconds / counts — shared, Prometheus-style)
+DEFAULT_BUCKETS = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0,
+    60.0, 300.0,
+)
+
+
+def _fmt_labels(labels: dict[str, str]) -> str:
+    if not labels:
+        return ""
+    inner = ",".join(
+        f'{k}="{str(v).replace(chr(92), chr(92) * 2).replace(chr(34), chr(92) + chr(34))}"'
+        for k, v in sorted(labels.items())
+    )
+    return "{" + inner + "}"
+
+
+def _fmt_value(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+class MetricsRegistry:
+    """Counters, gauges and histograms with label sets + global labels.
+
+    Thread-safe (the async/cross-batch flush sinks dispatch from worker
+    threads). ``render()`` emits the Prometheus text exposition format:
+    ``# TYPE`` headers, one ``name{labels} value`` sample per series,
+    ``_bucket``/``_sum``/``_count`` for histograms.
+    """
+
+    def __init__(self, global_labels: dict[str, str] | None = None):
+        self.global_labels = dict(global_labels or {})
+        self._lock = threading.Lock()
+        #: name -> ("counter"|"gauge"|"histogram", {frozen_labels: state})
+        self._metrics: dict[str, tuple[str, dict]] = {}
+
+    # -- recording ---------------------------------------------------------
+    def _series(self, name: str, kind: str, labels: dict | None):
+        key = tuple(sorted((labels or {}).items()))
+        with self._lock:
+            typ, table = self._metrics.setdefault(name, (kind, {}))
+            if typ != kind:
+                raise ValueError(
+                    f"metric {name!r} already registered as {typ}, not {kind}"
+                )
+            return table, key
+
+    def inc(self, name: str, value: float = 1.0, labels: dict | None = None) -> None:
+        table, key = self._series(name, "counter", labels)
+        with self._lock:
+            table[key] = table.get(key, 0.0) + value
+
+    def set_gauge(self, name: str, value: float, labels: dict | None = None) -> None:
+        table, key = self._series(name, "gauge", labels)
+        with self._lock:
+            table[key] = float(value)
+
+    def observe(
+        self,
+        name: str,
+        value: float,
+        labels: dict | None = None,
+        buckets: tuple = DEFAULT_BUCKETS,
+    ) -> None:
+        table, key = self._series(name, "histogram", labels)
+        with self._lock:
+            st = table.setdefault(
+                key, {"buckets": buckets, "counts": [0] * len(buckets),
+                      "sum": 0.0, "count": 0}
+            )
+            i = bisect_left(st["buckets"], value)
+            if i < len(st["counts"]):
+                st["counts"][i] += 1
+            st["sum"] += value
+            st["count"] += 1
+
+    # -- reading -----------------------------------------------------------
+    def value(self, name: str, labels: dict | None = None) -> float:
+        key = tuple(sorted((labels or {}).items()))
+        with self._lock:
+            _, table = self._metrics.get(name, ("", {}))
+            v = table.get(key, 0.0)
+        return v if not isinstance(v, dict) else float(v["count"])
+
+    def render(self) -> str:
+        """Prometheus text exposition (the /metrics scrape body)."""
+        out: list[str] = []
+        with self._lock:
+            items = sorted(self._metrics.items())
+            for name, (kind, table) in items:
+                out.append(f"# TYPE {name} {kind}")
+                for key, st in sorted(table.items()):
+                    labels = dict(self.global_labels)
+                    labels.update(dict(key))
+                    if kind in ("counter", "gauge"):
+                        out.append(f"{name}{_fmt_labels(labels)} {_fmt_value(st)}")
+                        continue
+                    cum = 0
+                    for ub, c in zip(st["buckets"], st["counts"]):
+                        cum += c
+                        bl = dict(labels, le=_fmt_value(ub))
+                        out.append(f"{name}_bucket{_fmt_labels(bl)} {cum}")
+                    bl = dict(labels, le="+Inf")
+                    out.append(f"{name}_bucket{_fmt_labels(bl)} {st['count']}")
+                    out.append(
+                        f"{name}_sum{_fmt_labels(labels)} {_fmt_value(st['sum'])}"
+                    )
+                    out.append(
+                        f"{name}_count{_fmt_labels(labels)} {st['count']}"
+                    )
+        return "\n".join(out) + "\n"
+
+
+#: process-default registry (init_metrics analog); pipelines attach their
+#: own labelled registry via Pipeline(metrics_registry=...) when isolation
+#: is needed, exactly like the reference's per-recorder global labels
+DEFAULT = MetricsRegistry()
+
+
+def init_metrics(
+    project: str | None = None,
+    pipeline_id: int | None = None,
+    destination: str | None = None,
+) -> MetricsRegistry:
+    """Reset the default registry with global labels (metrics.rs:98-123:
+    project / pipeline_id / destination become labels on every series)."""
+    global DEFAULT
+    labels = {}
+    if project is not None:
+        labels["project"] = project
+    if pipeline_id is not None:
+        labels["pipeline_id"] = str(pipeline_id)
+    if destination is not None:
+        labels["destination"] = destination
+    DEFAULT = MetricsRegistry(labels)
+    return DEFAULT

@@ -1,0 +1,114 @@
+"""Telemetry registry + Prometheus exposition (reference parity:
+etl-telemetry/src/metrics.rs recorder with global labels;
+etl/src/observability.rs metric inventory), and the pipeline wiring —
+every increment rides an aggregate the apply loop already computes."""
+
+from __future__ import annotations
+
+import pytest
+from etl_spark import telemetry
+from etl_spark.telemetry import MetricsRegistry
+
+
+def test_counter_gauge_histogram_render():
+    reg = MetricsRegistry({"project": "p1", "pipeline_id": "7"})
+    reg.inc(telemetry.ETL_EVENTS_PROCESSED_TOTAL, 3)
+    reg.inc(telemetry.ETL_EVENTS_PROCESSED_TOTAL, 2)
+    reg.inc(telemetry.ETL_WORKER_ERRORS_TOTAL, labels={"table": "public.t"})
+    reg.set_gauge(telemetry.ETL_TABLES_TOTAL, 4)
+    reg.observe(telemetry.ETL_BATCH_APPLY_DURATION_SECONDS, 0.3)
+    reg.observe(telemetry.ETL_BATCH_APPLY_DURATION_SECONDS, 7.0)
+    text = reg.render()
+    assert "# TYPE etl_events_processed_total counter" in text
+    assert 'etl_events_processed_total{pipeline_id="7",project="p1"} 5' in text
+    assert ('etl_worker_errors_total{pipeline_id="7",project="p1",'
+            'table="public.t"} 1') in text
+    assert "# TYPE etl_tables_total gauge" in text
+    # histogram: cumulative buckets + sum + count
+    assert ('etl_batch_apply_duration_seconds_bucket{le="0.5",'
+            'pipeline_id="7",project="p1"} 1') in text
+    assert ('etl_batch_apply_duration_seconds_bucket{le="+Inf",'
+            'pipeline_id="7",project="p1"} 2') in text
+    assert ('etl_batch_apply_duration_seconds_count{pipeline_id="7",'
+            'project="p1"} 2') in text
+    assert reg.value(telemetry.ETL_EVENTS_PROCESSED_TOTAL) == 5
+
+
+def test_kind_collision_fails_loudly():
+    reg = MetricsRegistry()
+    reg.inc("etl_x_total")
+    with pytest.raises(ValueError, match="already registered"):
+        reg.set_gauge("etl_x_total", 1)
+
+
+def test_init_metrics_global_labels():
+    reg = telemetry.init_metrics(project="proj", pipeline_id=3,
+                                 destination="duckdb")
+    reg.inc(telemetry.ETL_TRANSACTIONS_TOTAL)
+    text = reg.render()
+    assert ('etl_transactions_total{destination="duckdb",pipeline_id="3",'
+            'project="proj"} 1') in text
+    telemetry.init_metrics()  # reset for other tests
+
+
+def test_pipeline_increments_metrics(spark, tmp_path):
+    """End-to-end: a two-batch pipeline run advances tables gauge,
+    copy rows (via Observation — no extra scan), events, transactions,
+    and DDL counters."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import MemorySink
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a"), (2, "b")],
+                          "pk long, val string").write.parquet(snap)
+    src = str(tmp_path / "frames")
+    os.makedirs(src)
+    from etl_spark.envelope import GENERIC_ENVELOPE
+
+    rows = [
+        ("INSERT", "public.t", 10, 100, 0, '{"pk": 3, "val": "c"}',
+         None, "NONE", None, None),
+        ("UPDATE", "public.t", 11, 110, 0, '{"pk": 1, "val": "a2"}',
+         None, "NONE", None, None),
+    ]
+    import shutil
+
+    staging = os.path.join(str(tmp_path), "stage")
+    spark.createDataFrame(rows, GENERIC_ENVELOPE).coalesce(1).write.parquet(
+        staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(src, "b1.parquet"))
+
+    reg = MetricsRegistry({"pipeline_id": "42"})
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src, [cfg], MemorySink(), str(tmp_path / "work"),
+                    metrics_registry=reg)
+    pipe.run_until_drained()
+
+    assert reg.value(telemetry.ETL_TABLES_TOTAL) == 1
+    assert reg.value(telemetry.ETL_TABLE_COPY_ROWS_TOTAL,
+                     {"table": "public.t"}) == 2
+    assert reg.value(telemetry.ETL_EVENTS_PROCESSED_TOTAL) == 2
+    assert reg.value(telemetry.ETL_TRANSACTIONS_TOTAL) == 2  # 2 commit_lsns
+    text = reg.render()
+    assert 'etl_events_processed_total{pipeline_id="42"} 2' in text
+
+
+def test_recorded_source_status_update_metric():
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+
+    telemetry.init_metrics()
+    stream = live.encode_copy_stream([
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=5, xid=1)),
+        live.encode_keepalive(11, 1, reply_requested=True),
+    ])
+    s = live.RecordedReplicationSource(stream)
+    s.start("slot", 0)
+    s.poll_frames(1 << 20)
+    assert telemetry.DEFAULT.value(telemetry.ETL_STATUS_UPDATES_TOTAL) == 1
+    assert telemetry.DEFAULT.value(telemetry.ETL_REPLICATION_MESSAGES_TOTAL) == 1
+    telemetry.init_metrics()
