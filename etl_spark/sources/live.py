@@ -417,3 +417,75 @@ def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start"):
     xid_of = pandas_udf(_xid_of, "long")
 
     return frames.withColumn("xid", xid_of(F.col(lsn_col)))
+
+
+class FrameFilePump:
+    """Bridge a :class:`ReplicationFrameSource` into the pipeline's
+    micro-batched file queue — the piece LIVE_SOURCE.md's component map
+    describes as "ship each XLogData message as one (wal_start, xid,
+    frame) row into the same micro-batched file/queue the sim writes".
+
+    Each :meth:`drain_once` polls the transport, writes one flat
+    FRAME_SCHEMA parquet file into the pipeline's source directory
+    (atomic move — the file stream never sees a partial file), and — the
+    ack-gated half — reports the ENGINE's durable flush LSN back to the
+    transport as a standby status update. The write position (how far
+    the pump has shipped) and the flush position (how far the
+    destination has acked, read from the pipeline's ControlStore) are
+    deliberately different numbers: a crash between them replays from
+    the slot, and the engine's at-least-once machinery absorbs it.
+
+    Driver-side by design: one replication connection is a single
+    serialized byte stream (the reference's apply worker consumes it on
+    one task too, worker.rs:366-430); Spark parallelism begins at the
+    decode, not the transport.
+    """
+
+    def __init__(self, source: ReplicationFrameSource, spark, source_dir: str,
+                 control=None, batch_bytes: int = 8 << 20):
+        self.source = source
+        self.spark = spark
+        self.source_dir = source_dir
+        self.control = control  # ControlStore-like: .flush_lsn
+        self.batch_bytes = batch_bytes
+        self._n = 0
+        self._write_pos = 0  # highest wal_start shipped to the queue
+
+    def drain_once(self) -> int:
+        """Poll one transport batch into one frame file; returns the row
+        count (0 = transport idle, nothing written)."""
+        import os
+        import shutil
+
+        rows = self.source.poll_frames(self.batch_bytes)
+        if not rows:
+            return 0
+        self._write_pos = max(self._write_pos, max(w for w, _, _ in rows))
+        self._n += 1
+        name = f"pump{self._n:06d}"
+        staging = os.path.join(self.source_dir, f".__pump_stage_{name}")
+        df = self.spark.createDataFrame(
+            [(w, x, bytearray(f)) for w, x, f in rows],
+            "wal_start long, xid long, frame binary",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part),
+                    os.path.join(self.source_dir, f"{name}.parquet"))
+        shutil.rmtree(staging)
+        return len(rows)
+
+    def report_progress(self) -> None:
+        """Standby status update from the engine's DURABLE flush LSN —
+        never ahead of the destination ack (T4; stream/mod.rs
+        send_status_update semantics)."""
+        flush = int(self.control.flush_lsn) if self.control is not None else 0
+        self.source.send_status_update(max(flush, self._write_pos), flush)
+
+    def run_until_source_drained(self, pipeline) -> None:
+        """Pump → drain → ack loop until the transport is exhausted: the
+        batch-mode analog of the live loop (poll, let the pipeline apply,
+        report the advanced flush LSN)."""
+        while self.drain_once() > 0:
+            pipeline.run_until_drained()
+            self.report_progress()

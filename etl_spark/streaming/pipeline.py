@@ -280,9 +280,19 @@ class Pipeline:
                     self.sink.write_snapshot(
                         cfg.name,
                         df.observe(obs, F.count(F.lit(1)).alias("n")))
-                    self.metrics.inc(
-                        telemetry.ETL_TABLE_COPY_ROWS_TOTAL,
-                        int(obs.get["n"]), labels={"table": cfg.name})
+                    # best-effort: telemetry must never fail a completed
+                    # copy. Some sink plans (e.g. the SCD2 window-over-
+                    # observe on an empty snapshot) execute without ever
+                    # firing the observed node, and Observation.get then
+                    # raises from toPyRow — the write above has already
+                    # committed, so skip the sample rather than
+                    # quarantining the table over a metric.
+                    try:
+                        self.metrics.inc(
+                            telemetry.ETL_TABLE_COPY_ROWS_TOTAL,
+                            int(obs.get["n"]), labels={"table": cfg.name})
+                    except Exception:
+                        pass
                 self.control.transition(cfg.name, TableState.FINISHED_COPY)
                 failpoints.hit(failpoints.AFTER_FINISHED_COPY)
                 # snapshot LSN 0 = "before all events" for the sim source;

@@ -194,3 +194,68 @@ def test_distributed_unwrap_matches_sequential_source(spark):
     kb = sorted((r.op, r.commit_lsn, r.tx_ordinal, r.start_lsn, r.after)
                 for r in env_b.collect())
     assert ka == kb and len(ka) == 3
+
+
+def test_frame_pump_recorded_stream_to_pipeline_end_to_end(spark, tmp_path):
+    """The full transport→engine loop over a recorded copy-both stream:
+    FrameFilePump polls the RecordedReplicationSource, ships frame files
+    into the pipeline's source queue, the pgoutput pipeline applies them,
+    and the pump acks the ENGINE's durable flush LSN back to the
+    transport — the status updates must track the advancing flush point
+    and never run ahead of it."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [live.encode_xlog_data(5, 6, 0, rel)]
+    lsn = 10
+    for pk, val in [(1, "a"), (2, "b"), (1, "a2"), (3, "c")]:
+        xid = lsn
+        msgs += [
+            live.encode_xlog_data(lsn, lsn + 1, 0,
+                                  pgo.encode_begin(final_lsn=lsn + 2, xid=xid)),
+            live.encode_xlog_data(lsn + 1, lsn + 2, 0,
+                                  pgo.encode_insert(1, [str(pk), val])
+                                  if val in ("a", "b", "c")
+                                  else pgo.encode_update(1, [str(pk), val])),
+            live.encode_xlog_data(lsn + 2, lsn + 3, 0,
+                                  pgo.encode_commit(lsn + 2, lsn + 3)),
+        ]
+        lsn += 10
+    stream = live.encode_copy_stream(msgs)
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    # the slot's exported snapshot of a (here: empty) table seeds the
+    # destination before the stream applies (T6 handoff)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    source = live.RecordedReplicationSource(stream)
+    source.start("slot", 0)
+    # small byte budget => multiple pump batches => multiple acks
+    pump = live.FrameFilePump(source, spark, src_dir, control=pipe.control,
+                              batch_bytes=60)
+    pump.run_until_source_drained(pipe)
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+    ups = [live.parse_copy_payload(u) for u in source.sent_updates]
+    assert ups, "no status updates sent"
+    flushes = [u["flush_lsn"] for u in ups]
+    # monotone, advances with the applied batches, ends at the final
+    # commit's LSN, and write position never lags the flush position
+    assert flushes == sorted(flushes)
+    assert flushes[-1] == int(pipe.control.flush_lsn) > 0
+    assert all(u["write_lsn"] >= u["flush_lsn"] for u in ups)
