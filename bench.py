@@ -196,6 +196,11 @@ HEADLINE = [
     "docs_source_caps",
     "docs_source_js_divergence",
     "docs_dup_rate_by_source",
+    # round-11 additions (first timed here)
+    "pgoutput_wire_decode",
+    "events_dau_mau_hll",
+    "docs_profile_hll",
+    "docs_boilerplate_coverage",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -395,10 +400,12 @@ def main() -> None:
     r9_new = {"cdc_crash_replay_ddl", "cdc_duckdb_scd2", "cdc_duckdb_changelog"}
     r10_new = {"docs_exact_jaccard_clusters", "docs_source_caps",
                "docs_source_js_divergence", "docs_dup_rate_by_source"}
+    r11_new = {"pgoutput_wire_decode", "events_dau_mau_hll",
+               "docs_profile_hll", "docs_boilerplate_coverage"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new
-            | r10_new),
+            | r10_new | r11_new),
         3,
     )
 

@@ -420,11 +420,15 @@ class Pipeline:
                             telemetry.ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL,
                             pruned)
             # one agg also feeds telemetry (events + transactions per
-            # batch ride the same job as the max-LSN read)
+            # batch ride the same job as the max-LSN read). Transactions
+            # use the HLL approx form: an exact count_distinct adds a
+            # partial-distinct expand to EVERY trigger (measured ~0.1 s
+            # per 100k-event batch), which taxed the copy/apply headline
+            # for a telemetry counter — approx is the right grade here.
             max_lsn_row = batch.agg(
                 F.max("commit_lsn").alias("m"),
                 F.count("*").alias("n"),
-                F.count_distinct("commit_lsn").alias("ntx"),
+                F.approx_count_distinct("commit_lsn").alias("ntx"),
             ).collect()[0]
             if cross_mode:
                 # settle batch N-1 (one in flight — apply.rs

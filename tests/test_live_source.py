@@ -259,3 +259,14 @@ def test_frame_pump_recorded_stream_to_pipeline_end_to_end(spark, tmp_path):
     assert flushes == sorted(flushes)
     assert flushes[-1] == int(pipe.control.flush_lsn) > 0
     assert all(u["write_lsn"] >= u["flush_lsn"] for u in ups)
+
+
+def test_unwrap_all_keepalive_chunk_yields_zero_rows(spark):
+    """A chunk carrying only keepalives unwraps to zero rows (no Arrow
+    empty-frame breakage) and xid assignment degrades gracefully with no
+    BEGINs in sight."""
+    stream = live.encode_copy_stream(
+        [live.encode_keepalive(5, 1), live.encode_keepalive(9, 2)])
+    df = live.unwrap_xlog_chunks(
+        spark.createDataFrame([(bytearray(stream),)], "chunk binary"))
+    assert live.assign_xids(df).count() == 0
