@@ -41,7 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact DAU/MAU and column profiler, register-merged, estimates
     hash-matched exactly; docs_boilerplate_coverage — RefinedWeb-style
     boilerplate strip analog: exact token-position coverage by
-    cross-document repeated shingles, digest-keyed linear plan]
+    cross-document repeated shingles, digest-keyed linear plan;
+    events_quantile_sketch — deterministic-sample mergeable quantile
+    sketch beside the exact ranks, the gate-proven approx-percentile
+    scale path]
     + [CHANGED in r11: docs_source_js_divergence (single-scan
     tokenize: (source,tok,n) aggregate checkpointed, glob/totals
     re-derived — ADVICE r10); docs_source_caps (salted_topk_per_key
@@ -50,9 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-trigger wal bounds — ADVICE r10)]
     + [the 15 r6-latest rows (all judge re-verified in r10; this
     drains the r6 tail completely)]
-    + [28 of the 48 r7-latest rows, alphabetical; the remaining 20
-    (lineitem_basket_lift ... supplier_share_hhi) lead the r12
-    queue]. Tail = those 20 r7 rows, then r8/r9/r10 green rows.
+    + [27 of the 48 r7-latest rows, alphabetical; the remaining 21
+    (events_welch_ttest ... supplier_share_hhi) lead the r12
+    queue]. Tail = those 21 r7 rows, then r8/r9/r10 green rows.
     After this round nothing recorded is older than r7. All window
     entries verified locally via tools/check_oracle.py at sf0.01
     before rotation (COVERAGE.md).
@@ -63,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
         "docs_profile_hll": workload_text.docs_profile_hll,
         "docs_boilerplate_coverage": workload_text.docs_boilerplate_coverage,
+        "events_quantile_sketch": workload_relational.events_quantile_sketch,
         # --- implementation CHANGED in round 11: re-record ---
         "docs_source_js_divergence": workload_text.docs_source_js_divergence,
         "docs_source_caps": workload_text.docs_source_caps,
@@ -83,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "orders_decile_bands": workload_relational.orders_decile_bands,
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        # --- oldest r7 rows, alphabetical (28 of 48; other 20 lead r12) ---
+        # --- oldest r7 rows, alphabetical (27 of 48; other 21 lead r12) ---
         "ann_recall_eval": workload_text.ann_recall_eval,
         "cdc_hot_keys": workload.cdc_hot_keys,
         "cdc_rebucket_migration": workload.cdc_rebucket_migration,
@@ -111,8 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanon_audit": workload_relational.events_kanon_audit,
         "events_lag_autocorr": workload_relational.events_lag_autocorr,
         "events_sax_daily": workload_relational.events_sax_daily,
-        "events_welch_ttest": workload_relational.events_welch_ttest,
         # --- tail: fresher green rows (r7 remainder, r8, r9, r10) ---
+        "events_welch_ttest": workload_relational.events_welch_ttest,
         "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
         "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
         "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,

@@ -201,6 +201,7 @@ HEADLINE = [
     "events_dau_mau_hll",
     "docs_profile_hll",
     "docs_boilerplate_coverage",
+    "events_quantile_sketch",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -401,7 +402,8 @@ def main() -> None:
     r10_new = {"docs_exact_jaccard_clusters", "docs_source_caps",
                "docs_source_js_divergence", "docs_dup_rate_by_source"}
     r11_new = {"pgoutput_wire_decode", "events_dau_mau_hll",
-               "docs_profile_hll", "docs_boilerplate_coverage"}
+               "docs_profile_hll", "docs_boilerplate_coverage",
+               "events_quantile_sketch"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new

@@ -3935,6 +3935,49 @@ FROM agg CROSS JOIN bounds WHERE obs_day <= dmax
 """
 
 
+# Deterministic-sample quantile sketch: the keep decision and the
+# rank-based (type-1) selection are byte-stable on both engines, so the
+# sketch estimates hash-match exactly (the t-digest analog is
+# engine-internal and unverifiable, like the built-in HLLs).
+ORACLES["events_quantile_sketch"] = f"""
+WITH base AS (
+  SELECT event_type, value, event_id,
+         CAST({_H52.format(expr="CAST(event_id AS VARCHAR)")} AS BIGINT)
+           < 281474976710656 AS in_sample
+  FROM events
+),
+ranked_exact AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base 
+),
+agg_exact AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_exact,
+         max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS exact_p50,
+         max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS exact_p90,
+         max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS exact_p99
+  FROM ranked_exact GROUP BY event_type
+),
+ranked_sketch AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base WHERE in_sample
+),
+agg_sketch AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_sketch,
+         max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS sketch_p50,
+         max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS sketch_p90,
+         max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS sketch_p99
+  FROM ranked_sketch GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact AS n, s.n_sketch AS n_sample,
+       s.sketch_p50, s.sketch_p90, s.sketch_p99,
+       e.exact_p50, e.exact_p90, e.exact_p99
+FROM agg_exact e JOIN agg_sketch s USING (event_type)
+"""
+
 # The HLL swap-in must land on the identical estimates: the register
 # tables are bit-identical on both engines (shared 52-bit md5 domain,
 # exact-integer harmonic sum), and window merging is max-per-register.

@@ -937,6 +937,62 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch beside the exact percentiles (X166): the
+    gate-proven 100-TB path for ``events_value_percentiles``'s documented
+    "swap to approx_percentile" promise. The engines' t-digests have
+    incompatible internals (like their HLLs — sketch.py), so the
+    cross-engine-verifiable mergeable sketch is a DETERMINISTIC uniform
+    sample: keep rows whose 52-bit md5(event_id) clears an exact integer
+    threshold (≈1/16). Per-partition samples union trivially (the
+    mergeability property), the keep decision replays byte-stable, and
+    rank-based (type-1) quantile selection picks REAL data values — no
+    interpolation, so estimates hash-match the oracle exactly.
+
+    Output: per event type, sample-based p50/p90/p99 beside the exact
+    full-data ranks, with n / n_sample for the error budget. Scale
+    shape: the exact side is the full per-group sort (gate-scale only);
+    the sketch side sorts 1/16 of the data — at 100 TB only the sketch
+    runs, and the sample fraction tunes memory, not correctness.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    h52 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    thresh = (1 << 52) // 16
+    base = ev.withColumn("in_sample", h52 < F.lit(thresh))
+
+    def rank_quantiles(df, prefix):
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wn = Window.partitionBy("event_type")
+        r = (
+            df.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+        )
+        picks = [
+            F.max(
+                F.when(F.col("r") == F.ceil(F.lit(q) * F.col("n")),
+                       F.col("value"))
+            ).alias(f"{prefix}{name}")
+            for q, name in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ]
+        return r.groupBy("event_type").agg(
+            F.max("n").cast("long").alias(f"n_{prefix.rstrip('_p')}"), *picks
+        )
+
+    exact = rank_quantiles(base, "exact_p").withColumnRenamed(
+        "n_exact", "n")
+    sk = rank_quantiles(base.filter("in_sample"), "sketch_p").withColumnRenamed(
+        "n_sketch", "n_sample")
+    return exact.join(sk, "event_type").select(
+        "event_type", "n", "n_sample",
+        "sketch_p50", "sketch_p90", "sketch_p99",
+        "exact_p50", "exact_p90", "exact_p99",
+    )
+
+
 def events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window family in one pass: lag/lead, ntile, rank
     percentiles, cumulative distribution, first/last value — all over ONE

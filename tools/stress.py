@@ -195,6 +195,7 @@ QUERIES = [
     "events_dau_mau_hll",
     "docs_profile_hll",
     "docs_boilerplate_coverage",
+    "events_quantile_sketch",
 ]
 
 
