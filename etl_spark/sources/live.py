@@ -267,20 +267,55 @@ class RecordedReplicationSource(ReplicationFrameSource):
         )
 
     def start(self, slot_name: str, start_lsn: int) -> None:
-        """Materialize the message list and position at the first XLogData
-        whose wal_start >= start_lsn (the server replays from the slot's
-        confirmed point; restarting mid-stream re-delivers from the
-        durable flush LSN — at-least-once, absorbed downstream)."""
-        self._messages = list(iter_copy_messages(self._recorded))
+        """Materialize the message list and position the stream for
+        replay from ``start_lsn`` at TRANSACTION granularity.
+
+        Postgres re-sends WHOLE transactions whose COMMIT is past the
+        slot's confirmed point — a transaction that began before the
+        flush point but committed after is re-delivered in full,
+        including frames whose own wal positions sit BELOW ``start_lsn``
+        (logical decoding delivers in commit order; the confirmed LSN
+        fences commits, not individual records). So positioning skips
+        only (a) transactions whose COMMIT wal_start < start_lsn and
+        (b) stale keepalives — never individual records, and never
+        out-of-transaction metadata (RELATION/TYPE re-send per
+        connection, so a recorded capture's metadata must survive the
+        skip)."""
+        msgs = list(iter_copy_messages(self._recorded))
+        kept: list[bytes] = []
+        tx_buf: list[bytes] = []  # current transaction, held until verdict
+        in_tx = False
+        for m in msgs:
+            p = parse_copy_payload(m)
+            if p["kind"] == "KeepAlive":
+                if in_tx:
+                    # heartbeats interleaved inside a transaction ride its
+                    # buffer: delivered iff the transaction is
+                    tx_buf.append(m)
+                elif p["wal_end"] >= start_lsn:
+                    kept.append(m)
+                continue
+            if p["kind"] != "XLogData":
+                raise ValueError(f"server stream carried a {p['kind']} message")
+            tag = p["frame"][:1]
+            if tag == b"B":
+                in_tx = True
+                tx_buf = [m]
+            elif in_tx:
+                tx_buf.append(m)
+                if tag == b"C":
+                    # fence on the COMMIT's position: < start_lsn means
+                    # the whole transaction is confirmed server-side
+                    if p["wal_start"] >= start_lsn:
+                        kept.extend(tx_buf)
+                    tx_buf = []
+                    in_tx = False
+            else:
+                kept.append(m)  # out-of-tx metadata always re-delivers
+        kept.extend(tx_buf)  # trailing open transaction (no COMMIT yet)
+        self._messages = kept
         self._pos = 0
         self._current_xid = -1
-        while self._pos < len(self._messages):
-            p = parse_copy_payload(self._messages[self._pos])
-            if p["kind"] == "XLogData" and p["wal_start"] >= start_lsn:
-                break
-            # already-confirmed XLogData and stale keepalives are skipped
-            # during positioning (the server would not re-send them)
-            self._pos += 1
 
     def poll_frames(self, max_bytes: int) -> list[tuple[int, int, bytes]]:
         if self._messages is None:
@@ -296,15 +331,15 @@ class RecordedReplicationSource(ReplicationFrameSource):
                 if p["reply_requested"]:
                     self.send_status_update(self._last_wal_end, self._flush_lsn)
                 continue
-            if p["kind"] != "XLogData":
-                raise ValueError(f"server stream carried a {p['kind']} message")
             frame = p["frame"]
             self._last_wal_end = max(self._last_wal_end, p["wal_end"])
             tag = frame[:1]
             if tag == b"B":
-                from etl_spark.sources.pgoutput import parse_frame
-
-                self._current_xid = parse_frame(frame)["xid"]
+                # synthetic xid = the BEGIN's wal position: unique and
+                # replay-stable at any volume, where the wire xid field
+                # is u32 and WRAPS (same convention as assign_xids —
+                # transaction identity rides the envelope xid column)
+                self._current_xid = p["wal_start"]
             out.append((p["wal_start"], self._current_xid, frame))
             if tag == b"C":
                 self._current_xid = -1
@@ -386,15 +421,18 @@ def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start"):
     """Recover the transaction of every frame from BEGIN positions and
     add it as the ``xid`` column (completing FRAME_SCHEMA).
 
-    The assigned xid is the BEGIN's ORDINAL in wal order, not the wire
-    xid field: the wire field is u32 and wraps (PG xid semantics), so two
+    The assigned xid is the BEGIN's WAL POSITION, not the wire xid
+    field: the wire field is u32 and wraps (PG xid semantics), so two
     distant transactions in one decode window could collide under it —
-    the ordinal is unique at any volume, and transaction identity rides
-    the envelope xid column (int64), exactly the sim's convention
-    (workload.py pgoutput_decode: "the wire field is informational").
-    Frames before the first BEGIN (re-sent RELATION/TYPE metadata) get
-    xid = -1. The BEGIN collect is bounded by transaction count per
-    decode window, never frame volume."""
+    the begin position is unique at any volume, stable under replay and
+    window re-slicing, and transaction identity rides the envelope xid
+    column (int64), exactly the sim's convention (workload.py
+    pgoutput_decode: "the wire field is informational"; the sequential
+    :class:`RecordedReplicationSource` assigns the same value, so both
+    decode paths produce identical FRAME_SCHEMA rows). Frames before the
+    first BEGIN (re-sent RELATION/TYPE metadata) get xid = -1. The BEGIN
+    collect is bounded by transaction count per decode window, never
+    frame volume."""
     from pyspark.sql import functions as F
 
     first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
@@ -411,7 +449,8 @@ def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start"):
 
     def _xid_of(ws):
         idx = np.searchsorted(b_wal, ws.to_numpy(dtype=np.int64), side="right") - 1
-        return pd.Series(idx)
+        wal = b_wal[np.maximum(idx, 0)] if len(b_wal) else np.zeros(len(ws), dtype=np.int64)
+        return pd.Series(np.where(idx >= 0, wal, -1))
 
     _xid_of.__annotations__ = {"ws": pd.Series, "return": pd.Series}
     xid_of = pandas_udf(_xid_of, "long")
@@ -443,12 +482,25 @@ class FrameFilePump:
 
     def __init__(self, source: ReplicationFrameSource, spark, source_dir: str,
                  control=None, batch_bytes: int = 8 << 20):
+        import os
+        import re
+
         self.source = source
         self.spark = spark
         self.source_dir = source_dir
         self.control = control  # ControlStore-like: .flush_lsn
         self.batch_bytes = batch_bytes
-        self._n = 0
+        # Resume numbering AFTER any file a previous incarnation shipped:
+        # Spark's file-stream checkpoint marks paths as seen, so a restart
+        # that reused pump000001.parquet would have its replayed frames
+        # silently ignored (the at-least-once replay would be LOST). Names
+        # must be unique across incarnations of the same queue.
+        existing = [
+            int(m.group(1))
+            for f in (os.listdir(source_dir) if os.path.isdir(source_dir) else [])
+            if (m := re.fullmatch(r"pump(\d+)\.parquet", f))
+        ]
+        self._n = max(existing, default=0)
         self._write_pos = 0  # highest wal_start shipped to the queue
 
     def drain_once(self) -> int:

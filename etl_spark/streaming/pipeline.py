@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark import failpoints
+from etl_spark import failpoints, telemetry
 from etl_spark.envelope import ROW_OPS, with_sequence
 from etl_spark.schema_registry import ColumnDef, SchemaRegistry, diff_schemas
 from etl_spark.sources.cdc import stream_changes
@@ -129,8 +129,6 @@ class Pipeline:
         # reference-parity telemetry (observability.rs inventory): the
         # registry is driver-side metadata; increments below reuse
         # already-computed batch aggregates — no extra Spark jobs
-        from etl_spark import telemetry
-
         self.metrics = metrics_registry or telemetry.DEFAULT
         self.metrics.set_gauge(telemetry.ETL_TABLES_TOTAL, len(self.tables))
         self.control = ControlStore(os.path.join(work_dir, "control"))
@@ -274,8 +272,6 @@ class Pipeline:
                     # (Observation — no second scan of the snapshot)
                     from pyspark.sql import Observation
 
-                    from etl_spark import telemetry
-
                     obs = Observation()
                     self.sink.write_snapshot(
                         cfg.name,
@@ -299,8 +295,6 @@ class Pipeline:
                 # a real source records the exported snapshot's LSN here
                 self.control.transition(cfg.name, TableState.SYNC_DONE, lsn=0)
             except Exception as exc:  # quarantine, don't kill the pipeline
-                from etl_spark import telemetry
-
                 self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
                                  labels={"table": cfg.name})
                 self.control.transition(
@@ -410,8 +404,6 @@ class Pipeline:
             # prove as-of decode never needs a pruned version,
             # pipeline_with_failpoints.rs:1581)
             if failpoints.should_skip(failpoints.FORCE_SCHEMA_CLEANUP):
-                from etl_spark import telemetry
-
                 self.metrics.inc(telemetry.ETL_SCHEMA_CLEANUPS_TOTAL)
                 for name in self.tables:
                     pruned = self.schemas.prune(name, self.control.flush_lsn)
@@ -420,15 +412,20 @@ class Pipeline:
                             telemetry.ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL,
                             pruned)
             # one agg also feeds telemetry (events + transactions per
-            # batch ride the same job as the max-LSN read). Transactions
-            # use the HLL approx form: an exact count_distinct adds a
-            # partial-distinct expand to EVERY trigger (measured ~0.1 s
-            # per 100k-event batch), which taxed the copy/apply headline
-            # for a telemetry counter — approx is the right grade here.
+            # batch ride the same job as the max-LSN read). Only ROW ops
+            # count as events (RELATION/TYPE/MESSAGE metadata frames would
+            # inflate the reference's events-processed counter during DDL
+            # bursts). Transactions use the HLL approx form: an exact
+            # count_distinct adds a partial-distinct expand to EVERY
+            # trigger (measured ~0.1 s per 100k-event batch), which taxed
+            # the copy/apply headline for a telemetry counter — approx is
+            # the right grade here.
+            is_row = F.col("op").isin(list(ROW_OPS))
             max_lsn_row = batch.agg(
                 F.max("commit_lsn").alias("m"),
-                F.count("*").alias("n"),
-                F.approx_count_distinct("commit_lsn").alias("ntx"),
+                F.count(F.when(is_row, 1)).alias("n"),
+                F.approx_count_distinct(
+                    F.when(is_row, F.col("commit_lsn"))).alias("ntx"),
             ).collect()[0]
             if cross_mode:
                 # settle batch N-1 (one in flight — apply.rs
@@ -445,8 +442,6 @@ class Pipeline:
                     if entry.state == TableState.SYNC_DONE:
                         self.control.transition(name, TableState.READY)
                 except Exception as exc:
-                    from etl_spark import telemetry
-
                     self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
                                      labels={"table": name})
                     self.control.transition(
@@ -479,8 +474,6 @@ class Pipeline:
                 # durable progress: every sink write above has completed
                 # (synchronously, or settled by await_pending just now)
                 self.control.advance_flush_lsn(int(max_lsn))
-            from etl_spark import telemetry
-
             self.metrics.inc(
                 telemetry.ETL_EVENTS_PROCESSED_TOTAL, int(max_lsn_row["n"]))
             self.metrics.inc(
@@ -662,8 +655,6 @@ class Pipeline:
                         defaults=added_defaults,
                         nullability=d.nullability_changes,
                     )
-                    from etl_spark import telemetry
-
                     self.metrics.inc(
                         telemetry.ETL_DDL_SCHEMA_CHANGES_TOTAL,
                         len(d.renames) + len(d.columns_to_remove)

@@ -1079,6 +1079,10 @@ def docs_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("p")
     ).select("p.*")
+    # cut point: the null/row-count agg and the register agg both consume
+    # the melt — without it each branch re-scans and re-explodes the
+    # corpus (the "one scan" claim would be false at profile scale)
+    melted = melted.localCheckpoint(eager=True)
     counts = melted.groupBy("column").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),

@@ -130,11 +130,13 @@ def test_recorded_source_end_to_end_with_keepalive_reply():
     src.start("slot", 0)
     src.send_status_update(0, 19)  # engine reports a durable flush point
     rows = src.poll_frames(1 << 20)
-    # every XLogData became one FRAME_SCHEMA row; keepalives did not
+    # every XLogData became one FRAME_SCHEMA row; keepalives did not.
+    # xid = the BEGIN's wal position (u32-wrap-proof synthetic identity,
+    # matching assign_xids), never the wire field (701/702 here)
     assert [(w, x, f[:1]) for w, x, f in rows] == [
         (5, -1, b"R"),                     # outside any tx
-        (10, 701, b"B"), (11, 701, b"I"), (12, 701, b"I"), (19, 701, b"C"),
-        (30, 702, b"B"), (31, 702, b"U"), (39, 702, b"C"),
+        (10, 10, b"B"), (11, 10, b"I"), (12, 10, b"I"), (19, 10, b"C"),
+        (30, 30, b"B"), (31, 30, b"U"), (39, 30, b"C"),
     ]
     # the reply-requested keepalive triggered a standby status update
     # carrying the engine's ack-gated flush LSN — byte-checked
@@ -142,23 +144,47 @@ def test_recorded_source_end_to_end_with_keepalive_reply():
     assert ups[-1]["kind"] == "StatusUpdate"
     assert ups[-1]["flush_lsn"] == 19          # never ahead of the ack
     assert ups[-1]["write_lsn"] == 12          # max wal_end seen at reply time
-    # monotonic: a stale (lower) report never regresses the sent LSNs
+    # monotonic: a stale (lower) report never regresses the sent LSNs —
+    # exact values pinned (write stays at the clamped 12, flush at 19)
     src.send_status_update(1, 2)
     last = live.parse_copy_payload(src.sent_updates[-1])
-    assert last["write_lsn"] == 40 or last["write_lsn"] >= 12
-    assert last["flush_lsn"] == 19
+    assert (last["write_lsn"], last["flush_lsn"]) == (12, 19)
 
 
 def test_recorded_source_start_lsn_replays_midstream():
-    """START_REPLICATION from the durable flush LSN: only frames at/after
-    it re-deliver (at-least-once replay from the slot's confirmed point)."""
+    """START_REPLICATION from the durable flush LSN: transactions whose
+    COMMIT is confirmed are skipped WHOLE; out-of-transaction metadata
+    (RELATION re-sends per connection) always re-delivers."""
     src = live.RecordedReplicationSource(_recorded_two_tx_stream())
     src.start("slot", 30)
     rows = src.poll_frames(1 << 20)
     assert [(w, f[:1]) for w, _, f in rows] == [
-        (30, b"B"), (31, b"U"), (39, b"C")]
+        (5, b"R"), (30, b"B"), (31, b"U"), (39, b"C")]
     with pytest.raises(RuntimeError, match="before start"):
         live.RecordedReplicationSource(b"").poll_frames(1)
+
+
+def test_recorded_source_replays_whole_tx_across_flush_boundary():
+    """A transaction that BEGAN before the confirmed point but COMMITTED
+    after it re-delivers IN FULL — logical decoding fences on commit
+    positions, not per-record positions; skipping its early records would
+    silently lose committed data."""
+    msgs = [
+        # tx A: commit 20 — fully confirmed at start_lsn 25
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=20, xid=1)),
+        live.encode_xlog_data(11, 12, 0, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(20, 21, 0, pgo.encode_commit(20, 21)),
+        # tx B: began at 15 (BELOW the flush point) but committed at 40
+        live.encode_xlog_data(15, 16, 0, pgo.encode_begin(final_lsn=40, xid=2)),
+        live.encode_xlog_data(16, 17, 0, pgo.encode_insert(1, ["2", "b"])),
+        live.encode_xlog_data(40, 41, 0, pgo.encode_commit(40, 41)),
+    ]
+    src = live.RecordedReplicationSource(live.encode_copy_stream(msgs))
+    src.start("slot", 25)
+    rows = src.poll_frames(1 << 20)
+    # tx A gone whole; tx B re-delivered whole, records below 25 included
+    assert [(w, x, f[:1]) for w, x, f in rows] == [
+        (15, 15, b"B"), (16, 15, b"I"), (40, 15, b"C")]
 
 
 def test_recorded_source_max_bytes_budget():
@@ -270,3 +296,28 @@ def test_unwrap_all_keepalive_chunk_yields_zero_rows(spark):
     df = live.unwrap_xlog_chunks(
         spark.createDataFrame([(bytearray(stream),)], "chunk binary"))
     assert live.assign_xids(df).count() == 0
+
+
+def test_frame_pump_restart_never_reuses_file_names(spark, tmp_path):
+    """A restarted pump must not reuse pump file names: the file-stream
+    checkpoint marks seen paths, so a reused name's replayed frames would
+    be silently ignored (at-least-once replay lost)."""
+    import os
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    stream = live.encode_copy_stream([
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=12, xid=1)),
+        live.encode_xlog_data(11, 12, 0, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(12, 13, 0, pgo.encode_commit(12, 13)),
+    ])
+    s1 = live.RecordedReplicationSource(stream)
+    s1.start("slot", 0)
+    live.FrameFilePump(s1, spark, src_dir).drain_once()
+    assert sorted(os.listdir(src_dir)) == ["pump000001.parquet"]
+    # crash-restart: new pump incarnation, transport replays from 0
+    s2 = live.RecordedReplicationSource(stream)
+    s2.start("slot", 0)
+    live.FrameFilePump(s2, spark, src_dir).drain_once()
+    assert sorted(os.listdir(src_dir)) == [
+        "pump000001.parquet", "pump000002.parquet"]

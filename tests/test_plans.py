@@ -1184,3 +1184,13 @@ def test_dau_mau_hll_register_fanout_plan(spark):
     plan = plan_of(workload_relational.events_dau_mau_hll(spark, SF_DIR))
     assert "Scan parquet" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_hll_single_melt_plan(spark):
+    """X163: the counts branch and the register branch both derive from
+    the ONE checkpointed melt — no parquet rescan, no second explode."""
+    plan = plan_of(workload_text.docs_profile_hll(spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate explode", plan, re.M)) == 0, plan
