@@ -321,3 +321,75 @@ def test_frame_pump_restart_never_reuses_file_names(spark, tmp_path):
     live.FrameFilePump(s2, spark, src_dir).drain_once()
     assert sorted(os.listdir(src_dir)) == [
         "pump000001.parquet", "pump000002.parquet"]
+
+
+def test_frame_pump_crash_restart_replays_from_flush_lsn(spark, tmp_path):
+    """The full at-least-once loop across the transport boundary: pump a
+    prefix, apply it, 'crash' (lose the pump + source), restart with a
+    FRESH source positioned at the engine's durable flush LSN — the
+    transport replays the unconfirmed suffix (plus per-connection
+    metadata), the pipeline absorbs the overlap idempotently, and the
+    destination converges to the full-stream state."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [live.encode_xlog_data(5, 6, 0, rel)]
+    lsn = 10
+    expected = {}
+    for pk, val in [(1, "a"), (2, "b"), (1, "a2"), (3, "c"), (2, "b2")]:
+        op = pgo.encode_insert(1, [str(pk), val]) if pk not in expected \
+            else pgo.encode_update(1, [str(pk), val])
+        expected[pk] = val
+        msgs += [
+            live.encode_xlog_data(lsn, lsn + 1, 0,
+                                  pgo.encode_begin(final_lsn=lsn + 2, xid=1)),
+            live.encode_xlog_data(lsn + 1, lsn + 2, 0, op),
+            live.encode_xlog_data(lsn + 2, lsn + 3, 0,
+                                  pgo.encode_commit(lsn + 2, lsn + 3)),
+        ]
+        lsn += 10
+    stream = live.encode_copy_stream(msgs)
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    # incarnation 1: pump TWO small batches, apply, then crash
+    s1 = live.RecordedReplicationSource(stream)
+    s1.start("slot", 0)
+    p1 = live.FrameFilePump(s1, spark, src_dir, control=pipe.control,
+                            batch_bytes=80)
+    p1.drain_once()
+    p1.drain_once()
+    pipe.run_until_drained()
+    p1.report_progress()
+    flush_mid = int(pipe.control.flush_lsn)
+    assert 0 < flush_mid < lsn - 8  # genuinely mid-stream
+
+    # incarnation 2: fresh source + pump; START_REPLICATION from the
+    # durable flush point (what a reconnect does against the slot)
+    pipe2 = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                     source_fmt="pgoutput")
+    s2 = live.RecordedReplicationSource(stream)
+    s2.start("slot", flush_mid)
+    p2 = live.FrameFilePump(s2, spark, src_dir, control=pipe2.control,
+                            batch_bytes=1 << 20)
+    p2.run_until_source_drained(pipe2)
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == expected
+    # the restart's final ack reaches the last commit
+    last = live.parse_copy_payload(s2.sent_updates[-1])
+    assert last["flush_lsn"] == int(pipe2.control.flush_lsn) == lsn - 8
