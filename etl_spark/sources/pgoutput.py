@@ -908,19 +908,32 @@ class PersistentTxRegistry:
         if bounds[0] is None:
             return  # empty batch: nothing to fold
         mn, mx = int(bounds[0]), int(bounds[1])
-        # Monotonicity guard (ADVICE r10): WAL positions are strictly
-        # increasing in delivery order, so a fold may supersede AT MOST the
-        # newest generation (the one-uncommitted-batch replay window). A
-        # batch whose first frame undercuts an OLDER generation too — e.g.
-        # a stray sentinel/keepalive wal position leaking into the fold —
-        # would silently drop committed carry state; fail loudly instead.
+        # Monotonicity watch (ADVICE r10, relaxed in r11): within ONE
+        # stream incarnation a fold supersedes at most the newest
+        # generation (the one-uncommitted-batch replay window). But a
+        # TRANSPORT-level replay — the slot re-sending from the durable
+        # flush LSN after a reconnect — legitimately undercuts SEVERAL
+        # generations: the server re-delivers whole transactions past the
+        # confirmed commit, so the re-fold from the LSN-exact pre-mn base
+        # reconstructs exactly the state the replayed frames rebuild
+        # (a boundary-spanning transaction re-delivers from its BEGIN, so
+        # no carried entry the dropped generations held is ever needed).
+        # The randomized pump-replay model exercises this path. A fold
+        # that undercuts because of a CORRUPT sentinel wal (the ADVICE
+        # concern) loses open-tx state the stream will NOT re-deliver —
+        # that still fails loudly, downstream, at the strict
+        # no-begin-state decode. Here: warn for visibility, proceed.
         superseded = [g[0] for g in self._gens if g[0] >= mn]
         if len(superseded) > 1:
-            raise RuntimeError(
-                "non-monotone WAL fold: batch min wal_start "
-                f"{mn} undercuts {len(superseded)} retained generations "
-                f"(watermarks {superseded}); only the newest generation may "
-                "be re-folded (one-uncommitted-batch replay window)"
+            import warnings
+
+            warnings.warn(
+                f"multi-generation WAL re-fold: batch min wal_start {mn} "
+                f"supersedes {len(superseded)} generations (watermarks "
+                f"{superseded}) — expected for a transport replay from the "
+                "durable flush LSN; corrupt sentinel positions fail at the "
+                "strict no-begin-state decode instead",
+                stacklevel=2,
             )
         bc = frames.filter(first.isin([b"B", b"C"])).select(xid_col, frame_col).collect()
         # Envelope-row counts: every frame that emits an envelope row and

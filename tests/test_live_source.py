@@ -393,3 +393,95 @@ def test_frame_pump_crash_restart_replays_from_flush_lsn(spark, tmp_path):
     # the restart's final ack reaches the last commit
     last = live.parse_copy_payload(s2.sent_updates[-1])
     assert last["flush_lsn"] == int(pipe2.control.flush_lsn) == lsn - 8
+
+
+@pytest.mark.parametrize("seed", [3, 11, 23, 42])
+def test_pump_random_replay_model(spark, tmp_path, seed):
+    """Randomized transport-replay model: a seeded random stream (mixed
+    ops over a small key space, keepalives, metadata re-sends) is pumped
+    through RANDOM crash/restart points, each restart positioning a fresh
+    source at the engine's durable flush LSN. Any mis-fencing in the
+    transaction-granular replay (lost records, re-decoded partials,
+    dropped metadata) diverges the destination from the driver-side LWW
+    model."""
+    import os
+    import random
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rng = random.Random(seed)
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [live.encode_xlog_data(5, 6, 0, rel)]
+    model: dict[int, str] = {}
+    lsn = 10
+    for _ in range(rng.randint(8, 16)):
+        n_dml = rng.randint(1, 3)  # multi-record transactions
+        tx_msgs = [live.encode_xlog_data(
+            lsn, lsn + 1, 0,
+            pgo.encode_begin(final_lsn=lsn + n_dml + 1, xid=1))]
+        staged = {}
+        for i in range(1, n_dml + 1):
+            pk = rng.randint(1, 4)
+            kind = rng.choice(["up", "up", "del"])
+            if kind == "del" and (pk in model or pk in staged):
+                body = pgo.encode_delete(1, key=[str(pk)])
+                staged[pk] = None
+            else:
+                val = f"v{lsn + i}"
+                cur = staged.get(pk, model.get(pk))
+                body = (pgo.encode_update(1, [str(pk), val], key=[str(pk)])
+                        if cur is not None
+                        else pgo.encode_insert(1, [str(pk), val]))
+                staged[pk] = val
+            tx_msgs.append(live.encode_xlog_data(lsn + i, lsn + i + 1, 0, body))
+        tx_msgs.append(live.encode_xlog_data(
+            lsn + n_dml + 1, lsn + n_dml + 2, 0,
+            pgo.encode_commit(lsn + n_dml + 1, lsn + n_dml + 2)))
+        if rng.random() < 0.3:
+            tx_msgs.insert(rng.randint(1, len(tx_msgs) - 1),
+                           live.encode_keepalive(lsn, 0, rng.random() < 0.5))
+        msgs.extend(tx_msgs)
+        for pk, v in staged.items():
+            if v is None:
+                model.pop(pk, None)
+            else:
+                model[pk] = v
+        lsn += n_dml + 10
+    stream = live.encode_copy_stream(msgs)
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    work = str(tmp_path / "work")
+
+    # random crash/restart loop: each incarnation pumps a random number
+    # of random-size batches, applies, acks, then "crashes"
+    for _incarnation in range(4):
+        pipe = Pipeline(spark, src_dir, [cfg], sink, work,
+                        source_fmt="pgoutput")
+        src = live.RecordedReplicationSource(stream)
+        src.start("slot", int(pipe.control.flush_lsn))
+        pump = live.FrameFilePump(src, spark, src_dir, control=pipe.control,
+                                  batch_bytes=rng.choice([60, 150, 400]))
+        for _ in range(rng.randint(1, 3)):
+            if pump.drain_once() == 0:
+                break
+            pipe.run_until_drained()
+            pump.report_progress()
+    # final incarnation drains whatever remains
+    pipe = Pipeline(spark, src_dir, [cfg], sink, work, source_fmt="pgoutput")
+    src = live.RecordedReplicationSource(stream)
+    src.start("slot", int(pipe.control.flush_lsn))
+    pump = live.FrameFilePump(src, spark, src_dir, control=pipe.control)
+    pump.run_until_source_drained(pipe)
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == model, f"seed={seed} got={got} want={model}"
