@@ -485,3 +485,72 @@ def test_pump_random_replay_model(spark, tmp_path, seed):
     got = {r.pk: r.val for r in
            sink.read("public.t").select("pk", "val").collect()}
     assert got == model, f"seed={seed} got={got} want={model}"
+
+
+def test_frame_pump_ddl_republish_across_crash_boundary(spark, tmp_path):
+    """Wire transport × DDL: a RELATION republish (ADD column) rides the
+    recorded stream between two transactions, with a crash/restart
+    straddling the DDL — the restarted transport re-delivers the
+    republish (out-of-tx metadata always re-sends) plus the unconfirmed
+    transactions, and the destination lands on the post-DDL schema with
+    pre-DDL rows NULL-backfilled."""
+    import os
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rel_v1 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    rel_v2 = pgo.encode_relation(1, "public", "t", "d",
+                                 [(1, "pk", 20, -1), (0, "val", 25, -1),
+                                  (0, "extra", 25, -1)])
+    msgs = [
+        live.encode_xlog_data(5, 6, 0, rel_v1),
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=12, xid=1)),
+        live.encode_xlog_data(11, 12, 0, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(12, 13, 0, pgo.encode_commit(12, 13)),
+        # DDL: ADD COLUMN extra -> republish, between transactions
+        live.encode_xlog_data(15, 16, 0, rel_v2),
+        live.encode_xlog_data(20, 21, 0, pgo.encode_begin(final_lsn=22, xid=2)),
+        live.encode_xlog_data(21, 22, 0, pgo.encode_insert(1, ["2", "b", "x2"])),
+        live.encode_xlog_data(22, 23, 0, pgo.encode_commit(22, 23)),
+        live.encode_xlog_data(30, 31, 0, pgo.encode_begin(final_lsn=32, xid=3)),
+        live.encode_xlog_data(31, 32, 0,
+                              pgo.encode_update(1, ["1", "a2", "x1"], key=["1"])),
+        live.encode_xlog_data(32, 33, 0, pgo.encode_commit(32, 33)),
+    ]
+    stream = live.encode_copy_stream(msgs)
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    work = str(tmp_path / "work")
+
+    # incarnation 1: pump just past the FIRST transaction, apply, crash
+    pipe = Pipeline(spark, src_dir, [cfg], sink, work, source_fmt="pgoutput")
+    s1 = live.RecordedReplicationSource(stream)
+    s1.start("slot", 0)
+    p1 = live.FrameFilePump(s1, spark, src_dir, control=pipe.control,
+                            batch_bytes=100)
+    p1.drain_once()
+    pipe.run_until_drained()
+    assert int(pipe.control.flush_lsn) == 12  # only tx1 applied
+
+    # incarnation 2: restart from the flush LSN; the replay carries the
+    # v2 republish + both post-DDL transactions
+    pipe2 = Pipeline(spark, src_dir, [cfg], sink, work, source_fmt="pgoutput")
+    s2 = live.RecordedReplicationSource(stream)
+    s2.start("slot", int(pipe2.control.flush_lsn))
+    p2 = live.FrameFilePump(s2, spark, src_dir, control=pipe2.control)
+    p2.run_until_source_drained(pipe2)
+
+    out = sink.read("public.t")
+    assert "extra" in out.columns
+    got = {r.pk: (r.val, r.extra) for r in
+           out.select("pk", "val", "extra").collect()}
+    assert got == {1: ("a2", "x1"), 2: ("b", "x2")}
