@@ -935,7 +935,23 @@ class PersistentTxRegistry:
                 "strict no-begin-state decode instead",
                 stacklevel=2,
             )
-        bc = frames.filter(first.isin([b"B", b"C"])).select(xid_col, frame_col).collect()
+        # limit-fenced collect (VERDICT r11 #3): B/C frames are bounded by
+        # TRANSACTION count, and the fence caps what the driver
+        # materializes — a pathological window of millions of tiny
+        # transactions raises with remediation instead of ballooning
+        # driver memory (ceiling shared with live.assign_xids)
+        from etl_spark.sources.live import MAX_TX_PER_WINDOW, _check_tx_budget
+
+        fence = 2 * MAX_TX_PER_WINDOW + 1
+        bc = (
+            frames.filter(first.isin([b"B", b"C"]))
+            .select(xid_col, frame_col)
+            .limit(fence)
+            .collect()
+        )
+        if len(bc) >= fence:
+            _check_tx_budget(MAX_TX_PER_WINDOW + 1, MAX_TX_PER_WINDOW,
+                             "PersistentTxRegistry.advance_from")
         # Envelope-row counts: every frame that emits an envelope row and
         # participates in tx_ordinal numbering (DML + R/T/M; B/C/Y/O do not).
         counts = {

@@ -415,17 +415,28 @@ class Pipeline:
             # batch ride the same job as the max-LSN read). Only ROW ops
             # count as events (RELATION/TYPE/MESSAGE metadata frames would
             # inflate the reference's events-processed counter during DDL
-            # bursts). Transactions use the HLL approx form: an exact
-            # count_distinct adds a partial-distinct expand to EVERY
-            # trigger (measured ~0.1 s per 100k-event batch), which taxed
-            # the copy/apply headline for a telemetry counter — approx is
-            # the right grade here.
+            # bursts). Transactions are counted EXACTLY without a distinct
+            # expand (ADVICE r11: the reference counts exactly; the old
+            # approx_count_distinct drifted on long runs and double-counted
+            # transactions spanning triggers): tx_ordinal == 0 marks each
+            # transaction's FIRST envelope row — the continuation offset
+            # (PersistentTxRegistry.ordinal_offset) guarantees a
+            # multi-batch transaction carries ordinal > 0 in later
+            # triggers, so this conditional count is a plain map-side
+            # predicate that counts every transaction exactly once across
+            # its lifetime. commit_lsn IS NOT NULL excludes out-of-tx
+            # metadata (xid = -1) whose window also starts at ordinal 0.
             is_row = F.col("op").isin(list(ROW_OPS))
             max_lsn_row = batch.agg(
                 F.max("commit_lsn").alias("m"),
                 F.count(F.when(is_row, 1)).alias("n"),
-                F.approx_count_distinct(
-                    F.when(is_row, F.col("commit_lsn"))).alias("ntx"),
+                F.count(
+                    F.when(
+                        F.col("commit_lsn").isNotNull()
+                        & (F.col("tx_ordinal") == 0),
+                        1,
+                    )
+                ).alias("ntx"),
             ).collect()[0]
             if cross_mode:
                 # settle batch N-1 (one in flight — apply.rs

@@ -51,10 +51,18 @@ DEFAULT_BUCKETS = (
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(
-        f'{k}="{str(v).replace(chr(92), chr(92) * 2).replace(chr(34), chr(92) + chr(34))}"'
-        for k, v in sorted(labels.items())
-    )
+    # Exposition-format escaping: backslash first, then quote and newline
+    # (a raw newline inside a label value would corrupt the whole scrape
+    # body — e.g. a table label derived from an error string; ADVICE r11).
+    def esc(v) -> str:
+        return (
+            str(v)
+            .replace(chr(92), chr(92) * 2)
+            .replace(chr(34), chr(92) + chr(34))
+            .replace(chr(10), chr(92) + "n")
+        )
+
+    inner = ",".join(f'{k}="{esc(v)}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 

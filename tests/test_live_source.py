@@ -15,17 +15,19 @@ from etl_spark.sources.live import (
 )
 
 
-def test_stub_constructs_but_every_transport_method_fails_loudly():
-    src = PostgresReplicationSource("postgres://example/db", "pub")
-    assert src.dsn == "postgres://example/db"
-    for call in (
-        lambda: src.create_slot("s1"),
-        lambda: src.start("s1", 0),
-        lambda: src.poll_frames(1 << 20),
-        lambda: src.send_status_update(10, 10),
-    ):
-        with pytest.raises(NotImplementedError, match="LIVE_SOURCE.md"):
-            call()
+def test_dsn_source_constructs_offline_and_fails_loudly_unreachable():
+    """Round 12: PostgresReplicationSource is a REAL transport (socket),
+    no longer a stub. Constructing records the wiring without touching
+    the network; a verb against an unreachable server fails with a
+    normal connection error, never a silent simulation."""
+    src = PostgresReplicationSource("postgres://u:pw@127.0.0.1:1/db", "pub")
+    assert src.dsn == "postgres://u:pw@127.0.0.1:1/db"
+    assert src._inner.user == "u" and src._inner.database == "db"
+    assert src._inner.password == "pw" and src._inner.port == 1
+    with pytest.raises(OSError):
+        src.create_slot("s1")
+    with pytest.raises(ValueError, match="not a postgres DSN"):
+        PostgresReplicationSource("mysql://h/db", "pub")
 
 
 def test_interface_contract_shape():
@@ -554,3 +556,101 @@ def test_frame_pump_ddl_republish_across_crash_boundary(spark, tmp_path):
     got = {r.pk: (r.val, r.extra) for r in
            out.select("pk", "val", "extra").collect()}
     assert got == {1: ("a2", "x1"), 2: ("b", "x2")}
+
+
+# ---------------------------------------------------------------------------
+# Round-12: xid recovery parity (ADVICE r11 medium) + tx-window ceiling
+# ---------------------------------------------------------------------------
+
+
+def _seq_rows(stream):
+    src = live.RecordedReplicationSource(stream)
+    src.start("slot", 0)
+    return src.poll_frames(1 << 20)
+
+
+def test_assign_xids_post_commit_metadata_matches_sequential(spark):
+    """A RELATION re-sent BETWEEN a COMMIT and the next BEGIN is
+    out-of-transaction: the sequential source resets to xid -1 after the
+    COMMIT, and position-mode assign_xids must agree (ADVICE r11: it used
+    to attribute the frame to the prior BEGIN)."""
+    rel = pgo.encode_relation(1, "public", "users", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=19, xid=1)),
+        live.encode_xlog_data(11, 12, 1, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(19, 20, 2, pgo.encode_commit(19, 20)),
+        live.encode_xlog_data(25, 26, 3, rel),  # out-of-tx re-send
+        live.encode_xlog_data(30, 31, 4, pgo.encode_begin(final_lsn=39, xid=2)),
+        live.encode_xlog_data(31, 32, 5, pgo.encode_insert(1, ["2", "b"])),
+        live.encode_xlog_data(39, 40, 6, pgo.encode_commit(39, 40)),
+    ]
+    stream = live.encode_copy_stream(msgs)
+    want = {(w, bytes(f)): x for w, x, f in _seq_rows(stream)}
+    assert want[(25, rel)] == -1  # the sequential convention under test
+
+    chunks = spark.createDataFrame([(bytearray(stream),)], "chunk binary")
+    dist = live.assign_xids(live.unwrap_xlog_chunks(chunks))
+    got = {(r.wal_start, bytes(r.frame)): r.xid for r in dist.collect()}
+    assert got == want
+    assert got[(25, rel)] == -1
+    assert got[(19, pgo.encode_commit(19, 20))] == 10  # C carries its tx
+
+
+def test_assign_xids_delivery_mode_concurrent_positions(spark):
+    """Concurrent-workload capture: pgoutput delivers in COMMIT order, so
+    frame wal positions interleave across BEGIN positions (tx at wal 100
+    commits LAST and is delivered last). Position-space recovery is wrong
+    by construction here; delivery mode (chunk_seq/msg_seq from the
+    ordered unwrap) must match the sequential source exactly."""
+    msgs = [
+        # tx B (began later in wal, committed first) delivered first
+        live.encode_xlog_data(200, 201, 0, pgo.encode_begin(final_lsn=300, xid=2)),
+        live.encode_xlog_data(210, 211, 1, pgo.encode_insert(1, ["2", "b"])),
+        live.encode_xlog_data(300, 301, 2, pgo.encode_commit(300, 301)),
+        # tx A (began earlier in wal, committed second)
+        live.encode_xlog_data(100, 101, 3, pgo.encode_begin(final_lsn=400, xid=1)),
+        live.encode_xlog_data(110, 111, 4, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(400, 401, 5, pgo.encode_commit(400, 401)),
+    ]
+    stream = live.encode_copy_stream(msgs)
+    want = sorted((w, x, bytes(f)) for w, x, f in _seq_rows(stream))
+    assert {x for _, x, _ in want} == {200, 100}
+    # split the capture into two ordered chunks mid-transaction
+    payloads = list(live.iter_copy_messages(stream))
+    c0 = live.encode_copy_stream(payloads[:4])
+    c1 = live.encode_copy_stream(payloads[4:])
+    chunks = spark.createDataFrame(
+        [(0, bytearray(c0)), (1, bytearray(c1))], "seq long, chunk binary")
+    dist = live.assign_xids(
+        live.unwrap_xlog_chunks(chunks, order_col="seq"),
+        order_cols=("chunk_seq", "msg_seq"),
+    )
+    got = sorted((r.wal_start, r.xid, bytes(r.frame)) for r in dist.collect())
+    assert got == want
+    # the I@110 frame belongs to the tx that BEGAN at 100 (delivery
+    # truth), not to the latest begin at position <= 110
+    assert [x for w, x, _ in got if w == 110] == [100]
+
+
+def test_assign_xids_tx_window_ceiling(spark):
+    stream = _recorded_two_tx_stream()
+    chunks = spark.createDataFrame([(bytearray(stream),)], "chunk binary")
+    frames = live.unwrap_xlog_chunks(chunks)
+    with pytest.raises(RuntimeError, match="driver-collect budget"):
+        live.assign_xids(frames, max_tx_per_window=1)
+    # at/under budget: fine
+    assert live.assign_xids(frames, max_tx_per_window=2).count() == 8
+
+
+def test_tx_registry_fold_window_ceiling(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(live, "MAX_TX_PER_WINDOW", 1)
+    rows = []
+    for t in range(3):
+        base = 100 * (t + 1)
+        rows.append((base, base, bytearray(pgo.encode_begin(final_lsn=base + 9, xid=t))))
+        rows.append((base + 9, base, bytearray(pgo.encode_commit(base + 9, base + 10))))
+    frames = spark.createDataFrame(rows, pgo.FRAME_SCHEMA)
+    reg = pgo.PersistentTxRegistry(str(tmp_path / "txs.json"))
+    with pytest.raises(RuntimeError, match="driver-collect budget"):
+        reg.advance_from(frames)

@@ -1,0 +1,265 @@
+"""Round 12: the real TCP transport under the copy-both codecs.
+
+The contract being pinned: :class:`SocketReplicationSource` over a
+loopback TCP server replaying a recorded capture is byte-for-byte
+equivalent to :class:`RecordedReplicationSource` over the same capture —
+same FRAME_SCHEMA rows, same standby-status-update bytes — and the full
+pump→pipeline loop converges to the same final table, including across a
+mid-stream disconnect + reconnect from the durable flush LSN
+(worker.rs:366-430 command/consume loop; replication_message.rs shapes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_spark.sources import live
+from etl_spark.sources import pgoutput as pgo
+from etl_spark.sources.socket_transport import (
+    LoopbackReplicationServer,
+    SocketReplicationSource,
+    format_lsn,
+    parse_lsn,
+)
+
+
+def _capture() -> bytes:
+    """RELATION out-of-tx, four single-row transactions, keepalives (one
+    requesting a reply mid-stream) — the pump e2e shape."""
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [live.encode_xlog_data(5, 6, 0, rel)]
+    lsn = 10
+    for i, (pk, val) in enumerate([(1, "a"), (2, "b"), (1, "a2"), (3, "c")]):
+        msgs += [
+            live.encode_xlog_data(lsn, lsn + 1, 0,
+                                  pgo.encode_begin(final_lsn=lsn + 2, xid=lsn)),
+            live.encode_xlog_data(lsn + 1, lsn + 2, 0,
+                                  pgo.encode_insert(1, [str(pk), val])
+                                  if val in ("a", "b", "c")
+                                  else pgo.encode_update(1, [str(pk), val])),
+            live.encode_xlog_data(lsn + 2, lsn + 3, 0,
+                                  pgo.encode_commit(lsn + 2, lsn + 3)),
+        ]
+        if i == 1:
+            msgs.append(live.encode_keepalive(lsn + 3, 0, reply_requested=True))
+        lsn += 10
+    return live.encode_copy_stream(msgs)
+
+
+def test_lsn_text_roundtrip():
+    for v in (0, 1, 0xFFFFFFFF, 0x1_0000_0000, 0xABCDEF12_34567890):
+        assert parse_lsn(format_lsn(v)) == v
+    assert format_lsn(0x1_0000_002A) == "1/2A"
+
+
+def test_socket_source_matches_recorded_source_bytes():
+    """Identical capture, identical polls → identical frame rows AND
+    identical status-update payload bytes: the socket replaces only the
+    byte feed (CopyBothConsumer is shared, and this proves it)."""
+    stream = _capture()
+    rec = live.RecordedReplicationSource(stream)
+    rec.start("slot", 0)
+    rec_rows = []
+    while True:
+        batch = rec.poll_frames(60)
+        if not batch:
+            break
+        rec_rows += batch
+        rec.send_status_update(max(w for w, _, _ in batch), 0)
+
+    with LoopbackReplicationServer(stream) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port)
+        sock.start("slot", 0)
+        sock_rows = []
+        while True:
+            batch = sock.poll_frames(60)
+            if not batch:
+                break
+            sock_rows += batch
+            sock.send_status_update(max(w for w, _, _ in batch), 0)
+        sock.close()
+
+    assert [(w, x, bytes(f)) for w, x, f in sock_rows] == \
+        [(w, x, bytes(f)) for w, x, f in rec_rows]
+    assert sock.sent_updates == rec.sent_updates
+
+
+def test_keepalive_reply_byte_checked_on_the_wire():
+    """A mid-stream PrimaryKeepAlive with reply_requested must produce a
+    standby status update ON THE SERVER — byte-identical to what the
+    client recorded sending."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port)
+        sock.start("slot", 0)
+        while sock.poll_frames(1 << 20):
+            pass
+        sock.close()
+        srv._thread.join(timeout=2) if srv._stop.is_set() else None
+    got = srv.received_updates
+    assert got, "keepalive reply never reached the server"
+    assert all(u in sock.sent_updates for u in got)
+    p = live.parse_copy_payload(got[0])
+    assert p["kind"] == "StatusUpdate"
+    assert p["write_lsn"] >= p["flush_lsn"] >= 0
+
+
+def test_create_slot_roundtrip_and_snapshot_export():
+    with LoopbackReplicationServer(b"", consistent_point=0x1_0000_002A,
+                                   snapshot_name="00000003-snap") as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port)
+        info = sock.create_slot("s1")
+        assert info.slot_name == "s1"
+        assert info.consistent_point == 0x1_0000_002A
+        assert info.snapshot_name is None  # not exported
+        info2 = sock.create_slot("s2", export_snapshot=True)
+        assert info2.snapshot_name == "00000003-snap"
+        sock.close()
+
+
+def test_cleartext_password_auth():
+    with LoopbackReplicationServer(b"", password="sekrit") as srv:
+        ok = SocketReplicationSource("127.0.0.1", srv.port, password="sekrit")
+        assert ok.create_slot("s").slot_name == "s"
+        ok.close()
+        bad = SocketReplicationSource("127.0.0.1", srv.port, password="wrong")
+        with pytest.raises((RuntimeError, ConnectionError, ValueError)):
+            bad.create_slot("s")
+        bad.close()
+        anon = SocketReplicationSource("127.0.0.1", srv.port)
+        with pytest.raises(ConnectionError, match="password"):
+            anon.create_slot("s")
+        anon.close()
+
+
+def test_start_lsn_tx_fencing_over_the_wire():
+    """START_REPLICATION at a mid-capture LSN re-sends only transactions
+    whose COMMIT is past it — whole transactions, metadata always
+    re-delivered (the same fence_recorded_stream contract the recorded
+    transport is gate-proven on, now exercised server-side)."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port)
+        # tx commits sit at 12/22/32/42: starting at 23 keeps tx3+tx4
+        sock.start("slot", 23)
+        rows = []
+        while True:
+            b = sock.poll_frames(1 << 20)
+            if not b:
+                break
+            rows += b
+        sock.close()
+    tags = [bytes(f[:1]) for _, _, f in rows]
+    assert tags == [b"R", b"B", b"U", b"C", b"B", b"I", b"C"]
+    assert {x for _, x, f in rows if f[:1] in (b"I", b"U")} == {30, 40}
+
+
+def test_frame_pump_socket_to_pipeline_end_to_end(spark, tmp_path):
+    """VERDICT r12 item #1 'done' bar: the FrameFilePump e2e with the TCP
+    source substituted for RecordedReplicationSource — same final table."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    stream = _capture()
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    with LoopbackReplicationServer(stream) as srv:
+        source = SocketReplicationSource("127.0.0.1", srv.port)
+        source.start("slot", 0)
+        pump = live.FrameFilePump(source, spark, src_dir,
+                                  control=pipe.control, batch_bytes=60)
+        pump.run_until_source_drained(pipe)
+        source.close()
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+    ups = [live.parse_copy_payload(u) for u in source.sent_updates]
+    flushes = [u["flush_lsn"] for u in ups]
+    assert flushes == sorted(flushes)
+    assert flushes[-1] == int(pipe.control.flush_lsn) > 0
+    assert all(u["write_lsn"] >= u["flush_lsn"] for u in ups)
+    # acks that went out while copy was active reached the server's slot
+    assert srv.received_updates
+    assert srv.confirmed_flush_lsn <= int(pipe.control.flush_lsn)
+
+
+def test_socket_reconnect_replays_from_flush_lsn(spark, tmp_path):
+    """Disconnect mid-stream (transport crash), reconnect with a FRESH
+    socket from the engine's durable flush LSN: the server re-sends whole
+    transactions past the confirmed point, the at-least-once machinery
+    absorbs the overlap, and the final table matches the no-crash run."""
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    stream = _capture()
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    with LoopbackReplicationServer(stream) as srv:
+        s1 = SocketReplicationSource("127.0.0.1", srv.port)
+        s1.start("slot", 0)
+        pump1 = live.FrameFilePump(s1, spark, src_dir, control=pipe.control,
+                                   batch_bytes=60)
+        # two batches applied + acked, then the transport dies abruptly
+        for _ in range(2):
+            assert pump1.drain_once() > 0
+            pipe.run_until_drained()
+            pump1.report_progress()
+        s1.close()
+        mid_flush = int(pipe.control.flush_lsn)
+        assert mid_flush > 0
+
+        s2 = SocketReplicationSource("127.0.0.1", srv.port)
+        s2.start("slot", mid_flush)
+        pump2 = live.FrameFilePump(s2, spark, src_dir, control=pipe.control,
+                                   batch_bytes=1 << 20)
+        pump2.run_until_source_drained(pipe)
+        s2.close()
+        assert srv.connections == 2
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    assert int(pipe.control.flush_lsn) >= 42
+
+
+def test_dsn_wrapper_delegates_to_socket(tmp_path):
+    """PostgresReplicationSource by DSN drives the same loopback server —
+    the last NotImplementedError on the live path is gone."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, consistent_point=7) as srv:
+        src = live.PostgresReplicationSource(
+            f"postgres://u@127.0.0.1:{srv.port}/db", "pub")
+        info = src.create_slot("s1")
+        assert info.consistent_point == 7
+        src.start("s1", 0)
+        rows = []
+        while True:
+            b = src.poll_frames(1 << 20)
+            if not b:
+                break
+            rows += b
+        src.close()
+    assert len(rows) == 13  # 1 REL + 4 * (B, DML, C)

@@ -112,3 +112,46 @@ def test_recorded_source_status_update_metric():
     assert telemetry.DEFAULT.value(telemetry.ETL_STATUS_UPDATES_TOTAL) == 1
     assert telemetry.DEFAULT.value(telemetry.ETL_REPLICATION_MESSAGES_TOTAL) == 1
     telemetry.init_metrics()
+
+
+def test_label_newline_escaped_in_exposition():
+    """A label value containing a raw newline (e.g. a table name derived
+    from an error string) must not corrupt the scrape body (ADVICE r11):
+    the exposition spec escapes it as the two-character sequence \\n."""
+    reg = telemetry.MetricsRegistry()
+    reg.inc("etl_worker_errors_total", labels={"table": 'a\nb"c\\d'})
+    text = reg.render()
+    assert "\na\n" not in text.split("# TYPE", 1)[-1]
+    line = [ln for ln in text.splitlines() if ln.startswith("etl_worker")][0]
+    assert line == 'etl_worker_errors_total{table="a\\nb\\"c\\\\d"} 1'
+
+
+def test_recorded_source_custom_registry_isolated():
+    """A source handed its own registry must not leak transport counters
+    into the module-global DEFAULT (ADVICE r11: per-pipeline isolation is
+    the stated purpose of metrics_registry)."""
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+
+    telemetry.init_metrics()
+    mine = telemetry.MetricsRegistry()
+    stream = live.encode_copy_stream([
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=5, xid=1)),
+        live.encode_keepalive(11, 1, reply_requested=True),
+    ])
+    s = live.RecordedReplicationSource(stream, metrics=mine)
+    s.start("slot", 0)
+    s.poll_frames(1 << 20)
+    assert mine.value(telemetry.ETL_REPLICATION_MESSAGES_TOTAL) == 1
+    assert mine.value(telemetry.ETL_STATUS_UPDATES_TOTAL) == 1
+    assert telemetry.DEFAULT.value(telemetry.ETL_REPLICATION_MESSAGES_TOTAL) == 0
+    assert telemetry.DEFAULT.value(telemetry.ETL_STATUS_UPDATES_TOTAL) == 0
+
+
+def test_frame_pump_threads_registry_to_source(tmp_path):
+    from etl_spark.sources import live
+
+    mine = telemetry.MetricsRegistry()
+    s = live.RecordedReplicationSource(b"")
+    live.FrameFilePump(s, spark=None, source_dir=str(tmp_path), metrics=mine)
+    assert s.metrics is mine
