@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     before rotation (COVERAGE.md).
     """
     return {
+        # --- round-12 NEW ops ---
+        "pgoutput_socket_decode": workload.pgoutput_socket_decode,
         # --- round-11 NEW ops ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         "events_dau_mau_hll": workload_relational.events_dau_mau_hll,

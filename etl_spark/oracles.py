@@ -138,6 +138,12 @@ FROM events
 # recovery) must be invisible in the result.
 ORACLES["pgoutput_wire_decode"] = ORACLES["pgoutput_decode"]
 
+# The socket-decode gate (round 12) lands on the SAME logical envelope
+# again: a real TCP hop (loopback server, startup handshake, CopyBoth,
+# keepalive acks on the wire, FrameFilePump file queue) must also be
+# invisible in the result.
+ORACLES["pgoutput_socket_decode"] = ORACLES["pgoutput_decode"]
+
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}
 SELECT commit_lsn,
