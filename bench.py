@@ -202,6 +202,8 @@ HEADLINE = [
     "docs_profile_hll",
     "docs_boilerplate_coverage",
     "events_quantile_sketch",
+    # round-12 additions (first timed here)
+    "pgoutput_socket_decode",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -404,10 +406,11 @@ def main() -> None:
     r11_new = {"pgoutput_wire_decode", "events_dau_mau_hll",
                "docs_profile_hll", "docs_boilerplate_coverage",
                "events_quantile_sketch"}
+    r12_new = {"pgoutput_socket_decode"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new
-            | r10_new | r11_new),
+            | r10_new | r11_new | r12_new),
         3,
     )
 
@@ -417,27 +420,38 @@ def main() -> None:
     # change), so the record ALWAYS carries a fresh-process measurement of
     # the two analog queries alongside. Skippable for quick iteration with
     # SPARK_GRAFT_ISOLATED_HEADLINE=0.
+    # Round 12 (VERDICT r11 "what's wrong" #1): one rep immediately after
+    # the full suite reads hot-machine noise (the r11 record caught a
+    # single 98.6k rows/s draw vs a 142k 5-rep quiet median on identical
+    # code). The committed record is now self-defending: MIN of 3
+    # fresh-process reps per analog, with the per-rep spread stamped
+    # alongside so an out-of-band headline carries its own explanation.
     isolated_analogs: dict[str, float | None] = {}
+    isolated_reps: dict[str, list[float]] = {}
     if not only and os.environ.get("SPARK_GRAFT_ISOLATED_HEADLINE", "1") != "0":
         import subprocess
 
+        n_reps = int(os.environ.get("SPARK_GRAFT_ISOLATED_REPS", "3"))
         here = os.path.dirname(os.path.abspath(__file__))
         for name in ("cdc_current_state", "cdc_snapshot_handoff"):
-            env = dict(os.environ)
-            env["SPARK_GRAFT_BENCH_ONLY"] = name
-            res = subprocess.run(
-                [sys.executable, os.path.join(here, "bench.py")],
-                capture_output=True, text=True, env=env, check=False,
-            )
-            isolated_analogs[name] = None
-            for line in reversed(res.stdout.strip().splitlines()):
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if "queries" in rec and name in rec["queries"]:
-                    isolated_analogs[name] = rec["queries"][name]
-                    break
+            samples: list[float] = []
+            for _ in range(n_reps):
+                env = dict(os.environ)
+                env["SPARK_GRAFT_BENCH_ONLY"] = name
+                res = subprocess.run(
+                    [sys.executable, os.path.join(here, "bench.py")],
+                    capture_output=True, text=True, env=env, check=False,
+                )
+                for line in reversed(res.stdout.strip().splitlines()):
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "queries" in rec and name in rec["queries"]:
+                        samples.append(rec["queries"][name])
+                        break
+            isolated_reps[name] = [round(s, 3) for s in samples]
+            isolated_analogs[name] = min(samples) if samples else None
     events_per_sec_isolated = (
         round(ev_count / isolated_analogs["cdc_current_state"], 1)
         if isolated_analogs.get("cdc_current_state") else None
@@ -460,6 +474,9 @@ def main() -> None:
         "copy_rows_per_second": copy_rows_per_sec,
         "events_per_second_isolated": events_per_sec_isolated,
         "copy_rows_per_second_isolated": copy_rows_per_sec_isolated,
+        # min-of-N fresh-process protocol: per-rep seconds, so the record
+        # defends its own band (spread visible without side adjudication)
+        "isolated_rep_secs": isolated_reps,
         "conf": {
             "runs_per_query": reps,
             "cpus": cpus,
@@ -490,6 +507,7 @@ def main() -> None:
         "copy_rows_per_second": copy_rows_per_sec,
         "events_per_second_isolated": events_per_sec_isolated,
         "copy_rows_per_second_isolated": copy_rows_per_sec_isolated,
+        "isolated_rep_secs": isolated_reps,
         "full_record": "BENCH_LOCAL.json",
     }))
 
