@@ -246,6 +246,59 @@ class Pipeline:
             self.control.remove(name)
         return removed
 
+    def reconcile_publication(self, catalog, provision=None) -> dict:
+        """Drive table membership from a ``pg_publication_tables``
+        catalog snapshot (S5 — the reference reads the same view,
+        transaction.rs:277-300,654-690; this engine takes it as a
+        fixture, etl_spark/publication.py).
+
+        Three effects, in the reference's order:
+
+        - tables CONFIGURED but not in the catalog → dropped from config
+          and purged via :meth:`reconcile_membership` (same
+          state+destination purge; a later re-publish re-copies fresh);
+        - tables in BOTH → the published column list trims the
+          replication mask and the row filter adopts
+          (``apply_catalog_to_config`` — a key column missing from the
+          column list raises, matching the server's own rejection);
+        - tables PUBLISHED but not configured → provisioned through the
+          ``provision(row) -> TableConfig`` callback (the catalog
+          carries no snapshot path / key types — deployment wiring);
+          without a callback they are reported, not silently adopted.
+
+        Returns ``{"removed": [...], "updated": [...], "added": [...],
+        "unprovisioned": [...]}``.
+        """
+        from etl_spark.publication import apply_catalog_to_config
+
+        published = catalog.tables()
+        removed = [n for n in self.tables if n not in published]
+        for n in removed:
+            del self.tables[n]
+        self.reconcile_membership()
+
+        updated: list[str] = []
+        for name, cfg in self.tables.items():
+            row = catalog.row_for(name)
+            if row is not None:
+                apply_catalog_to_config(cfg, row)
+                updated.append(name)
+
+        added: list[str] = []
+        unprovisioned: list[str] = []
+        for row in catalog.rows:
+            if row.qualified_name in self.tables:
+                continue
+            if provision is None:
+                unprovisioned.append(row.qualified_name)
+                continue
+            cfg = provision(row)
+            apply_catalog_to_config(cfg, row)
+            self.tables[cfg.name] = cfg
+            added.append(cfg.name)
+        return {"removed": removed, "updated": updated, "added": added,
+                "unprovisioned": unprovisioned}
+
     def backfill(self) -> None:
         """Initial copies for every table not yet streaming (SURVEY §3.3)."""
         self.hydrate_schemas()
