@@ -32,74 +32,220 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    ROUND-11 WINDOW = FINISH THE ROTATION DRAIN (round-10 verdict
-    item #1): [round-11 NEW ops: pgoutput_wire_decode — copy-both
-    wire framing (XLogData/keepalive/CopyData) over recorded byte
-    streams, distributed unwrap + BEGIN-span xid recovery, oracle
-    identical to pgoutput_decode; events_dau_mau_hll /
-    docs_profile_hll — the documented 100-TB HLL swap-ins for the
-    exact DAU/MAU and column profiler, register-merged, estimates
-    hash-matched exactly; docs_boilerplate_coverage — RefinedWeb-style
-    boilerplate strip analog: exact token-position coverage by
-    cross-document repeated shingles, digest-keyed linear plan;
-    events_quantile_sketch — deterministic-sample mergeable quantile
-    sketch beside the exact ranks, the gate-proven approx-percentile
-    scale path]
-    + [CHANGED in r11: docs_source_js_divergence (single-scan
-    tokenize: (source,tok,n) aggregate checkpointed, glob/totals
-    re-derived — ADVICE r10); docs_source_caps (salted_topk_per_key
-    now rejects reserved-column collisions); cdc_crash_replay_ddl
-    (tx-registry fold hardened: non-monotone-WAL guard + shared
-    per-trigger wal bounds — ADVICE r10)]
-    + [the 15 r6-latest rows (all judge re-verified in r10; this
-    drains the r6 tail completely)]
-    + [27 of the 48 r7-latest rows, alphabetical; the remaining 21
-    (events_welch_ttest ... supplier_share_hhi) lead the r12
-    queue]. Tail = those 21 r7 rows, then r8/r9/r10 green rows.
-    After this round nothing recorded is older than r7. All window
-    entries verified locally via tools/check_oracle.py at sf0.01
-    before rotation (COVERAGE.md).
+    ROUND-12 WINDOW (r11 verdict item #2: finish the r7 drain):
+    [round-12 NEW op: pgoutput_socket_decode — replication decode
+    through a REAL TCP hop: recorded copy-both capture served by a
+    loopback server speaking the backend protocol, consumed by the
+    stdlib-socket SocketReplicationSource (startup handshake, CopyBoth,
+    keepalive acks on the wire), FrameFilePump file queue, distributed
+    decode; oracle identical to pgoutput_decode — the socket must be
+    invisible]
+    + [CHANGED in r12: pgoutput_wire_decode — assign_xids rewritten to
+    BEGIN..COMMIT span recovery (post-COMMIT out-of-tx frames now -1,
+    ADVICE r11 medium) with a delivery-order mode for concurrent
+    captures and a limit-fenced tx-per-window ceiling]
+    + [ALL 21 remaining r7-latest rows (events_welch_ttest ...
+    supplier_share_hhi) — the r7 tail empties this round]
+    + [27 of the 46 r8-latest rows, alphabetical
+    (asof_click_attribution ... embeddings_centroid_separation); the
+    remaining 19 (events_error_after_purchase ... stream_windowed_
+    watermark) lead the r13 queue]. Tail = those 19 r8 rows, then
+    r9/r10/r11 green rows. After this round nothing recorded is older
+    than r8. All window entries verified locally via
+    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
     """
     return {
         # --- round-12 NEW ops ---
         "pgoutput_socket_decode": workload.pgoutput_socket_decode,
-        # --- round-11 NEW ops ---
+        # --- implementation CHANGED in round 12: re-record ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
-        "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
-        "docs_profile_hll": workload_text.docs_profile_hll,
-        "docs_boilerplate_coverage": workload_text.docs_boilerplate_coverage,
-        "events_quantile_sketch": workload_relational.events_quantile_sketch,
-        # --- implementation CHANGED in round 11: re-record ---
-        "docs_source_js_divergence": workload_text.docs_source_js_divergence,
-        "docs_source_caps": workload_text.docs_source_caps,
+        # --- the 21 r7-latest rows (rotation drain: r7 empties) ---
+        "events_welch_ttest": workload_relational.events_welch_ttest,
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
+        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
+        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
+        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
+        "lineitem_skyline": workload_relational.lineitem_skyline,
+        "mm_audio_vad": workload_mm.mm_audio_vad,
+        "mm_image_tiles": workload_mm.mm_image_tiles,
+        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
+        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
+        "order_graph_pagerank": workload_relational.order_graph_pagerank,
+        "orders_abc_class": workload_relational.orders_abc_class,
+        "orders_backlog_curve": workload_relational.orders_backlog_curve,
+        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
+        "orders_rfm_segments": workload_relational.orders_rfm_segments,
+        "orders_survival_km": workload_relational.orders_survival_km,
+        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
+        "parts_triangle_count": workload_relational.parts_triangle_count,
+        "sketch_hll_users": workload_relational.sketch_hll_users,
+        "stream_sliding_topk": workload.stream_sliding_topk,
+        "supplier_share_hhi": workload_relational.supplier_share_hhi,
+        # --- oldest r8 rows, alphabetical (27 of 46; 19 lead r13) ---
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "bloom_prune_probe": workload_relational.bloom_prune_probe,
+        "cdc_changed_columns": workload.cdc_changed_columns,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
+        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
+        "cdc_gap_audit": workload.cdc_gap_audit,
+        "cdc_scd2_history": workload.cdc_scd2_history,
+        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
+        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
+        "cdc_schema_evolution": workload.cdc_schema_evolution,
+        "cdc_state_asof": workload.cdc_state_asof,
+        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        "corpus_drop_audit": workload_text.corpus_drop_audit,
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_contamination": workload_text.docs_contamination,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_profile": workload_text.docs_profile,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        "docs_repetition": workload_text.docs_repetition,
+        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
+        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
+        "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
+        # ================= tail (newer green rows) =================
+        # remaining r8 rows (lead the r13 window)
+        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "events_grouping_sets": workload_relational.events_grouping_sets,
+        "events_hourly_rollup": workload_relational.events_hourly_rollup,
+        "events_pivot_daily": workload_relational.events_pivot_daily,
+        "events_promo_range_join": workload_relational.events_promo_range_join,
+        "events_quality_checks": workload_relational.events_quality_checks,
+        "events_retention_cohorts": workload_relational.events_retention_cohorts,
+        "events_rolling_1h": workload_relational.events_rolling_1h,
+        "events_rollup_multidim": workload_relational.events_rollup_multidim,
+        "mm_resize": workload_mm.mm_resize,
+        "parts_triangle_sample": workload_relational.parts_triangle_sample,
+        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
+        "sessionize_events": workload_relational.sessionize_events,
+        "sketch_count_min_users": workload_relational.sketch_count_min_users,
+        "sketch_merge_global": workload_relational.sketch_merge_global,
+        "stream_native_dedup": workload.stream_native_dedup,
+        "stream_session_window": workload.stream_session_window,
+        "stream_static_enrich": workload.stream_static_enrich,
+        "stream_windowed_watermark": workload.stream_windowed_watermark,
+        # r9-latest green rows
+        "ann_cosine_topk": workload_text.ann_cosine_topk,
+        "ann_ivf_topk": workload_text.ann_ivf_topk,
+        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
+        "ann_kmeans_step": workload_text.ann_kmeans_step,
+        "ann_lsh_topk": workload_text.ann_lsh_topk,
+        "dedup_components": workload_text.dedup_components,
+        "dedup_exact": workload_text.dedup_exact,
+        "dedup_keep_list": workload_text.dedup_keep_list,
+        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
+        "dedup_simhash": workload_text.dedup_simhash,
+        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
+        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
+        "docs_clean": workload_text.docs_clean,
+        "docs_langid_confusion": workload_text.docs_langid_confusion,
+        "docs_length_histogram": workload_text.docs_length_histogram,
+        "docs_quality_calibration": workload_text.docs_quality_calibration,
+        "docs_top_terms": workload_text.docs_top_terms,
+        "embed_near_dup": workload_text.embed_near_dup,
+        "events_anomaly_mad": workload_relational.events_anomaly_mad,
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        "q10_returned_items": workload_relational.q10_returned_items,
+        "q13_customer_distribution": workload_relational.q13_customer_distribution,
+        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        "q15_top_supplier": workload_relational.q15_top_supplier,
+        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
+        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
+        "q1_pricing_summary": workload_relational.q1_pricing_summary,
+        "q22_dormant_customers": workload_relational.q22_dormant_customers,
+        "q3_shipping_priority": workload_relational.q3_shipping_priority,
+        "q4_order_priority": workload_relational.q4_order_priority,
+        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
+        "q7_volume_shipping": workload_relational.q7_volume_shipping,
+        "q8_market_share": workload_relational.q8_market_share,
+        "sample_stratified": workload_text.sample_stratified,
+        "stream_click_purchase_join": workload.stream_click_purchase_join,
+        "stream_incremental_rollup": workload.stream_incremental_rollup,
+        "text_fingerprint": workload_text.text_fingerprint,
+        "text_langid": workload_text.text_langid,
+        "text_quality": workload_text.text_quality,
+        "text_tokens": workload_text.text_tokens,
+        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
+        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
+        # r10-latest green rows
+        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
+        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
+        "ann_pq_codes": workload_text.ann_pq_codes,
+        "cdc_changelog": workload.cdc_changelog,
+        "cdc_current_state": workload.cdc_current_state,
+        "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
+        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
+        "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
+        "cdc_pk_change": workload.cdc_pk_change,
+        "cdc_schema_asof": workload.cdc_schema_asof,
+        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
+        "cdc_state_diff": workload.cdc_state_diff,
+        "cdc_table_diff": workload.cdc_table_diff,
+        "cdc_toast_lww": workload.cdc_toast_lww,
+        "cdc_truncate_reset": workload.cdc_truncate_reset,
+        "cdc_tx_metrics": workload.cdc_tx_metrics,
+        "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,
+        "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
+        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
+        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
+        "events_funnel": workload_relational.events_funnel,
+        "events_json_props": workload_relational.events_json_props,
+        "events_running_total": workload_relational.events_running_total,
+        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
+        "events_value_percentiles": workload_relational.events_value_percentiles,
+        "events_value_zscores": workload_relational.events_value_zscores,
+        "events_window_suite": workload_relational.events_window_suite,
+        "events_winsorize": workload_relational.events_winsorize,
+        "events_zorder_stats": workload_relational.events_zorder_stats,
+        "mm_features": workload_mm.mm_features,
+        "mm_frame_plan": workload_mm.mm_frame_plan,
+        "mm_payload_dedup": workload_mm.mm_payload_dedup,
+        "orders_price_tiers": workload_relational.orders_price_tiers,
+        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
+        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
+        "pgoutput_decode": workload.pgoutput_decode,
+        "q11_important_parts": workload_relational.q11_important_parts,
+        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
+        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
+        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
+        "q21_waiting_orders": workload_relational.q21_waiting_orders,
+        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
+        "q9_product_profit": workload_relational.q9_product_profit,
+        "set_ops_customers": workload_relational.set_ops_customers,
+        "sketch_distinct_users": workload_relational.sketch_distinct_users,
+        "stream_stateful_dedup": workload.stream_stateful_dedup,
+        "stream_stateful_sessions": workload.stream_stateful_sessions,
+        # r11-latest green rows
+        "ann_recall_eval": workload_text.ann_recall_eval,
         "cdc_crash_replay_ddl": workload.cdc_crash_replay_ddl,
-        # --- the 15 r6-latest rows (rotation drain, judge-verified r10) ---
+        "cdc_hot_keys": workload.cdc_hot_keys,
         "cdc_partition_root": workload.cdc_partition_root,
+        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
         "cdc_replica_identity": workload.cdc_replica_identity,
         "corpus_curation": workload_text.corpus_curation,
-        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
-        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
-        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
-        "events_ks_drift": workload_relational.events_ks_drift,
-        "events_markov_transitions": workload_relational.events_markov_transitions,
-        "events_regression": workload_relational.events_regression,
-        "events_time_weighted_value": workload_relational.events_time_weighted_value,
-        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
-        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
-        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
-        "orders_decile_bands": workload_relational.orders_decile_bands,
-        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
-        # --- oldest r7 rows, alphabetical (27 of 48; other 21 lead r12) ---
-        "ann_recall_eval": workload_text.ann_recall_eval,
-        "cdc_hot_keys": workload.cdc_hot_keys,
-        "cdc_rebucket_migration": workload.cdc_rebucket_migration,
         "corpus_dsir_weights": workload_text.corpus_dsir_weights,
         "corpus_heaps_law": workload_text.corpus_heaps_law,
         "customer_balance_gini": workload_relational.customer_balance_gini,
         "customer_feature_store": workload_relational.customer_feature_store,
+        "customer_fuzzy_name_join": workload_relational.customer_fuzzy_name_join,
+        "dedup_simhash_pairs": workload_text.dedup_simhash_pairs,
+        "docs_boilerplate_coverage": workload_text.docs_boilerplate_coverage,
+        "docs_char_pair_merge": workload_text.docs_char_pair_merge,
         "docs_gopher_rules": workload_text.docs_gopher_rules,
         "docs_pmi_pairs": workload_text.docs_pmi_pairs,
+        "docs_profile_hll": workload_text.docs_profile_hll,
         "docs_readability_fk": workload_text.docs_readability_fk,
+        "docs_source_caps": workload_text.docs_source_caps,
+        "docs_source_js_divergence": workload_text.docs_source_js_divergence,
         "docs_train_split": workload_text.docs_train_split,
         "docs_winnowing": workload_text.docs_winnowing,
         "docs_zipf_slope": workload_text.docs_zipf_slope,
@@ -109,174 +255,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": workload_relational.events_changepoint,
         "events_cusum_alerts": workload_relational.events_cusum_alerts,
         "events_dau_mau": workload_relational.events_dau_mau,
+        "events_dau_mau_hll": workload_relational.events_dau_mau_hll,
         "events_entropy_rate": workload_relational.events_entropy_rate,
         "events_feature_mi": workload_relational.events_feature_mi,
         "events_forecast_backtest": workload_relational.events_forecast_backtest,
         "events_gapfill_interp": workload_relational.events_gapfill_interp,
         "events_haar_wavelet": workload_relational.events_haar_wavelet,
         "events_kanon_audit": workload_relational.events_kanon_audit,
+        "events_ks_drift": workload_relational.events_ks_drift,
         "events_lag_autocorr": workload_relational.events_lag_autocorr,
+        "events_markov_transitions": workload_relational.events_markov_transitions,
+        "events_quantile_sketch": workload_relational.events_quantile_sketch,
+        "events_regression": workload_relational.events_regression,
         "events_sax_daily": workload_relational.events_sax_daily,
-        # --- tail: fresher green rows (r7 remainder, r8, r9, r10) ---
-        "events_welch_ttest": workload_relational.events_welch_ttest,
-        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
-        "docs_exact_jaccard_clusters": workload_text.docs_exact_jaccard_clusters,
-        "docs_dup_rate_by_source": workload_text.docs_dup_rate_by_source,
-        "docs_exact_jaccard_join": workload_text.docs_exact_jaccard_join,
-        "stream_stateful_sessions": workload.stream_stateful_sessions,
-        "pgoutput_decode": workload.pgoutput_decode,
-        "cdc_duckdb_current_state": workload.cdc_duckdb_current_state,
-        "cdc_duckdb_scd2": workload.cdc_duckdb_scd2,
-        "cdc_duckdb_changelog": workload.cdc_duckdb_changelog,
-        "docs_ngram_novelty": workload_text.docs_ngram_novelty,
-        "events_winsorize": workload_relational.events_winsorize,
-        "cdc_table_diff": workload.cdc_table_diff,
-        "cdc_state_diff": workload.cdc_state_diff,
-        "events_zorder_stats": workload_relational.events_zorder_stats,
-        "ann_pq_codes": workload_text.ann_pq_codes,
-        "ann_pq_adc_topk": workload_text.ann_pq_adc_topk,
-        "ann_ivfpq_topk": workload_text.ann_ivfpq_topk,
-        "cdc_current_state": workload.cdc_current_state,
-        "cdc_changelog": workload.cdc_changelog,
-        "cdc_tx_metrics": workload.cdc_tx_metrics,
-        "stream_stateful_dedup": workload.stream_stateful_dedup,
-        "cdc_toast_lww": workload.cdc_toast_lww,
-        "cdc_snapshot_handoff": workload.cdc_snapshot_handoff,
-        "cdc_schema_asof": workload.cdc_schema_asof,
-        "cdc_truncate_reset": workload.cdc_truncate_reset,
-        "cdc_pk_change": workload.cdc_pk_change,
-        "events_json_props": workload_relational.events_json_props,
-        "q21_waiting_orders": workload_relational.q21_waiting_orders,
-        "q9_product_profit": workload_relational.q9_product_profit,
-        "q11_important_parts": workload_relational.q11_important_parts,
-        "q16_supplier_part_count": workload_relational.q16_supplier_part_count,
-        "q20_excess_suppliers": workload_relational.q20_excess_suppliers,
-        "orders_price_tiers": workload_relational.orders_price_tiers,
-        "q2_min_cost_supplier": workload_relational.q2_min_cost_supplier,
-        "events_funnel": workload_relational.events_funnel,
-        "q12_priority_shipmix": workload_relational.q12_priority_shipmix,
-        "events_value_zscores": workload_relational.events_value_zscores,
-        "events_value_percentiles": workload_relational.events_value_percentiles,
-        "events_window_suite": workload_relational.events_window_suite,
-        "events_skew_salted_agg": workload_relational.events_skew_salted_agg,
-        "events_running_total": workload_relational.events_running_total,
-        "sketch_distinct_users": workload_relational.sketch_distinct_users,
-        "set_ops_customers": workload_relational.set_ops_customers,
-        "mm_features": workload_mm.mm_features,
-        "mm_frame_plan": workload_mm.mm_frame_plan,
-        "mm_payload_dedup": workload_mm.mm_payload_dedup,
-        "pg_decode_roundtrip": workload_relational.pg_decode_roundtrip,
-        "pg_array_roundtrip": workload_relational.pg_array_roundtrip,
-        "stream_click_purchase_join": workload.stream_click_purchase_join,
-        "events_gapfill_locf": workload_relational.events_gapfill_locf,
-        "stream_incremental_rollup": workload.stream_incremental_rollup,
-        "dedup_exact": workload_text.dedup_exact,
-        "dedup_minhash_lsh": workload_text.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
-        "dedup_simhash": workload_text.dedup_simhash,
-        "text_langid": workload_text.text_langid,
-        "text_quality": workload_text.text_quality,
-        "text_tokens": workload_text.text_tokens,
-        "text_fingerprint": workload_text.text_fingerprint,
-        "ann_cosine_topk": workload_text.ann_cosine_topk,
-        "dedup_keep_list": workload_text.dedup_keep_list,
-        "dedup_components": workload_text.dedup_components,
-        "sample_stratified": workload_text.sample_stratified,
-        "docs_top_terms": workload_text.docs_top_terms,
-        "docs_clean": workload_text.docs_clean,
-        "docs_langid_confusion": workload_text.docs_langid_confusion,
-        "ann_ivf_topk": workload_text.ann_ivf_topk,
-        "ann_lsh_topk": workload_text.ann_lsh_topk,
-        "embed_near_dup": workload_text.embed_near_dup,
-        "q1_pricing_summary": workload_relational.q1_pricing_summary,
-        "q3_shipping_priority": workload_relational.q3_shipping_priority,
-        "q5_local_supplier_volume": workload_relational.q5_local_supplier_volume,
-        "q6_revenue_forecast": workload_relational.q6_revenue_forecast,
-        "topk_orders_per_customer": workload_relational.topk_orders_per_customer,
-        "q4_order_priority": workload_relational.q4_order_priority,
-        "q10_returned_items": workload_relational.q10_returned_items,
-        "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
-        "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
-        "q22_dormant_customers": workload_relational.q22_dormant_customers,
-        "q7_volume_shipping": workload_relational.q7_volume_shipping,
-        "q8_market_share": workload_relational.q8_market_share,
-        "q13_customer_distribution": workload_relational.q13_customer_distribution,
-        "q15_top_supplier": workload_relational.q15_top_supplier,
-        "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
-        "q19_discounted_revenue": workload_relational.q19_discounted_revenue,
-        "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
-        "vocab_topk_coverage": workload_text.vocab_topk_coverage,
-        "docs_length_histogram": workload_text.docs_length_histogram,
-        "ann_kmeans_step": workload_text.ann_kmeans_step,
-        "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
-        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
-        "events_anomaly_mad": workload_relational.events_anomaly_mad,
-        "docs_quality_calibration": workload_text.docs_quality_calibration,
-        "sketch_hll_users": workload_relational.sketch_hll_users,
-        "order_graph_pagerank": workload_relational.order_graph_pagerank,
-        "lineitem_skyline": workload_relational.lineitem_skyline,
-        "mm_audio_vad": workload_mm.mm_audio_vad,
-        "orders_abc_class": workload_relational.orders_abc_class,
-        "parts_triangle_count": workload_relational.parts_triangle_count,
-        "orders_rfm_segments": workload_relational.orders_rfm_segments,
-        "stream_sliding_topk": workload.stream_sliding_topk,
-        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
-        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
-        "supplier_share_hhi": workload_relational.supplier_share_hhi,
-        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
-        "orders_survival_km": workload_relational.orders_survival_km,
-        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
-        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
-        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
-        "mm_image_tiles": workload_mm.mm_image_tiles,
-        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
-        "orders_backlog_curve": workload_relational.orders_backlog_curve,
-        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
-        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
-        "parts_triangle_sample": workload_relational.parts_triangle_sample,
-        "cdc_schema_evolution": workload.cdc_schema_evolution,
-        "sketch_count_min_users": workload_relational.sketch_count_min_users,
-        "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
-        "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
-        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
-        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
-        "corpus_token_mixture": workload_text.corpus_token_mixture,
-        "docs_pii_redact": workload_text.docs_pii_redact,
-        "docs_repetition": workload_text.docs_repetition,
-        "docs_contamination": workload_text.docs_contamination,
-        "stream_windowed_watermark": workload.stream_windowed_watermark,
-        "docs_passage_dedup": workload_text.docs_passage_dedup,
-        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
-        "docs_rag_chunks": workload_text.docs_rag_chunks,
-        "docs_semantic_dedup": workload_text.docs_semantic_dedup,
-        "events_promo_range_join": workload_relational.events_promo_range_join,
-        "mm_resize": workload_mm.mm_resize,
-        "stream_session_window": workload.stream_session_window,
-        "cdc_scd2_history": workload.cdc_scd2_history,
-        "cdc_state_asof": workload.cdc_state_asof,
-        "docs_unigram_logprob": workload_text.docs_unigram_logprob,
-        "stream_native_dedup": workload.stream_native_dedup,
-        "sample_reservoir_per_stratum": workload_text.sample_reservoir_per_stratum,
-        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
-        "stream_static_enrich": workload.stream_static_enrich,
-        "cdc_gap_audit": workload.cdc_gap_audit,
-        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
-        "events_rolling_1h": workload_relational.events_rolling_1h,
-        "corpus_drop_audit": workload_text.corpus_drop_audit,
-        "docs_profile": workload_text.docs_profile,
-        "events_quality_checks": workload_relational.events_quality_checks,
-        "sketch_merge_global": workload_relational.sketch_merge_global,
-        "bloom_prune_probe": workload_relational.bloom_prune_probe,
-        "cdc_changed_columns": workload.cdc_changed_columns,
-        "sessionize_events": workload_relational.sessionize_events,
-        "events_hourly_rollup": workload_relational.events_hourly_rollup,
-        "events_rollup_multidim": workload_relational.events_rollup_multidim,
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        "events_retention_cohorts": workload_relational.events_retention_cohorts,
-        "events_grouping_sets": workload_relational.events_grouping_sets,
-        "events_pivot_daily": workload_relational.events_pivot_daily,
-        "events_error_after_purchase": workload_relational.events_error_after_purchase,
+        "events_time_weighted_value": workload_relational.events_time_weighted_value,
+        "lineitem_metrics_unpivot": workload_relational.lineitem_metrics_unpivot,
+        "lineitem_rollup_metrics": workload_relational.lineitem_rollup_metrics,
+        "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
+        "orders_decile_bands": workload_relational.orders_decile_bands,
+        "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
     }
 
 

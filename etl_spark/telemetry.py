@@ -8,9 +8,10 @@ The reference installs a Prometheus recorder with global labels
 the engine-side twin: a driver-side registry the pipeline increments at
 the same semantic points (events processed, transactions, DDL changes,
 schema cleanups, status updates), rendered in the standard Prometheus
-text exposition format. Serving the rendered string over HTTP is a
-deployment concern (the reference binds :9000) — any web layer can call
-:func:`MetricsRegistry.render` per scrape; nothing here needs a socket.
+text exposition format. Round 12 also ships the scrape binding itself:
+:class:`MetricsHttpServer`, a daemon-threaded stdlib HTTP server for
+``/metrics`` matching the reference's automatic :9000 exporter
+(metrics.rs:82-97) — opt-in, best-effort, never on the data path.
 
 Registry state is metadata-sized (one float per (metric, label-set) —
 never row data) and lives on the driver, matching where Spark's own
@@ -185,3 +186,71 @@ def init_metrics(
         labels["destination"] = destination
     DEFAULT = MetricsRegistry(labels)
     return DEFAULT
+
+
+class MetricsHttpServer:
+    """Prometheus scrape endpoint over stdlib ``http.server`` (round 12 —
+    closes the last telemetry gap: the reference exposes the exporter on
+    an automatic HTTP server at ``[::]:9000/metrics``,
+    etl-telemetry/src/metrics.rs:82-97; the exposition BODY was already
+    implemented/tested in round 11, this binds it).
+
+    Daemon-threaded and best-effort by the same contract as the rest of
+    telemetry: serving can never affect pipeline correctness — a dead
+    scrape port loses observability, not data. ``port=0`` picks a free
+    port (tests); production passes 9000 to match the reference.
+
+        srv = MetricsHttpServer(registry, port=9000).start()
+        ... curl :9000/metrics ...
+        srv.stop()
+    """
+
+    def __init__(self, registry: MetricsRegistry | None = None,
+                 host: str = "0.0.0.0", port: int = 9000):
+        self.registry = registry if registry is not None else DEFAULT
+        self.host, self.port = host, port
+        self._httpd = None
+        self._thread = None
+
+    def start(self) -> "MetricsHttpServer":
+        import http.server
+        import threading
+
+        reg = self.registry
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib casing)
+                if self.path.rstrip("/") not in ("/metrics", ""):
+                    self.send_error(404)
+                    return
+                body = reg.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence per-scrape stderr lines
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._thread.join(timeout=5)
+            self._httpd = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

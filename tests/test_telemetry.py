@@ -155,3 +155,26 @@ def test_frame_pump_threads_registry_to_source(tmp_path):
     s = live.RecordedReplicationSource(b"")
     live.FrameFilePump(s, spark=None, source_dir=str(tmp_path), metrics=mine)
     assert s.metrics is mine
+
+
+def test_metrics_http_scrape_roundtrip():
+    """The scrape endpoint serves the exact exposition body over HTTP
+    (reference: automatic server at :9000/metrics, metrics.rs:82-97);
+    404 elsewhere; live counters visible on the next scrape."""
+    import urllib.request
+
+    reg = telemetry.MetricsRegistry({"pipeline_id": "7"})
+    reg.inc(telemetry.ETL_EVENTS_PROCESSED_TOTAL, 5)
+    with telemetry.MetricsHttpServer(reg, host="127.0.0.1", port=0) as srv:
+        url = f"http://127.0.0.1:{srv.port}/metrics"
+        body = urllib.request.urlopen(url).read().decode()
+        assert body == reg.render()
+        assert 'etl_events_processed_total{pipeline_id="7"} 5' in body
+        reg.inc(telemetry.ETL_EVENTS_PROCESSED_TOTAL, 2)
+        body2 = urllib.request.urlopen(url).read().decode()
+        assert 'etl_events_processed_total{pipeline_id="7"} 7' in body2
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
