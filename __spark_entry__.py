@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 NEW ops ---
         "pgoutput_socket_decode": workload.pgoutput_socket_decode,
+        "events_session_paths": workload_relational.events_session_paths,
+        "orders_seasonal_decompose": workload_relational.orders_seasonal_decompose,
+        "docs_containment_dedup": workload_text.docs_containment_dedup,
         # --- implementation CHANGED in round 12: re-record ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         # --- the 21 r7-latest rows (rotation drain: r7 empties) ---

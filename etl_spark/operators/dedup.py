@@ -501,6 +501,151 @@ def jaccard_prefix_join(
     return cross.unionByName(same)
 
 
+def containment_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """EXACT directional token-set CONTAINMENT self-join: rows
+    ``(id_a, id_b, inter, n_a, containment)`` with
+    ``containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold`` and
+    ``id_a ≠ id_b`` — the subset-duplication audit. Containment is the
+    asymmetric complement to :func:`jaccard_prefix_join`: a 50-token doc
+    fully embedded in a 500-token doc has Jaccard ≤ 0.1 (invisible to
+    the symmetric pass) but containment 1.0 — exactly the
+    quote-expansion / doc-in-doc templating a training-data dedup needs
+    to see (the "Deduplicating Training Data" ExactSubstr motivation,
+    at set granularity).
+
+    One-sided prefix filter (SSJoin, Chaudhuri et al. ICDE'06): if
+    ``inter ≥ ⌈t·n_a⌉`` then A's first ``n_a − ⌈t·n_a⌉ + 1`` tokens
+    under the global df-ascending order must hit B — candidates come
+    from an equi-join of A-PREFIX tokens against B's ALL tokens. B gets
+    no prefix (containment bounds the overlap by |A| alone), but the
+    skew killer survives: prefix tokens are globally RARE by the df
+    ordering, so the join key distribution is the df of rare tokens,
+    never the stopword spine. Join-local size filter
+    ``n_b ≥ ⌈t·n_a⌉`` (overlap ≤ |B|) prunes before the shuffle.
+
+    Distinct-set collapse, df-ordered prefixes, xxhash64 verify arrays,
+    checkpointed cut points, and the pre-counted ``max_pairs`` guard all
+    follow :func:`jaccard_prefix_join` (same scale shape: no stage is
+    O(n²); the directional pair OUTPUT is inherently Ω(#qualifying
+    pairs) — same-set cliques emit k·(k−1) ordered rows, so cap with
+    ``max_pairs`` or keep thresholds high on duplicate-heavy corpora).
+    """
+    from pyspark.sql import Window
+
+    t = threshold
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn(
+        "set_fp",
+        F.unhex(F.md5(F.concat_ws("\x1e", F.array_sort("toks")))),
+    )
+    docs = docs.localCheckpoint(eager=True)  # one tokenize/md5 scan
+    members = docs.select("__id", "set_fp")
+    dsets = (
+        docs.select("set_fp", "toks")
+        .dropDuplicates(["set_fp"])
+        .withColumn("n", F.size("toks"))
+        .withColumn("hset", F.transform("toks", lambda x: F.xxhash64(x)))
+        .localCheckpoint(eager=True)  # one set-dedup + xxhash pass
+    )
+    tokd = dsets.select("set_fp", "n", F.explode("toks").alias("tok"))
+    dfreq = tokd.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = tokd.join(dfreq, "tok")
+    w = Window.partitionBy("set_fp").orderBy(F.col("df").asc(), F.col("tok").asc())
+    # containment prefix: n_a − ⌈t·n_a⌉ + 1 (vs Jaccard's identical form —
+    # the bound is on |A| alone here)
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
+    ranked = ranked.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )  # df agg + window once; reused by the prefix AND the b-side
+    a = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select("tok", F.col("set_fp").alias("fp_a"), F.col("n").alias("n_a"))
+    )
+    b = ranked.select("tok", F.col("set_fp").alias("fp_b"), F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("fp_a") != F.col("fp_b"))
+        .filter(F.col("n_b") >= F.ceil(F.col("n_a") * t - 1e-9))
+        .select("fp_a", "fp_b")
+        # skinny pair exchange restores verify parallelism (see
+        # jaccard_prefix_join's measured 8.9s → 0.9s note)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    sets_ = dsets.select("set_fp", "hset", "n")
+    j = (
+        cand.join(
+            sets_.select(F.col("set_fp").alias("fp_a"),
+                         F.col("hset").alias("set_a"), F.col("n").alias("na")),
+            "fp_a",
+        ).join(
+            sets_.select(F.col("set_fp").alias("fp_b"),
+                         F.col("hset").alias("set_b")),
+            "fp_b",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    pre = (
+        j.filter(inter.cast("double") >= F.col("na") * t - 1e-9)
+        .select("fp_a", "fp_b", inter.alias("inter"), "na")
+        .localCheckpoint(eager=False)
+    )
+    fp_pairs = (
+        pre.withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= t)
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    if max_pairs is not None:
+        sizes = members.groupBy("set_fp").agg(F.count("*").alias("k"))
+        cross_ct = (
+            fp_pairs.select("fp_a", "fp_b")
+            .join(sizes.select(F.col("set_fp").alias("fp_a"),
+                               F.col("k").alias("ka")), "fp_a")
+            .join(sizes.select(F.col("set_fp").alias("fp_b"),
+                               F.col("k").alias("kb")), "fp_b")
+            .agg(F.sum(F.col("ka") * F.col("kb")).alias("c"))
+            .first()["c"] or 0
+        )
+        same_ct = (
+            sizes.agg(F.sum(F.col("k") * (F.col("k") - 1)).alias("c"))
+            .first()["c"] or 0
+        )
+        total = int(cross_ct) + int(same_ct)
+        if total > max_pairs:
+            raise ValueError(
+                f"containment_prefix_join would emit {total} directional "
+                f"pairs (> max_pairs={max_pairs}); raise the threshold or "
+                "the cap (the output is inherently pair-bound)"
+            )
+    ma = members.select(F.col("set_fp").alias("fp_a"), F.col("__id").alias("id_a"))
+    mb = members.select(F.col("set_fp").alias("fp_b"), F.col("__id").alias("id_b"))
+    cross = (
+        fp_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select("id_a", "id_b", "inter", F.col("na").alias("n_a"),
+                F.round("containment", 6).alias("containment"))
+    )
+    # same-set: containment exactly 1.0 in BOTH directions, no intersect
+    same = (
+        members.join(members.withColumnRenamed("__id", "__id2"), "set_fp")
+        .filter(F.col("__id") != F.col("__id2"))
+        .join(dsets.select("set_fp", "n"), "set_fp")
+        .select(
+            F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"),
+            F.col("n").alias("inter"), F.col("n").alias("n_a"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -4658,3 +4658,91 @@ SELECT source,
        round(CAST(n_dup_within AS DOUBLE) / n_docs, 6) AS dup_rate
 FROM agg
 """
+
+ORACLES["events_session_paths"] = """
+-- sessionize by the 30-min gap (same CTE as sessionize_events), then
+-- the first-5-event-type path per session, counted per path
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+  FROM s
+),
+s3 AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM s2
+),
+per_sess AS (
+  SELECT user_id, session_idx,
+         list(event_type ORDER BY ts, event_id) AS evs,
+         count(*) AS n_events
+  FROM s3 GROUP BY user_id, session_idx
+)
+SELECT array_to_string(evs[1:5], '>') AS path,
+       count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_session_events,
+       max(n_events) AS max_session_events
+FROM per_sess GROUP BY 1
+"""
+
+ORACLES["orders_seasonal_decompose"] = """
+-- additive decomposition on the monthly revenue series: centered
+-- 13-month MA trend (full windows only), per-calendar-month seasonal
+-- index over detrended values, residual = value - trend - seasonal
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT month, revenue,
+         CASE WHEN count(*) OVER w = 13 THEN avg(revenue) OVER w END AS trend,
+         month(month) AS moy
+  FROM m
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+s AS (
+  SELECT moy, avg(revenue - trend) AS seasonal
+  FROM t WHERE trend IS NOT NULL GROUP BY moy
+)
+SELECT strftime(t.month, '%Y-%m') AS month,
+       round(t.revenue, 4) AS revenue,
+       round(t.trend, 4) AS trend,
+       round(s.seasonal, 4) AS seasonal,
+       round(t.revenue - t.trend - s.seasonal, 4) AS residual
+FROM t LEFT JOIN s USING (moy)
+"""
+
+ORACLES["docs_containment_dedup"] = r"""
+-- exact-threshold oracle (same argument as docs_exact_jaccard_join: the
+-- one-sided prefix filter is pure candidate pruning, so naive
+-- share-any-token candidates + exact verify give the identical pair set;
+-- directional: containment(A in B) = |A∩B| / |A|)
+WITH tok AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+  FROM documents
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM tok),
+tokd AS (SELECT doc_id, unnest(s) AS t FROM tok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tokd a JOIN tokd b USING (t)
+  WHERE a.doc_id <> b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.s, sb.s)) AS inter,
+       sa.n AS n_a,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n, 6) AS containment
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.id_a
+JOIN sets sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n >= 0.95
+"""

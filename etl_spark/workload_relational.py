@@ -3766,3 +3766,96 @@ def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_kept, tri_n, float(tri_n * 8))],
         "n_sampled_edges long, sampled_triangles long, est_triangles double",
     )
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths (X167): sessionize by the 30-minute
+    inactivity gap (the same session definition as
+    :func:`sessionize_events`), take each session's first 5 event types
+    in (ts, event_id) order as a ``'>'``-joined path string, and report
+    sessions / mean session length per path — the path-mining summary a
+    product-analytics warehouse derives from its CDC event stream
+    (reference surface: the events table this engine replicates; the
+    path analysis itself is beyond-reference §2.13).
+
+    Scale shape: ONE shuffle on user_id serves both the lag window and
+    the session aggregation (same partitioning, no second exchange);
+    the path string is built from a bounded 5-slot slice (collect_list
+    within a session is bounded by session length — sessions are
+    inactivity-gapped, not unbounded); the final per-path count is a
+    map-combined agg on a low-cardinality key (paths over 5 event types
+    = at most 5^5-ish live groups). No driver-side loops, no UDFs —
+    array_sort/transform/slice are all codegen'd.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * NANOS_PER_SEC
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.col("ts") - F.col("prev_ts")) > gap_ns), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+        F.count("*").alias("n_events"),
+    )
+    paths = per_session.select(
+        F.concat_ws(
+            ">",
+            F.slice(F.transform("evs", lambda s: s["event_type"]), 1, 5),
+        ).alias("path"),
+        "n_events",
+    )
+    return paths.groupBy("path").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of monthly order revenue (X168):
+    trend = centered 13-month moving average (full windows only),
+    seasonal index = mean detrended value per calendar month, residual =
+    value − trend − seasonal. The classic decomposition every
+    revenue-forecast dashboard draws, expressed entirely in window/agg
+    algebra (no UDF, no driver loop).
+
+    Scale shape: the heavy input (orders) collapses to ONE ROW PER MONTH
+    in the first map-combined aggregate; everything after runs on the
+    month series (dozens of rows at any corpus size), where the
+    unpartitioned ORDER BY window is metadata-sized by construction —
+    the same collapse-then-window shape as orders_backlog_curve. At
+    100 TB the only volume-proportional stage is the first scan+agg.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    trended = monthly.withColumn(
+        "trend",
+        F.when(F.count("*").over(w) == 13, F.avg("revenue").over(w)),
+    ).withColumn("moy", F.month("month"))
+    seasonal = trended.filter(F.col("trend").isNotNull()).groupBy("moy").agg(
+        F.avg(F.col("revenue") - F.col("trend")).alias("seasonal")
+    )
+    out = trended.join(seasonal, "moy", "left")
+    return out.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.round("revenue", 4).alias("revenue"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(
+            F.col("revenue") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("residual"),
+    )
