@@ -567,17 +567,39 @@ def containment_prefix_join(
     )  # df agg + window once; reused by the prefix AND the b-side
     a = (
         ranked.filter(F.col("rn") <= prefix_len)
-        .select("tok", F.col("set_fp").alias("fp_a"), F.col("n").alias("n_a"))
+        .select("tok", F.col("set_fp").alias("fp_a"),
+                F.col("n").alias("n_a"), F.col("rn").alias("rn_a"))
     )
-    b = ranked.select("tok", F.col("set_fp").alias("fp_b"), F.col("n").alias("n_b"))
+    b = ranked.select("tok", F.col("set_fp").alias("fp_b"),
+                      F.col("n").alias("n_b"), F.col("rn").alias("rn_b"))
+    # PPJoin positional filter, containment form: among a pair's common
+    # tokens take the FIRST under the global order — every later common
+    # token sits at higher rank on both sides, so overlap ≤ 1 +
+    # min(n_a − rn_a, n_b − rn_b) at that row; requiring ≥ ⌈t·n_a⌉ is
+    # therefore complete (the first-match row of every qualifying pair
+    # passes; later-match rows it drops were duplicates). This is the
+    # hot-token killer on low-vocabulary corpora: a stopword-grade token
+    # ranks LAST in B (rn_b ≈ n_b ⟹ bound ≈ 1 < t·n_a), so the b-side's
+    # unbounded token list never enumerates against it — measured 29.5 s
+    # → (see workload docstring) at sf0.1 with identical output.
     cand = (
         a.join(b, "tok")
         .filter(F.col("fp_a") != F.col("fp_b"))
-        .filter(F.col("n_b") >= F.ceil(F.col("n_a") * t - 1e-9))
+        .filter(
+            (1 + F.least(F.col("n_a") - F.col("rn_a"),
+                         F.col("n_b") - F.col("rn_b"))).cast("double")
+            >= F.col("n_a") * t - 1e-9
+        )
         .select("fp_a", "fp_b")
-        # skinny pair exchange restores verify parallelism (see
-        # jaccard_prefix_join's measured 8.9s → 0.9s note)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # UNLIKE the jaccard join (both sides prefixed, ~13% dupes,
+        # verify-then-dedup wins), the one-sided join re-emits a pair
+        # once per shared A-PREFIX token against B's full set — on a
+        # templated corpus that's ~prefix_len (≈8×) duplicate verifies.
+        # A pre-verify distinct of the skinny 32-byte pairs costs one
+        # shuffle and removes ~8× of the array-intersect work (the
+        # dominant stage); it also replaces the round-robin exchange
+        # (the distinct's own exchange restores verify parallelism).
+        .dropDuplicates(["fp_a", "fp_b"])
     )
     sets_ = dsets.select("set_fp", "hset", "n")
     j = (

@@ -4744,5 +4744,5 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b
-WHERE len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n >= 0.95
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n >= 0.98
 """

@@ -2124,14 +2124,17 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT directional set-containment ≥ 0.95 pairs (X169) via the
+    """EXACT directional set-containment ≥ 0.98 pairs (X169) via the
     one-sided prefix-filter join
     (:func:`etl_spark.operators.dedup.containment_prefix_join`): the
     subset-duplication audit — a short doc embedded in a long one has
     Jaccard ≈ |A|/|B| (invisible to the symmetric exact pass) but
-    containment 1.0. Threshold 0.95 keeps the templated synthetic
-    corpus's output ~40k rows at sf0.01 while exercising the aggressive
-    prefix regime (prefix ≈ 0.05·|doc| + 1). Directional output is
+    containment 1.0. Threshold 0.98 keeps the templated synthetic
+    corpus's output ~22k rows at sf0.01 while exercising the aggressive
+    prefix regime (prefix ≈ 0.02·|doc| + 1; at 0.95 the tiny synthetic
+    vocabulary admits HALF of all set pairs as candidates — 7.6M exact
+    intersects at sf0.1 — so the gate pins the high-threshold regime
+    and the operator keeps `threshold` free for real corpora). Directional output is
     inherently pair-bound — the operator carries the pre-counted
     ``max_pairs`` guard for corpora where that's unsafe."""
-    return dedup.containment_prefix_join(_docs(spark, sf_dir), threshold=0.95)
+    return dedup.containment_prefix_join(_docs(spark, sf_dir), threshold=0.98)

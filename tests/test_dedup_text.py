@@ -402,3 +402,70 @@ def test_jaccard_pairs_max_pairs_guard(spark, docs):
         docs, threshold=0.7, emit="pairs", max_pairs=1_000_000
     ).count()
     assert n == 3
+
+
+def test_containment_join_directional_semantics(spark):
+    """The case the symmetric pass misses: a short doc embedded in a long
+    one (Jaccard small, containment 1.0) — and containment is
+    DIRECTIONAL: the long doc is not contained in the short one."""
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"extra{i}" for i in range(36))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated tokens only here")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): (r.inter, r.n_a, r.containment)
+           for r in dedup.containment_prefix_join(df, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}  # small ⊂ big only; never the reverse
+    assert out[(1, 2)] == (4, 4, 1.0)
+    # sanity: the symmetric exact join at the same threshold sees nothing
+    assert dedup.jaccard_prefix_join(df, threshold=0.9, emit="pairs").count() == 0
+
+
+def test_containment_join_same_set_cliques_both_directions(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.containment
+           for r in dedup.containment_prefix_join(df, threshold=0.6).collect()}
+    # identical sets: both directions at 1.0; subset: 1↔3 and 2↔3 forward
+    # only at t=0.6 (3→1 has containment 3/5 = 0.6, also passes)
+    assert out[(1, 2)] == 1.0 and out[(2, 1)] == 1.0
+    assert out[(1, 3)] == 1.0 and out[(2, 3)] == 1.0
+    assert out[(3, 1)] == pytest.approx(0.6) and out[(3, 2)] == pytest.approx(0.6)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_containment_join_matches_bruteforce_random(spark, seed):
+    """Property twin of the jaccard bruteforce test: small vocabulary,
+    heavy overlap — the one-sided prefix + positional filters must be
+    pure pruning (identical directional pair set to brute force)."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(24)
+    ]
+    t = 0.7
+    sets = {i: frozenset(text.split()) for i, text in docs}
+    expected = set()
+    for a, b in itertools.permutations(sorted(sets), 2):
+        if sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= t:
+            expected.add((a, b))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in dedup.containment_prefix_join(df, threshold=t).collect()}
+    assert got == expected
+
+
+def test_containment_join_max_pairs_guard(spark):
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(6)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_pairs"):
+        dedup.containment_prefix_join(df, threshold=0.9, max_pairs=10)
+    # 6 identical docs → 30 ordered same-set pairs, within a looser cap
+    assert dedup.containment_prefix_join(df, threshold=0.9, max_pairs=30).count() == 30
