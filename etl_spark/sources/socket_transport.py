@@ -125,6 +125,73 @@ def _cstring(b: bytes, pos: int = 0) -> tuple[str, int]:
 
 
 # ---------------------------------------------------------------------------
+# SCRAM-SHA-256 (RFC 5802 / RFC 7677) — the auth PG servers default to
+# since v14 (password_encryption = scram-sha-256). Pure stdlib
+# (hashlib/hmac); the gs2 header is "n,," (no channel binding — the
+# TLS-bound SCRAM-SHA-256-PLUS variant needs a TLS stack and raises).
+# ---------------------------------------------------------------------------
+
+import base64
+import hashlib
+import hmac as _hmac_mod
+import os as _os
+
+
+def _hmac(key: bytes, msg: bytes) -> bytes:
+    return _hmac_mod.new(key, msg, hashlib.sha256).digest()
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+
+
+class _ScramClient:
+    """Client half of one SCRAM-SHA-256 exchange (no channel binding).
+
+    libpq convention: the username in the SCRAM message is empty (PG
+    takes identity from the startup packet), gs2 header ``n,,`` encodes
+    to the fixed ``c=biws`` in the final message."""
+
+    def __init__(self, user: str, password: str, nonce: bytes | None = None):
+        self.password = password
+        self.cnonce = (nonce if nonce is not None
+                       else base64.b64encode(_os.urandom(18)))
+        self._client_first_bare = b"n=,r=" + self.cnonce
+        self._server_sig: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return b"n,," + self._client_first_bare
+
+    def client_final(self, server_first: bytes) -> bytes:
+        attrs = dict(p.split(b"=", 1) for p in server_first.split(b","))
+        full_nonce, salt, it = attrs[b"r"], base64.b64decode(attrs[b"s"]), int(attrs[b"i"])
+        if not full_nonce.startswith(self.cnonce):
+            raise ConnectionError("SCRAM: server nonce does not extend ours")
+        salted = scram_salted_password(self.password, salt, it)
+        client_key = _hmac(salted, b"Client Key")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = b"c=biws,r=" + full_nonce
+        auth_msg = b",".join(
+            [self._client_first_bare, server_first, without_proof])
+        proof = _xor(client_key, _hmac(stored_key, auth_msg))
+        self._server_sig = _hmac(_hmac(salted, b"Server Key"), auth_msg)
+        return without_proof + b",p=" + base64.b64encode(proof)
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        """MUTUAL auth: a server that cannot produce the ServerSignature
+        never knew the password — refuse to proceed (RFC 5802 §9)."""
+        attrs = dict(p.split(b"=", 1) for p in server_final.split(b","))
+        if base64.b64decode(attrs[b"v"]) != self._server_sig:
+            raise ConnectionError(
+                "SCRAM: server signature mismatch (server does not know "
+                "the password — refusing to trust it)")
+
+
+# ---------------------------------------------------------------------------
 # The client: a real ReplicationFrameSource over TCP
 # ---------------------------------------------------------------------------
 
@@ -198,10 +265,31 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                             "server requested a password and none was given")
                     s.sendall(pq_message(b"p", self.password.encode() + b"\0"))
                     continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    mechs = bodyb[4:].split(b"\0")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise ConnectionError(
+                            f"server offers SASL mechanisms {mechs} — only "
+                            "SCRAM-SHA-256 is implemented (channel-binding "
+                            "variants need TLS)")
+                    self._scram = _ScramClient(self.user, self.password or "")
+                    first = self._scram.client_first()
+                    s.sendall(pq_message(
+                        b"p",
+                        b"SCRAM-SHA-256\0" + struct.pack(">i", len(first)) + first,
+                    ))
+                    continue
+                if code == 11:  # AuthenticationSASLContinue: server-first
+                    s.sendall(pq_message(
+                        b"p", self._scram.client_final(bodyb[4:])))
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: server signature
+                    self._scram.verify_server_final(bodyb[4:])
+                    continue
                 raise ConnectionError(
-                    f"unsupported authentication code {code} (only trust "
-                    "and cleartext are implemented; SASL needs a real "
-                    "deployment credential path)"
+                    f"unsupported authentication code {code} (trust, "
+                    "cleartext and SCRAM-SHA-256 are implemented; "
+                    "channel-binding variants need TLS)"
                 )
             if tag in (b"S", b"K", b"N"):  # ParameterStatus/KeyData/Notice
                 continue
@@ -364,13 +452,17 @@ class LoopbackReplicationServer:
     rows + ack positions."""
 
     def __init__(self, recorded: bytes, consistent_point: int = 0,
-                 snapshot_name: str | None = None, password: str | None = None):
+                 snapshot_name: str | None = None, password: str | None = None,
+                 auth: str = "cleartext"):
         import threading
 
         self.recorded = recorded
         self.consistent_point = consistent_point
         self.snapshot_name = snapshot_name
         self.password = password
+        if auth not in ("cleartext", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
+        self.auth = auth
         #: every standby status update received, as raw 'r' payloads in
         #: arrival order (across all connections)
         self.received_updates: list[bytes] = []
@@ -439,7 +531,10 @@ class LoopbackReplicationServer:
         (version,) = struct.unpack_from(">i", body, 0)
         if version != PROTOCOL_VERSION:
             raise ValueError(f"unsupported protocol version {version}")
-        if self.password is not None:
+        if self.password is not None and self.auth == "scram-sha-256":
+            if not self._scram_verify(conn, reader):
+                return
+        elif self.password is not None:
             conn.sendall(pq_message(b"R", struct.pack(">i", 3)))
             msg = reader.read_message()
             if msg is None or msg[0] != b"p":
@@ -478,6 +573,55 @@ class LoopbackReplicationServer:
                 conn.sendall(pq_message(
                     b"E", b"SERROR\0Monly replication commands\0\0"))
                 conn.sendall(pq_message(b"Z", b"I"))
+
+    def _scram_verify(self, conn: socket.socket, reader: _MessageReader) -> bool:
+        """Server half of the SCRAM-SHA-256 exchange (RFC 5802 verifier:
+        the server stores StoredKey/ServerKey derived from the salted
+        password and never sees the cleartext on the wire)."""
+        conn.sendall(pq_message(
+            b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\0\0"))
+        msg = reader.read_message()
+        if msg is None or msg[0] != b"p":
+            return False
+        body = msg[1]
+        mech, pos = _cstring(body)
+        if mech != "SCRAM-SHA-256":
+            return False
+        (ln,) = struct.unpack_from(">i", body, pos)
+        client_first = body[pos + 4 : pos + 4 + ln]
+        if not client_first.startswith(b"n,,"):
+            return False  # channel binding not offered without TLS
+        client_first_bare = client_first[3:]
+        attrs = dict(p.split(b"=", 1) for p in client_first_bare.split(b","))
+        cnonce = attrs[b"r"]
+        salt, iterations = _os.urandom(16), 4096
+        snonce = base64.b64encode(_os.urandom(12))
+        full_nonce = cnonce + snonce
+        server_first = (b"r=" + full_nonce + b",s=" + base64.b64encode(salt)
+                        + b",i=" + str(iterations).encode())
+        conn.sendall(pq_message(b"R", struct.pack(">i", 11) + server_first))
+        msg = reader.read_message()
+        if msg is None or msg[0] != b"p":
+            return False
+        client_final = msg[1]
+        fattrs = dict(p.split(b"=", 1) for p in client_final.split(b","))
+        proof = base64.b64decode(fattrs[b"p"])
+        without_proof = client_final[: client_final.rindex(b",p=")]
+        if fattrs[b"r"] != full_nonce or fattrs[b"c"] != b"biws":
+            return False
+        salted = scram_salted_password(self.password, salt, iterations)
+        stored_key = hashlib.sha256(_hmac(salted, b"Client Key")).digest()
+        auth_msg = b",".join([client_first_bare, server_first, without_proof])
+        # recover ClientKey from the proof; a wrong password yields a
+        # ClientKey whose hash misses StoredKey (RFC 5802 verification)
+        client_key = _xor(proof, _hmac(stored_key, auth_msg))
+        if hashlib.sha256(client_key).digest() != stored_key:
+            conn.sendall(pq_message(b"E", b"SFATAL\0MSCRAM auth failed\0\0"))
+            return False
+        server_sig = _hmac(_hmac(salted, b"Server Key"), auth_msg)
+        conn.sendall(pq_message(
+            b"R", struct.pack(">i", 12) + b"v=" + base64.b64encode(server_sig)))
+        return True
 
     def _reply_create_slot(self, conn: socket.socket, q: str) -> None:
         slot_name = q.split()[1]
