@@ -1194,3 +1194,49 @@ def test_profile_hll_single_melt_plan(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Generate explode", plan, re.M)) == 0, plan
+
+
+def test_containment_join_plan_no_cartesian_and_pruned_scan(spark):
+    """The one-sided prefix join must stay an equi-join (no cartesian
+    fallback). The tokenize scan sits behind the eager checkpoint cut
+    (by design — reused 3×), so scan pruning is asserted on the
+    pre-checkpoint projection the operator builds from."""
+    plan = plan_of(workload_text.docs_containment_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.dedup import tokens
+    from etl_spark.workload_text import _docs
+
+    pre = _docs(spark, SF_DIR).select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    scan = plan_of(pre).split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" in scan and "n_chars" not in scan and "lang" not in scan
+
+
+def test_session_paths_single_user_exchange_before_window(spark):
+    """Sessionization + per-session aggregation must not degenerate into
+    extra corpus-wide exchanges: the lag window and the running-sum
+    window share ONE user_id exchange; the session agg and the final
+    path agg add one keyed exchange each (+ AQE may coalesce)."""
+    plan = plan_of(workload_relational.events_session_paths(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 3, plan[:2000]
+
+
+def test_seasonal_decompose_collapses_before_window(spark):
+    """The unpartitioned 13-month window must sit ABOVE the month-level
+    aggregate (metadata-sized input), never above raw orders: exactly
+    one month-keyed exchange below the window, and the scan prunes to
+    (o_orderdate, o_totalprice)."""
+    plan = plan_of(workload_relational.orders_seasonal_decompose(spark, SF_DIR))
+    scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_orderdate" in scan and "o_custkey" not in scan
+    # window over a single partition is fine HERE because its input is
+    # the month series (dozens of rows by construction): the Window
+    # node's Input must be the aggregated (month, revenue) columns,
+    # never raw order rows
+    win_detail = plan.split(") Window", 1)[1]
+    win_input = win_detail.split("Input", 1)[1].split("\n", 1)[0]
+    assert "revenue" in win_input and "o_totalprice" not in win_input
