@@ -33,26 +33,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never goes stale. The tail is everything with a newer green row.
 
     ROUND-12 WINDOW (r11 verdict item #2: finish the r7 drain):
-    [round-12 NEW op: pgoutput_socket_decode — replication decode
+    [round-12 NEW ops: pgoutput_socket_decode — replication decode
     through a REAL TCP hop: recorded copy-both capture served by a
     loopback server speaking the backend protocol, consumed by the
     stdlib-socket SocketReplicationSource (startup handshake, CopyBoth,
     keepalive acks on the wire), FrameFilePump file queue, distributed
     decode; oracle identical to pgoutput_decode — the socket must be
-    invisible]
+    invisible; events_session_paths — 30-min-gap sessionization →
+    first-5-event-type path mining; orders_seasonal_decompose —
+    additive trend/seasonal/residual on the month-collapsed revenue
+    series; docs_containment_dedup — exact directional set-containment
+    ≥ 0.98 via a one-sided prefix-filter join with PPJoin positional
+    bound (the subset-duplication audit symmetric Jaccard misses)]
     + [CHANGED in r12: pgoutput_wire_decode — assign_xids rewritten to
     BEGIN..COMMIT span recovery (post-COMMIT out-of-tx frames now -1,
     ADVICE r11 medium) with a delivery-order mode for concurrent
     captures and a limit-fenced tx-per-window ceiling]
     + [ALL 21 remaining r7-latest rows (events_welch_ttest ...
     supplier_share_hhi) — the r7 tail empties this round]
-    + [27 of the 46 r8-latest rows, alphabetical
-    (asof_click_attribution ... embeddings_centroid_separation); the
-    remaining 19 (events_error_after_purchase ... stream_windowed_
-    watermark) lead the r13 queue]. Tail = those 19 r8 rows, then
-    r9/r10/r11 green rows. After this round nothing recorded is older
-    than r8. All window entries verified locally via
-    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
+    + [24 of the 46 r8-latest rows, alphabetical
+    (asof_click_attribution ... docs_repetition); the remaining 22
+    (docs_semantic_dedup ... stream_windowed_watermark) lead the r13
+    queue]. Tail = those 22 r8 rows, then r9/r10/r11 green rows. After
+    this round nothing recorded is older than r8. All 50 window entries
+    verified locally via tools/check_oracle.py at sf0.01 before
+    rotation (COVERAGE.md).
     """
     return {
         # --- round-12 NEW ops ---
@@ -84,7 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": workload_relational.sketch_hll_users,
         "stream_sliding_topk": workload.stream_sliding_topk,
         "supplier_share_hhi": workload_relational.supplier_share_hhi,
-        # --- oldest r8 rows, alphabetical (27 of 46; 19 lead r13) ---
+        # --- oldest r8 rows, alphabetical (window cut falls after
+        # docs_repetition: 24 in-window; docs_semantic_dedup onward
+        # lead the r13 queue) ---
         "asof_click_attribution": workload_relational.asof_click_attribution,
         "bloom_prune_probe": workload_relational.bloom_prune_probe,
         "cdc_changed_columns": workload.cdc_changed_columns,
