@@ -215,13 +215,22 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
 
     def __init__(self, host: str, port: int, user: str = "replication",
                  database: str = "postgres", password: str | None = None,
-                 metrics=None, connect_timeout: float = 10.0):
+                 metrics=None, connect_timeout: float = 10.0,
+                 poll_timeout_s: float | None = None):
         from etl_spark import telemetry
 
         self.host, self.port = host, port
         self.user, self.database, self.password = user, database, password
         self.metrics = metrics or telemetry.DEFAULT
         self.connect_timeout = connect_timeout
+        #: None = poll_frames blocks until data/CopyDone (batch replay);
+        #: a float makes poll_frames return the partial batch when the
+        #: server idles that long — the live-loop mode, where the pump
+        #: keeps draining/acking on a cadence even with no WAL traffic
+        #: (wal_sender_timeout safety: acks must not wait for data).
+        #: A timeout mid-message is safe: the reader keeps partial bytes
+        #: buffered and the next poll resumes the same message.
+        self.poll_timeout_s = poll_timeout_s
         self._sock: socket.socket | None = None
         self._reader: _MessageReader | None = None
         self._copy_both = False
@@ -384,8 +393,12 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             raise RuntimeError("poll_frames before start()")
         out: list[tuple[int, int, bytes]] = []
         budget = 0
+        self._sock.settimeout(self.poll_timeout_s)
         while not self._exhausted and budget < max_bytes:
-            msg = self._reader.read_message()
+            try:
+                msg = self._reader.read_message()
+            except (TimeoutError, socket.timeout):
+                break  # idle server: hand back the partial batch
             if msg is None:
                 raise ConnectionError("server closed mid-stream")
             tag, body = msg
@@ -394,7 +407,9 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                 continue
             if tag == b"c":  # CopyDone: stream complete (loopback replay)
                 self._exhausted = True
-                # trailing CommandComplete + ReadyForQuery
+                # trailing CommandComplete + ReadyForQuery (blocking:
+                # they are already in flight right behind the CopyDone)
+                self._sock.settimeout(None)
                 while True:
                     trail = self._reader.read_message()
                     if trail is None or trail[0] == b"Z":
@@ -406,6 +421,8 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             if tag == b"E":
                 raise RuntimeError(f"server error mid-stream: {body!r}")
             raise ValueError(f"unexpected message tag {tag!r} in CopyBoth")
+        if self._sock is not None:
+            self._sock.settimeout(None)  # command reads stay blocking
         if out:
             from etl_spark import telemetry
 

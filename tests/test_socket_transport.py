@@ -309,3 +309,71 @@ def test_scram_auth_end_to_end_over_loopback():
         with pytest.raises((ConnectionError, RuntimeError)):
             bad.create_slot("s")
         bad.close()
+
+
+def test_poll_timeout_returns_partial_batch_on_idle_server():
+    """Live-loop mode: an idle server (no WAL traffic, no CopyDone) must
+    not block the pump forever — poll_frames hands back what it has
+    after poll_timeout_s, and a later poll resumes cleanly."""
+    import socket as socketlib
+    import struct
+    import threading
+
+    from etl_spark.sources.socket_transport import PROTOCOL_VERSION, pq_message
+
+    lst = socketlib.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+    stream = _capture()
+    payloads = list(live.iter_copy_messages(stream))
+
+    release = threading.Event()
+    done = threading.Event()
+
+    def serve():
+        conn, _ = lst.accept()
+        # startup
+        raw = conn.recv(4)
+        (ln,) = struct.unpack(">i", raw)
+        conn.recv(ln - 4)
+        conn.sendall(pq_message(b"R", struct.pack(">i", 0)))
+        conn.sendall(pq_message(b"Z", b"I"))
+        # START_REPLICATION → CopyBoth, first 3 messages, then STALL
+        while True:
+            hdr = conn.recv(5)
+            if not hdr:
+                return
+            (qlen,) = struct.unpack(">i", hdr[1:5])
+            conn.recv(qlen - 4)
+            if hdr[:1] == b"Q":
+                break
+        conn.sendall(pq_message(b"W", struct.pack(">bh", 0, 0)))
+        for p in payloads[:3]:
+            conn.sendall(pq_message(b"d", p))
+        release.wait(timeout=10)  # idle: no data, no CopyDone
+        for p in payloads[3:]:
+            conn.sendall(pq_message(b"d", p))
+        conn.sendall(pq_message(b"c", b""))
+        conn.sendall(pq_message(b"C", b"COPY 0\0"))
+        conn.sendall(pq_message(b"Z", b"I"))
+        done.wait(timeout=10)  # hold the socket until the client drained
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    src = SocketReplicationSource("127.0.0.1", port, poll_timeout_s=0.3)
+    src.start("slot", 0)
+    first = src.poll_frames(1 << 20)  # must return despite no CopyDone
+    assert 0 < len(first) <= 3
+    release.set()
+    rest = []
+    while True:
+        b = src.poll_frames(1 << 20)
+        if not b:
+            break
+        rest += b
+    done.set()
+    src.close()
+    lst.close()
+    assert len(first) + len(rest) == 13
