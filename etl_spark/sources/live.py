@@ -764,3 +764,39 @@ class FrameFilePump:
         while self.drain_once() > 0:
             pipeline.run_until_drained()
             self.report_progress()
+
+    def run_live(self, pipeline, stop, wal_sender_timeout_s: float = 60.0,
+                 keep_alive_fraction: float = 0.6,
+                 min_deadline_s: float = 0.1,
+                 idle_nap_s: float = 0.02) -> None:
+        """Continuous live loop with PROACTIVE keepalive status updates —
+        the reference's deadline policy (apply.rs:96-116): Postgres kills
+        a silent client at ``wal_sender_timeout`` (default 60 s) and
+        normally prompts acks via reply-requested keepalives around half
+        that; the client still self-sends at 60% of the timeout since
+        its LAST send (keepalive replies inside a poll count), clamped
+        to ≥ 100 ms so a 1 ms server setting can't spin the loop. A
+        last-resort fallback by design — in normal operation the
+        server's keepalives win first.
+
+        ``stop``: a ``threading.Event``; the loop exits when set (after
+        finishing any in-flight drain/apply). Data flow: identical to
+        :meth:`run_until_source_drained` when frames arrive."""
+        import time
+
+        deadline = max(wal_sender_timeout_s * keep_alive_fraction,
+                       min_deadline_s)
+        last_send = time.monotonic()
+        while not stop.is_set():
+            sends_before = len(getattr(self.source, "sent_updates", ()))
+            if self.drain_once() > 0:
+                pipeline.run_until_drained()
+                self.report_progress()
+                last_send = time.monotonic()
+                continue
+            if len(getattr(self.source, "sent_updates", ())) > sends_before:
+                last_send = time.monotonic()  # poll answered a keepalive
+            if time.monotonic() - last_send >= deadline:
+                self.report_progress()  # proactive: the 60%-deadline ack
+                last_send = time.monotonic()
+            time.sleep(min(idle_nap_s, deadline / 4))

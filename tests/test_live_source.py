@@ -1,6 +1,6 @@
-"""The live-source boundary stub: interface shape is stable and the
-unimplemented transport fails loudly, never silently simulates
-(LIVE_SOURCE.md; round-9 verdict item #6)."""
+"""The live-source boundary: interface shape, wire codecs, recorded
+transport, distributed decode, pump loops (LIVE_SOURCE.md; the socket
+transport itself is covered in tests/test_socket_transport.py)."""
 
 from __future__ import annotations
 
@@ -654,3 +654,67 @@ def test_tx_registry_fold_window_ceiling(spark, tmp_path, monkeypatch):
     reg = pgo.PersistentTxRegistry(str(tmp_path / "txs.json"))
     with pytest.raises(RuntimeError, match="driver-collect budget"):
         reg.advance_from(frames)
+
+
+def test_run_live_proactive_keepalive_deadline():
+    """Idle transport: the pump self-sends status updates at 60% of
+    wal_sender_timeout since its last send (apply.rs:96-116 policy) —
+    the server must never see a silent client approach its timeout."""
+    import threading
+    import time
+
+    class IdleSource:
+        def __init__(self):
+            self.sent_updates = []
+
+        def poll_frames(self, max_bytes):
+            return []
+
+        def send_status_update(self, write_lsn, flush_lsn):
+            self.sent_updates.append((write_lsn, flush_lsn, time.monotonic()))
+
+    src = IdleSource()
+    pump = live.FrameFilePump(src, spark=None, source_dir="/nonexistent-dir")
+    stop = threading.Event()
+    t = threading.Thread(
+        target=pump.run_live,
+        args=(None, stop),
+        kwargs={"wal_sender_timeout_s": 0.5},  # deadline = 0.3 s
+        daemon=True,
+    )
+    t.start()
+    time.sleep(1.1)
+    stop.set()
+    t.join(timeout=5)
+    # ~3 proactive updates in 1.1 s at a 0.3 s cadence (timing slack: 2-4)
+    assert 2 <= len(src.sent_updates) <= 4
+    gaps = [b[2] - a[2] for a, b in zip(src.sent_updates, src.sent_updates[1:])]
+    assert all(g >= 0.25 for g in gaps), gaps  # never spams below deadline
+
+
+def test_run_live_deadline_clamped_to_100ms():
+    """A pathological 1 ms wal_sender_timeout must not spin the loop:
+    the deadline clamps to >= 100 ms (apply.rs MIN_KEEP_ALIVE_DEADLINE)."""
+    import threading
+    import time
+
+    class IdleSource:
+        def __init__(self):
+            self.sent_updates = []
+
+        def poll_frames(self, max_bytes):
+            return []
+
+        def send_status_update(self, write_lsn, flush_lsn):
+            self.sent_updates.append(time.monotonic())
+
+    src = IdleSource()
+    pump = live.FrameFilePump(src, spark=None, source_dir="/nonexistent-dir")
+    stop = threading.Event()
+    t = threading.Thread(target=pump.run_live, args=(None, stop),
+                         kwargs={"wal_sender_timeout_s": 0.001}, daemon=True)
+    t.start()
+    time.sleep(0.45)
+    stop.set()
+    t.join(timeout=5)
+    assert len(src.sent_updates) <= 5  # 100 ms clamp: ~4 sends in 0.45 s
