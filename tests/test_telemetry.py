@@ -178,3 +178,51 @@ def test_metrics_http_scrape_roundtrip():
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_transactions_counter_exact_across_split_transaction(spark, tmp_path):
+    """ADVICE r11: etl_transactions_total must be EXACT — one count per
+    transaction even when its rows split across two triggers (the old
+    approx_count_distinct double-counted the straddling commit_lsn)."""
+    import os
+
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import MemorySink
+
+    msgs = [
+        live.encode_xlog_data(5, 6, 0, pgo.encode_relation(
+            1, "public", "t", "d", [(1, "pk", 20, -1), (0, "val", 25, -1)])),
+        live.encode_xlog_data(10, 11, 0, pgo.encode_begin(final_lsn=14, xid=9)),
+        live.encode_xlog_data(11, 12, 0, pgo.encode_insert(1, ["1", "a"])),
+        live.encode_xlog_data(12, 13, 0, pgo.encode_insert(1, ["2", "b"])),
+        live.encode_xlog_data(13, 14, 0, pgo.encode_insert(1, ["3", "c"])),
+        live.encode_xlog_data(14, 15, 0, pgo.encode_commit(14, 15)),
+    ]
+    stream = live.encode_copy_stream(msgs)
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    reg = telemetry.MetricsRegistry()
+    pipe = Pipeline(
+        spark, src_dir,
+        [TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                     payload_schema="pk long, val string")],
+        MemorySink(), str(tmp_path / "work"), source_fmt="pgoutput",
+        metrics_registry=reg,
+    )
+    src = live.RecordedReplicationSource(stream)
+    src.start("slot", 0)
+    # tiny poll budget: the transaction's frames straddle several pump
+    # files, each applied as its own trigger
+    pump = live.FrameFilePump(src, spark, src_dir, control=pipe.control,
+                              batch_bytes=30)
+    n_files = 0
+    while pump.drain_once() > 0:
+        pipe.run_until_drained()
+        n_files += 1
+    assert n_files >= 2, "transaction did not split across triggers"
+    assert reg.value(telemetry.ETL_TRANSACTIONS_TOTAL) == 1
+    assert reg.value(telemetry.ETL_EVENTS_PROCESSED_TOTAL) == 3
