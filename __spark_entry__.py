@@ -44,17 +44,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additive trend/seasonal/residual on the month-collapsed revenue
     series; docs_containment_dedup — exact directional set-containment
     ≥ 0.98 via a one-sided prefix-filter join with PPJoin positional
-    bound (the subset-duplication audit symmetric Jaccard misses)]
+    bound (the subset-duplication audit symmetric Jaccard misses);
+    corpus_dedup_best_quality — quality-aware dedup keep-list: exact
+    Jaccard clusters keep their highest-quality member via a
+    map-combined argmax agg, no per-cluster window]
     + [CHANGED in r12: pgoutput_wire_decode — assign_xids rewritten to
     BEGIN..COMMIT span recovery (post-COMMIT out-of-tx frames now -1,
     ADVICE r11 medium) with a delivery-order mode for concurrent
     captures and a limit-fenced tx-per-window ceiling]
     + [ALL 21 remaining r7-latest rows (events_welch_ttest ...
     supplier_share_hhi) — the r7 tail empties this round]
-    + [24 of the 46 r8-latest rows, alphabetical
-    (asof_click_attribution ... docs_repetition); the remaining 22
-    (docs_semantic_dedup ... stream_windowed_watermark) lead the r13
-    queue]. Tail = those 22 r8 rows, then r9/r10/r11 green rows. After
+    + [23 of the 46 r8-latest rows, alphabetical
+    (asof_click_attribution ... docs_rag_chunks); the remaining 23
+    (docs_repetition ... stream_windowed_watermark) lead the r13
+    queue]. Tail = those 23 r8 rows, then r9/r10/r11 green rows. After
     this round nothing recorded is older than r8. All 50 window entries
     verified locally via tools/check_oracle.py at sf0.01 before
     rotation (COVERAGE.md).
@@ -65,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": workload_relational.events_session_paths,
         "orders_seasonal_decompose": workload_relational.orders_seasonal_decompose,
         "docs_containment_dedup": workload_text.docs_containment_dedup,
+        "corpus_dedup_best_quality": workload_text.corpus_dedup_best_quality,
         # --- implementation CHANGED in round 12: re-record ---
         "pgoutput_wire_decode": workload.pgoutput_wire_decode,
         # --- the 21 r7-latest rows (rotation drain: r7 empties) ---

@@ -4746,3 +4746,59 @@ JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b
 WHERE len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n >= 0.98
 """
+
+ORACLES["corpus_dedup_best_quality"] = r"""
+-- exact Jaccard >= 0.9 clusters (recursive min-reachable CC, as in
+-- docs_exact_jaccard_clusters) + quality scores; keeper per cluster =
+-- highest rounded quality, ties to the lowest doc_id
+WITH RECURSIVE tok AS (
+  SELECT doc_id, text, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+  FROM documents
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM tok),
+tokd AS (SELECT doc_id, unnest(s) AS t FROM tok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tokd a JOIN tokd b USING (t)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT c.id_a AS a, c.id_b AS b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s)) /
+        greatest(sa.n + sb.n - len(list_intersect(sa.s, sb.s)), 1) >= 0.9
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node),
+toks2 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+           / greatest(len(toks), 1) AS stopword_ratio
+  FROM toks2
+),
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+               + (1.0 - punct_ratio) * 0.3, 6) AS quality
+  FROM feat
+),
+j AS (SELECT comp.doc_id, comp.rep_id, q.quality FROM comp JOIN q USING (doc_id)),
+best AS (
+  SELECT rep_id, first(doc_id ORDER BY quality DESC, doc_id ASC) AS keep_id
+  FROM j GROUP BY rep_id
+)
+SELECT j.doc_id, j.rep_id, j.quality, j.doc_id = b.keep_id AS keep
+FROM j JOIN best b USING (rep_id)
+"""

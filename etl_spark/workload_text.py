@@ -2138,3 +2138,35 @@ def docs_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently pair-bound — the operator carries the pre-counted
     ``max_pairs`` guard for corpora where that's unsafe."""
     return dedup.containment_prefix_join(_docs(spark, sf_dir), threshold=0.98)
+
+
+def corpus_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep-list (X171): exact Jaccard ≥ 0.9 clusters
+    (the linear `emit='clusters'` form) joined with the quality scorer;
+    per cluster the KEEPER is the highest-quality member (ties → lowest
+    doc_id) — the curation decision real training-data dedup makes
+    (keep the best exemplar, not the arbitrary min-id one).
+
+    Scale shape: clusters are linear-output by construction; the keeper
+    per cluster is a map-combined `max(struct(quality, -doc_id))`
+    aggregate + an equi-join back — NO per-cluster window, so a
+    mega-cluster (the duplicate-heavy failure mode) never concentrates
+    on one task. Quality ordering uses the 6-decimal-rounded score both
+    here and in the oracle, with doc_id as the total tiebreak.
+    """
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.jaccard_prefix_join(docs, threshold=0.9, emit="clusters")
+    q = text.quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality"))
+    j = clusters.join(q, "doc_id")
+    keepers = j.groupBy("rep_id").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")))
+        .alias("m")
+    ).select("rep_id", (-F.col("m.nid")).alias("keep_id"))
+    return (
+        j.join(keepers, "rep_id")
+        .select(
+            "doc_id", "rep_id", "quality",
+            (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+        )
+    )
