@@ -204,6 +204,10 @@ HEADLINE = [
     "events_quantile_sketch",
     # round-12 additions (first timed here)
     "pgoutput_socket_decode",
+    "events_session_paths",
+    "orders_seasonal_decompose",
+    "docs_containment_dedup",
+    "corpus_dedup_best_quality",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -406,7 +410,9 @@ def main() -> None:
     r11_new = {"pgoutput_wire_decode", "events_dau_mau_hll",
                "docs_profile_hll", "docs_boilerplate_coverage",
                "events_quantile_sketch"}
-    r12_new = {"pgoutput_socket_decode"}
+    r12_new = {"pgoutput_socket_decode", "events_session_paths",
+               "orders_seasonal_decompose", "docs_containment_dedup",
+               "corpus_dedup_best_quality"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new
