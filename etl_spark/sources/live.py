@@ -111,6 +111,7 @@ class PostgresReplicationSource(ReplicationFrameSource):
             database=(u.path or "/postgres").lstrip("/") or "postgres",
             password=u.password,
             metrics=metrics,
+            publication=publication,
         )
 
     @property

@@ -216,11 +216,13 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
     def __init__(self, host: str, port: int, user: str = "replication",
                  database: str = "postgres", password: str | None = None,
                  metrics=None, connect_timeout: float = 10.0,
-                 poll_timeout_s: float | None = None):
+                 poll_timeout_s: float | None = None,
+                 publication: str = "etl"):
         from etl_spark import telemetry
 
         self.host, self.port = host, port
         self.user, self.database, self.password = user, database, password
+        self.publication = publication
         self.metrics = metrics or telemetry.DEFAULT
         self.connect_timeout = connect_timeout
         #: None = poll_frames blocks until data/CopyDone (batch replay);
@@ -364,11 +366,15 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
 
     def start(self, slot_name: str, start_lsn: int) -> None:
         self._connect()
+        if self._copy_both:
+            raise RuntimeError(
+                "start() while CopyBoth is active — one replication "
+                "connection carries one stream; close() and reconnect")
         self._sock.sendall(pq_message(
             b"Q",
             f"START_REPLICATION SLOT {slot_name} LOGICAL "
             f"{format_lsn(start_lsn)} (proto_version '1', "
-            f"publication_names 'etl')".encode() + b"\0",
+            f"publication_names '{self.publication}')".encode() + b"\0",
         ))
         while True:
             msg = self._reader.read_message()
@@ -485,6 +491,8 @@ class LoopbackReplicationServer:
         self.received_updates: list[bytes] = []
         #: highest flush LSN the client has confirmed (slot state)
         self.confirmed_flush_lsn = 0
+        #: publication_names from each START_REPLICATION, in order
+        self.started_publications: list[str] = []
         self.connections = 0
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -697,6 +705,9 @@ class LoopbackReplicationServer:
 
     def _stream(self, conn: socket.socket, reader: _MessageReader,
                 q: str) -> None:
+        if "publication_names" in q:
+            self.started_publications.append(
+                q.split("publication_names", 1)[1].split("'")[1])
         start_lsn = 0
         for tok in q.split():
             if "/" in tok and all(

@@ -377,3 +377,26 @@ def test_poll_timeout_returns_partial_batch_on_idle_server():
     src.close()
     lst.close()
     assert len(first) + len(rest) == 13
+
+
+def test_publication_threads_through_start_replication():
+    """The configured publication (DSN wrapper or source kwarg) must
+    reach the server's START_REPLICATION options — not a hardcoded name."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream) as srv:
+        s = SocketReplicationSource("127.0.0.1", srv.port,
+                                    publication="my_pub")
+        s.start("slot", 0)
+        # one connection = one stream: a second start mid-copy refuses
+        with pytest.raises(RuntimeError, match="CopyBoth is active"):
+            s.start("slot", 0)
+        while s.poll_frames(1 << 20):
+            pass
+        s.close()
+
+        dsn = live.PostgresReplicationSource(
+            f"postgres://u@127.0.0.1:{srv.port}/db", "dsn_pub")
+        dsn.start("slot", 0)
+        dsn.close()
+    assert srv.started_publications[0] == "my_pub"
+    assert "dsn_pub" in srv.started_publications
