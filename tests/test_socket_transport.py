@@ -400,3 +400,95 @@ def test_publication_threads_through_start_replication():
         dsn.close()
     assert srv.started_publications[0] == "my_pub"
     assert "dsn_pub" in srv.started_publications
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_socket_random_replay_model(spark, tmp_path, seed):
+    """The randomized transport-replay model over the REAL TCP transport:
+    a seeded random stream served by one loopback server; each
+    incarnation is a fresh TCP connection that pumps random batches,
+    applies, acks, then ABRUPTLY closes (transport crash); the next
+    connection START_REPLICATIONs from the engine's durable flush LSN.
+    Destination must equal the driver-side LWW model — any socket-layer
+    mis-framing or mis-fencing diverges it."""
+    import random
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    rng = random.Random(seed)
+    rel = pgo.encode_relation(1, "public", "t", "d",
+                              [(1, "pk", 20, -1), (0, "val", 25, -1)])
+    msgs = [live.encode_xlog_data(5, 6, 0, rel)]
+    model: dict[int, str] = {}
+    lsn = 10
+    for _ in range(rng.randint(6, 12)):
+        n_dml = rng.randint(1, 3)
+        tx = [live.encode_xlog_data(
+            lsn, lsn + 1, 0, pgo.encode_begin(final_lsn=lsn + n_dml + 1, xid=1))]
+        staged: dict[int, str | None] = {}
+        for i in range(1, n_dml + 1):
+            pk = rng.randint(1, 4)
+            if rng.random() < 0.3 and (pk in model or pk in staged):
+                tx.append(live.encode_xlog_data(
+                    lsn + i, lsn + i + 1, 0, pgo.encode_delete(1, key=[str(pk)])))
+                staged[pk] = None
+            else:
+                val = f"v{lsn + i}"
+                cur = staged.get(pk, model.get(pk))
+                body = (pgo.encode_update(1, [str(pk), val], key=[str(pk)])
+                        if cur is not None else pgo.encode_insert(1, [str(pk), val]))
+                tx.append(live.encode_xlog_data(lsn + i, lsn + i + 1, 0, body))
+                staged[pk] = val
+        tx.append(live.encode_xlog_data(
+            lsn + n_dml + 1, lsn + n_dml + 2, 0,
+            pgo.encode_commit(lsn + n_dml + 1, lsn + n_dml + 2)))
+        if rng.random() < 0.4:
+            tx.insert(rng.randint(1, len(tx) - 1),
+                      live.encode_keepalive(lsn, 0, rng.random() < 0.5))
+        msgs.extend(tx)
+        for pk, v in staged.items():
+            if v is None:
+                model.pop(pk, None)
+            else:
+                model[pk] = v
+        lsn += n_dml + 10
+    stream = live.encode_copy_stream(msgs)
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    work = str(tmp_path / "work")
+
+    with LoopbackReplicationServer(stream) as srv:
+        for _incarnation in range(3):
+            pipe = Pipeline(spark, src_dir, [cfg], sink, work,
+                            source_fmt="pgoutput")
+            src = SocketReplicationSource("127.0.0.1", srv.port)
+            src.start("slot", int(pipe.control.flush_lsn))
+            pump = live.FrameFilePump(src, spark, src_dir,
+                                      control=pipe.control,
+                                      batch_bytes=rng.choice([60, 150, 400]))
+            for _ in range(rng.randint(1, 3)):
+                if pump.drain_once() == 0:
+                    break
+                pipe.run_until_drained()
+                pump.report_progress()
+            src.close()  # abrupt transport crash, no CopyDone handshake
+        pipe = Pipeline(spark, src_dir, [cfg], sink, work,
+                        source_fmt="pgoutput")
+        src = SocketReplicationSource("127.0.0.1", srv.port)
+        src.start("slot", int(pipe.control.flush_lsn))
+        pump = live.FrameFilePump(src, spark, src_dir, control=pipe.control)
+        pump.run_until_source_drained(pipe)
+        src.close()
+        assert srv.connections == 4
+
+    got = {r.pk: r.val for r in
+           sink.read("public.t").select("pk", "val").collect()}
+    assert got == model, f"seed={seed} got={got} want={model}"
