@@ -96,6 +96,34 @@ class PublicationCatalog:
         return None
 
 
+def _split_schema_fields(payload_schema: str) -> list[str]:
+    """Split a DDL-ish ``name type, name type`` schema string on commas
+    OUTSIDE parentheses, so parameterized types — ``decimal(12,2)``,
+    ``struct<a int, b int>``-free simple forms — survive the publication
+    column-list trim intact (ADVICE r12: a naive ``split(',')`` would
+    durably corrupt ``payload_schema`` mid-type). Each fragment must
+    look like ``name type...``; anything else is a loud error rather
+    than a silent rewrite of config state."""
+    fields: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(payload_schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(payload_schema[start:i].strip())
+            start = i + 1
+    fields.append(payload_schema[start:].strip())
+    bad = [f for f in fields if len(f.split()) < 2]
+    if bad or depth != 0:
+        raise ValueError(
+            f"cannot trim payload_schema {payload_schema!r}: fragment(s) "
+            f"{bad} do not parse as 'name type' (unbalanced parens: "
+            f"{depth != 0})")
+    return fields
+
+
 def apply_catalog_to_config(cfg, row: PublicationTableRow):
     """Project one catalog row onto a TableConfig: trim the replication
     mask to the published column list (keys must survive — loud error
@@ -114,7 +142,7 @@ def apply_catalog_to_config(cfg, row: PublicationTableRow):
                 "such publications and so does this engine (a delete "
                 "without its key cannot apply)")
         if cfg.payload_schema:
-            fields = [f.strip() for f in cfg.payload_schema.split(",")]
+            fields = _split_schema_fields(cfg.payload_schema)
             kept = [f for f in fields if f.split()[0] in published]
             cfg.payload_schema = ", ".join(kept)
     cfg.row_filter = row.rowfilter

@@ -787,6 +787,16 @@ class FrameFilePump:
 
         deadline = max(wal_sender_timeout_s * keep_alive_fraction,
                        min_deadline_s)
+        # A blocking transport defeats the proactive deadline: a socket
+        # source built with the default poll_timeout_s=None would sit
+        # inside poll_frames forever on an idle server and the 60%-
+        # deadline ack below could never fire (ADVICE r12). Enforce a
+        # finite poll timeout well under the deadline instead of relying
+        # on a docstring contract.
+        if (hasattr(self.source, "poll_timeout_s")
+                and self.source.poll_timeout_s is None):
+            self.source.poll_timeout_s = max(
+                min(deadline / 4.0, 1.0), min_deadline_s / 2.0)
         last_send = time.monotonic()
         while not stop.is_set():
             sends_before = len(getattr(self.source, "sent_updates", ()))

@@ -33,10 +33,10 @@ the command/consume loop):
 
 - every post-startup message: ``tag(1) + Int32 length(self-inclusive,
   tag-exclusive) + body``; the startup message itself has no tag.
-- auth: ``AuthenticationOk`` and cleartext password are implemented;
-  other auth codes raise loudly (SASL/SCRAM is deployment-layer — this
-  environment ships no Postgres to test it against, and pretending would
-  be worse than failing with the exact code).
+- auth: trust (``AuthenticationOk``), cleartext password, and
+  SCRAM-SHA-256 (RFC 5802/7677, pure stdlib, mutual verification, RFC
+  7677 test vector pinned in tests) are implemented; unknown auth codes
+  raise loudly with the exact code.
 
 Scale note: one replication connection is a single serialized byte
 stream by protocol design — the socket client is driver-side, exactly
@@ -117,6 +117,13 @@ class _MessageReader:
         body = bytes(self._buf[5 : 1 + ln])
         del self._buf[: 1 + ln]
         return tag, body
+
+    def push_back(self, tag: bytes, body: bytes) -> None:
+        """Undo one :meth:`read_message`: re-prepend the full framed
+        message so the next read returns it again (used by the loopback
+        server's post-stream drain to hand a follow-up command back to
+        the command loop instead of tearing the connection down)."""
+        self._buf[:0] = tag + struct.pack(">i", len(body) + 4) + body
 
 
 def _cstring(b: bytes, pos: int = 0) -> tuple[str, int]:
@@ -277,13 +284,20 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                     s.sendall(pq_message(b"p", self.password.encode() + b"\0"))
                     continue
                 if code == 10:  # AuthenticationSASL: mechanism list
+                    if self.password is None:
+                        # same explicit error the cleartext path gives —
+                        # attempting SCRAM with an empty password would
+                        # surface as an opaque server-side auth failure
+                        # (ADVICE r12)
+                        raise ConnectionError(
+                            "server requested a password and none was given")
                     mechs = bodyb[4:].split(b"\0")
                     if b"SCRAM-SHA-256" not in mechs:
                         raise ConnectionError(
                             f"server offers SASL mechanisms {mechs} — only "
                             "SCRAM-SHA-256 is implemented (channel-binding "
                             "variants need TLS)")
-                    self._scram = _ScramClient(self.user, self.password or "")
+                    self._scram = _ScramClient(self.user, self.password)
                     first = self._scram.client_first()
                     s.sendall(pq_message(
                         b"p",
@@ -437,15 +451,27 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         return out
 
     def send_status_update(self, write_lsn: int, flush_lsn: int) -> None:
-        payload = self._status_payload(write_lsn, flush_lsn)
+        # Validate BEFORE building/recording the payload (ADVICE r12):
+        # sent_updates and the monotonic clamp must only advance for acks
+        # that either hit the wire or are legitimately post-CopyDone —
+        # a fresh (never-started) or closed source raising here is the
+        # contract callers like run_live rely on when they treat
+        # sent_updates growth as proof an ack left the process.
         if self._copy_both and self._sock is not None:
+            payload = self._status_payload(write_lsn, flush_lsn)
             self._sock.sendall(pq_message(b"d", payload))
-        elif self._sock is not None and not self._exhausted:
-            raise RuntimeError("send_status_update before start()")
-        # after CopyDone (finite replay ended) the update is recorded but
-        # not shipped: copy mode is over, and CopyData outside it is a
-        # protocol violation — a real walsender never sends CopyDone on a
-        # live slot, so this branch exists only for finite captures
+            return
+        if self._exhausted:
+            # after CopyDone (finite replay ended) the update is recorded
+            # but not shipped: copy mode is over, and CopyData outside it
+            # is a protocol violation — a real walsender never sends
+            # CopyDone on a live slot, so this branch exists only for
+            # finite captures
+            self._status_payload(write_lsn, flush_lsn)
+            return
+        raise RuntimeError(
+            "send_status_update with no CopyBoth stream active (before "
+            "start() or after close()) — the ack would be silently lost")
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +701,13 @@ class LoopbackReplicationServer:
     def _drain_client(self, conn: socket.socket, reader: _MessageReader,
                       block: bool) -> None:
         """Consume pending client CopyData (status updates) without
-        stalling the replay: peek via a zero/short timeout."""
+        stalling the replay: peek via a zero/short timeout.
+
+        In the post-stream drain (``block=True``) a non-CopyData message
+        is the client's NEXT command on the same connection — push it
+        back for the command loop instead of tearing the connection down
+        (ADVICE r12: same-connection command reuse must be ordered, not
+        racy against the 0.2 s drain window)."""
         conn.settimeout(0.2 if block else 0.0)
         try:
             while True:
@@ -693,6 +725,9 @@ class LoopbackReplicationServer:
                         self.confirmed_flush_lsn, p["flush_lsn"])
                 elif tag in (b"c", b"X"):
                     raise ConnectionError("client ended the copy")
+                elif block:
+                    reader.push_back(tag, body)
+                    return  # follow-up command: command loop takes over
                 else:
                     raise ValueError(f"unexpected frontend tag {tag!r}")
                 if not block:

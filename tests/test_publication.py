@@ -196,3 +196,26 @@ def test_reconcile_publication_empty_catalog_purges_all(spark, tmp_path):
     assert sorted(res["removed"]) == ["public.a", "public.b"]
     assert pipe.control.tables == {} or not pipe.control.tables
     assert sink.read("public.a").count() == 0
+
+
+def test_column_list_trim_preserves_parameterized_types():
+    """ADVICE r12: the trim must split payload_schema on commas OUTSIDE
+    parentheses — a decimal(12,2) column must survive intact, never be
+    durably corrupted mid-type."""
+    cfg = TableConfig(name="public.t", snapshot_path=None, keys=["pk"],
+                      payload_schema="pk long, amt decimal(12,2), b string")
+    row = PublicationTableRow("etl", "public", "t",
+                              attnames=["pk", "amt"])
+    apply_catalog_to_config(cfg, row)
+    assert cfg.payload_schema == "pk long, amt decimal(12,2)"
+
+
+def test_column_list_trim_rejects_unparseable_schema():
+    from etl_spark.publication import _split_schema_fields
+
+    assert _split_schema_fields("a int, b decimal(10,2), c string") == [
+        "a int", "b decimal(10,2)", "c string"]
+    with pytest.raises(ValueError, match="cannot trim payload_schema"):
+        _split_schema_fields("a int, (orphan")
+    with pytest.raises(ValueError, match="cannot trim payload_schema"):
+        _split_schema_fields("justonename, b int")

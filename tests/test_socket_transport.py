@@ -492,3 +492,93 @@ def test_socket_random_replay_model(spark, tmp_path, seed):
     got = {r.pk: r.val for r in
            sink.read("public.t").select("pk", "val").collect()}
     assert got == model, f"seed={seed} got={got} want={model}"
+
+
+def test_status_update_refused_with_no_stream_active():
+    """ADVICE r12: a fresh (never-started) or closed source must RAISE on
+    send_status_update — and crucially must NOT record the payload in
+    sent_updates or advance the monotonic clamp, because callers treat
+    sent_updates growth as proof an ack left the process."""
+    with LoopbackReplicationServer(_capture()) as srv:
+        fresh = SocketReplicationSource("127.0.0.1", srv.port)
+        with pytest.raises(RuntimeError, match="no CopyBoth stream"):
+            fresh.send_status_update(10, 10)
+        assert fresh.sent_updates == []
+
+        # a live (non-exhausted) stream closed mid-flight: same contract
+        live_src = SocketReplicationSource("127.0.0.1", srv.port)
+        live_src.start("slot", 0)
+        batch = live_src.poll_frames(60)
+        assert batch
+        live_src.send_status_update(max(w for w, _, _ in batch), 0)
+        n_sent = len(live_src.sent_updates)
+        live_src.close()
+        with pytest.raises(RuntimeError, match="no CopyBoth stream"):
+            live_src.send_status_update(99, 99)
+        assert len(live_src.sent_updates) == n_sent
+
+
+def test_sasl_with_no_password_raises_explicitly():
+    """ADVICE r12: the SASL path must give the same explicit
+    missing-password error the cleartext path gives, not start a SCRAM
+    exchange with an empty password."""
+    with LoopbackReplicationServer(b"", password="pw",
+                                   auth="scram-sha-256") as srv:
+        anon = SocketReplicationSource("127.0.0.1", srv.port)
+        with pytest.raises(ConnectionError,
+                           match="password and none was given"):
+            anon.create_slot("s")
+        anon.close()
+
+
+def test_same_connection_command_after_finite_replay():
+    """ADVICE r12: after a finite replay's CopyDone, the next command on
+    the SAME connection must be served (the post-stream drain pushes the
+    non-CopyData message back to the command loop) — same-connection
+    reuse is ordered, not racy against the drain window."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, consistent_point=7) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port)
+        sock.start("slot", 0)
+        while sock.poll_frames(1 << 20):
+            pass  # drains through CopyDone; connection back at command level
+        # immediately (inside the 0.2 s drain window) issue a command
+        info = sock.create_slot("again")
+        assert info.slot_name == "again"
+        assert info.consistent_point == 7
+        sock.close()
+        assert srv.connections == 1  # everything on one connection
+
+
+def test_run_live_forces_finite_poll_timeout(spark, tmp_path):
+    """ADVICE r12: run_live must not rely on the docstring contract —
+    with a default (blocking) socket source it derives a finite
+    poll_timeout_s so the proactive keepalive deadline can fire."""
+    import threading
+
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    with LoopbackReplicationServer(_capture()) as srv:
+        source = SocketReplicationSource("127.0.0.1", srv.port)  # blocking
+        assert source.poll_timeout_s is None
+        source.start("slot", 0)
+        pump = live.FrameFilePump(source, spark, src_dir,
+                                  control=pipe.control)
+        stop = threading.Event()
+        stop.set()  # config path only: loop body never runs
+        pump.run_live(pipe, stop, wal_sender_timeout_s=2.0)
+        assert source.poll_timeout_s is not None
+        assert 0.0 < source.poll_timeout_s <= 1.0
+        source.close()
