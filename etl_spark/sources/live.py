@@ -90,18 +90,19 @@ class PostgresReplicationSource(ReplicationFrameSource):
     wiring (unit-testable offline); the first verb opens the socket and
     fails with a normal connection error if nothing is listening.
 
-    Auth support is trust + cleartext password; SASL/SCRAM raises with
-    the exact auth code (deployment-layer — no server in this
-    environment to validate against; see socket_transport.py)."""
+    Auth support is trust + cleartext + SCRAM-SHA-256[-PLUS]; TLS via
+    the libpq query params ``?sslmode=...&sslrootcert=...`` (round 13 —
+    the connection.rs:245-317 ssl_mode/trusted_root_certs analog)."""
 
     def __init__(self, dsn: str, publication: str, metrics=None):
-        from urllib.parse import urlparse
+        from urllib.parse import parse_qs, urlparse
 
         self.dsn = dsn
         self.publication = publication
         u = urlparse(dsn)
         if u.scheme not in ("postgres", "postgresql"):
             raise ValueError(f"not a postgres DSN: {dsn!r}")
+        q = {k: v[-1] for k, v in parse_qs(u.query).items()}
         from etl_spark.sources.socket_transport import SocketReplicationSource
 
         self._inner = SocketReplicationSource(
@@ -112,6 +113,8 @@ class PostgresReplicationSource(ReplicationFrameSource):
             password=u.password,
             metrics=metrics,
             publication=publication,
+            ssl_mode=q.get("sslmode", "disable"),
+            ssl_root_cert=q.get("sslrootcert"),
         )
 
     @property

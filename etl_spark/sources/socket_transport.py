@@ -64,6 +64,8 @@ from etl_spark.sources.live import (
 # ---------------------------------------------------------------------------
 
 PROTOCOL_VERSION = 196608  # 3.0
+SSL_REQUEST_CODE = 80877103  # protocol.sgml "SSL Session Encryption"
+GSSENC_REQUEST_CODE = 80877104
 
 
 def pq_message(tag: bytes, body: bytes) -> bytes:
@@ -142,6 +144,70 @@ import base64
 import hashlib
 import hmac as _hmac_mod
 import os as _os
+import ssl as _ssl
+
+
+# ---------------------------------------------------------------------------
+# RFC 5929 tls-server-end-point channel binding: hash of the server
+# certificate under its signatureAlgorithm's hash function (MD5/SHA-1
+# collapse to SHA-256 per the RFC). The signatureAlgorithm OID is read
+# with a ~20-line DER walk — Certificate ::= SEQUENCE { tbsCertificate,
+# signatureAlgorithm AlgorithmIdentifier, signatureValue } — because the
+# sandbox ships no ASN.1 library and the full grammar isn't needed.
+# ---------------------------------------------------------------------------
+
+_SIG_ALG_HASH = {
+    "1.2.840.113549.1.1.4": "sha256",   # md5WithRSA    → sha256 (RFC 5929)
+    "1.2.840.113549.1.1.5": "sha256",   # sha1WithRSA   → sha256 (RFC 5929)
+    "1.2.840.113549.1.1.11": "sha256",  # sha256WithRSA
+    "1.2.840.113549.1.1.12": "sha384",
+    "1.2.840.113549.1.1.13": "sha512",
+    "1.2.840.10045.4.1": "sha256",      # ecdsa-with-SHA1 → sha256
+    "1.2.840.10045.4.3.2": "sha256",    # ecdsa-with-SHA256
+    "1.2.840.10045.4.3.3": "sha384",
+    "1.2.840.10045.4.3.4": "sha512",
+}
+
+
+def _der_tlv(b: bytes, pos: int) -> tuple[int, int, int]:
+    """One DER element at ``pos`` → (tag, content_start, content_end)."""
+    tag = b[pos]
+    pos += 1
+    ln = b[pos]
+    pos += 1
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(b[pos : pos + n], "big")
+        pos += n
+    return tag, pos, pos + ln
+
+
+def _der_oid(content: bytes) -> str:
+    out = [str(content[0] // 40), str(content[0] % 40)]
+    v = 0
+    for x in content[1:]:
+        v = (v << 7) | (x & 0x7F)
+        if not x & 0x80:
+            out.append(str(v))
+            v = 0
+    return ".".join(out)
+
+
+def tls_server_end_point_cb(der_cert: bytes) -> bytes:
+    """Channel-binding data for one DER certificate (RFC 5929 §4.1)."""
+    _, seq_start, _ = _der_tlv(der_cert, 0)       # Certificate SEQUENCE
+    _, _, tbs_end = _der_tlv(der_cert, seq_start)  # tbsCertificate
+    _, alg_start, _ = _der_tlv(der_cert, tbs_end)  # AlgorithmIdentifier
+    tag, oid_start, oid_end = _der_tlv(der_cert, alg_start)
+    if tag != 0x06:
+        raise ValueError("malformed certificate: no signatureAlgorithm OID")
+    oid = _der_oid(der_cert[oid_start:oid_end])
+    alg = _SIG_ALG_HASH.get(oid)
+    if alg is None:
+        raise ValueError(
+            f"unsupported certificate signature algorithm OID {oid} for "
+            "tls-server-end-point channel binding")
+    return hashlib.new(alg, der_cert).digest()
 
 
 def _hmac(key: bytes, msg: bytes) -> bytes:
@@ -157,21 +223,34 @@ def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
 
 
 class _ScramClient:
-    """Client half of one SCRAM-SHA-256 exchange (no channel binding).
+    """Client half of one SCRAM-SHA-256[-PLUS] exchange.
 
     libpq convention: the username in the SCRAM message is empty (PG
-    takes identity from the startup packet), gs2 header ``n,,`` encodes
-    to the fixed ``c=biws`` in the final message."""
+    takes identity from the startup packet). The gs2 header encodes the
+    channel-binding stance (RFC 5802 §6): ``p=tls-server-end-point,,``
+    when binding to the server certificate (SCRAM-SHA-256-PLUS over
+    TLS), ``y,,`` when the client COULD bind but the server advertised
+    no PLUS mechanism (downgrade detection: a PLUS-capable server must
+    reject it), plain ``n,,`` otherwise — which base64s to the classic
+    ``c=biws`` in the final message."""
 
-    def __init__(self, user: str, password: str, nonce: bytes | None = None):
+    def __init__(self, user: str, password: str, nonce: bytes | None = None,
+                 cb_name: bytes | None = None, cb_data: bytes | None = None,
+                 tls_capable: bool = False):
         self.password = password
+        if cb_data is not None:
+            self.gs2_header = b"p=" + (cb_name or b"tls-server-end-point") + b",,"
+            self.cb_data = cb_data
+        else:
+            self.gs2_header = b"y,," if tls_capable else b"n,,"
+            self.cb_data = b""
         self.cnonce = (nonce if nonce is not None
                        else base64.b64encode(_os.urandom(18)))
         self._client_first_bare = b"n=,r=" + self.cnonce
         self._server_sig: bytes | None = None
 
     def client_first(self) -> bytes:
-        return b"n,," + self._client_first_bare
+        return self.gs2_header + self._client_first_bare
 
     def client_final(self, server_first: bytes) -> bytes:
         attrs = dict(p.split(b"=", 1) for p in server_first.split(b","))
@@ -181,7 +260,8 @@ class _ScramClient:
         salted = scram_salted_password(self.password, salt, it)
         client_key = _hmac(salted, b"Client Key")
         stored_key = hashlib.sha256(client_key).digest()
-        without_proof = b"c=biws,r=" + full_nonce
+        without_proof = (b"c=" + base64.b64encode(self.gs2_header + self.cb_data)
+                         + b",r=" + full_nonce)
         auth_msg = b",".join(
             [self._client_first_bare, server_first, without_proof])
         proof = _xor(client_key, _hmac(stored_key, auth_msg))
@@ -224,7 +304,9 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                  database: str = "postgres", password: str | None = None,
                  metrics=None, connect_timeout: float = 10.0,
                  poll_timeout_s: float | None = None,
-                 publication: str = "etl"):
+                 publication: str = "etl", ssl_mode: str = "disable",
+                 ssl_root_cert: str | None = None,
+                 ssl_server_name: str | None = None):
         from etl_spark import telemetry
 
         self.host, self.port = host, port
@@ -232,6 +314,26 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         self.publication = publication
         self.metrics = metrics or telemetry.DEFAULT
         self.connect_timeout = connect_timeout
+        #: libpq-analog TLS policy (connection.rs:245-317 ssl_mode /
+        #: trusted_root_certs): "disable" | "prefer" (TLS if offered,
+        #: plaintext fallback) | "require" (TLS, no cert verification) |
+        #: "verify-ca" (chain to ssl_root_cert) | "verify-full" (chain +
+        #: hostname/IP match against the cert SANs).
+        if ssl_mode not in ("disable", "prefer", "require",
+                            "verify-ca", "verify-full"):
+            raise ValueError(f"unknown ssl_mode {ssl_mode!r}")
+        if ssl_mode in ("verify-ca", "verify-full") and not ssl_root_cert:
+            raise ValueError(
+                f"ssl_mode={ssl_mode!r} requires ssl_root_cert (the "
+                "trusted_root_certs analog) — refusing to silently "
+                "downgrade verification")
+        self.ssl_mode = ssl_mode
+        self.ssl_root_cert = ssl_root_cert
+        self.ssl_server_name = ssl_server_name
+        #: RFC 5929 channel-binding data of the ACTIVE TLS session's
+        #: server certificate; None on plaintext connections
+        self._tls_cb_data: bytes | None = None
+        self._tls_active = False
         #: None = poll_frames blocks until data/CopyDone (batch replay);
         #: a float makes poll_frames return the partial batch when the
         #: server idles that long — the live-loop mode, where the pump
@@ -247,12 +349,60 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         self._init_consumer()
 
     # -- connection -------------------------------------------------------
+    def _negotiate_tls(self, s: socket.socket) -> socket.socket:
+        """SSLRequest preamble (protocol.sgml: 8-byte packet, one-byte
+        'S'/'N' answer, THEN the TLS handshake, then the ordinary
+        startup flow inside the encrypted channel)."""
+        self._tls_cb_data = None
+        self._tls_active = False
+        if self.ssl_mode == "disable":
+            return s
+        s.sendall(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+        resp = s.recv(1)
+        if not resp:
+            raise ConnectionError("server closed during SSLRequest")
+        if resp == b"N":
+            if self.ssl_mode == "prefer":
+                return s  # plaintext fallback, like libpq sslmode=prefer
+            raise ConnectionError(
+                f"server refused TLS and ssl_mode={self.ssl_mode!r} "
+                "requires it")
+        if resp != b"S":
+            raise ConnectionError(
+                f"unexpected SSLRequest response {resp!r} (a byte other "
+                "than S/N means the server is not speaking the protocol)")
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        if self.ssl_mode in ("prefer", "require"):
+            # encryption without authentication — libpq's require
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        else:  # verify-ca / verify-full
+            ctx.load_verify_locations(self.ssl_root_cert)
+            ctx.check_hostname = self.ssl_mode == "verify-full"
+            ctx.verify_mode = _ssl.CERT_REQUIRED
+        tls = ctx.wrap_socket(
+            s, server_hostname=self.ssl_server_name or self.host)
+        self._tls_active = True
+        der = tls.getpeercert(binary_form=True)
+        if der:
+            try:
+                self._tls_cb_data = tls_server_end_point_cb(der)
+            except ValueError:
+                # exotic signature algorithm: TLS stays up, but channel
+                # binding is unavailable → the SASL stance degrades to
+                # gs2 'n' (never 'y': claiming CB support we cannot
+                # deliver would make a PLUS-capable server reject us)
+                self._tls_cb_data = None
+        return tls
+
     def _connect(self) -> None:
         if self._sock is not None:
             return
         s = socket.create_connection((self.host, self.port),
                                      timeout=self.connect_timeout)
         s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        s = self._negotiate_tls(s)
+        s.settimeout(None)  # handshake used connect_timeout; commands block
         self._sock = s
         self._reader = _MessageReader(s)
         # StartupMessage: no tag; replication=database selects the
@@ -292,16 +442,29 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                         raise ConnectionError(
                             "server requested a password and none was given")
                     mechs = bodyb[4:].split(b"\0")
-                    if b"SCRAM-SHA-256" not in mechs:
+                    if (self._tls_cb_data is not None
+                            and b"SCRAM-SHA-256-PLUS" in mechs):
+                        # bind to the server certificate: a MITM that
+                        # terminated TLS with its own cert cannot relay
+                        # this exchange (RFC 5802 §6.1)
+                        mech = b"SCRAM-SHA-256-PLUS"
+                        self._scram = _ScramClient(
+                            self.user, self.password,
+                            cb_name=b"tls-server-end-point",
+                            cb_data=self._tls_cb_data)
+                    elif b"SCRAM-SHA-256" in mechs:
+                        mech = b"SCRAM-SHA-256"
+                        self._scram = _ScramClient(
+                            self.user, self.password,
+                            tls_capable=self._tls_cb_data is not None)
+                    else:
                         raise ConnectionError(
                             f"server offers SASL mechanisms {mechs} — only "
-                            "SCRAM-SHA-256 is implemented (channel-binding "
-                            "variants need TLS)")
-                    self._scram = _ScramClient(self.user, self.password)
+                            "SCRAM-SHA-256[-PLUS] is implemented")
                     first = self._scram.client_first()
                     s.sendall(pq_message(
                         b"p",
-                        b"SCRAM-SHA-256\0" + struct.pack(">i", len(first)) + first,
+                        mech + b"\0" + struct.pack(">i", len(first)) + first,
                     ))
                     continue
                 if code == 11:  # AuthenticationSASLContinue: server-first
@@ -313,8 +476,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                     continue
                 raise ConnectionError(
                     f"unsupported authentication code {code} (trust, "
-                    "cleartext and SCRAM-SHA-256 are implemented; "
-                    "channel-binding variants need TLS)"
+                    "cleartext and SCRAM-SHA-256[-PLUS] are implemented)"
                 )
             if tag in (b"S", b"K", b"N"):  # ParameterStatus/KeyData/Notice
                 continue
@@ -417,7 +579,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         while not self._exhausted and budget < max_bytes:
             try:
                 msg = self._reader.read_message()
-            except (TimeoutError, socket.timeout):
+            except (TimeoutError, socket.timeout, _ssl.SSLWantReadError):
                 break  # idle server: hand back the partial batch
             if msg is None:
                 raise ConnectionError("server closed mid-stream")
@@ -495,14 +657,19 @@ class LoopbackReplicationServer:
     tracked), and CopyDone at end of capture. Accepts sequential
     reconnects on one listening socket until :meth:`stop`.
 
-    Deliberately NOT implemented: auth beyond trust/cleartext, query
-    results other than the two replication commands, TLS. Those are
-    deployment-layer; the engine contract under test ends at FRAME_SCHEMA
-    rows + ack positions."""
+    Round 13 adds the TLS half: ``tls_cert``/``tls_key`` arm the
+    SSLRequest → 'S' → server-side handshake path (a self-signed cert
+    minted by the test fixture), ``tls_required`` rejects plaintext
+    startups the way a hostssl-only pg_hba does, and with SCRAM auth on
+    an encrypted connection the server advertises SCRAM-SHA-256-PLUS
+    and verifies the tls-server-end-point channel binding against its
+    own certificate (including the RFC 5802 downgrade rule: a 'y' gs2
+    flag from a client while PLUS was on offer is rejected)."""
 
     def __init__(self, recorded: bytes, consistent_point: int = 0,
                  snapshot_name: str | None = None, password: str | None = None,
-                 auth: str = "cleartext"):
+                 auth: str = "cleartext", tls_cert: str | None = None,
+                 tls_key: str | None = None, tls_required: bool = False):
         import threading
 
         self.recorded = recorded
@@ -512,6 +679,19 @@ class LoopbackReplicationServer:
         if auth not in ("cleartext", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
+        self.tls_required = tls_required
+        self._tls_ctx = None
+        self._cb_data: bytes | None = None
+        if tls_cert is not None:
+            self._tls_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(tls_cert, tls_key)
+            with open(tls_cert) as fh:
+                der = _ssl.PEM_cert_to_DER_cert(fh.read())
+            self._cb_data = tls_server_end_point_cb(der)
+        elif tls_required:
+            raise ValueError("tls_required without tls_cert")
+        #: connections that completed the server-side TLS handshake
+        self.tls_connections = 0
         #: every standby status update received, as raw 'r' payloads in
         #: arrival order (across all connections)
         self.received_updates: list[bytes] = []
@@ -562,28 +742,59 @@ class LoopbackReplicationServer:
                 except OSError:
                     pass
 
-    def _handle(self, conn: socket.socket) -> None:
-        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        reader = _MessageReader(conn)
-        # startup message: untagged Int32 len + Int32 version + params
+    @staticmethod
+    def _read_untagged(conn: socket.socket) -> bytes | None:
+        """One untagged (pre-auth) packet: Int32 len + body; None on EOF."""
         raw = b""
         while len(raw) < 4:
             chunk = conn.recv(4 - len(raw))
             if not chunk:
-                return
+                return None
             raw += chunk
         (ln,) = struct.unpack(">i", raw)
         body = b""
         while len(body) < ln - 4:
             chunk = conn.recv(ln - 4 - len(body))
             if not chunk:
-                return
+                return None
             body += chunk
-        (version,) = struct.unpack_from(">i", body, 0)
-        if version != PROTOCOL_VERSION:
-            raise ValueError(f"unsupported protocol version {version}")
+        return body
+
+    def _handle(self, conn: socket.socket) -> None:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # pre-startup negotiation loop: SSLRequest/GSSENCRequest answer
+        # with a single raw byte (no message framing), then the client
+        # either starts TLS or sends the startup packet in the clear
+        tls_active = False
+        while True:
+            body = self._read_untagged(conn)
+            if body is None:
+                return
+            (code,) = struct.unpack_from(">i", body, 0)
+            if code == SSL_REQUEST_CODE:
+                if self._tls_ctx is None:
+                    conn.sendall(b"N")
+                    continue
+                conn.sendall(b"S")
+                conn = self._tls_ctx.wrap_socket(conn, server_side=True)
+                tls_active = True
+                self.tls_connections += 1
+                continue
+            if code == GSSENC_REQUEST_CODE:
+                conn.sendall(b"N")
+                continue
+            if code == PROTOCOL_VERSION:
+                break
+            raise ValueError(f"unsupported startup code {code}")
+        if self.tls_required and not tls_active:
+            # hostssl-only pg_hba: plaintext startup gets a loud FATAL,
+            # not a silent close
+            conn.sendall(pq_message(
+                b"E", b"SFATAL\0Mno pg_hba.conf entry: TLS required\0\0"))
+            return
+        reader = _MessageReader(conn)
         if self.password is not None and self.auth == "scram-sha-256":
-            if not self._scram_verify(conn, reader):
+            if not self._scram_verify(conn, reader, tls_active):
                 return
         elif self.password is not None:
             conn.sendall(pq_message(b"R", struct.pack(">i", 3)))
@@ -625,24 +836,49 @@ class LoopbackReplicationServer:
                     b"E", b"SERROR\0Monly replication commands\0\0"))
                 conn.sendall(pq_message(b"Z", b"I"))
 
-    def _scram_verify(self, conn: socket.socket, reader: _MessageReader) -> bool:
-        """Server half of the SCRAM-SHA-256 exchange (RFC 5802 verifier:
-        the server stores StoredKey/ServerKey derived from the salted
-        password and never sees the cleartext on the wire)."""
-        conn.sendall(pq_message(
-            b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\0\0"))
+    def _scram_verify(self, conn: socket.socket, reader: _MessageReader,
+                      tls_active: bool = False) -> bool:
+        """Server half of the SCRAM-SHA-256[-PLUS] exchange (RFC 5802
+        verifier: the server stores StoredKey/ServerKey derived from the
+        salted password and never sees the cleartext on the wire). On a
+        TLS connection with a known certificate the PLUS mechanism is
+        advertised and its tls-server-end-point binding verified."""
+        plus_offered = tls_active and self._cb_data is not None
+        mech_list = (b"SCRAM-SHA-256-PLUS\0SCRAM-SHA-256\0\0"
+                     if plus_offered else b"SCRAM-SHA-256\0\0")
+        conn.sendall(pq_message(b"R", struct.pack(">i", 10) + mech_list))
         msg = reader.read_message()
         if msg is None or msg[0] != b"p":
             return False
         body = msg[1]
         mech, pos = _cstring(body)
-        if mech != "SCRAM-SHA-256":
+        if mech not in ("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS"):
+            return False
+        if mech == "SCRAM-SHA-256-PLUS" and not plus_offered:
             return False
         (ln,) = struct.unpack_from(">i", body, pos)
         client_first = body[pos + 4 : pos + 4 + ln]
-        if not client_first.startswith(b"n,,"):
-            return False  # channel binding not offered without TLS
-        client_first_bare = client_first[3:]
+        # gs2 header: binding stance must be consistent with the chosen
+        # mechanism, and 'y' while PLUS was on offer is the RFC 5802
+        # downgrade signal — reject it
+        if client_first.startswith(b"p=tls-server-end-point,,"):
+            if mech != "SCRAM-SHA-256-PLUS":
+                return False
+            gs2_header, cb_data = b"p=tls-server-end-point,,", self._cb_data
+        elif client_first.startswith(b"y,,"):
+            if plus_offered:
+                conn.sendall(pq_message(
+                    b"E", b"SFATAL\0MSCRAM channel binding downgrade "
+                          b"detected\0\0"))
+                return False
+            gs2_header, cb_data = b"y,,", b""
+        elif client_first.startswith(b"n,,"):
+            if mech == "SCRAM-SHA-256-PLUS":
+                return False
+            gs2_header, cb_data = b"n,,", b""
+        else:
+            return False
+        client_first_bare = client_first[len(gs2_header):]
         attrs = dict(p.split(b"=", 1) for p in client_first_bare.split(b","))
         cnonce = attrs[b"r"]
         salt, iterations = _os.urandom(16), 4096
@@ -658,7 +894,11 @@ class LoopbackReplicationServer:
         fattrs = dict(p.split(b"=", 1) for p in client_final.split(b","))
         proof = base64.b64decode(fattrs[b"p"])
         without_proof = client_final[: client_final.rindex(b",p=")]
-        if fattrs[b"r"] != full_nonce or fattrs[b"c"] != b"biws":
+        # c= carries base64(gs2-header + cb-data): for PLUS this is where
+        # the server certificate hash is actually verified — a relayed
+        # exchange through a different TLS session fails right here
+        if (fattrs[b"r"] != full_nonce
+                or fattrs[b"c"] != base64.b64encode(gs2_header + cb_data)):
             return False
         salted = scram_salted_password(self.password, salt, iterations)
         stored_key = hashlib.sha256(_hmac(salted, b"Client Key")).digest()
@@ -733,7 +973,8 @@ class LoopbackReplicationServer:
                 if not block:
                     continue
                 return  # blocking drain: one message is enough
-        except (TimeoutError, BlockingIOError, socket.timeout):
+        except (TimeoutError, BlockingIOError, socket.timeout,
+                _ssl.SSLWantReadError):
             return
         finally:
             conn.settimeout(None)

@@ -582,3 +582,249 @@ def test_run_live_forces_finite_poll_timeout(spark, tmp_path):
         assert source.poll_timeout_s is not None
         assert 0.0 < source.poll_timeout_s <= 1.0
         source.close()
+
+
+# ---------------------------------------------------------------------------
+# Round 13: TLS (SSLRequest preamble + stdlib ssl) and SCRAM-SHA-256-PLUS
+# channel binding — the connection.rs:245-317 ssl_mode/trusted_root_certs
+# analog, loopback-tested with a self-signed certificate.
+# ---------------------------------------------------------------------------
+
+import hashlib
+import subprocess
+
+from etl_spark.sources.socket_transport import tls_server_end_point_cb
+
+
+def _mint_cert(d, cn="localhost"):
+    cert, key = str(d / f"{cn}.crt.pem"), str(d / f"{cn}.key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "2", "-nodes", "-subj", f"/CN={cn}",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True)
+    return cert, key
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    return _mint_cert(tmp_path_factory.mktemp("tls"))
+
+
+def test_tls_server_end_point_der_walk(tls_cert):
+    """The DER walk must find sha256WithRSAEncryption and hash the whole
+    certificate with SHA-256 (RFC 5929 §4.1)."""
+    import ssl as pyssl
+
+    with open(tls_cert[0]) as fh:
+        der = pyssl.PEM_cert_to_DER_cert(fh.read())
+    assert tls_server_end_point_cb(der) == hashlib.sha256(der).digest()
+
+
+def test_tls_byte_identity_with_recorded_source(tls_cert):
+    """The TLS socket must be exactly as invisible as the plaintext one:
+    same frame rows, same status-update bytes as the recorded source."""
+    stream = _capture()
+    rec = live.RecordedReplicationSource(stream)
+    rec.start("slot", 0)
+    rec_rows = []
+    while True:
+        b = rec.poll_frames(60)
+        if not b:
+            break
+        rec_rows += b
+        rec.send_status_update(max(w for w, _, _ in b), 0)
+
+    with LoopbackReplicationServer(stream, tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port,
+                                       ssl_mode="require")
+        sock.start("slot", 0)
+        rows = []
+        while True:
+            b = sock.poll_frames(60)
+            if not b:
+                break
+            rows += b
+            sock.send_status_update(max(w for w, _, _ in b), 0)
+        sock.close()
+        assert srv.tls_connections == 1
+
+    assert [(w, x, bytes(f)) for w, x, f in rows] == \
+        [(w, x, bytes(f)) for w, x, f in rec_rows]
+    assert sock.sent_updates == rec.sent_updates
+    assert all(u in sock.sent_updates for u in srv.received_updates)
+
+
+def test_tls_verify_full_matrix(tls_cert, tmp_path):
+    """verify-full: chains to the trusted root AND matches the hostname
+    (IP SAN here); a different root or a wrong name must fail the
+    handshake, never silently downgrade."""
+    import ssl as pyssl
+
+    stream = _capture()
+    with LoopbackReplicationServer(stream, consistent_point=3,
+                                   tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        ok = SocketReplicationSource(
+            "127.0.0.1", srv.port, ssl_mode="verify-full",
+            ssl_root_cert=tls_cert[0])
+        assert ok.create_slot("s").consistent_point == 3
+        ok.close()
+
+        wrong_root, _ = _mint_cert(tmp_path, cn="otherca")
+        bad = SocketReplicationSource(
+            "127.0.0.1", srv.port, ssl_mode="verify-full",
+            ssl_root_cert=wrong_root)
+        with pytest.raises(pyssl.SSLError):
+            bad.create_slot("s")
+        bad.close()
+
+        badname = SocketReplicationSource(
+            "127.0.0.1", srv.port, ssl_mode="verify-full",
+            ssl_root_cert=tls_cert[0], ssl_server_name="evil.example.com")
+        with pytest.raises(pyssl.SSLCertVerificationError):
+            badname.create_slot("s")
+        badname.close()
+
+        # verify-ca: chain check without the hostname match
+        ca_only = SocketReplicationSource(
+            "127.0.0.1", srv.port, ssl_mode="verify-ca",
+            ssl_root_cert=tls_cert[0], ssl_server_name="evil.example.com")
+        assert ca_only.create_slot("s").consistent_point == 3
+        ca_only.close()
+
+    with pytest.raises(ValueError, match="requires ssl_root_cert"):
+        SocketReplicationSource("127.0.0.1", 1, ssl_mode="verify-full")
+
+
+def test_tls_refusal_and_requirement_policies(tls_cert):
+    """ssl_mode=require against a plaintext-only server fails loudly;
+    prefer falls back; a tls_required server rejects plaintext startups
+    with a FATAL (hostssl-only pg_hba analog)."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, consistent_point=5) as plain_srv:
+        req = SocketReplicationSource("127.0.0.1", plain_srv.port,
+                                      ssl_mode="require")
+        with pytest.raises(ConnectionError, match="refused TLS"):
+            req.create_slot("s")
+        req.close()
+        pref = SocketReplicationSource("127.0.0.1", plain_srv.port,
+                                       ssl_mode="prefer")
+        assert pref.create_slot("s").consistent_point == 5
+        assert pref._tls_active is False
+        pref.close()
+
+    with LoopbackReplicationServer(stream, tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1],
+                                   tls_required=True) as srv:
+        plain = SocketReplicationSource("127.0.0.1", srv.port)
+        with pytest.raises((RuntimeError, ConnectionError, ValueError),
+                           match="TLS required"):
+            plain.create_slot("s")
+        plain.close()
+        enc = SocketReplicationSource("127.0.0.1", srv.port,
+                                      ssl_mode="require")
+        assert enc.create_slot("s").slot_name == "s"
+        enc.close()
+
+
+def test_scram_plus_channel_binding_end_to_end(tls_cert):
+    """Over TLS with SCRAM auth the client selects SCRAM-SHA-256-PLUS
+    and binds to the server certificate; the server verifies the c=
+    attribute against its own cert hash. Wrong password still fails."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, password="s3cret",
+                                   auth="scram-sha-256",
+                                   tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port,
+                                       password="s3cret",
+                                       ssl_mode="verify-full",
+                                       ssl_root_cert=tls_cert[0])
+        sock.start("slot", 0)
+        rows = []
+        while True:
+            b = sock.poll_frames(1 << 20)
+            if not b:
+                break
+            rows += b
+        assert sock._scram.gs2_header == b"p=tls-server-end-point,,"
+        assert len(rows) == 13  # R + 4x(B,I/U,C)
+        sock.close()
+
+        bad = SocketReplicationSource("127.0.0.1", srv.port,
+                                      password="wrong", ssl_mode="require")
+        with pytest.raises((RuntimeError, ConnectionError, ValueError)):
+            bad.create_slot("s")
+        bad.close()
+
+
+def test_scram_plus_downgrade_y_flag_rejected(tls_cert, monkeypatch):
+    """RFC 5802 downgrade rule: a gs2 'y' flag (client claims CB support
+    but pretends the server has none) while PLUS was on offer must be
+    rejected by the server."""
+    import etl_spark.sources.socket_transport as st
+
+    class ForcedPlainMech(SocketReplicationSource):
+        def _negotiate_tls(self, s):
+            out = super()._negotiate_tls(s)
+            self._tls_cb_data = None  # force the non-PLUS mechanism pick
+            return out
+
+    orig = st._ScramClient
+    monkeypatch.setattr(
+        st, "_ScramClient",
+        lambda u, p, **kw: orig(u, p, tls_capable=True))  # forces 'y,,'
+
+    with LoopbackReplicationServer(b"", password="pw",
+                                   auth="scram-sha-256",
+                                   tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        y = ForcedPlainMech("127.0.0.1", srv.port, password="pw",
+                            ssl_mode="require")
+        with pytest.raises((RuntimeError, ConnectionError, ValueError)):
+            y.create_slot("s")
+        y.close()
+
+
+def test_tls_reconnect_replays_from_flush_lsn(tls_cert):
+    """The tx-granularity reconnect contract holds unchanged over TLS."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        s1 = SocketReplicationSource("127.0.0.1", srv.port,
+                                     ssl_mode="require")
+        s1.start("slot", 0)
+        first = s1.poll_frames(60)
+        assert first
+        s1.send_status_update(max(w for w, _, _ in first), 23)
+        s1.close()
+
+        s2 = SocketReplicationSource("127.0.0.1", srv.port,
+                                     ssl_mode="require")
+        s2.start("slot", 23)
+        rows = []
+        while True:
+            b = s2.poll_frames(1 << 20)
+            if not b:
+                break
+            rows += b
+        s2.close()
+        assert srv.tls_connections == 2
+    tags = [bytes(f[:1]) for _, _, f in rows]
+    assert tags == [b"R", b"B", b"U", b"C", b"B", b"I", b"C"]
+
+
+def test_dsn_sslmode_params_thread_through(tls_cert):
+    """libpq-style ?sslmode=&sslrootcert= on the DSN reach the socket."""
+    stream = _capture()
+    with LoopbackReplicationServer(stream, consistent_point=9,
+                                   tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        src = live.PostgresReplicationSource(
+            f"postgres://u@127.0.0.1:{srv.port}/db?sslmode=verify-full"
+            f"&sslrootcert={tls_cert[0]}", "pub")
+        assert src.create_slot("s").consistent_point == 9
+        assert src._inner._tls_active is True
+        src.close()
