@@ -4802,3 +4802,28 @@ best AS (
 SELECT j.doc_id, j.rep_id, j.quality, j.doc_id = b.keep_id AS keep
 FROM j JOIN best b USING (rep_id)
 """
+
+ORACLES["cdc_socket_copy_sync"] = r"""
+WITH snap AS (
+  SELECT c_custkey AS pk,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(c_acctbal AS DOUBLE) END AS bal,
+         c_name || chr(9) || 'q\z' AS name,
+         0 AS seq
+  FROM customer WHERE c_custkey % 5 <> 0
+),
+wal AS (
+  SELECT c_custkey AS pk,
+         CASE WHEN c_custkey % 5 = 0 THEN CAST(c_acctbal AS DOUBLE)
+              ELSE CAST(c_acctbal AS DOUBLE) + 100 END AS bal,
+         CASE WHEN c_custkey % 5 = 0 THEN c_name ELSE c_name || '!' END AS name,
+         1 AS seq
+  FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 3 = 0
+),
+merged AS (SELECT * FROM snap UNION ALL SELECT * FROM wal),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+  FROM merged
+)
+SELECT pk, bal, name FROM ranked WHERE rn = 1
+"""

@@ -635,6 +635,89 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             "send_status_update with no CopyBoth stream active (before "
             "start() or after close()) — the ack would be silently lost")
 
+    # -- simple queries + CopyOut (initial table sync over the wire) -------
+    def simple_command(self, sql: str) -> None:
+        """One simple-``Query`` command with no interesting result set
+        (``BEGIN``, ``SET TRANSACTION SNAPSHOT``, ``COMMIT``): send, read
+        through CommandComplete to ReadyForQuery. The snapshot-anchored
+        copy transaction uses exactly this (child.rs:41)."""
+        self._connect()
+        if self._copy_both:
+            raise RuntimeError("simple_command during CopyBoth")
+        self._sock.sendall(pq_message(b"Q", sql.encode() + b"\0"))
+        while True:
+            msg = self._reader.read_message()
+            if msg is None:
+                raise ConnectionError(f"server closed during {sql!r}")
+            tag, body = msg
+            if tag in (b"C", b"S", b"N", b"T", b"D", b"I"):
+                continue  # complete/status/notice/rowdesc/row/empty
+            if tag == b"E":
+                raise RuntimeError(f"{sql!r} failed: {body!r}")
+            if tag == b"Z":
+                return
+            raise ValueError(f"unexpected tag {tag!r} for {sql!r}")
+
+    def copy_out(self, sql: str, max_bytes: int = 8 << 20):
+        """``COPY ... TO STDOUT`` (text format) as a generator of line
+        batches — each yield is ``list[bytes]`` of raw COPY text lines
+        (newline-stripped), ~``max_bytes`` per batch.
+
+        This is the reference's initial-table-sync data path
+        (transaction.rs:382 ``copy_out_simple`` consuming the
+        CopyOutResponse/CopyData/CopyDone flow): the DRIVER only relays
+        opaque line bytes into the batch files; all parsing (COPY
+        unescape, NULL handling, typed casts) happens in the distributed
+        decode (codec.copy_text_split — the gate-proven F10 codec). A
+        COPY text row never contains a raw newline: real newlines in
+        data arrive as the two-character escape ``\\n``, so the line
+        boundary is unambiguous."""
+        from etl_spark import telemetry
+
+        self._connect()
+        if self._copy_both:
+            raise RuntimeError("copy_out during CopyBoth — one connection "
+                               "carries one subprotocol at a time")
+        self._sock.sendall(pq_message(b"Q", sql.encode() + b"\0"))
+        while True:  # await CopyOutResponse
+            msg = self._reader.read_message()
+            if msg is None:
+                raise ConnectionError("server closed before CopyOutResponse")
+            tag, body = msg
+            if tag == b"H":
+                break
+            if tag == b"E":
+                raise RuntimeError(f"COPY failed: {body!r}")
+            if tag in (b"S", b"N"):
+                continue
+            raise ValueError(f"unexpected tag {tag!r} before CopyOut")
+        batch: list[bytes] = []
+        budget = 0
+        while True:
+            msg = self._reader.read_message()
+            if msg is None:
+                raise ConnectionError("server closed mid-COPY")
+            tag, body = msg
+            if tag == b"d":
+                batch.append(body.rstrip(b"\n"))
+                budget += len(body)
+                if budget >= max_bytes:
+                    self.metrics.inc(
+                        telemetry.ETL_TABLE_COPY_ROWS_TOTAL, len(batch))
+                    yield batch
+                    batch, budget = [], 0
+                continue
+            if tag in (b"c", b"C", b"S", b"N"):
+                continue  # CopyDone / CommandComplete / status
+            if tag == b"Z":
+                break
+            if tag == b"E":
+                raise RuntimeError(f"server error mid-COPY: {body!r}")
+            raise ValueError(f"unexpected tag {tag!r} in CopyOut")
+        if batch:
+            self.metrics.inc(telemetry.ETL_TABLE_COPY_ROWS_TOTAL, len(batch))
+            yield batch
+
 
 # ---------------------------------------------------------------------------
 # The loopback server: backend half of the protocol over a recorded capture
@@ -669,13 +752,24 @@ class LoopbackReplicationServer:
     def __init__(self, recorded: bytes, consistent_point: int = 0,
                  snapshot_name: str | None = None, password: str | None = None,
                  auth: str = "cleartext", tls_cert: str | None = None,
-                 tls_key: str | None = None, tls_required: bool = False):
+                 tls_key: str | None = None, tls_required: bool = False,
+                 tables: dict[str, list[bytes]] | None = None):
         import threading
 
         self.recorded = recorded
         self.consistent_point = consistent_point
         self.snapshot_name = snapshot_name
         self.password = password
+        #: initial-sync registry: table name → pre-rendered COPY text
+        #: lines (newline-free); served by ``COPY ... TO STDOUT``. The
+        #: loopback replays fixed bytes — SQL the client embeds in the
+        #: copy query (column list, row filter, ctid range) is string-
+        #: checked by unit tests, not evaluated here.
+        self.tables = tables or {}
+        #: every simple command the clients issued, in arrival order
+        #: (lets tests pin the BEGIN → SET TRANSACTION SNAPSHOT → COPY →
+        #: COMMIT choreography)
+        self.commands: list[str] = []
         if auth not in ("cleartext", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
@@ -826,11 +920,27 @@ class LoopbackReplicationServer:
             if tag != b"Q":
                 raise ValueError(f"unexpected frontend tag {tag!r}")
             query, _ = _cstring(body)
-            q = query.strip()
-            if q.upper().startswith("CREATE_REPLICATION_SLOT"):
+            q = query.strip().rstrip(";")
+            self.commands.append(q)
+            qu = q.upper()
+            if qu.startswith("CREATE_REPLICATION_SLOT"):
                 self._reply_create_slot(conn, q)
-            elif q.upper().startswith("START_REPLICATION"):
+            elif qu.startswith("START_REPLICATION"):
                 self._stream(conn, reader, q)
+            elif qu.startswith(("BEGIN", "COMMIT", "ROLLBACK", "SET ")):
+                # the snapshot-anchored copy transaction's bookends
+                # (child.rs:41); SET TRANSACTION SNAPSHOT validates the
+                # name against the exported one
+                if (qu.startswith("SET TRANSACTION SNAPSHOT")
+                        and self.snapshot_name is not None
+                        and self.snapshot_name not in q):
+                    conn.sendall(pq_message(
+                        b"E", b"SERROR\0Minvalid snapshot identifier\0\0"))
+                else:
+                    conn.sendall(pq_message(b"C", qu.split()[0].encode() + b"\0"))
+                conn.sendall(pq_message(b"Z", b"I"))
+            elif qu.startswith("COPY") and "TO STDOUT" in qu:
+                self._reply_copy_out(conn, q)
             else:
                 conn.sendall(pq_message(
                     b"E", b"SERROR\0Monly replication commands\0\0"))
@@ -936,6 +1046,24 @@ class LoopbackReplicationServer:
         )
         conn.sendall(pq_message(b"D", datarow))
         conn.sendall(pq_message(b"C", b"CREATE_REPLICATION_SLOT\0"))
+        conn.sendall(pq_message(b"Z", b"I"))
+
+    def _reply_copy_out(self, conn: socket.socket, q: str) -> None:
+        """``COPY ... TO STDOUT``: CopyOutResponse, one CopyData per
+        pre-rendered line (trailing newline appended, as the backend
+        does), CopyDone, ``COPY <n>`` complete."""
+        name = next((t for t in self.tables if t in q), None)
+        if name is None:
+            conn.sendall(pq_message(
+                b"E", b"SERROR\0Mrelation does not exist\0\0"))
+            conn.sendall(pq_message(b"Z", b"I"))
+            return
+        lines = self.tables[name]
+        conn.sendall(pq_message(b"H", struct.pack(">bh", 0, 0)))
+        for line in lines:
+            conn.sendall(pq_message(b"d", line + b"\n"))
+        conn.sendall(pq_message(b"c", b""))
+        conn.sendall(pq_message(b"C", f"COPY {len(lines)}\0".encode()))
         conn.sendall(pq_message(b"Z", b"I"))
 
     def _drain_client(self, conn: socket.socket, reader: _MessageReader,
