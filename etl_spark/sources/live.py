@@ -345,6 +345,9 @@ class CopyBothConsumer:
         ``out``; returns the frame byte count (0 for keepalives)."""
         self._clock_us += 1
         if p["kind"] == "KeepAlive":
+            from etl_spark import telemetry
+
+            self.metrics.inc(telemetry.ETL_REPLICATION_KEEPALIVES_TOTAL)
             self._last_wal_end = max(self._last_wal_end, p["wal_end"])
             if p["reply_requested"]:
                 self.send_status_update(self._last_wal_end, self._flush_lsn)

@@ -84,11 +84,15 @@ def parse_lsn(text: str) -> int:
 
 
 class _MessageReader:
-    """Buffered reader for tagged protocol messages off a socket."""
+    """Buffered reader for tagged protocol messages off a socket.
 
-    def __init__(self, sock: socket.socket):
+    ``on_bytes`` (optional) observes every received chunk size — the
+    transport-boundary byte counter hook (round 13 telemetry)."""
+
+    def __init__(self, sock: socket.socket, on_bytes=None):
         self._sock = sock
         self._buf = bytearray()
+        self._on_bytes = on_bytes
 
     def _fill(self, need: int) -> bool:
         """Ensure ``need`` buffered bytes; False on orderly EOF at a
@@ -103,6 +107,8 @@ class _MessageReader:
                     f"peer closed mid-message ({len(self._buf)} buffered, "
                     f"{need} needed)"
                 )
+            if self._on_bytes is not None:
+                self._on_bytes(len(chunk))
             self._buf.extend(chunk)
         return True
 
@@ -134,10 +140,10 @@ def _cstring(b: bytes, pos: int = 0) -> tuple[str, int]:
 
 
 # ---------------------------------------------------------------------------
-# SCRAM-SHA-256 (RFC 5802 / RFC 7677) — the auth PG servers default to
-# since v14 (password_encryption = scram-sha-256). Pure stdlib
-# (hashlib/hmac); the gs2 header is "n,," (no channel binding — the
-# TLS-bound SCRAM-SHA-256-PLUS variant needs a TLS stack and raises).
+# SCRAM-SHA-256[-PLUS] (RFC 5802 / RFC 7677) — the auth PG servers
+# default to since v14 (password_encryption = scram-sha-256). Pure stdlib
+# (hashlib/hmac); over TLS the -PLUS variant binds the exchange to the
+# server certificate (RFC 5929 tls-server-end-point, below).
 # ---------------------------------------------------------------------------
 
 import base64
@@ -395,7 +401,15 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                 self._tls_cb_data = None
         return tls
 
+    def _send(self, data: bytes) -> None:
+        self._sock.sendall(data)
+        from etl_spark import telemetry
+
+        self.metrics.inc(telemetry.ETL_SOCKET_BYTES_SENT_TOTAL, len(data))
+
     def _connect(self) -> None:
+        from etl_spark import telemetry
+
         if self._sock is not None:
             return
         s = socket.create_connection((self.host, self.port),
@@ -404,7 +418,12 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         s = self._negotiate_tls(s)
         s.settimeout(None)  # handshake used connect_timeout; commands block
         self._sock = s
-        self._reader = _MessageReader(s)
+        self._reader = _MessageReader(
+            s, on_bytes=lambda n: self.metrics.inc(
+                telemetry.ETL_SOCKET_BYTES_RECEIVED_TOTAL, n))
+        self.metrics.inc(telemetry.ETL_SOCKET_CONNECTS_TOTAL)
+        if self._tls_active:
+            self.metrics.inc(telemetry.ETL_SOCKET_TLS_HANDSHAKES_TOTAL)
         # StartupMessage: no tag; replication=database selects the
         # walsender command set on a logical-replication connection
         params = {
@@ -416,7 +435,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         body = struct.pack(">i", PROTOCOL_VERSION) + b"".join(
             k.encode() + b"\0" + v.encode() + b"\0" for k, v in params.items()
         ) + b"\0"
-        s.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._send(struct.pack(">i", len(body) + 4) + body)
         # auth loop until ReadyForQuery
         while True:
             msg = self._reader.read_message()
@@ -431,7 +450,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                     if self.password is None:
                         raise ConnectionError(
                             "server requested a password and none was given")
-                    s.sendall(pq_message(b"p", self.password.encode() + b"\0"))
+                    self._send(pq_message(b"p", self.password.encode() + b"\0"))
                     continue
                 if code == 10:  # AuthenticationSASL: mechanism list
                     if self.password is None:
@@ -462,13 +481,13 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                             f"server offers SASL mechanisms {mechs} — only "
                             "SCRAM-SHA-256[-PLUS] is implemented")
                     first = self._scram.client_first()
-                    s.sendall(pq_message(
+                    self._send(pq_message(
                         b"p",
                         mech + b"\0" + struct.pack(">i", len(first)) + first,
                     ))
                     continue
                 if code == 11:  # AuthenticationSASLContinue: server-first
-                    s.sendall(pq_message(
+                    self._send(pq_message(
                         b"p", self._scram.client_final(bodyb[4:])))
                     continue
                 if code == 12:  # AuthenticationSASLFinal: server signature
@@ -499,7 +518,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
     def create_slot(self, slot_name: str, export_snapshot: bool = False) -> SlotInfo:
         self._connect()
         opts = " EXPORT_SNAPSHOT" if export_snapshot else ""
-        self._sock.sendall(pq_message(
+        self._send(pq_message(
             b"Q",
             f"CREATE_REPLICATION_SLOT {slot_name} LOGICAL pgoutput{opts}"
             .encode() + b"\0",
@@ -546,7 +565,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             raise RuntimeError(
                 "start() while CopyBoth is active — one replication "
                 "connection carries one stream; close() and reconnect")
-        self._sock.sendall(pq_message(
+        self._send(pq_message(
             b"Q",
             f"START_REPLICATION SLOT {slot_name} LOGICAL "
             f"{format_lsn(start_lsn)} (proto_version '1', "
@@ -621,7 +640,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         # sent_updates growth as proof an ack left the process.
         if self._copy_both and self._sock is not None:
             payload = self._status_payload(write_lsn, flush_lsn)
-            self._sock.sendall(pq_message(b"d", payload))
+            self._send(pq_message(b"d", payload))
             return
         if self._exhausted:
             # after CopyDone (finite replay ended) the update is recorded
@@ -644,7 +663,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         self._connect()
         if self._copy_both:
             raise RuntimeError("simple_command during CopyBoth")
-        self._sock.sendall(pq_message(b"Q", sql.encode() + b"\0"))
+        self._send(pq_message(b"Q", sql.encode() + b"\0"))
         while True:
             msg = self._reader.read_message()
             if msg is None:
@@ -678,7 +697,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         if self._copy_both:
             raise RuntimeError("copy_out during CopyBoth — one connection "
                                "carries one subprotocol at a time")
-        self._sock.sendall(pq_message(b"Q", sql.encode() + b"\0"))
+        self._send(pq_message(b"Q", sql.encode() + b"\0"))
         while True:  # await CopyOutResponse
             msg = self._reader.read_message()
             if msg is None:

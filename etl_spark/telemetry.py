@@ -42,6 +42,15 @@ ETL_TRANSACTION_SIZE = "etl_transaction_size"
 ETL_BATCH_APPLY_DURATION_SECONDS = "etl_batch_apply_duration_seconds"
 ETL_APPLY_LOOP_FLUSH_LAG_BYTES = "etl_apply_loop_flush_lag_bytes"
 
+# -- socket transport boundary (round 13: the one component the reference
+# inventory doesn't name — its apply loop sits above tokio-postgres, ours
+# above the stdlib socket, so the byte/connection counters live here) ----
+ETL_SOCKET_CONNECTS_TOTAL = "etl_socket_connects_total"
+ETL_SOCKET_TLS_HANDSHAKES_TOTAL = "etl_socket_tls_handshakes_total"
+ETL_SOCKET_BYTES_RECEIVED_TOTAL = "etl_socket_bytes_received_total"
+ETL_SOCKET_BYTES_SENT_TOTAL = "etl_socket_bytes_sent_total"
+ETL_REPLICATION_KEEPALIVES_TOTAL = "etl_replication_keepalives_total"
+
 #: default histogram buckets (seconds / counts — shared, Prometheus-style)
 DEFAULT_BUCKETS = (
     0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0,

@@ -828,3 +828,40 @@ def test_dsn_sslmode_params_thread_through(tls_cert):
         assert src.create_slot("s").consistent_point == 9
         assert src._inner._tls_active is True
         src.close()
+
+
+def test_socket_transport_telemetry_counters(tls_cert):
+    """Round 13: the transport boundary reports connects, TLS
+    handshakes, rx/tx bytes and keepalives into the MetricsRegistry, and
+    the series appear in the /metrics scrape body."""
+    from etl_spark import telemetry
+
+    reg = telemetry.MetricsRegistry()
+    stream = _capture()
+    with LoopbackReplicationServer(stream, tls_cert=tls_cert[0],
+                                   tls_key=tls_cert[1]) as srv:
+        sock = SocketReplicationSource("127.0.0.1", srv.port,
+                                       ssl_mode="require", metrics=reg)
+        sock.start("slot", 0)
+        while sock.poll_frames(1 << 20):
+            pass
+        sock.close()
+        # reconnect: a second connection increments the counter again
+        sock2 = SocketReplicationSource("127.0.0.1", srv.port,
+                                        ssl_mode="require", metrics=reg)
+        sock2.create_slot("s2")
+        sock2.close()
+
+    assert reg.value(telemetry.ETL_SOCKET_CONNECTS_TOTAL) == 2
+    assert reg.value(telemetry.ETL_SOCKET_TLS_HANDSHAKES_TOTAL) == 2
+    assert reg.value(telemetry.ETL_SOCKET_BYTES_RECEIVED_TOTAL) > 0
+    assert reg.value(telemetry.ETL_SOCKET_BYTES_SENT_TOTAL) > 0
+    assert reg.value(telemetry.ETL_REPLICATION_KEEPALIVES_TOTAL) >= 1
+
+    body = reg.render()
+    for name in (telemetry.ETL_SOCKET_CONNECTS_TOTAL,
+                 telemetry.ETL_SOCKET_TLS_HANDSHAKES_TOTAL,
+                 telemetry.ETL_SOCKET_BYTES_RECEIVED_TOTAL,
+                 telemetry.ETL_SOCKET_BYTES_SENT_TOTAL,
+                 telemetry.ETL_REPLICATION_KEEPALIVES_TOTAL):
+        assert f"# TYPE {name} counter" in body
