@@ -32,99 +32,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded green rows, refreshed oldest-first — so recorded evidence
     never goes stale. The tail is everything with a newer green row.
 
-    ROUND-12 WINDOW (r11 verdict item #2: finish the r7 drain):
-    [round-12 NEW ops: pgoutput_socket_decode — replication decode
-    through a REAL TCP hop: recorded copy-both capture served by a
-    loopback server speaking the backend protocol, consumed by the
-    stdlib-socket SocketReplicationSource (startup handshake, CopyBoth,
-    keepalive acks on the wire), FrameFilePump file queue, distributed
-    decode; oracle identical to pgoutput_decode — the socket must be
-    invisible; events_session_paths — 30-min-gap sessionization →
-    first-5-event-type path mining; orders_seasonal_decompose —
-    additive trend/seasonal/residual on the month-collapsed revenue
-    series; docs_containment_dedup — exact directional set-containment
-    ≥ 0.98 via a one-sided prefix-filter join with PPJoin positional
-    bound (the subset-duplication audit symmetric Jaccard misses);
-    corpus_dedup_best_quality — quality-aware dedup keep-list: exact
-    Jaccard clusters keep their highest-quality member via a
-    map-combined argmax agg, no per-cluster window]
-    + [CHANGED in r12: pgoutput_wire_decode — assign_xids rewritten to
-    BEGIN..COMMIT span recovery (post-COMMIT out-of-tx frames now -1,
-    ADVICE r11 medium) with a delivery-order mode for concurrent
-    captures and a limit-fenced tx-per-window ceiling]
-    + [ALL 21 remaining r7-latest rows (events_welch_ttest ...
-    supplier_share_hhi) — the r7 tail empties this round]
-    + [23 of the 46 r8-latest rows, alphabetical
-    (asof_click_attribution ... docs_rag_chunks); the remaining 23
-    (docs_repetition ... stream_windowed_watermark) lead the r13
-    queue]. Tail = those 23 r8 rows, then r9/r10/r11 green rows. After
-    this round nothing recorded is older than r8. All 50 window entries
-    verified locally via tools/check_oracle.py at sf0.01 before
-    rotation (COVERAGE.md).
+    ROUND-13 WINDOW (r12 verdict item #1: drain the r8 tail):
+    [round-13 NEW ops: pgoutput_socket_tls_decode — the socket gate
+    over TLS: SSLRequest preamble, stdlib ssl at verify-full against a
+    gate-minted self-signed root, hostssl-style server; oracle identical
+    to pgoutput_decode — encryption must be invisible;
+    cdc_socket_copy_sync — initial table sync OVER THE WIRE: slot with
+    EXPORT_SNAPSHOT, BEGIN/SET TRANSACTION SNAPSHOT/COPY TO STDOUT/
+    COMMIT relayed into the distributed F10 decode, then
+    START_REPLICATION on the SAME connection; snapshot-union-stream LWW
+    merge]
+    + [CHANGED in r13: pgoutput_socket_decode — the transport under it
+    gained TLS negotiation, ack-state validation (ADVICE r12) and
+    byte/connect counters; re-record]
+    + [ALL 23 remaining r8-latest rows (docs_repetition ...
+    stream_windowed_watermark) — the r8 tail empties this round]
+    + [24 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    q14_type_revenue_share); the remaining 21 (q15_top_supplier ...
+    vocab_topk_coverage) lead the r14 queue]. Tail = those 21 r9 rows,
+    then r10/r11/r12 green rows. After this round nothing recorded is
+    older than r9. All 50 window entries verified locally via
+    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
     """
     return {
-        # --- round-12 NEW ops ---
+        # --- round-13 NEW ops ---
+        "pgoutput_socket_tls_decode": workload.pgoutput_socket_tls_decode,
+        "cdc_socket_copy_sync": workload.cdc_socket_copy_sync,
+        # --- implementation CHANGED in round 13: re-record ---
         "pgoutput_socket_decode": workload.pgoutput_socket_decode,
-        "events_session_paths": workload_relational.events_session_paths,
-        "orders_seasonal_decompose": workload_relational.orders_seasonal_decompose,
-        "docs_containment_dedup": workload_text.docs_containment_dedup,
-        "corpus_dedup_best_quality": workload_text.corpus_dedup_best_quality,
-        # --- implementation CHANGED in round 12: re-record ---
-        "pgoutput_wire_decode": workload.pgoutput_wire_decode,
-        # --- the 21 r7-latest rows (rotation drain: r7 empties) ---
-        "events_welch_ttest": workload_relational.events_welch_ttest,
-        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
-        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
-        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
-        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
-        "lineitem_skyline": workload_relational.lineitem_skyline,
-        "mm_audio_vad": workload_mm.mm_audio_vad,
-        "mm_image_tiles": workload_mm.mm_image_tiles,
-        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
-        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
-        "order_graph_pagerank": workload_relational.order_graph_pagerank,
-        "orders_abc_class": workload_relational.orders_abc_class,
-        "orders_backlog_curve": workload_relational.orders_backlog_curve,
-        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
-        "orders_rfm_segments": workload_relational.orders_rfm_segments,
-        "orders_survival_km": workload_relational.orders_survival_km,
-        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
-        "parts_triangle_count": workload_relational.parts_triangle_count,
-        "sketch_hll_users": workload_relational.sketch_hll_users,
-        "stream_sliding_topk": workload.stream_sliding_topk,
-        "supplier_share_hhi": workload_relational.supplier_share_hhi,
-        # --- oldest r8 rows, alphabetical (window cut falls after
-        # docs_repetition: 24 in-window; docs_semantic_dedup onward
-        # lead the r13 queue) ---
-        "asof_click_attribution": workload_relational.asof_click_attribution,
-        "bloom_prune_probe": workload_relational.bloom_prune_probe,
-        "cdc_changed_columns": workload.cdc_changed_columns,
-        "cdc_changelog_compact": workload.cdc_changelog_compact,
-        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
-        "cdc_gap_audit": workload.cdc_gap_audit,
-        "cdc_scd2_history": workload.cdc_scd2_history,
-        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
-        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
-        "cdc_schema_evolution": workload.cdc_schema_evolution,
-        "cdc_state_asof": workload.cdc_state_asof,
-        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
-        "corpus_drop_audit": workload_text.corpus_drop_audit,
-        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
-        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
-        "corpus_token_mixture": workload_text.corpus_token_mixture,
-        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
-        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
-        "docs_contamination": workload_text.docs_contamination,
-        "docs_passage_dedup": workload_text.docs_passage_dedup,
-        "docs_pii_redact": workload_text.docs_pii_redact,
-        "docs_profile": workload_text.docs_profile,
-        "docs_rag_chunks": workload_text.docs_rag_chunks,
+        # --- ALL 23 remaining r8-latest rows (rotation drain: r8 empties) ---
         "docs_repetition": workload_text.docs_repetition,
         "docs_semantic_dedup": workload_text.docs_semantic_dedup,
         "docs_unigram_logprob": workload_text.docs_unigram_logprob,
         "embeddings_centroid_separation": workload_text.embeddings_centroid_separation,
-        # ================= tail (newer green rows) =================
-        # remaining r8 rows (lead the r13 window)
         "events_error_after_purchase": workload_relational.events_error_after_purchase,
         "events_grouping_sets": workload_relational.events_grouping_sets,
         "events_hourly_rollup": workload_relational.events_hourly_rollup,
@@ -144,7 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": workload.stream_session_window,
         "stream_static_enrich": workload.stream_static_enrich,
         "stream_windowed_watermark": workload.stream_windowed_watermark,
-        # r9-latest green rows
+        # --- oldest r9 rows, alphabetical (window cut falls after
+        # q14_type_revenue_share: 24 in-window; q15_top_supplier onward
+        # lead the r14 queue) ---
         "ann_cosine_topk": workload_text.ann_cosine_topk,
         "ann_ivf_topk": workload_text.ann_ivf_topk,
         "ann_ivfpq_rerank": workload_text.ann_ivfpq_rerank,
@@ -169,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": workload_relational.q10_returned_items,
         "q13_customer_distribution": workload_relational.q13_customer_distribution,
         "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
+        # ================= tail (newer green rows) =================
+        # remaining r9 rows (lead the r14 window)
         "q15_top_supplier": workload_relational.q15_top_supplier,
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": workload_relational.q18_large_volume_customers,
@@ -288,6 +232,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_customers_agg": workload_relational.nation_top_customers_agg,
         "orders_decile_bands": workload_relational.orders_decile_bands,
         "pg_copy_roundtrip": workload_relational.pg_copy_roundtrip,
+        # r12-latest green rows
+        "events_session_paths": workload_relational.events_session_paths,
+        "orders_seasonal_decompose": workload_relational.orders_seasonal_decompose,
+        "docs_containment_dedup": workload_text.docs_containment_dedup,
+        "corpus_dedup_best_quality": workload_text.corpus_dedup_best_quality,
+        "pgoutput_wire_decode": workload.pgoutput_wire_decode,
+        "events_welch_ttest": workload_relational.events_welch_ttest,
+        "lineitem_basket_lift": workload_relational.lineitem_basket_lift,
+        "lineitem_benford_audit": workload_relational.lineitem_benford_audit,
+        "lineitem_latency_quantiles": workload_relational.lineitem_latency_quantiles,
+        "lineitem_metric_correlations": workload_relational.lineitem_metric_correlations,
+        "lineitem_skyline": workload_relational.lineitem_skyline,
+        "mm_audio_vad": workload_mm.mm_audio_vad,
+        "mm_image_tiles": workload_mm.mm_image_tiles,
+        "mm_video_scene_cuts": workload_mm.mm_video_scene_cuts,
+        "nation_revenue_yoy": workload_relational.nation_revenue_yoy,
+        "order_graph_pagerank": workload_relational.order_graph_pagerank,
+        "orders_abc_class": workload_relational.orders_abc_class,
+        "orders_backlog_curve": workload_relational.orders_backlog_curve,
+        "orders_cohort_ltv": workload_relational.orders_cohort_ltv,
+        "orders_rfm_segments": workload_relational.orders_rfm_segments,
+        "orders_survival_km": workload_relational.orders_survival_km,
+        "orders_tail_index_hill": workload_relational.orders_tail_index_hill,
+        "parts_triangle_count": workload_relational.parts_triangle_count,
+        "sketch_hll_users": workload_relational.sketch_hll_users,
+        "stream_sliding_topk": workload.stream_sliding_topk,
+        "supplier_share_hhi": workload_relational.supplier_share_hhi,
+        "asof_click_attribution": workload_relational.asof_click_attribution,
+        "bloom_prune_probe": workload_relational.bloom_prune_probe,
+        "cdc_changed_columns": workload.cdc_changed_columns,
+        "cdc_changelog_compact": workload.cdc_changelog_compact,
+        "cdc_ddl_rebucket_compact": workload.cdc_ddl_rebucket_compact,
+        "cdc_gap_audit": workload.cdc_gap_audit,
+        "cdc_scd2_history": workload.cdc_scd2_history,
+        "cdc_scd2_incremental": workload.cdc_scd2_incremental,
+        "cdc_scd2_schema_evolution": workload.cdc_scd2_schema_evolution,
+        "cdc_schema_evolution": workload.cdc_schema_evolution,
+        "cdc_state_asof": workload.cdc_state_asof,
+        "cdc_xbatch_recovery": workload.cdc_xbatch_recovery,
+        "corpus_drop_audit": workload_text.corpus_drop_audit,
+        "corpus_pack_sequences": workload_text.corpus_pack_sequences,
+        "corpus_temperature_mix": workload_text.corpus_temperature_mix,
+        "corpus_token_mixture": workload_text.corpus_token_mixture,
+        "dedup_minhash_incremental": workload_text.dedup_minhash_incremental,
+        "docs_bm25_top_terms": workload_text.docs_bm25_top_terms,
+        "docs_contamination": workload_text.docs_contamination,
+        "docs_passage_dedup": workload_text.docs_passage_dedup,
+        "docs_pii_redact": workload_text.docs_pii_redact,
+        "docs_profile": workload_text.docs_profile,
+        "docs_rag_chunks": workload_text.docs_rag_chunks,
     }
 
 

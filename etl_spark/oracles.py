@@ -143,6 +143,7 @@ ORACLES["pgoutput_wire_decode"] = ORACLES["pgoutput_decode"]
 # keepalive acks on the wire, FrameFilePump file queue) must also be
 # invisible in the result.
 ORACLES["pgoutput_socket_decode"] = ORACLES["pgoutput_decode"]
+ORACLES["pgoutput_socket_tls_decode"] = ORACLES["pgoutput_decode"]
 
 ORACLES["cdc_tx_metrics"] = f"""
 WITH {ENVELOPE_CTE}

@@ -429,7 +429,8 @@ def pgoutput_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pgoutput_socket_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pgoutput_socket_decode(spark: SparkSession, sf_dir: str,
+                           tls: bool = False) -> DataFrame:
     """Replication decode THROUGH A REAL TCP SOCKET end-to-end (round 12:
     the last transport layer, closing VERDICT r11 item #1): events are
     rendered as a recorded copy-both capture, served by a loopback TCP
@@ -520,8 +521,26 @@ def pgoutput_socket_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = live.encode_copy_stream(msgs)
 
     src_dir = tempfile.mkdtemp(prefix="socket_frames_")
-    with LoopbackReplicationServer(stream) as srv:
-        source = SocketReplicationSource("127.0.0.1", srv.port)
+    server_kw: dict = {}
+    client_kw: dict = {}
+    if tls:
+        # gate-local self-signed cert: the TLS hop must be exactly as
+        # invisible as the plaintext one (round 13; SSLRequest preamble +
+        # verify-full against the minted root)
+        import subprocess
+
+        d = tempfile.mkdtemp(prefix="socket_tls_")
+        cert, key = f"{d}/cert.pem", f"{d}/key.pem"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", key, "-out", cert, "-days", "2", "-nodes",
+             "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+            check=True, capture_output=True)
+        server_kw = {"tls_cert": cert, "tls_key": key, "tls_required": True}
+        client_kw = {"ssl_mode": "verify-full", "ssl_root_cert": cert}
+    with LoopbackReplicationServer(stream, **server_kw) as srv:
+        source = SocketReplicationSource("127.0.0.1", srv.port, **client_kw)
         slot = source.create_slot("gate_slot")
         source.start(slot.slot_name, slot.consistent_point)
         pump = live.FrameFilePump(source, spark, src_dir,
@@ -529,6 +548,8 @@ def pgoutput_socket_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         while pump.drain_once() > 0:
             pump.report_progress()
         source.close()
+        if tls:
+            assert srv.tls_connections == 1
 
     frames = spark.read.schema(
         "wal_start long, xid long, frame binary").parquet(src_dir)
@@ -2339,3 +2360,17 @@ def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_seq", event_seq("commit_lsn", "tx_ordinal"))
     cur = materialize.current_state(merged, keys=["pk"])
     return cur.select("pk", "bal", "name")
+
+
+def pgoutput_socket_tls_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication decode through a real TCP socket WITH TLS (round 13):
+    SSLRequest preamble, stdlib ``ssl`` handshake at verify-full against
+    a gate-minted self-signed root, hostssl-style server (plaintext
+    startups rejected) — then the identical CopyBoth flow. The oracle is
+    IDENTICAL to ``pgoutput_decode``: encryption, like the socket and
+    the framing, must be invisible in the result.
+
+    Reference parity: ``crates/etl-config/src/shared/connection.rs:245-317``
+    (ssl_mode / trusted_root_certs → SSLContext policy).
+    """
+    return pgoutput_socket_decode(spark, sf_dir, tls=True)
