@@ -41,15 +41,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EXPORT_SNAPSHOT, BEGIN/SET TRANSACTION SNAPSHOT/COPY TO STDOUT/
     COMMIT relayed into the distributed F10 decode, then
     START_REPLICATION on the SAME connection; snapshot-union-stream LWW
-    merge]
+    merge; lineitem_theil_index — Theil T/L inequality of supplier
+    revenue, decimal-exact term sums; orders_runs_test —
+    Wald-Wolfowitz runs test on day-over-day revenue delta signs over
+    the date-collapsed series; docs_simpson_diversity — per-source
+    token Simpson concentration, integer-exact sums]
     + [CHANGED in r13: pgoutput_socket_decode — the transport under it
     gained TLS negotiation, ack-state validation (ADVICE r12) and
     byte/connect counters; re-record]
     + [ALL 23 remaining r8-latest rows (docs_repetition ...
     stream_windowed_watermark) — the r8 tail empties this round]
-    + [24 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
-    q14_type_revenue_share); the remaining 21 (q15_top_supplier ...
-    vocab_topk_coverage) lead the r14 queue]. Tail = those 21 r9 rows,
+    + [21 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    events_gapfill_locf); the remaining 24 (q10_returned_items ...
+    vocab_topk_coverage) lead the r14 queue]. Tail = those 24 r9 rows,
     then r10/r11/r12 green rows. After this round nothing recorded is
     older than r9. All 50 window entries verified locally via
     tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
@@ -58,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-13 NEW ops ---
         "pgoutput_socket_tls_decode": workload.pgoutput_socket_tls_decode,
         "cdc_socket_copy_sync": workload.cdc_socket_copy_sync,
+        "lineitem_theil_index": workload_relational.lineitem_theil_index,
+        "orders_runs_test": workload_relational.orders_runs_test,
+        "docs_simpson_diversity": workload_text.docs_simpson_diversity,
         # --- implementation CHANGED in round 13: re-record ---
         "pgoutput_socket_decode": workload.pgoutput_socket_decode,
         # --- ALL 23 remaining r8-latest rows (rotation drain: r8 empties) ---
@@ -108,11 +115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": workload_text.embed_near_dup,
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
+        # ================= tail (newer green rows) =================
+        # remaining r9 rows (lead the r14 window)
         "q10_returned_items": workload_relational.q10_returned_items,
         "q13_customer_distribution": workload_relational.q13_customer_distribution,
         "q14_type_revenue_share": workload_relational.q14_type_revenue_share,
-        # ================= tail (newer green rows) =================
-        # remaining r9 rows (lead the r14 window)
         "q15_top_supplier": workload_relational.q15_top_supplier,
         "q17_small_quantity_revenue": workload_relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": workload_relational.q18_large_volume_customers,

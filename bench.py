@@ -208,6 +208,16 @@ HEADLINE = [
     "orders_seasonal_decompose",
     "docs_containment_dedup",
     "corpus_dedup_best_quality",
+    # round-13 additions (first timed here). pgoutput_socket_tls_decode
+    # times the TLS hop against pgoutput_socket_decode's plaintext row —
+    # the delta IS the encryption overhead on the serial transport term;
+    # cdc_socket_copy_sync times the full wire table-sync choreography
+    # (snapshot COPY relay + same-connection stream + LWW merge)
+    "pgoutput_socket_tls_decode",
+    "cdc_socket_copy_sync",
+    "lineitem_theil_index",
+    "orders_runs_test",
+    "docs_simpson_diversity",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate

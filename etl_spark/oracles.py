@@ -4828,3 +4828,77 @@ ranked AS (
 )
 SELECT pk, bal, name FROM ranked WHERE rn = 1
 """
+
+ORACLES["lineitem_theil_index"] = f"""
+WITH sup AS (
+  SELECT l_suppkey, sum({_D}) AS rev FROM lineitem GROUP BY 1
+),
+stats AS (SELECT sum(rev) AS total, count(*) AS n FROM sup),
+terms AS (
+  SELECT s.n,
+         CAST(round((CAST(rev AS DOUBLE) / (CAST(total AS DOUBLE) / n))
+              * ln(CAST(rev AS DOUBLE) / (CAST(total AS DOUBLE) / n)), 9)
+              AS DECIMAL(38,9)) AS t_term,
+         CAST(round(ln((CAST(total AS DOUBLE) / n) / CAST(rev AS DOUBLE)), 9)
+              AS DECIMAL(38,9)) AS l_term
+  FROM sup, stats s
+)
+SELECT n AS n_suppliers,
+       round(CAST(sum(t_term) AS DOUBLE) / n, 6) AS theil_t,
+       round(CAST(sum(l_term) AS DOUBLE) / n, 6) AS theil_l
+FROM terms GROUP BY n
+"""
+
+ORACLES["orders_runs_test"] = """
+WITH daily AS (
+  SELECT o_orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT o_orderdate, rev - lag(rev) OVER (ORDER BY o_orderdate) AS delta
+  FROM daily
+),
+signed AS (
+  SELECT o_orderdate, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sign
+  FROM d WHERE delta IS NOT NULL AND delta <> 0
+),
+flagged AS (
+  SELECT sign,
+         CASE WHEN lag(sign) OVER (ORDER BY o_orderdate) IS NULL
+                OR sign <> lag(sign) OVER (ORDER BY o_orderdate)
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM flagged
+)
+SELECT n AS n_deltas, n_pos, n_neg, runs,
+       round(2.0 * n_pos * n_neg / n + 1.0, 6) AS expected_runs,
+       round((runs - (2.0 * n_pos * n_neg / n + 1.0))
+             / sqrt((2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n))
+                    / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z_score
+FROM agg
+"""
+
+ORACLES["docs_simpson_diversity"] = """
+WITH term AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM term WHERE term <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(CAST(sum(f * (f - 1)) AS DOUBLE)
+             / (CAST(sum(f) AS DOUBLE) * (CAST(sum(f) AS DOUBLE) - 1.0)),
+             9) AS simpson_d
+FROM tf GROUP BY source
+"""

@@ -3859,3 +3859,90 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") - F.col("trend") - F.col("seasonal"), 4
         ).alias("residual"),
     )
+
+
+def lineitem_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality indices of supplier revenue concentration (X172,
+    round 13): T = (1/N) Σ (x/μ)·ln(x/μ) and the mean-log-deviation
+    L = (1/N) Σ ln(μ/x) over per-supplier discounted revenue — the
+    decomposable complement to the Gini (customer_balance_gini) and HHI
+    (supplier_share_hhi) audits a curation pipeline runs before trusting
+    a source mix.
+
+    Shape: one keyed map-combined shuffle (supplier revenue, exact
+    decimal sums), then two scalar aggregates — the μ row broadcasts
+    back. Per-supplier log terms are 9-dp-rounded into exact decimal
+    sums (the docs_zipf_slope determinism discipline), so the oracle
+    hash matches bit-for-bit at any partitioning. No window, no sort;
+    cardinality after the first shuffle is |suppliers|.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                      - _dec("l_discount"))
+    sup = li.groupBy("l_suppkey").agg(F.sum(disc).alias("rev"))
+    stats = sup.agg(
+        F.sum("rev").alias("total"),
+        F.count("*").alias("n"),
+    )
+    j = sup.crossJoin(F.broadcast(stats))
+    x = F.col("rev").cast("double")
+    mu = F.col("total").cast("double") / F.col("n")
+    r = x / mu
+    t_term = F.round(r * F.log(r), 9).cast("decimal(38,9)")
+    l_term = F.round(F.log(mu / x), 9).cast("decimal(38,9)")
+    out = j.groupBy("n").agg(
+        F.sum(t_term).alias("st"), F.sum(l_term).alias("sl"))
+    return out.select(
+        F.col("n").alias("n_suppliers"),
+        F.round(F.col("st").cast("double") / F.col("n"), 6).alias("theil_t"),
+        F.round(F.col("sl").cast("double") / F.col("n"), 6).alias("theil_l"),
+    )
+
+
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the sign of day-over-day revenue
+    deltas (X173, round 13): too FEW runs = trending/regime drift, too
+    MANY = oscillation — a distribution-free randomness audit on the
+    order stream (complements events_changepoint/events_cusum_alerts).
+
+    Shape: orders collapse to one row per order DATE in the first
+    map-combined aggregate (exact decimal revenue); every window below
+    runs on that metadata-sized daily series (~2.4k rows at ANY corpus
+    size — same deliberate unpartitioned-window-on-collapsed-series
+    design as orders_seasonal_decompose, plan-locked there). Zero
+    deltas are excluded per the standard construction; the z-score uses
+    the normal approximation E[R] = 2·n₊·n₋/n + 1.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("o_orderdate")
+    delta = (F.col("rev") - F.lag("rev").over(w))
+    signed = (daily.withColumn("delta", delta)
+              .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+              .withColumn("sign", F.when(F.col("delta") > 0, 1).otherwise(-1)))
+    w2 = Window.orderBy("o_orderdate")
+    runs_flag = F.when(
+        F.lag("sign").over(w2).isNull()
+        | (F.col("sign") != F.lag("sign").over(w2)), 1).otherwise(0)
+    flagged = signed.withColumn("new_run", runs_flag)
+    agg = flagged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("sign") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("sign") == -1, 1).otherwise(0)).alias("n_neg"),
+        F.sum("new_run").alias("runs"),
+    )
+    n, p, q_, r_ = (F.col("n").cast("double"), F.col("n_pos").cast("double"),
+                    F.col("n_neg").cast("double"), F.col("runs").cast("double"))
+    exp_r = 2.0 * p * q_ / n + 1.0
+    var_r = (2.0 * p * q_ * (2.0 * p * q_ - n)) / (n * n * (n - 1.0))
+    return agg.select(
+        F.col("n").alias("n_deltas"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((r_ - exp_r) / F.sqrt(var_r), 6).alias("z_score"),
+    )

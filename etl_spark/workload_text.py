@@ -2170,3 +2170,37 @@ def corpus_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keep_id")).alias("keep"),
         )
     )
+
+
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical Simpson concentration (X174, round 13):
+    D = Σ f·(f−1) / (N·(N−1)) over token frequencies — the probability
+    two random tokens from a source coincide. High D = templated/
+    repetitive text (the token-level twin of docs_repetition's n-gram
+    audit); a curation mix caps or downweights such sources.
+
+    Shape: explode → (source, term) count → per-source aggregate: two
+    map-combined shuffles, the intermediate bounded by per-source
+    VOCABULARY (not token volume). All sums are integer (exact at any
+    partitioning); the single final division is rounded at 9 dp.
+    """
+    docs = _docs(spark, sf_dir)
+    term = docs.select(
+        "source", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = term.groupBy("source", "term").agg(F.count("*").alias("f"))
+    agg = tf.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.col("f") * (F.col("f") - 1)).alias("s2"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(
+            F.col("s2").cast("double")
+            / (F.col("n_tokens").cast("double")
+               * (F.col("n_tokens").cast("double") - 1.0)), 9
+        ).alias("simpson_d"),
+    )
