@@ -1240,3 +1240,37 @@ def test_seasonal_decompose_collapses_before_window(spark):
     win_detail = plan.split(") Window", 1)[1]
     win_input = win_detail.split("Input", 1)[1].split("\n", 1)[0]
     assert "revenue" in win_input and "o_totalprice" not in win_input
+
+
+def test_runs_test_collapses_before_window(spark):
+    """orders_runs_test's unpartitioned lag windows must sit ABOVE the
+    per-date aggregate (metadata-sized daily series), never above raw
+    orders; the scan prunes to (o_orderdate, o_totalprice)."""
+    plan = plan_of(workload_relational.orders_runs_test(spark, SF_DIR))
+    scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_orderdate" in scan and "o_custkey" not in scan
+    win_detail = plan.split(") Window", 1)[1]
+    win_input = win_detail.split("Input", 1)[1].split("\n", 1)[0]
+    assert "rev" in win_input and "o_totalprice" not in win_input
+
+
+def test_theil_index_one_keyed_shuffle_and_broadcast(spark):
+    """lineitem_theil_index: one supplier-keyed exchange; the 1-row
+    stats side joins as a broadcast (never a shuffled join); scan
+    prunes to the three revenue columns."""
+    plan = plan_of(workload_relational.lineitem_theil_index(spark, SF_DIR))
+    scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_suppkey" in scan and "l_orderkey" not in scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simpson_diversity_two_map_combined_shuffles(spark):
+    """docs_simpson_diversity: explode → (source,term) agg → source agg;
+    partial aggregation below each exchange, no window, scan prunes to
+    (source, text)."""
+    plan = plan_of(workload_text.docs_simpson_diversity(spark, SF_DIR))
+    scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" in scan and "n_chars" not in scan
+    assert "Window" not in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 1
