@@ -45,15 +45,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     revenue, decimal-exact term sums; orders_runs_test —
     Wald-Wolfowitz runs test on day-over-day revenue delta signs over
     the date-collapsed series; docs_simpson_diversity — per-source
-    token Simpson concentration, integer-exact sums]
+    token Simpson concentration, integer-exact sums;
+    docs_containment_audit — the LINEAR deployment form of the
+    containment join (one row per contained doc: container count, best
+    containment, deterministic container id) after the x100 probe
+    confirmed the pair form output-bound (STRESS100H_r13)]
     + [CHANGED in r13: pgoutput_socket_decode — the transport under it
     gained TLS negotiation, ack-state validation (ADVICE r12) and
     byte/connect counters; re-record]
     + [ALL 23 remaining r8-latest rows (docs_repetition ...
     stream_windowed_watermark) — the r8 tail empties this round]
-    + [21 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
-    events_gapfill_locf); the remaining 24 (q10_returned_items ...
-    vocab_topk_coverage) lead the r14 queue]. Tail = those 24 r9 rows,
+    + [20 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    events_anomaly_mad); the remaining 25 (events_gapfill_locf ...
+    vocab_topk_coverage) lead the r14 queue]. Tail = those 25 r9 rows,
     then r10/r11/r12 green rows. After this round nothing recorded is
     older than r9. All 50 window entries verified locally via
     tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
@@ -65,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_theil_index": workload_relational.lineitem_theil_index,
         "orders_runs_test": workload_relational.orders_runs_test,
         "docs_simpson_diversity": workload_text.docs_simpson_diversity,
+        "docs_containment_audit": workload_text.docs_containment_audit,
         # --- implementation CHANGED in round 13: re-record ---
         "pgoutput_socket_decode": workload.pgoutput_socket_decode,
         # --- ALL 23 remaining r8-latest rows (rotation drain: r8 empties) ---
@@ -114,9 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_terms": workload_text.docs_top_terms,
         "embed_near_dup": workload_text.embed_near_dup,
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
-        "events_gapfill_locf": workload_relational.events_gapfill_locf,
         # ================= tail (newer green rows) =================
         # remaining r9 rows (lead the r14 window)
+        "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "q10_returned_items": workload_relational.q10_returned_items,
         "q13_customer_distribution": workload_relational.q13_customer_distribution,
         "q14_type_revenue_share": workload_relational.q14_type_revenue_share,

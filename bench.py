@@ -218,6 +218,7 @@ HEADLINE = [
     "lineitem_theil_index",
     "orders_runs_test",
     "docs_simpson_diversity",
+    "docs_containment_audit",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate

@@ -507,6 +507,7 @@ def containment_prefix_join(
     text_col: str = "text",
     threshold: float = 0.9,
     max_pairs: int | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """EXACT directional token-set CONTAINMENT self-join: rows
     ``(id_a, id_b, inter, n_a, containment)`` with
@@ -535,6 +536,20 @@ def containment_prefix_join(
     O(n²); the directional pair OUTPUT is inherently Ω(#qualifying
     pairs) — same-set cliques emit k·(k−1) ordered rows, so cap with
     ``max_pairs`` or keep thresholds high on duplicate-heavy corpora).
+
+    ``emit="audit"`` (round 13 — the LINEAR deployment form, the same
+    pairs→linear move :func:`simhash_clusters` makes for SimHash): one
+    row per doc whose set is ≥t-contained in at least one OTHER
+    distinct set — ``(doc_id, n_a, n_containers, best_containment,
+    container_id)`` where ``n_containers`` counts container DOCS,
+    ``container_id`` is the smallest container doc id at the maximum
+    containment (deterministic total order). Same-set exact twins are
+    excluded (that is :func:`exact_duplicates`'s domain). Every stage
+    through the verify is distinct-set-bounded exactly like the pair
+    form; the member expansion emits ONE row per doc, so replication
+    (the k·(k−1) clique blow-up that makes the pair form output-bound —
+    the measured ×100 timeout on the templated corpus) cannot reach the
+    output. This is the form a duplicate-heavy 100-TB corpus runs.
     """
     from pyspark.sql import Window
 
@@ -624,6 +639,41 @@ def containment_prefix_join(
         .filter(F.col("containment") >= t)
         .dropDuplicates(["fp_a", "fp_b"])
     )
+    if emit == "audit":
+        # per container SET: member count and smallest member id — one
+        # map-combined agg over the skinny membership table
+        ksets = members.groupBy("set_fp").agg(
+            F.count("*").alias("k"), F.min("__id").alias("mid"))
+        per_set = (
+            fp_pairs.join(
+                ksets.select(F.col("set_fp").alias("fp_b"),
+                             F.col("k").alias("kb"), F.col("mid").alias("mb")),
+                "fp_b")
+            .groupBy("fp_a")
+            .agg(
+                F.sum("kb").alias("n_containers"),
+                # max containment first, then smallest container id:
+                # struct max on (containment, -mb) — exact doubles order
+                # identically in the oracle's (containment DESC, id ASC)
+                F.max(F.struct(F.col("containment"),
+                               (-F.col("mb")).alias("nid"))).alias("best"),
+            )
+        )
+        return (
+            per_set.join(
+                members.select(F.col("set_fp").alias("fp_a"), "__id"), "fp_a")
+            .join(dsets.select(F.col("set_fp").alias("fp_a"),
+                               F.col("n").alias("n_a")), "fp_a")
+            .select(
+                F.col("__id").alias(id_col),
+                "n_a",
+                F.col("n_containers").cast("long").alias("n_containers"),
+                F.round(F.col("best.containment"), 6).alias("best_containment"),
+                (-F.col("best.nid")).alias("container_id"),
+            )
+        )
+    if emit != "pairs":
+        raise ValueError(f"unknown emit mode {emit!r}")
     if max_pairs is not None:
         sizes = members.groupBy("set_fp").agg(F.count("*").alias("k"))
         cross_ct = (

@@ -4902,3 +4902,41 @@ SELECT source,
              9) AS simpson_d
 FROM tf GROUP BY source
 """
+
+ORACLES["docs_containment_audit"] = r"""
+-- linear audit over the exact directional-containment pairs (same
+-- naive-candidates + exact-verify oracle argument as
+-- docs_containment_dedup), EXCLUDING identical sets (same-set twins):
+-- per contained doc, container-doc count, max containment, and the
+-- smallest container id at that maximum
+WITH tok AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+  FROM documents
+),
+sets AS (SELECT doc_id, s, list_sort(s) AS key, len(s) AS n FROM tok),
+tokd AS (SELECT doc_id, unnest(s) AS t FROM tok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tokd a JOIN tokd b USING (t)
+  WHERE a.doc_id <> b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, sa.n AS n_a,
+         len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n AS containment
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE sa.key <> sb.key
+    AND len(list_intersect(sa.s, sb.s)) * 1.0 / sa.n >= 0.98
+),
+ranked AS (
+  SELECT id_a, n_a, containment, id_b,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY containment DESC, id_b ASC) AS rn,
+         count(*) OVER (PARTITION BY id_a) AS n_containers
+  FROM pairs
+)
+SELECT id_a AS doc_id, n_a, CAST(n_containers AS BIGINT) AS n_containers,
+       round(containment, 6) AS best_containment, id_b AS container_id
+FROM ranked WHERE rn = 1
+"""

@@ -2204,3 +2204,20 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (F.col("n_tokens").cast("double") - 1.0)), 9
         ).alias("simpson_d"),
     )
+
+
+def docs_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR directional-containment audit (X175, round 13): one row
+    per doc whose token set is ≥ 0.98-contained in at least one OTHER
+    distinct set — container count, best containment, deterministic
+    best-container id. The deployment form of ``docs_containment_dedup``
+    (the same pairs→linear move simhash made): the pair form's output is
+    inherently Ω(#qualifying pairs) and the measured ×100 probe confirms
+    it output-bound (clique members emit k·(k−1) rows — timeout at
+    ×100 on the templated corpus), while this form's every stage
+    through the verify is distinct-set-bounded and the output is ONE
+    row per doc. Same-set exact twins are excluded (dedup_exact's
+    domain).
+    """
+    return dedup.containment_prefix_join(
+        _docs(spark, sf_dir), threshold=0.98, emit="audit")

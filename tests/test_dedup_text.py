@@ -469,3 +469,62 @@ def test_containment_join_max_pairs_guard(spark):
         dedup.containment_prefix_join(df, threshold=0.9, max_pairs=10)
     # 6 identical docs → 30 ordered same-set pairs, within a looser cap
     assert dedup.containment_prefix_join(df, threshold=0.9, max_pairs=30).count() == 30
+
+
+def test_containment_audit_linear_form(spark):
+    """emit='audit' (round 13): one row per contained doc; same-set
+    exact twins excluded; container count at DOC granularity; best
+    container = smallest doc id at the max containment."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),                # contained in 3 and 4
+            (2, "a b c d"),                # exact twin of 1 (excluded pair)
+            (3, "a b c d e f"),            # container (set X)
+            (4, "a b c d e f"),            # container twin (set X)
+            (5, "q r s t u v w x y z"),    # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict()
+           for r in dedup.containment_prefix_join(
+               df, threshold=0.9, emit="audit").collect()}
+    # docs 1 and 2 are each contained in the {a..f} set (both members);
+    # their same-set twin relationship does NOT appear
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_a"] == 4
+        assert out[d]["n_containers"] == 2      # docs 3 and 4
+        assert out[d]["best_containment"] == 1.0
+        assert out[d]["container_id"] == 3      # smallest at the max
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_containment_audit_matches_pair_form(spark, seed):
+    """The audit is a pure aggregation of the cross-set pair output:
+    group the pair form (minus same-set rows) per id_a and compare."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(24)
+    ]
+    t = 0.7
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {i: frozenset(text.split()) for i, text in docs}
+    pairs = [
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.containment_prefix_join(df, threshold=t).collect()
+        if sets[r.id_a] != sets[r.id_b]  # audit excludes same-set twins
+    ]
+    expected = {}
+    for a in {p[0] for p in pairs}:
+        mine = [(c, b) for (x, b, c) in pairs if x == a]
+        best_c = max(c for c, _ in mine)
+        expected[a] = (len(mine), round(best_c, 6),
+                       min(b for c, b in mine if c == best_c))
+    got = {r.doc_id: (r.n_containers, r.best_containment, r.container_id)
+           for r in dedup.containment_prefix_join(
+               df, threshold=t, emit="audit").collect()}
+    assert got == expected
