@@ -132,6 +132,12 @@ class PostgresReplicationSource(ReplicationFrameSource):
     def create_slot(self, slot_name: str, export_snapshot: bool = False) -> SlotInfo:
         return self._inner.create_slot(slot_name, export_snapshot)
 
+    def get_slot(self, slot_name: str):
+        return self._inner.get_slot(slot_name)
+
+    def drop_slot(self, slot_name: str) -> None:
+        self._inner.drop_slot(slot_name)
+
     def start(self, slot_name: str, start_lsn: int) -> None:
         self._inner.start(slot_name, start_lsn)
 
@@ -408,15 +414,34 @@ class RecordedReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         self.metrics = metrics or telemetry.DEFAULT
         self._messages = None  # armed by start()
         self._pos = 0
+        #: offline slot-inspection knobs (the socket transport reads
+        #: pg_replication_slots; the recorded twin models the same three
+        #: answers: missing, live, invalidated)
+        self.slot_exists = True
+        self.wal_status = "reserved"
+        self.dropped_slots: list[str] = []
         self._init_consumer()
 
     # -- ReplicationFrameSource ------------------------------------------
     def create_slot(self, slot_name: str, export_snapshot: bool = False) -> SlotInfo:
+        self.slot_exists = True
+        self.wal_status = "reserved"
         return SlotInfo(
             slot_name=slot_name,
             consistent_point=self._slot.consistent_point,
             snapshot_name=self._slot.snapshot_name if export_snapshot else None,
         )
+
+    def get_slot(self, slot_name: str):
+        """(confirmed_flush_lsn, wal_status) or None — the recorded twin
+        of the socket transport's pg_replication_slots probe."""
+        if not self.slot_exists:
+            return None
+        return self._slot.consistent_point, self.wal_status
+
+    def drop_slot(self, slot_name: str) -> None:
+        self.slot_exists = False
+        self.dropped_slots.append(slot_name)
 
     def start(self, slot_name: str, start_lsn: int) -> None:
         """Materialize the message list and position the stream for
@@ -817,3 +842,122 @@ class FrameFilePump:
                 self.report_progress()  # proactive: the 60%-deadline ack
                 last_send = time.monotonic()
             time.sleep(min(idle_nap_s, deadline / 4))
+
+    def run_live_resilient(self, pipeline, stop, slot_name: str,
+                           wal_sender_timeout_s: float = 60.0,
+                           max_retries: int = 5, backoff_s: float = 0.05,
+                           invalidated_slot_behavior: str = "error") -> None:
+        """:meth:`run_live` wrapped in the apply worker's
+        restart-on-transport-error loop (the reference restarts the whole
+        worker on a stream error and re-enters ``get_start_lsn``;
+        worker.rs:280-320): a ConnectionError/OSError closes the
+        transport, waits an exponential backoff (capped), re-resolves the
+        resume floor via :func:`resolve_start_lsn` — durable flush vs
+        slot confirmed flush, whichever is ahead — and START_REPLICATIONs
+        a fresh connection. The server re-sends whole transactions past
+        the floor; the engine's at-least-once machinery absorbs the
+        replay (the property the randomized crash/replay models pin).
+
+        A successful drain resets the retry budget; ``max_retries``
+        CONSECUTIVE failures re-raise (worker error accounting
+        increments either way). :class:`SlotInvalidated` always
+        propagates under the ``"error"`` policy; ``"recreate"`` resets
+        tables + recreates the slot inside the resolve."""
+        import time
+
+        from etl_spark import telemetry
+
+        if self.control is None:
+            raise ValueError(
+                "run_live_resilient needs a ControlStore-backed pump "
+                "(control=...): the reconnect floor is the durable flush "
+                "LSN")
+        failures = 0
+        while not stop.is_set():
+            try:
+                start_lsn, _created = resolve_start_lsn(
+                    self.source, self.control, slot_name,
+                    invalidated_slot_behavior=invalidated_slot_behavior)
+                self.source.start(slot_name, start_lsn)
+                failures = 0
+                self.run_live(pipeline, stop,
+                              wal_sender_timeout_s=wal_sender_timeout_s)
+            except (ConnectionError, OSError):
+                failures += 1
+                if hasattr(self.source, "metrics"):
+                    self.source.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL)
+                try:
+                    self.source.close()
+                except OSError:
+                    pass
+                if failures > max_retries:
+                    raise
+                time.sleep(min(backoff_s * 2 ** (failures - 1), 5.0))
+
+
+class SlotInvalidated(RuntimeError):
+    """The replication slot exists but Postgres has invalidated it
+    (``wal_status='lost'`` — the WAL it pinned was removed). Manual
+    recovery: delete the slot, reset table states, restart (the message
+    the reference raises, worker.rs:488-495)."""
+
+
+def resolve_start_lsn(source: ReplicationFrameSource, control,
+                      slot_name: str, invalidated_slot_behavior: str = "error",
+                      metrics=None) -> tuple[int, bool]:
+    """Apply-worker slot startup: get-or-create the slot, handle
+    invalidation per policy, pick the resume floor. The reference's
+    ``get_start_lsn`` (worker.rs:367-470) verbatim in semantics:
+
+    - slot MISSING → stale durable progress from the previous lineage is
+      deleted FIRST (creating the slot before cleanup would leave a
+      crash window pairing the new slot with old progress,
+      worker.rs:375-384), then the slot is created; start = its
+      consistent point.
+    - slot INVALIDATED (``wal_status='lost'``) → ``"error"`` raises
+      :class:`SlotInvalidated` with the manual-recovery text;
+      ``"recreate"`` resets EVERY table to Init, deletes durable
+      progress, drops + recreates the slot, and starts at the new
+      consistent point (worker.rs:496-520). Either way the invalidation
+      counter increments.
+    - slot LIVE → start = max(durable flush LSN, slot confirmed flush)
+      — durable progress can legitimately be AHEAD (flushed batch whose
+      feedback Postgres has not confirmed) or BEHIND (idle-only ack
+      advances are not persisted); the max of the two is the guaranteed
+      no-older-event floor (worker.rs:440-467).
+
+    Returns ``(start_lsn, created)``.
+    """
+    from etl_spark import telemetry
+
+    reg = metrics or getattr(source, "metrics", None) or telemetry.DEFAULT
+    if invalidated_slot_behavior not in ("error", "recreate"):
+        raise ValueError(
+            f"unknown invalidated_slot_behavior {invalidated_slot_behavior!r}")
+    info = source.get_slot(slot_name)
+    if info is None:
+        control.reset_replication_progress()
+        slot = source.create_slot(slot_name)
+        return slot.consistent_point, True
+    slot_flush, wal_status = info
+    if wal_status == "lost":
+        reg.inc(telemetry.ETL_SLOT_INVALIDATIONS_TOTAL)
+        if invalidated_slot_behavior == "error":
+            raise SlotInvalidated(
+                f"replication slot {slot_name!r} has been invalidated "
+                "(wal_status='lost': the slot fell too far behind and "
+                "PostgreSQL removed the required WAL segments). To "
+                "recover, delete the slot, reset all table states, and "
+                "restart the pipeline — or configure "
+                "invalidated_slot_behavior='recreate'.")
+        reset = control.reset_for_resync()
+        source.drop_slot(slot_name)
+        slot = source.create_slot(slot_name)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "slot %s invalidated: reset %d table(s) to Init, recreated "
+            "slot at consistent point %d", slot_name, len(reset),
+            slot.consistent_point)
+        return slot.consistent_point, True
+    return max(int(control.flush_lsn), int(slot_flush)), False

@@ -532,16 +532,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             if tag == b"T":
                 continue  # RowDescription: fixed, documented column order
             if tag == b"D":
-                (ncols,) = struct.unpack_from(">h", body, 0)
-                pos, row = 2, []
-                for _ in range(ncols):
-                    (ln,) = struct.unpack_from(">i", body, pos)
-                    pos += 4
-                    if ln == -1:
-                        row.append(None)
-                    else:
-                        row.append(body[pos : pos + ln].decode())
-                        pos += ln
+                row = self._parse_datarow(body)
                 continue
             if tag == b"C":
                 continue
@@ -655,6 +646,64 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
             "start() or after close()) — the ack would be silently lost")
 
     # -- simple queries + CopyOut (initial table sync over the wire) -------
+    @staticmethod
+    def _parse_datarow(body: bytes) -> list[str | None]:
+        (ncols,) = struct.unpack_from(">h", body, 0)
+        pos, row = 2, []
+        for _ in range(ncols):
+            (ln,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            if ln == -1:
+                row.append(None)
+            else:
+                row.append(body[pos : pos + ln].decode())
+                pos += ln
+        return row
+
+    def simple_query(self, sql: str) -> list[list[str | None]]:
+        """One simple-``Query`` returning text rows (slot-state catalog
+        lookups on the replication connection — a ``replication=database``
+        session accepts plain SQL alongside the walsender grammar)."""
+        self._connect()
+        if self._copy_both:
+            raise RuntimeError("simple_query during CopyBoth")
+        self._send(pq_message(b"Q", sql.encode() + b"\0"))
+        rows: list[list[str | None]] = []
+        while True:
+            msg = self._reader.read_message()
+            if msg is None:
+                raise ConnectionError(f"server closed during {sql!r}")
+            tag, body = msg
+            if tag == b"D":
+                rows.append(self._parse_datarow(body))
+                continue
+            if tag in (b"T", b"C", b"S", b"N", b"I"):
+                continue
+            if tag == b"E":
+                raise RuntimeError(f"{sql!r} failed: {body!r}")
+            if tag == b"Z":
+                return rows
+            raise ValueError(f"unexpected tag {tag!r} for {sql!r}")
+
+    def get_slot(self, slot_name: str) -> tuple[int, str] | None:
+        """Existing-slot inspection (worker.rs:380 get_slot +
+        worker.rs:415 get_slot_state): ``(confirmed_flush_lsn,
+        wal_status)`` from ``pg_replication_slots``, or None when the
+        slot does not exist. ``wal_status='lost'`` is the invalidated
+        state (slots.rs SlotState::Invalidated)."""
+        rows = self.simple_query(
+            "SELECT confirmed_flush_lsn, wal_status FROM "
+            f"pg_replication_slots WHERE slot_name = '{slot_name}'")
+        if not rows:
+            return None
+        flush, status = rows[0]
+        return (parse_lsn(flush) if flush else 0), (status or "unreserved")
+
+    def drop_slot(self, slot_name: str) -> None:
+        """``DROP_REPLICATION_SLOT ... WAIT`` (walsender grammar; the
+        Recreate recovery path, worker.rs:511)."""
+        self.simple_command(f"DROP_REPLICATION_SLOT {slot_name} WAIT")
+
     def simple_command(self, sql: str) -> None:
         """One simple-``Query`` command with no interesting result set
         (``BEGIN``, ``SET TRANSACTION SNAPSHOT``, ``COMMIT``): send, read
@@ -789,6 +838,18 @@ class LoopbackReplicationServer:
         #: (lets tests pin the BEGIN → SET TRANSACTION SNAPSHOT → COPY →
         #: COMMIT choreography)
         self.commands: list[str] = []
+        #: slot registry: name → consistent point (CREATE registers,
+        #: DROP_REPLICATION_SLOT removes); ``invalidated`` names report
+        #: wal_status='lost' from the pg_replication_slots lookup —
+        #: tests set it to model the WAL-removed slot (slots.rs
+        #: SlotState::Invalidated)
+        self.slots: dict[str, int] = {}
+        self.invalidated: set[str] = set()
+        #: fault injection for transport-crash tests: per-START_REPLICATION
+        #: CopyData budgets, popped in order — that stream is cut by an
+        #: ABRUPT connection close (no CopyDone) after N messages; when
+        #: the list is empty streams serve fully
+        self.drop_after: list[int] = []
         if auth not in ("cleartext", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
@@ -958,6 +1019,13 @@ class LoopbackReplicationServer:
                 else:
                     conn.sendall(pq_message(b"C", qu.split()[0].encode() + b"\0"))
                 conn.sendall(pq_message(b"Z", b"I"))
+            elif qu.startswith("DROP_REPLICATION_SLOT"):
+                self.slots.pop(q.split()[1], None)
+                self.invalidated.discard(q.split()[1])
+                conn.sendall(pq_message(b"C", b"DROP_REPLICATION_SLOT\0"))
+                conn.sendall(pq_message(b"Z", b"I"))
+            elif qu.startswith("SELECT") and "PG_REPLICATION_SLOTS" in qu:
+                self._reply_slot_lookup(conn, q)
             elif qu.startswith("COPY") and "TO STDOUT" in qu:
                 self._reply_copy_out(conn, q)
             else:
@@ -1045,6 +1113,7 @@ class LoopbackReplicationServer:
 
     def _reply_create_slot(self, conn: socket.socket, q: str) -> None:
         slot_name = q.split()[1]
+        self.slots[slot_name] = self.consistent_point
         cols = [b"slot_name", b"consistent_point", b"snapshot_name",
                 b"output_plugin"]
         rowdesc = struct.pack(">h", len(cols)) + b"".join(
@@ -1065,6 +1134,28 @@ class LoopbackReplicationServer:
         )
         conn.sendall(pq_message(b"D", datarow))
         conn.sendall(pq_message(b"C", b"CREATE_REPLICATION_SLOT\0"))
+        conn.sendall(pq_message(b"Z", b"I"))
+
+    def _reply_slot_lookup(self, conn: socket.socket, q: str) -> None:
+        """pg_replication_slots catalog probe: 0 or 1 rows of
+        (confirmed_flush_lsn, wal_status)."""
+        name = next((n for n in self.slots if f"'{n}'" in q), None)
+        cols = [b"confirmed_flush_lsn", b"wal_status"]
+        rowdesc = struct.pack(">h", len(cols)) + b"".join(
+            c + b"\0" + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0)
+            for c in cols)
+        conn.sendall(pq_message(b"T", rowdesc))
+        nrows = 0
+        if name is not None:
+            status = b"lost" if name in self.invalidated else b"reserved"
+            flush = format_lsn(
+                max(self.slots[name], self.confirmed_flush_lsn)).encode()
+            fields = [flush, status]
+            datarow = struct.pack(">h", len(fields)) + b"".join(
+                struct.pack(">i", len(f)) + f for f in fields)
+            conn.sendall(pq_message(b"D", datarow))
+            nrows = 1
+        conn.sendall(pq_message(b"C", f"SELECT {nrows}\0".encode()))
         conn.sendall(pq_message(b"Z", b"I"))
 
     def _reply_copy_out(self, conn: socket.socket, q: str) -> None:
@@ -1139,7 +1230,11 @@ class LoopbackReplicationServer:
                 start_lsn = parse_lsn(tok)
                 break
         conn.sendall(pq_message(b"W", struct.pack(">bh", 0, 0)))
-        for payload in fence_recorded_stream(self.recorded, start_lsn):
+        budget = self.drop_after.pop(0) if self.drop_after else None
+        for i, payload in enumerate(fence_recorded_stream(self.recorded,
+                                                          start_lsn)):
+            if budget is not None and i >= budget:
+                raise ConnectionError("fault injection: mid-stream drop")
             conn.sendall(pq_message(b"d", payload))
             # interleave: pick up any status updates the client pushed
             # (keepalive replies arrive mid-stream)

@@ -269,6 +269,35 @@ class ControlStore:
             return True
         return False
 
+    def reset_for_resync(self) -> list[str]:
+        """Invalidated-slot recovery (worker.rs:496-516 Recreate branch):
+        EVERY table falls back to Init (a lost slot means WAL segments
+        the destination never saw are gone — SyncDone/Ready data is
+        stale beyond repair) and the durable apply progress is deleted,
+        so the recreated slot's consistent point is the only resume
+        floor. Returns the reset table names."""
+        reset = []
+        for e in self.tables.values():
+            if e.state != TableState.INIT or e.lsn != 0:
+                e.state = TableState.INIT
+                e.lsn = 0
+                e.error = None
+                e.errored_at = None
+                e.attempts = 0
+                reset.append(e.table)
+                self._save_table(e)
+        self.reset_replication_progress()
+        return reset
+
+    def reset_replication_progress(self) -> None:
+        """Delete durable apply progress (store.delete_replication_progress
+        analog, worker.rs:384): a NEW slot must never pair with old
+        durable progress — the progress dies BEFORE the slot is created
+        (the crash-window ordering argument, worker.rs:375-379)."""
+        with self._mu:
+            self.flush_lsn = 0
+            self._save_flush()
+
     # -- progress ----------------------------------------------------------
     def advance_flush_lsn(self, lsn: int) -> int:
         """Monotonic upsert (store/state/base.rs:81-89): never regresses.

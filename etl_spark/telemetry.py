@@ -37,6 +37,7 @@ ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL = (
     "etl_schema_cleanup_pruned_versions_total"
 )
 ETL_DDL_SCHEMA_CHANGES_TOTAL = "etl_ddl_schema_changes_total"
+ETL_SLOT_INVALIDATIONS_TOTAL = "etl_slot_invalidations_total"
 ETL_WORKER_ERRORS_TOTAL = "etl_worker_errors_total"
 ETL_TRANSACTION_SIZE = "etl_transaction_size"
 ETL_BATCH_APPLY_DURATION_SECONDS = "etl_batch_apply_duration_seconds"

@@ -865,3 +865,172 @@ def test_socket_transport_telemetry_counters(tls_cert):
                  telemetry.ETL_SOCKET_BYTES_SENT_TOTAL,
                  telemetry.ETL_REPLICATION_KEEPALIVES_TOTAL):
         assert f"# TYPE {name} counter" in body
+
+
+# ---------------------------------------------------------------------------
+# Round 13: slot lifecycle — get/drop + invalidated-slot Error/Recreate
+# (worker.rs:367-520 get_start_lsn / handle_invalidated_slot analog)
+# ---------------------------------------------------------------------------
+
+
+def test_slot_lookup_and_drop_over_the_wire(tmp_path):
+    from etl_spark.state import ControlStore
+
+    with LoopbackReplicationServer(b"", consistent_point=40) as srv:
+        src = SocketReplicationSource("127.0.0.1", srv.port)
+        assert src.get_slot("s1") is None
+        src.create_slot("s1")
+        assert src.get_slot("s1") == (40, "reserved")
+        src.drop_slot("s1")
+        assert src.get_slot("s1") is None
+        src.close()
+
+
+def test_resolve_start_lsn_missing_slot_clears_stale_progress(tmp_path):
+    """Missing slot: stale durable progress from the previous lineage is
+    deleted BEFORE the new slot exists (the crash-window ordering,
+    worker.rs:375-384); start = the new consistent point."""
+    from etl_spark.state import ControlStore
+
+    control = ControlStore(root=str(tmp_path / "ctl"))
+    control.advance_flush_lsn(999)  # stale lineage
+    with LoopbackReplicationServer(b"", consistent_point=40) as srv:
+        src = SocketReplicationSource("127.0.0.1", srv.port)
+        start, created = live.resolve_start_lsn(src, control, "s1")
+        src.close()
+    assert (start, created) == (40, True)
+    assert int(control.flush_lsn) == 0  # stale progress gone
+
+
+def test_resolve_start_lsn_resume_floor_is_max_of_sources(tmp_path):
+    """Live slot: durable progress ahead of the slot's confirmed flush
+    wins (flushed batch whose feedback PG has not confirmed); behind, the
+    slot position wins (idle-only acks are not persisted)."""
+    from etl_spark.state import ControlStore
+
+    with LoopbackReplicationServer(b"", consistent_point=40) as srv:
+        src = SocketReplicationSource("127.0.0.1", srv.port)
+        src.create_slot("s1")
+        ahead = ControlStore(root=str(tmp_path / "a"))
+        ahead.advance_flush_lsn(70)
+        assert live.resolve_start_lsn(src, ahead, "s1") == (70, False)
+        behind = ControlStore(root=str(tmp_path / "b"))
+        behind.advance_flush_lsn(5)
+        assert live.resolve_start_lsn(src, behind, "s1") == (40, False)
+        src.close()
+
+
+def test_invalidated_slot_error_and_recreate_policies(tmp_path):
+    from etl_spark import telemetry
+    from etl_spark.state import ControlStore, TableEntry, TableState
+
+    reg = telemetry.MetricsRegistry()
+    with LoopbackReplicationServer(b"", consistent_point=40) as srv:
+        src = SocketReplicationSource("127.0.0.1", srv.port, metrics=reg)
+        src.create_slot("s1")
+        srv.invalidated.add("s1")  # WAL removed: wal_status='lost'
+        assert src.get_slot("s1")[1] == "lost"
+
+        control = ControlStore(root=str(tmp_path / "ctl"))
+        control.advance_flush_lsn(70)
+        control.tables["public.t"] = TableEntry(
+            table="public.t", state=TableState.READY, lsn=70)
+
+        with pytest.raises(live.SlotInvalidated, match="wal_status='lost'"):
+            live.resolve_start_lsn(src, control, "s1")
+        assert reg.value(telemetry.ETL_SLOT_INVALIDATIONS_TOTAL) == 1
+        # error policy must not have touched anything
+        assert int(control.flush_lsn) == 70
+        assert control.tables["public.t"].state == TableState.READY
+
+        start, created = live.resolve_start_lsn(
+            src, control, "s1", invalidated_slot_behavior="recreate")
+        src.close()
+    assert (start, created) == (40, True)
+    assert reg.value(telemetry.ETL_SLOT_INVALIDATIONS_TOTAL) == 2
+    # full re-sync posture: every table back to Init, progress deleted,
+    # slot dropped + recreated live on the server
+    assert control.tables["public.t"].state == TableState.INIT
+    assert int(control.flush_lsn) == 0
+    assert "s1" in srv.slots and "s1" not in srv.invalidated
+
+
+def test_resolve_start_lsn_recorded_twin(tmp_path):
+    """The recorded transport models the same three slot answers."""
+    from etl_spark.state import ControlStore
+
+    stream = _capture()
+    rec = live.RecordedReplicationSource(
+        stream, slot=live.SlotInfo("slot", consistent_point=12))
+    control = ControlStore(root=str(tmp_path / "ctl"))
+    rec.slot_exists = False
+    assert live.resolve_start_lsn(rec, control, "slot") == (12, True)
+    control.advance_flush_lsn(30)
+    assert live.resolve_start_lsn(rec, control, "slot") == (30, False)
+    rec.wal_status = "lost"
+    with pytest.raises(live.SlotInvalidated):
+        live.resolve_start_lsn(rec, control, "slot")
+    start, created = live.resolve_start_lsn(
+        rec, control, "slot", invalidated_slot_behavior="recreate")
+    assert (start, created) == (12, True)
+    assert rec.dropped_slots == ["slot"]
+    assert int(control.flush_lsn) == 0
+
+
+def test_run_live_resilient_survives_mid_stream_drops(spark, tmp_path):
+    """The apply worker restart loop: two injected mid-stream connection
+    drops (no CopyDone), automatic reconnect from the durable resume
+    floor, final table equals the no-crash run; worker-error counter
+    counts the drops."""
+    import threading
+    import time
+
+    from etl_spark import telemetry
+    from etl_spark.streaming.pipeline import Pipeline, TableConfig
+    from etl_spark.streaming.sinks import ParquetCurrentStateSink
+
+    stream = _capture()
+    src_dir = str(tmp_path / "frames")
+    os.makedirs(src_dir)
+    sink = ParquetCurrentStateSink(str(tmp_path / "sink"), keys=["pk"],
+                                   spark=spark)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([], "pk long, val string").write.parquet(snap)
+    cfg = TableConfig(name="public.t", snapshot_path=snap, keys=["pk"],
+                      payload_schema="pk long, val string")
+    pipe = Pipeline(spark, src_dir, [cfg], sink, str(tmp_path / "work"),
+                    source_fmt="pgoutput")
+
+    reg = telemetry.MetricsRegistry()
+    with LoopbackReplicationServer(stream) as srv:
+        srv.drop_after = [4, 7]  # first two streams cut abruptly
+        source = SocketReplicationSource("127.0.0.1", srv.port,
+                                         poll_timeout_s=0.2, metrics=reg)
+        pump = live.FrameFilePump(source, spark, src_dir,
+                                  control=pipe.control, batch_bytes=120)
+        stop = threading.Event()
+        t = threading.Thread(
+            target=pump.run_live_resilient,
+            args=(pipe, stop, "slot"),
+            kwargs={"wal_sender_timeout_s": 2.0, "backoff_s": 0.01},
+            daemon=True)
+        t.start()
+        deadline = time.time() + 60
+        want = {1: "a2", 2: "b", 3: "c"}
+        got = {}
+        while time.time() < deadline:
+            try:
+                got = {r.pk: r.val for r in
+                       sink.read("public.t").select("pk", "val").collect()}
+            except Exception:
+                got = {}
+            if got == want:
+                break
+            time.sleep(0.5)
+        stop.set()
+        t.join(timeout=30)
+        source.close()
+        assert got == want
+        assert srv.connections >= 3  # two drops + the surviving stream
+    assert reg.value(telemetry.ETL_WORKER_ERRORS_TOTAL) >= 2
+    assert not t.is_alive()
