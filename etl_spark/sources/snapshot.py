@@ -195,25 +195,48 @@ def snapshot_via_copy(
     source.simple_command("BEGIN READ ONLY ISOLATION LEVEL REPEATABLE READ")
     if snapshot_name:
         source.simple_command(f"SET TRANSACTION SNAPSHOT '{snapshot_name}'")
-    n = 0
-    for rng in (ctid_ranges or [None]):
+    for i, rng in enumerate(ctid_ranges or [None]):
         sql = build_copy_query(table, column_list, row_filter, rng)
-        for batch in source.copy_out(sql, max_bytes=batch_bytes):
-            n += 1
-            name = f"copy{n:06d}"
-            staging = os.path.join(out_dir, f".__copy_stage_{name}")
-            df = spark.createDataFrame(
-                pd.DataFrame({"line": pd.Series(
-                    (b.decode("utf-8") for b in batch), dtype="object")}),
-                schema="line string",
-            )
-            df.coalesce(1).write.mode("overwrite").parquet(staging)
-            part = next(p for p in os.listdir(staging)
-                        if p.endswith(".parquet"))
-            shutil.move(os.path.join(staging, part),
-                        os.path.join(out_dir, f"{name}.parquet"))
-            shutil.rmtree(staging)
+        _relay_copy(spark, source, sql, out_dir, f"w0p{i:03d}", batch_bytes)
     source.simple_command("COMMIT")
+    return decode_copy_lines(spark, out_dir, payload_schema)
+
+
+def _relay_copy(spark, source, sql: str, out_dir: str, prefix: str,
+                batch_bytes: int) -> int:
+    """Relay one ``copy_out`` stream into ``line string`` parquet files
+    named ``{prefix}_NNNNNN.parquet`` (atomic move; prefixes keep
+    parallel workers collision-free). Returns the file count."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    n = 0
+    for batch in source.copy_out(sql, max_bytes=batch_bytes):
+        n += 1
+        name = f"{prefix}_{n:06d}"
+        staging = os.path.join(out_dir, f".__copy_stage_{name}")
+        df = spark.createDataFrame(
+            pd.DataFrame({"line": pd.Series(
+                (b.decode("utf-8") for b in batch), dtype="object")}),
+            schema="line string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(p for p in os.listdir(staging)
+                    if p.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part),
+                    os.path.join(out_dir, f"{name}.parquet"))
+        shutil.rmtree(staging)
+    return n
+
+
+def decode_copy_lines(spark: SparkSession, out_dir: str,
+                      payload_schema: str) -> DataFrame:
+    """Distributed decode of relayed COPY text lines: the gate-proven
+    F10 unescape (``codec.copy_text_split``) + per-type casts."""
+    from etl_spark import codec
+    from etl_spark.publication import _split_schema_fields
 
     fields = _split_schema_fields(payload_schema)
     names = [f.split()[0] for f in fields]
@@ -229,3 +252,61 @@ def snapshot_via_copy(
         else:
             proj.append(cell.cast(typ).alias(name))
     return lines.select(*proj)
+
+
+def snapshot_via_copy_parallel(
+    spark: SparkSession,
+    make_source,
+    table: str,
+    payload_schema: str,
+    out_dir: str,
+    ctid_ranges: list[tuple[str | None, str | None]],
+    column_list: list[str] | None = None,
+    row_filter: str | None = None,
+    snapshot_name: str | None = None,
+    max_connections: int = 4,
+    batch_bytes: int = 8 << 20,
+) -> DataFrame:
+    """Parallel initial sync: one replication CONNECTION per ctid
+    partition, all anchored to the SAME exported snapshot — the
+    reference's ``max_copy_connections`` table-sync pool
+    (table_sync/copy.rs:143-160 sizes partitions per worker; every
+    worker transaction runs ``SET TRANSACTION SNAPSHOT`` so the slices
+    are one consistent cut, child.rs:35-45).
+
+    ``make_source`` builds a fresh transport per worker (a connection
+    carries one COPY stream at a time by protocol). Workers relay into
+    one ``out_dir`` under per-worker file prefixes; the decode is a
+    single distributed read over all slices. Errors in any worker
+    propagate (fail-fast: a partial snapshot is worthless).
+
+    Scale note: this is the wire-side S2 — the relay parallelism is
+    min(max_connections, len(ctid_ranges)) sockets on the driver, and
+    the real heavy lifting (unescape, casts, everything downstream)
+    stays distributed regardless.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def worker(item) -> int:
+        i, rng = item
+        src = make_source()
+        try:
+            src.simple_command(
+                "BEGIN READ ONLY ISOLATION LEVEL REPEATABLE READ")
+            if snapshot_name:
+                src.simple_command(
+                    f"SET TRANSACTION SNAPSHOT '{snapshot_name}'")
+            sql = build_copy_query(table, column_list, row_filter, rng)
+            n = _relay_copy(spark, src, sql, out_dir, f"w{i:03d}",
+                            batch_bytes)
+            src.simple_command("COMMIT")
+            return n
+        finally:
+            src.close()
+
+    with ThreadPoolExecutor(max_workers=max_connections) as pool:
+        list(pool.map(worker, enumerate(ctid_ranges)))  # raises on error
+    return decode_copy_lines(spark, out_dir, payload_schema)

@@ -900,21 +900,30 @@ class LoopbackReplicationServer:
 
     # -- serving -----------------------------------------------------------
     def _serve(self) -> None:
+        import threading
+
         while not self._stop.is_set():
             try:
                 conn, _ = self._listener.accept()
             except OSError:
                 return  # listener closed by stop()
             self.connections += 1
+            # one thread per connection (round 13): parallel initial-sync
+            # connections — the reference's max_copy_connections — must
+            # progress concurrently, not serialize behind the accept loop
+            threading.Thread(target=self._handle_one, args=(conn,),
+                             daemon=True).start()
+
+    def _handle_one(self, conn: socket.socket) -> None:
+        try:
+            self._handle(conn)
+        except (ConnectionError, OSError, ValueError):
+            pass  # client vanished mid-protocol
+        finally:
             try:
-                self._handle(conn)
-            except (ConnectionError, OSError, ValueError):
-                pass  # client vanished mid-protocol: next accept
-            finally:
-                try:
-                    conn.close()
-                except OSError:
-                    pass
+                conn.close()
+            except OSError:
+                pass
 
     @staticmethod
     def _read_untagged(conn: socket.socket) -> bytes | None:
@@ -1161,7 +1170,15 @@ class LoopbackReplicationServer:
     def _reply_copy_out(self, conn: socket.socket, q: str) -> None:
         """``COPY ... TO STDOUT``: CopyOutResponse, one CopyData per
         pre-rendered line (trailing newline appended, as the backend
-        does), CopyDone, ``COPY <n>`` complete."""
+        does), CopyDone, ``COPY <n>`` complete.
+
+        A table registered as a DICT models ctid partitions: keys are
+        the range's START tid literal (None for the open-start range),
+        matched against the ``ctid >= '(b,1)'::tid`` predicate in the
+        copy SQL — so a parallel multi-connection sync can be proven to
+        fetch disjoint slices."""
+        import re as _re
+
         name = next((t for t in self.tables if t in q), None)
         if name is None:
             conn.sendall(pq_message(
@@ -1169,6 +1186,15 @@ class LoopbackReplicationServer:
             conn.sendall(pq_message(b"Z", b"I"))
             return
         lines = self.tables[name]
+        if isinstance(lines, dict):
+            m = _re.search(r"ctid >= '(\([0-9]+,[0-9]+\))'::tid", q)
+            key = m.group(1) if m else None
+            if key not in lines:
+                conn.sendall(pq_message(
+                    b"E", b"SERROR\0Munknown ctid partition\0\0"))
+                conn.sendall(pq_message(b"Z", b"I"))
+                return
+            lines = lines[key]
         conn.sendall(pq_message(b"H", struct.pack(">bh", 0, 0)))
         for line in lines:
             conn.sendall(pq_message(b"d", line + b"\n"))

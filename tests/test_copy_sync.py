@@ -153,3 +153,49 @@ def test_copy_rows_metric_increments(spark, tmp_path):
                           str(tmp_path / "c")).count()
         src.close()
     assert reg.value(telemetry.ETL_TABLE_COPY_ROWS_TOTAL) == 3
+
+
+def test_parallel_ctid_copy_over_concurrent_connections(spark, tmp_path):
+    """One connection per ctid partition, all anchored to the same
+    exported snapshot, relaying disjoint slices concurrently into one
+    decode (the reference's max_copy_connections pool)."""
+    from etl_spark.sources.snapshot import snapshot_via_copy_parallel
+
+    ranges = [(None, "(8,1)"), ("(8,1)", "(16,1)"), ("(16,1)", None)]
+    slices = {
+        None: [b"1\ta", b"2\tb"],
+        "(8,1)": [b"3\tc", b"4\td"],
+        "(16,1)": [b"5\te"],
+    }
+    with LoopbackReplicationServer(
+            b"", consistent_point=9, snapshot_name="snap-p",
+            tables={"public.t": slices}) as srv:
+        probe = SocketReplicationSource("127.0.0.1", srv.port)
+        slot = probe.create_slot("s", export_snapshot=True)
+        out = snapshot_via_copy_parallel(
+            spark,
+            lambda: SocketReplicationSource("127.0.0.1", srv.port),
+            "public.t", "pk long, v string", str(tmp_path / "copy"),
+            ctid_ranges=ranges, snapshot_name=slot.snapshot_name,
+            max_connections=3)
+        probe.close()
+        got = {r.pk: r.v for r in out.collect()}
+        assert got == {1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}
+        # one probe + three worker connections, each snapshot-anchored
+        assert srv.connections == 4
+        anchors = [c for c in srv.commands
+                   if c.upper().startswith("SET TRANSACTION SNAPSHOT")]
+        assert len(anchors) == 3 and all("snap-p" in a for a in anchors)
+
+
+def test_parallel_copy_worker_failure_propagates(spark, tmp_path):
+    from etl_spark.sources.snapshot import snapshot_via_copy_parallel
+
+    with LoopbackReplicationServer(
+            b"", tables={"public.t": {None: [b"1\ta"]}}) as srv:
+        with pytest.raises(RuntimeError, match="unknown ctid partition"):
+            snapshot_via_copy_parallel(
+                spark,
+                lambda: SocketReplicationSource("127.0.0.1", srv.port),
+                "public.t", "pk long, v string", str(tmp_path / "c"),
+                ctid_ranges=[(None, "(8,1)"), ("(99,1)", None)])
