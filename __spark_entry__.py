@@ -33,7 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never goes stale. The tail is everything with a newer green row.
 
     ROUND-13 WINDOW (r12 verdict item #1: drain the r8 tail):
-    [round-13 NEW ops: pgoutput_socket_tls_decode — the socket gate
+    [round-13 NEW ops: events_chisq_independence — Pearson chi-square
+    independence over the event_type × day-of-week contingency,
+    decimal-exact term sums; orders_mann_whitney — tie-corrected
+    Mann-Whitney U via the two-pass range-bucket exact ranking (never a
+    global no-partition window); lineitem_spearman_correlations —
+    Spearman rho on tied-average ranks from ONE contingency-cube scan;
+    events_heavy_hitters_mg — EXACT heavy hitters via per-partition
+    Misra-Gries candidate pruning + broadcast re-count;
+    pgoutput_socket_tls_decode — the socket gate
     over TLS: SSLRequest preamble, stdlib ssl at verify-full against a
     gate-minted self-signed root, hostssl-style server; oracle identical
     to pgoutput_decode — encryption must be invisible;
@@ -55,15 +63,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte/connect counters; re-record]
     + [ALL 23 remaining r8-latest rows (docs_repetition ...
     stream_windowed_watermark) — the r8 tail empties this round]
-    + [20 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
-    events_anomaly_mad); the remaining 25 (events_gapfill_locf ...
-    vocab_topk_coverage) lead the r14 queue]. Tail = those 25 r9 rows,
-    then r10/r11/r12 green rows. After this round nothing recorded is
-    older than r9. All 50 window entries verified locally via
-    tools/check_oracle.py at sf0.01 before rotation (COVERAGE.md).
+    + [16 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    docs_top_terms's predecessor cut: the four late analytics ops above
+    pushed docs_quality_calibration / docs_top_terms / embed_near_dup /
+    events_anomaly_mad past the 50-cut; those four plus the remaining 25
+    (events_gapfill_locf ... vocab_topk_coverage) lead the r14 queue].
+    Tail = those 29 r9 rows, then r10/r11/r12 green rows. After this
+    round nothing recorded is older than r9. All 50 window entries
+    verified locally via tools/check_oracle.py at sf0.01 before rotation
+    (COVERAGE.md).
     """
     return {
         # --- round-13 NEW ops ---
+        "events_chisq_independence": workload_relational.events_chisq_independence,
+        "orders_mann_whitney": workload_relational.orders_mann_whitney,
+        "lineitem_spearman_correlations": workload_relational.lineitem_spearman_correlations,
+        "events_heavy_hitters_mg": workload_relational.events_heavy_hitters_mg,
         "pgoutput_socket_tls_decode": workload.pgoutput_socket_tls_decode,
         "cdc_socket_copy_sync": workload.cdc_socket_copy_sync,
         "lineitem_theil_index": workload_relational.lineitem_theil_index,
@@ -115,12 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clean": workload_text.docs_clean,
         "docs_langid_confusion": workload_text.docs_langid_confusion,
         "docs_length_histogram": workload_text.docs_length_histogram,
+        # ================= tail (newer green rows) =================
+        # remaining r9 rows (lead the r14 window; the four late round-13
+        # analytics ops pushed docs_quality_calibration ...
+        # events_anomaly_mad past the 50-cut — they join the r14 front)
         "docs_quality_calibration": workload_text.docs_quality_calibration,
         "docs_top_terms": workload_text.docs_top_terms,
         "embed_near_dup": workload_text.embed_near_dup,
         "events_anomaly_mad": workload_relational.events_anomaly_mad,
-        # ================= tail (newer green rows) =================
-        # remaining r9 rows (lead the r14 window)
         "events_gapfill_locf": workload_relational.events_gapfill_locf,
         "q10_returned_items": workload_relational.q10_returned_items,
         "q13_customer_distribution": workload_relational.q13_customer_distribution,

@@ -219,6 +219,10 @@ HEADLINE = [
     "orders_runs_test",
     "docs_simpson_diversity",
     "docs_containment_audit",
+    "events_chisq_independence",
+    "orders_mann_whitney",
+    "lineitem_spearman_correlations",
+    "events_heavy_hitters_mg",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate

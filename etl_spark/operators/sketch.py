@@ -257,3 +257,46 @@ def count_min_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cm_est"))
     )
+
+
+def misra_gries_candidates(df: DataFrame, key: str, k: int = 128) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter summaries (Misra & Gries
+    '82), batch-merged with the mergeable-summary decrement rule
+    (Agarwal et al., "Mergeable Summaries", PODS '12): each Arrow batch's
+    exact value_counts folds into at most ``k`` weighted counters; when
+    more than ``k`` keys remain, the (k+1)-st largest weight is
+    subtracted from ALL counters and non-positive keys drop (at most k
+    survive, each undercounted by at most the evicted mass).
+
+    Guarantee used by callers: a partition's summary error is ≤
+    n_p/(k+1), so any key with GLOBAL frequency > Σ n_p/(k+1) = n/(k+1)
+    retains a positive counter in at least one partition — the union of
+    survivors is a superset of every such key, and an exact re-count of
+    that candidate set is a PROVABLY complete heavy-hitter answer
+    (events_heavy_hitters_mg).
+
+    Scale shape: state is a ≤k-entry dict per partition; output is ≤ k
+    rows per partition (``lower_bound`` = the residual counter, a lower
+    bound on partition frequency). The input column must be integral
+    (reference sketch-family discipline: sketch_count_min_users).
+    """
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key_val, c in pdf[df_key].value_counts().items():
+                counters[key_val] = counters.get(key_val, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kv: c - kth for kv, c in counters.items() if c > kth
+                }
+        yield pd.DataFrame(
+            {df_key: list(counters), "lower_bound": list(counters.values())},
+            columns=[df_key, "lower_bound"],
+        ).astype({df_key: "int64", "lower_bound": "int64"})
+
+    df_key = key
+    return df.select(key).mapInPandas(mg, f"{key} long, lower_bound long")

@@ -4940,3 +4940,124 @@ SELECT id_a AS doc_id, n_a, CAST(n_containers AS BIGINT) AS n_containers,
        round(containment, 6) AS best_containment, id_b AS container_id
 FROM ranked WHERE rn = 1
 """
+
+ORACLES["events_chisq_independence"] = """
+WITH cells AS (
+  SELECT event_type,
+         ((epoch_ns(ts) // 1000000000 // 86400) + 4) % 7 AS dow,
+         count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, sum(obs) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT dow, sum(obs) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs) AS n, count(DISTINCT event_type) AS r,
+               count(DISTINCT dow) AS c FROM cells),
+grid AS (SELECT * FROM rows_m CROSS JOIN cols_m),
+j AS (
+  SELECT g.row_n, g.col_n, coalesce(ce.obs, 0) AS obs, t.n, t.r, t.c
+  FROM grid g
+  LEFT JOIN cells ce ON g.event_type = ce.event_type AND g.dow = ce.dow
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT n, r, c,
+         CAST(round((obs - CAST(row_n AS DOUBLE) * col_n / n)
+                    * (obs - CAST(row_n AS DOUBLE) * col_n / n)
+                    / (CAST(row_n AS DOUBLE) * col_n / n), 9)
+              AS DECIMAL(38,9)) AS term
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+FROM terms GROUP BY n, r, c
+"""
+
+ORACLES["orders_mann_whitney"] = """
+WITH o AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+vals AS (SELECT v, sum(hi) AS c1, sum(1 - hi) AS c2 FROM o GROUP BY 1),
+ranked AS (
+  SELECT c1, c2, c1 + c2 AS t,
+         2 * coalesce(sum(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c1 + c2) + 1 AS r2
+  FROM vals
+),
+agg AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2,
+         sum(CAST(c1 AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))) AS rs2,
+         sum(CAST(t AS DECIMAL(19,0)) * t * t - t) AS ties
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n_hi, CAST(n2 AS BIGINT) AS n_lo,
+  round((CAST(rs2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2, 1) AS u_stat,
+  round(((CAST(rs2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+        / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                  - CAST(ties AS DOUBLE)
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS z_score
+FROM agg
+"""
+
+ORACLES["lineitem_spearman_correlations"] = """
+WITH cells3 AS (
+  SELECT l_quantity AS q, l_discount AS d, l_tax AS tx, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+),
+mq AS (SELECT q, sum(cnt) AS t FROM cells3 GROUP BY 1),
+rq AS (SELECT q, 2 * coalesce(sum(t) OVER (ORDER BY q
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2q
+       FROM mq),
+md AS (SELECT d, sum(cnt) AS t FROM cells3 GROUP BY 1),
+rd AS (SELECT d, 2 * coalesce(sum(t) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2d
+       FROM md),
+mt AS (SELECT tx, sum(cnt) AS t FROM cells3 GROUP BY 1),
+rt AS (SELECT tx, 2 * coalesce(sum(t) OVER (ORDER BY tx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2t
+       FROM mt),
+j AS (
+  SELECT c.cnt, rq.r2q, rd.r2d, rt.r2t
+  FROM cells3 c
+  JOIN rq ON c.q = rq.q JOIN rd ON c.d = rd.d JOIN rt ON c.tx = rt.tx
+),
+agg AS (
+  SELECT sum(cnt) AS n,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2q AS DECIMAL(19,0))) AS sq,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2d AS DECIMAL(19,0))) AS sd,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2t AS DECIMAL(19,0))) AS st,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2q AS DECIMAL(19,0)) * CAST(r2d AS DECIMAL(19,0))) AS sqd,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2q AS DECIMAL(19,0)) * CAST(r2t AS DECIMAL(19,0))) AS sqt,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2d AS DECIMAL(19,0)) * CAST(r2t AS DECIMAL(19,0))) AS sdt,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2q AS DECIMAL(19,0)) * CAST(r2q AS DECIMAL(19,0))) AS sq2,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2d AS DECIMAL(19,0)) * CAST(r2d AS DECIMAL(19,0))) AS sd2,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(r2t AS DECIMAL(19,0)) * CAST(r2t AS DECIMAL(19,0))) AS st2
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+  round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS rho_qty_discount,
+  round((CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS rho_qty_tax,
+  round((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS rho_discount_tax
+FROM agg
+"""
+
+ORACLES["events_heavy_hitters_mg"] = """
+WITH tot AS (SELECT count(*) AS n FROM events)
+SELECT user_id, count(*) AS freq,
+       round(CAST(count(*) AS DOUBLE) / n, 6) AS share
+FROM events CROSS JOIN tot
+GROUP BY user_id, n
+HAVING count(*) * 128 > n
+"""

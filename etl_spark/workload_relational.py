@@ -3946,3 +3946,277 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_r, 6).alias("expected_runs"),
         F.round((r_ - exp_r) / F.sqrt(var_r), 6).alias("z_score"),
     )
+
+
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence, event_type × day-of-week
+    (X176, round 13): the categorical-drift audit a curation pipeline
+    runs before trusting a source mix — a large statistic means event
+    composition depends on weekday (seasonality / logging skew), the
+    categorical complement to events_ks_drift's continuous test.
+
+    Shape: ONE map-combined keyed shuffle over the raw stream (the
+    contingency cells); everything below — marginals, the full r×c grid
+    (absent cells contribute their expected count, per the standard
+    statistic), per-cell terms — runs on the metadata-sized cell table
+    and broadcasts. Terms are 9-dp-rounded into exact decimal sums (the
+    lineitem_theil_index determinism discipline), so the oracle hash
+    matches at any partitioning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # epoch-day arithmetic on the raw nanos long (epoch day 0 was a
+    # Thursday → +4 lands Sunday on 0) — integer-exact on both engines
+    # and pushdown-friendly, the events_hourly_rollup discipline.
+    dow = (F.expr("ts div 1000000000 div 86400") + 4) % 7
+    # the contingency table is metadata-sized and feeds FOUR branches
+    # (marginals, totals, grid join) — checkpoint it so the raw stream
+    # scans exactly once (the lineitem_spearman_correlations pattern).
+    cells = (
+        ev.groupBy("event_type", dow.alias("dow"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    cols_m = cells.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    grid = rows_m.crossJoin(F.broadcast(cols_m))
+    j = (
+        grid.join(cells, ["event_type", "dow"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    term = F.round(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 9
+    ).cast("decimal(38,9)")
+    out = j.groupBy("n", "r", "c").agg(F.sum(term).alias("chi2s"))
+    return out.select(
+        F.col("n").alias("n_events"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.col("chi2s").cast("double"), 6).alias("chi2"),
+    )
+
+
+def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (X177, round 13): do URGENT/HIGH
+    priority orders draw from the same value distribution as the rest?
+    The distribution-free two-sample complement to events_welch_ttest
+    (which assumes normality); tie-corrected normal approximation.
+
+    Scale shape: average ranks come from the same two-pass range-bucket
+    scheme as orders_decile_bands / events_ks_drift — NEVER a global
+    no-partition window over raw orders. Orders collapse to DISTINCT
+    values first (one map-combined shuffle, exact per-group counts);
+    distinct values range-bucket on a broadcast min/max, per-bucket
+    totals give broadcast prefix offsets via a ≤KS_RANGE_BUCKETS-row
+    window, and 2×avg-rank is exact integer arithmetic (bucket offset +
+    within-bucket prefix + tied-count + 1, doubled to stay integral).
+    Rank-sum and tie terms accumulate as decimal(38,0) — exact to
+    n ≈ 10^12 rows — and only the final U/z division is floating.
+    """
+    B = KS_RANGE_BUCKETS
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("hi"),
+    )
+    # distinct-value collapse feeds THREE branches (min/max, bucket
+    # totals, the ranked join) — checkpoint the collapsed table so raw
+    # orders scans exactly once; materializing the collapse once beats
+    # three full rescans at any corpus size.
+    vals = (
+        o.groupBy("v")
+        .agg(
+            F.sum("hi").alias("c1"),
+            F.sum(F.lit(1) - F.col("hi")).alias("c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = vals.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bkt = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("v") - F.col("__lo")) / (span / B)).cast("int"),
+        )
+    )
+    bucketed = (
+        vals.join(F.broadcast(rng), how="cross")
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__hi")
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    per_bucket = bucketed.groupBy("__bkt").agg(F.sum("t").alias("__c"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(wb), F.lit(0))
+    )
+    wv = (
+        Window.partitionBy("__bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets.select("__bkt", "__off")), "__bkt")
+        .withColumn("__pre", F.coalesce(F.sum("t").over(wv), F.lit(0)))
+        .withColumn(
+            "r2",
+            2 * (F.col("__off") + F.col("__pre")) + F.col("t") + 1,
+        )
+    )
+    t_dec = F.col("t").cast("decimal(19,0)")
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            (F.col("c1").cast("decimal(19,0)") * F.col("r2")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("rs2"),
+        F.sum((t_dec * t_dec * t_dec - t_dec).cast("decimal(38,0)")).alias(
+            "ties"
+        ),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u = (
+        F.col("rs2").cast("double")
+        - n1d * (n1d + 1.0)
+    ) / 2.0
+    mu = n1d * n2d / 2.0
+    sig2 = (
+        n1d * n2d / 12.0
+        * ((nd + 1.0) - F.col("ties").cast("double") / (nd * (nd - 1.0)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_hi"),
+        F.col("n2").cast("long").alias("n_lo"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(sig2), 6).alias("z_score"),
+    )
+
+
+def lineitem_spearman_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations between quantity / discount / tax
+    (X178, round 13): Pearson on tied-average ranks — the monotone-
+    association complement to lineitem_metric_correlations' Pearson
+    (which a single heavy-tailed metric can dominate). Classic tied-rank
+    construction: rank(v) = (count below v) + (tied count + 1)/2.
+
+    Scale shape: lineitem collapses ONCE to the (quantity, discount,
+    tax) contingency cells — a bounded-domain cube (≤ ~5k cells at any
+    corpus size), localCheckpointed so the single scan serves all three
+    pairs. Marginal 2×avg-ranks come from unpartitioned windows over the
+    ≤50-row per-column value series (metadata-sized by construction,
+    same adjudication as orders_runs_test); weighted rank sums
+    accumulate as exact decimal(38,0) and only the final rho division is
+    floating (double algebra identical on both engines).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cells3 = (
+        li.groupBy("l_quantity", "l_discount", "l_tax")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+    def rank2(col: str):
+        m = cells3.groupBy(col).agg(F.sum("cnt").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return m.withColumn(
+            "r2_" + col,
+            2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1,
+        ).select(col, "r2_" + col)
+
+    j = (
+        cells3.join(F.broadcast(rank2("l_quantity")), "l_quantity")
+        .join(F.broadcast(rank2("l_discount")), "l_discount")
+        .join(F.broadcast(rank2("l_tax")), "l_tax")
+    )
+
+    def sums(x: str, y: str, tag: str):
+        wd = F.col("cnt").cast("decimal(38,0)")
+        rx, ry = F.col("r2_" + x).cast("decimal(19,0)"), F.col(
+            "r2_" + y
+        ).cast("decimal(19,0)")
+        return [
+            F.sum(wd * rx).alias(f"sx_{tag}"),
+            F.sum(wd * ry).alias(f"sy_{tag}"),
+            F.sum(wd * rx * ry).alias(f"sxy_{tag}"),
+            F.sum(wd * rx * rx).alias(f"sx2_{tag}"),
+            F.sum(wd * ry * ry).alias(f"sy2_{tag}"),
+        ]
+
+    agg = j.agg(
+        F.sum("cnt").alias("n"),
+        *sums("l_quantity", "l_discount", "qd"),
+        *sums("l_quantity", "l_tax", "qt"),
+        *sums("l_discount", "l_tax", "dt"),
+    )
+
+    def rho(tag: str):
+        nd = F.col("n").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        sx2 = F.col(f"sx2_{tag}").cast("double")
+        sy2 = F.col(f"sy2_{tag}").cast("double")
+        return F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)),
+            6,
+        )
+
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        rho("qd").alias("rho_qty_discount"),
+        rho("qt").alias("rho_qty_tax"),
+        rho("dt").alias("rho_discount_tax"),
+    )
+
+
+def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via a Misra–Gries candidate pass (X179,
+    round 13): which users exceed a 1/k share of the event stream?
+    Two-phase: per-partition MG(k) summaries (Misra & Gries '82;
+    mergeable decrement rule of Agarwal et al., "Mergeable Summaries",
+    PODS '12) prune the key space, then an exact re-count of the ≤ k·P
+    candidates. The MG superset guarantee (any key with global freq >
+    n/(k+1) keeps a positive counter in ≥1 partition) makes the final
+    freq·k > n filter EXACTLY the true heavy-hitter set — the sketch
+    only prunes, never decides.
+
+    Scale shape: the raw stream NEVER shuffles on the full key domain —
+    phase 1 ships ≤ k rows per partition; phase 2 is a broadcast
+    semi-join + map-combined count whose shuffle is partitions ×
+    |candidates|. Contrast sketch_count_min_users (point estimates,
+    collision-bounded): this form returns exact frequencies with a
+    proof, at the cost of a second scan.
+    """
+    K = 128
+    from etl_spark.operators.sketch import misra_gries_candidates
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cand = misra_gries_candidates(ev, "user_id", k=K).select(
+        "user_id"
+    ).distinct()
+    tot = ev.agg(F.count("*").alias("n"))
+    exact = ev.join(F.broadcast(cand), "user_id").groupBy("user_id").agg(
+        F.count("*").alias("freq")
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * K > F.col("n"))
+        .select(
+            "user_id",
+            "freq",
+            F.round(
+                F.col("freq").cast("double") / F.col("n"), 6
+            ).alias("share"),
+        )
+    )

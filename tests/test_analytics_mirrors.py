@@ -453,3 +453,149 @@ def test_doulion_sample_estimates_exact_triangles(spark):
     assert exact > 0
     rel_err = abs(est_row.est_triangles - exact) / exact
     assert rel_err < 0.35, (est_row.est_triangles, exact, rel_err)
+
+
+def test_chisq_matches_python(spark):
+    """events_chisq_independence vs a plain-Python contingency chi-square
+    (full r×c grid including absent cells)."""
+    from collections import Counter
+
+    rows = read_table(spark, SF_DIR, "events").select("event_type", "ts").collect()
+    obs = Counter(
+        (r["event_type"], ((r["ts"] // 1_000_000_000 // 86400) + 4) % 7)
+        for r in rows
+    )
+    types = sorted({t for t, _ in obs})
+    dows = sorted({d for _, d in obs})
+    n = sum(obs.values())
+    row_n = {t: sum(c for (tt, _), c in obs.items() if tt == t) for t in types}
+    col_n = {d: sum(c for (_, dd), c in obs.items() if dd == d) for d in dows}
+    chi2 = sum(
+        (obs.get((t, d), 0) - row_n[t] * col_n[d] / n) ** 2
+        / (row_n[t] * col_n[d] / n)
+        for t in types
+        for d in dows
+    )
+    got = workload_relational.events_chisq_independence(spark, SF_DIR).collect()[0]
+    assert got["n_events"] == n
+    assert got["dof"] == (len(types) - 1) * (len(dows) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-5
+
+
+def test_mann_whitney_matches_python(spark):
+    """orders_mann_whitney vs a plain-Python tied-average-rank U/z."""
+    rows = read_table(
+        spark, SF_DIR, "orders"
+    ).select("o_totalprice", "o_orderpriority").collect()
+    hi = [r["o_totalprice"] for r in rows
+          if r["o_orderpriority"] in ("1-URGENT", "2-HIGH")]
+    lo = [r["o_totalprice"] for r in rows
+          if r["o_orderpriority"] not in ("1-URGENT", "2-HIGH")]
+    pooled = sorted([(v, 1) for v in hi] + [(v, 0) for v in lo])
+    # tied average ranks
+    ranks, i = {}, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        ranks[pooled[i][0]] = (i + 1 + j) / 2  # avg of ranks i+1..j
+        i = j
+    n1, n2 = len(hi), len(lo)
+    rank_sum = sum(ranks[v] for v in hi)
+    u = rank_sum - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    from collections import Counter
+
+    tie_term = sum(t**3 - t for t in Counter(v for v, _ in pooled).values())
+    mu = n1 * n2 / 2
+    sig2 = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u - mu) / sig2**0.5
+    got = workload_relational.orders_mann_whitney(spark, SF_DIR).collect()[0]
+    assert (got["n_hi"], got["n_lo"]) == (n1, n2)
+    assert abs(got["u_stat"] - u) < 0.51  # spark rounds to 1 dp
+    assert abs(got["z_score"] - z) < 1e-5
+
+
+def test_spearman_matches_python(spark):
+    """lineitem_spearman_correlations vs numpy Pearson on tied ranks."""
+    import numpy as np
+
+    rows = read_table(
+        spark, SF_DIR, "lineitem"
+    ).select("l_quantity", "l_discount", "l_tax").collect()
+
+    def avg_ranks(xs):
+        order = np.argsort(np.asarray(xs), kind="stable")
+        ranks = np.empty(len(xs))
+        sorted_x = np.asarray(xs)[order]
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and sorted_x[j] == sorted_x[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    q = avg_ranks([r["l_quantity"] for r in rows])
+    d = avg_ranks([r["l_discount"] for r in rows])
+    t = avg_ranks([r["l_tax"] for r in rows])
+
+    def pearson(x, y):
+        return float(np.corrcoef(x, y)[0, 1])
+
+    got = workload_relational.lineitem_spearman_correlations(
+        spark, SF_DIR
+    ).collect()[0]
+    assert got["n_rows"] == len(rows)
+    assert abs(got["rho_qty_discount"] - pearson(q, d)) < 1e-5
+    assert abs(got["rho_qty_tax"] - pearson(q, t)) < 1e-5
+    assert abs(got["rho_discount_tax"] - pearson(d, t)) < 1e-5
+
+
+def test_misra_gries_superset_guarantee(spark):
+    """Randomized: the union of per-partition MG survivors must contain
+    EVERY key with global frequency > n/(k+1), and ship ≤ k rows per
+    partition — the two properties events_heavy_hitters_mg's exactness
+    proof rests on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.sketch import misra_gries_candidates
+
+    rng = np.random.default_rng(13)
+    # zipf-ish skew over a 4000-key domain, far more keys than k
+    keys = (rng.zipf(1.3, size=20000) % 4000).astype("int64")
+    parts = 8
+    df = spark.createDataFrame(
+        [(int(x),) for x in keys], "user_id long"
+    ).repartition(parts)
+    k = 16
+    out = misra_gries_candidates(df, "user_id", k=k)
+    survivors = {r["user_id"] for r in out.collect()}
+    assert out.count() <= parts * k
+    from collections import Counter
+
+    exact = Counter(int(x) for x in keys)
+    n = len(keys)
+    must_keep = {kk for kk, c in exact.items() if c > n / (k + 1)}
+    assert must_keep, "test data produced no heavy keys — tighten the skew"
+    assert must_keep <= survivors, sorted(must_keep - survivors)
+
+
+def test_heavy_hitters_mg_equals_exact(spark):
+    """The full two-phase operator returns EXACTLY the true heavy-hitter
+    set with exact frequencies (the sketch only prunes)."""
+    from collections import Counter
+
+    rows = read_table(spark, SF_DIR, "events").select("user_id").collect()
+    exact = Counter(r["user_id"] for r in rows)
+    n = len(rows)
+    want = {u: c for u, c in exact.items() if c * 128 > n}
+    got = {
+        r["user_id"]: r["freq"]
+        for r in workload_relational.events_heavy_hitters_mg(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want

@@ -1274,3 +1274,56 @@ def test_simpson_diversity_two_map_combined_shuffles(spark):
     assert "text" in scan and "n_chars" not in scan
     assert "Window" not in plan
     assert plan.count("partial_count") + plan.count("partial_sum") >= 1
+
+
+def test_chisq_single_materialization_no_rescan(spark):
+    """events_chisq_independence: the contingency table is checkpointed,
+    so the four downstream branches (marginals, totals, grid) must NOT
+    re-scan parquet — the raw stream is read exactly once (inside the
+    checkpoint); everything in the outer plan is metadata-sized."""
+    plan = plan_of(workload_relational.events_chisq_independence(spark, SF_DIR))
+    assert "Scan parquet" not in plan, "a branch re-scans the raw events"
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 5, plan
+
+
+def test_mann_whitney_collapse_then_bucketed_rank(spark):
+    """orders_mann_whitney: distinct-value collapse is checkpointed (one
+    raw scan); ranks come from the bucketed two-pass scheme — exactly
+    two Window nodes (the ≤64-row offset prefix and the
+    bucket-partitioned prefix), never a global window over raw orders."""
+    import re
+
+    plan = plan_of(workload_relational.orders_mann_whitney(spark, SF_DIR))
+    assert "Scan parquet" not in plan, "a branch re-scans raw orders"
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_one_cube_scan_metadata_windows(spark):
+    """lineitem_spearman_correlations: ONE checkpointed contingency-cube
+    scan serves all three pairs; the three marginal-rank windows run on
+    ≤50-row value series; rank sides broadcast back."""
+    import re
+
+    plan = plan_of(
+        workload_relational.lineitem_spearman_correlations(spark, SF_DIR)
+    )
+    assert "Scan parquet" not in plan, "a pair branch re-scans lineitem"
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 3, plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_scan_prunes_and_broadcasts(spark):
+    """events_heavy_hitters_mg: both data scans prune to user_id alone;
+    the candidate set joins back as a BROADCAST (the raw stream never
+    shuffles on the key domain); the MG stage is Arrow mapInPandas."""
+    plan = plan_of(workload_relational.events_heavy_hitters_mg(spark, SF_DIR))
+    for scan_schema in plan.split("ReadSchema: ")[1:]:
+        head = scan_schema.split("\n", 1)[0]
+        assert head in ("struct<user_id:bigint>", "struct<>"), head
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 3, plan
