@@ -196,6 +196,11 @@ QUERIES = [
     "docs_profile_hll",
     "docs_boilerplate_coverage",
     "events_quantile_sketch",
+    # round-13 additions: the four statistics/sketch operators
+    "events_chisq_independence",
+    "orders_mann_whitney",
+    "lineitem_spearman_correlations",
+    "events_heavy_hitters_mg",
 ]
 
 
