@@ -223,6 +223,8 @@ HEADLINE = [
     "orders_mann_whitney",
     "lineitem_spearman_correlations",
     "events_heavy_hitters_mg",
+    "dedup_minhash_accuracy",
+    "corpus_dedup_threshold_curve",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate

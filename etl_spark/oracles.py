@@ -5061,3 +5061,100 @@ FROM events CROSS JOIN tot
 GROUP BY user_id, n
 HAVING count(*) * 128 > n
 """
+
+ORACLES["dedup_minhash_accuracy"] = f"""
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+estm AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS matches
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS union_
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+),
+j AS (
+  SELECT v.id_a, v.id_b,
+         v.inter / greatest(v.union_, 1) AS jac,
+         e.matches / 16.0 AS estv
+  FROM verified v JOIN estm e ON e.id_a = v.id_a AND e.id_b = v.id_b
+),
+terms AS (
+  SELECT CAST(floor(jac * 10) AS INT) AS jaccard_decile,
+         CAST(round(estv, 9) AS DECIMAL(38,9)) AS t_est,
+         CAST(round(jac, 9) AS DECIMAL(38,9)) AS t_jac,
+         CAST(round(abs(estv - jac), 9) AS DECIMAL(38,9)) AS t_err
+  FROM j
+)
+SELECT jaccard_decile, count(*) AS n_pairs,
+       round(CAST(sum(t_est) AS DOUBLE) / count(*), 6) AS mean_est,
+       round(CAST(sum(t_jac) AS DOUBLE) / count(*), 6) AS mean_exact,
+       round(CAST(sum(t_err) AS DOUBLE) / count(*), 6) AS mean_abs_err
+FROM terms GROUP BY 1
+"""
+
+ORACLES["corpus_dedup_threshold_curve"] = f"""
+WITH {TOKS_CTE}, {SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s))
+           / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1)
+           AS jaccard
+  FROM cand c JOIN ss sa ON sa.doc_id = c.id_a JOIN ss sb ON sb.doc_id = c.id_b
+),
+ths AS (SELECT unnest(range(30, 91, 10)) AS t),
+tall AS (
+  SELECT v.id_a, v.id_b, v.jaccard, ths.t
+  FROM verified v CROSS JOIN ths
+  WHERE v.jaccard * 100 >= ths.t
+),
+per_t AS (
+  SELECT t, count(*) AS n_pairs,
+         sum(CAST(round(jaccard, 9) AS DECIMAL(38,9))) AS sj
+  FROM tall GROUP BY 1
+),
+ids AS (SELECT t, unnest([id_a, id_b]) AS doc FROM tall),
+docs_t AS (SELECT t, count(DISTINCT doc) AS n_dup_docs FROM ids GROUP BY 1)
+SELECT ths.t / 100.0 AS threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       round(CAST(p.sj AS DOUBLE) / coalesce(p.n_pairs, 0), 6) AS mean_jaccard
+FROM ths LEFT JOIN per_t p USING (t) LEFT JOIN docs_t d USING (t)
+"""

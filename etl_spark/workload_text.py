@@ -2221,3 +2221,120 @@ def docs_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return dedup.containment_prefix_join(
         _docs(spark, sf_dir), threshold=0.98, emit="audit")
+
+
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (X180, round 13): over the LSH
+    candidate pairs, compare the 16-hash MinHash resemblance estimate
+    (fraction of agreeing seeded minima, Broder '97) against the EXACT
+    shingle Jaccard, bucketed by exact-Jaccard decile — the accuracy
+    audit that justifies a chosen (num_hashes, bands) operating point
+    before a corpus-wide dedup run (the ann_recall_eval discipline
+    applied to the dedup family).
+
+    Shape: signatures/bands/candidates are the proven X2 pipeline; the
+    estimate is a wide 16-column equality sum on the candidate join (no
+    extra shuffle class); per-pair terms are 9-dp-rounded into exact
+    decimal sums so the per-decile means hash-match at any partitioning.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    buckets = dedup.lsh_buckets(sig, bands=4, rows_per_band=4)
+    pairs = dedup.candidate_pairs(buckets)
+    siga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(16)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(16)],
+    )
+    est = (
+        pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            sum(
+                (F.col(f"ha{s}") == F.col(f"hb{s}")).cast("int")
+                for s in range(16)
+            ).alias("matches"),
+        )
+    )
+    exact = dedup.ngram_jaccard(pairs, sh)
+    j = exact.join(est, ["id_a", "id_b"])
+    jac = F.col("jaccard")
+    estv = F.col("matches") / F.lit(16.0)
+    out = j.groupBy(F.floor(jac * 10).cast("int").alias("jaccard_decile")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(estv, 9).cast("decimal(38,9)")).alias("se"),
+        F.sum(F.round(jac, 9).cast("decimal(38,9)")).alias("sj"),
+        F.sum(F.round(F.abs(estv - jac), 9).cast("decimal(38,9)")).alias("serr"),
+    )
+    n = F.col("n_pairs")
+    return out.select(
+        "jaccard_decile",
+        "n_pairs",
+        F.round(F.col("se").cast("double") / n, 6).alias("mean_est"),
+        F.round(F.col("sj").cast("double") / n, 6).alias("mean_exact"),
+        F.round(F.col("serr").cast("double") / n, 6).alias("mean_abs_err"),
+    )
+
+
+def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-calibration curve (X181, round 13): for Jaccard
+    thresholds 0.30 … 0.90, how many verified near-dup pairs and how
+    many distinct documents would each cutoff implicate? The sweep every
+    deployment runs to pick its threshold — computed from ONE
+    candidate+verify pass (the threshold is column algebra over the
+    verified pairs, never a re-run per cutoff).
+
+    Shape: the verified pair set (bounded by LSH bucket occupancy) is
+    checkpointed once; the 7-way threshold explode multiplies only that
+    bounded pair table. Thresholds are integer percents so the
+    comparison is exact on both engines; mean Jaccard per cutoff uses
+    the 9-dp decimal-sum discipline. Zero-pair cutoffs still emit a row
+    (n=0, null mean) via the static threshold frame.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    pairs = dedup.candidate_pairs(dedup.lsh_buckets(sig, bands=4, rows_per_band=4))
+    verified = (
+        dedup.ngram_jaccard(pairs, sh)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=False)
+    )
+    thresholds = [30, 40, 50, 60, 70, 80, 90]
+    tall = verified.select(
+        "id_a", "id_b", "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("t"),
+    ).filter(F.col("jaccard") * 100 >= F.col("t"))
+    per_t = tall.groupBy("t").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("jaccard"), 9).cast("decimal(38,9)")).alias("sj"),
+    )
+    docs_t = (
+        tall.select("t", F.explode(F.array("id_a", "id_b")).alias("doc"))
+        .groupBy("t")
+        .agg(F.countDistinct("doc").alias("n_dup_docs"))
+    )
+    frame = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("t")
+    )
+    out = (
+        frame.join(per_t, "t", "left")
+        .join(docs_t, "t", "left")
+        .select(
+            (F.col("t") / F.lit(100.0)).alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_dup_docs"), F.lit(0)).alias("n_dup_docs"),
+            F.round(
+                F.col("sj").cast("double")
+                / F.coalesce(F.col("n_pairs"), F.lit(0)),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )
+    return out

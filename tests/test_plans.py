@@ -1327,3 +1327,25 @@ def test_heavy_hitters_scan_prunes_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert n_shuffles(plan) <= 3, plan
+
+
+def test_minhash_accuracy_pruned_scans_no_cartesian(spark):
+    """dedup_minhash_accuracy rides the X2 LSH pipeline: every documents
+    scan prunes to (doc_id, text); candidates come from the bucket
+    equi-join — never a cartesian."""
+    plan = plan_of(workload_text.dedup_minhash_accuracy(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for scan_schema in plan.split("ReadSchema: ")[1:]:
+        head = scan_schema.split("\n", 1)[0]
+        assert head == "struct<doc_id:bigint,text:string>", head
+
+
+def test_threshold_curve_single_verify_pass(spark):
+    """corpus_dedup_threshold_curve: the verified pair set is
+    checkpointed ONCE (Scan ExistingRDD) — the 7-way threshold sweep is
+    column algebra over it, never a re-run of shingle/verify per
+    cutoff."""
+    plan = plan_of(workload_text.corpus_dedup_threshold_curve(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, "a threshold branch re-runs the verify"
+    assert "CartesianProduct" not in plan

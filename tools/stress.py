@@ -201,6 +201,8 @@ QUERIES = [
     "orders_mann_whitney",
     "lineitem_spearman_correlations",
     "events_heavy_hitters_mg",
+    "dedup_minhash_accuracy",
+    "corpus_dedup_threshold_curve",
 ]
 
 
