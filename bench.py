@@ -225,6 +225,7 @@ HEADLINE = [
     "events_heavy_hitters_mg",
     "dedup_minhash_accuracy",
     "corpus_dedup_threshold_curve",
+    "lineitem_kendall_tau",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate

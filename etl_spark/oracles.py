@@ -5158,3 +5158,34 @@ SELECT ths.t / 100.0 AS threshold,
        round(CAST(p.sj AS DOUBLE) / coalesce(p.n_pairs, 0), 6) AS mean_jaccard
 FROM ths LEFT JOIN per_t p USING (t) LEFT JOIN docs_t d USING (t)
 """
+
+ORACLES["lineitem_kendall_tau"] = """
+WITH cells AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    sum(CASE WHEN a.d < b.d
+         THEN CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0))
+         ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+    sum(CASE WHEN a.d > b.d
+         THEN CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0))
+         ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+  FROM cells a JOIN cells b ON a.q < b.q AND a.d <> b.d
+),
+tq AS (SELECT q, sum(w) AS t FROM cells GROUP BY 1),
+td AS (SELECT d, sum(w) AS t FROM cells GROUP BY 1),
+n1 AS (SELECT sum(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)) AS n1x2,
+              sum(t) AS n FROM tq),
+n2 AS (SELECT sum(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)) AS n2x2 FROM td)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(conc AS DOUBLE) AS concordant,
+       CAST(disc AS DOUBLE) AS discordant,
+       round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                     - CAST(n1x2 AS DOUBLE) / 2)
+                    * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                       - CAST(n2x2 AS DOUBLE) / 2)), 6) AS tau_b
+FROM cd, n1, n2
+"""

@@ -4220,3 +4220,87 @@ def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount (X182, round 13):
+    the concordance-based rank correlation beside Spearman (X178) —
+    tau-b handles the heavy ties of bounded domains explicitly via the
+    Kendall '45 tie-corrected denominator.
+
+    Exactness: with the data collapsed to (quantity, discount) cells,
+    concordant/discordant/tie counts are integer sums over ORDERED cell
+    pairs — C = Σ w_i·w_j over pairs with both coordinates increasing,
+    D = both opposing, ties from the marginals; tau_b =
+    (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2. Everything
+    up to the final division is exact decimal.
+
+    Scale shape: ONE map-combined scan collapses lineitem to the
+    bounded contingency cube (≤ |quantities|·|discounts| ≈ 550 cells at
+    ANY corpus size); the cell-pair "join" is a self-join of that
+    metadata-sized table (≤ 550² ordered pairs — constant work);
+    marginal tie terms are two tiny aggregates. Replication changes
+    cell WEIGHTS only — the pair enumeration is corpus-size-invariant.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+        )
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("w").alias("wa")
+    )
+    b = cells.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("w").alias("wb")
+    )
+    prod = (F.col("wa").cast("decimal(19,0)") * F.col("wb")).cast(
+        "decimal(38,0)"
+    )
+    pairs = a.join(
+        b,
+        (F.col("qa") < F.col("qb"))
+        & (F.col("da") != F.col("db")),  # q-ties and d-ties counted below
+        "inner",
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("da") < F.col("db"), prod).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("conc"),
+        F.sum(
+            F.when(F.col("da") > F.col("db"), prod).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("disc"),
+    )
+    # tie terms doubled to stay integral: 2·n1 = Σ t_q(t_q−1) over the
+    # quantity marginals (t(t−1) is always even; the single /2 happens
+    # in the final double algebra), 2·n2 likewise for discount
+    def tie_term(col: str, alias: str):
+        m = cells.groupBy(col).agg(F.sum("w").alias("t"))
+        t = F.col("t").cast("decimal(19,0)")
+        return m.agg(
+            F.sum((t * (t - 1)).cast("decimal(38,0)")).alias(alias),
+            F.sum(t).cast("decimal(19,0)").alias(alias + "_n"),
+        )
+
+    n1 = tie_term("q", "n1x2")
+    n2 = tie_term("d", "n2x2")
+    j = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    n = F.col("n1x2_n").cast("double")
+    n0 = n * (n - 1.0) / 2.0
+    num = F.col("conc").cast("double") - F.col("disc").cast("double")
+    denom = F.sqrt(
+        (n0 - F.col("n1x2").cast("double") / 2.0)
+        * (n0 - F.col("n2x2").cast("double") / 2.0)
+    )
+    return j.select(
+        F.col("n1x2_n").cast("long").alias("n_rows"),
+        F.col("conc").cast("double").alias("concordant"),
+        F.col("disc").cast("double").alias("discordant"),
+        F.round(num / denom, 6).alias("tau_b"),
+    )

@@ -599,3 +599,34 @@ def test_heavy_hitters_mg_equals_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kendall_tau_matches_numpy_pairwise(spark):
+    """lineitem_kendall_tau vs a DIFFERENT formulation: direct O(n²)
+    pairwise sign comparison in numpy (the cell-collapse form under test
+    never enumerates row pairs)."""
+    import numpy as np
+
+    rows = read_table(
+        spark, SF_DIR, "lineitem"
+    ).select("l_quantity", "l_discount").collect()
+    q = np.array([r["l_quantity"] for r in rows])
+    d = np.array([r["l_discount"] for r in rows])
+    sq = np.sign(q[:, None] - q[None, :])
+    sd = np.sign(d[:, None] - d[None, :])
+    prod = sq * sd
+    iu = np.triu_indices(len(q), k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    n = len(q)
+    n0 = n * (n - 1) / 2
+
+    def tie(x):
+        _, counts = np.unique(x, return_counts=True)
+        return float((counts * (counts - 1) / 2).sum())
+
+    tau = (conc - disc) / ((n0 - tie(q)) * (n0 - tie(d))) ** 0.5
+    got = workload_relational.lineitem_kendall_tau(spark, SF_DIR).collect()[0]
+    assert got["n_rows"] == n
+    assert got["concordant"] == conc and got["discordant"] == disc
+    assert abs(got["tau_b"] - tau) < 1e-5

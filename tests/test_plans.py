@@ -1349,3 +1349,14 @@ def test_threshold_curve_single_verify_pass(spark):
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan, "a threshold branch re-runs the verify"
     assert "CartesianProduct" not in plan
+
+
+def test_kendall_tau_cube_collapse_then_constant_pairs(spark):
+    """lineitem_kendall_tau: one checkpointed contingency-cube scan; the
+    ordered-pair enumeration is a self-join of that metadata-sized table
+    (a bounded nested-loop is FINE here — both sides are ≤ ~550 cells at
+    any corpus size); marginal tie terms broadcast back."""
+    plan = plan_of(workload_relational.lineitem_kendall_tau(spark, SF_DIR))
+    assert "Scan parquet" not in plan, "a branch re-scans raw lineitem"
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 2

@@ -203,6 +203,7 @@ QUERIES = [
     "events_heavy_hitters_mg",
     "dedup_minhash_accuracy",
     "corpus_dedup_threshold_curve",
+    "lineitem_kendall_tau",
 ]
 
 
