@@ -431,10 +431,17 @@ def main() -> None:
     r12_new = {"pgoutput_socket_decode", "events_session_paths",
                "orders_seasonal_decompose", "docs_containment_dedup",
                "corpus_dedup_best_quality"}
+    r13_new = {"pgoutput_socket_tls_decode", "cdc_socket_copy_sync",
+               "lineitem_theil_index", "orders_runs_test",
+               "docs_simpson_diversity", "docs_containment_audit",
+               "events_chisq_independence", "orders_mann_whitney",
+               "lineitem_spearman_correlations", "events_heavy_hitters_mg",
+               "dedup_minhash_accuracy", "corpus_dedup_threshold_curve",
+               "lineitem_kendall_tau"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new
-            | r10_new | r11_new | r12_new),
+            | r10_new | r11_new | r12_new | r13_new),
         3,
     )
 
