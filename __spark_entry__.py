@@ -38,7 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_dedup_threshold_curve — pair/doc counts per Jaccard cutoff
     from ONE verify pass; lineitem_kendall_tau — tie-corrected tau-b
     from ordered contingency-cell pairs (corpus-size-invariant pair
-    enumeration); events_chisq_independence — Pearson chi-square
+    enumeration); docs_source_vocab_overlap — pairwise source
+    vocabulary Jaccard matrix from one distinct-(source,token)
+    collapse; events_chisq_independence — Pearson chi-square
     independence over the event_type × day-of-week contingency,
     decimal-exact term sums; orders_mann_whitney — tie-corrected
     Mann-Whitney U via the two-pass range-bucket exact ranking (never a
@@ -68,22 +70,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte/connect counters; re-record]
     + [ALL 23 remaining r8-latest rows (docs_repetition ...
     stream_windowed_watermark) — the r8 tail empties this round]
-    + [13 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
-    docs_bigram_logprob): the seven late ops above pushed docs_clean /
-    docs_langid_confusion / docs_length_histogram /
-    docs_quality_calibration / docs_top_terms / embed_near_dup /
-    events_anomaly_mad past the 50-cut; those seven plus the remaining
-    25 (events_gapfill_locf ... vocab_topk_coverage) lead the r14
-    queue]. Tail = those 32 r9 rows, then r10/r11/r12 green rows. After
-    this round nothing recorded is older than r9. All 50 window entries
-    verified locally via tools/check_oracle.py at sf0.01 before rotation
-    (COVERAGE.md).
+    + [12 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    dedup_simhash_clusters): the eight late ops above pushed
+    docs_bigram_logprob / docs_clean / docs_langid_confusion /
+    docs_length_histogram / docs_quality_calibration / docs_top_terms /
+    embed_near_dup / events_anomaly_mad past the 50-cut; those eight
+    plus the remaining 25 (events_gapfill_locf ... vocab_topk_coverage)
+    lead the r14 queue]. Tail = those 33 r9 rows, then r10/r11/r12
+    green rows. After this round nothing recorded is older than r9. All
+    50 window entries verified locally via tools/check_oracle.py at
+    sf0.01 before rotation (COVERAGE.md).
     """
     return {
         # --- round-13 NEW ops ---
         "dedup_minhash_accuracy": workload_text.dedup_minhash_accuracy,
         "corpus_dedup_threshold_curve": workload_text.corpus_dedup_threshold_curve,
         "lineitem_kendall_tau": workload_relational.lineitem_kendall_tau,
+        "docs_source_vocab_overlap": workload_text.docs_source_vocab_overlap,
         "events_chisq_independence": workload_relational.events_chisq_independence,
         "orders_mann_whitney": workload_relational.orders_mann_whitney,
         "lineitem_spearman_correlations": workload_relational.lineitem_spearman_correlations,
@@ -135,10 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": workload_text.dedup_ngram_jaccard,
         "dedup_simhash": workload_text.dedup_simhash,
         "dedup_simhash_clusters": workload_text.dedup_simhash_clusters,
-        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
         # ================= tail (newer green rows) =================
         # (the late round-13 ops pushed these past the 50-cut — they
         # join the r14 front)
+        "docs_bigram_logprob": workload_text.docs_bigram_logprob,
         "docs_clean": workload_text.docs_clean,
         "docs_langid_confusion": workload_text.docs_langid_confusion,
         "docs_length_histogram": workload_text.docs_length_histogram,

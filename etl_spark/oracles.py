@@ -5189,3 +5189,26 @@ SELECT CAST(n AS BIGINT) AS n_rows,
                        - CAST(n2x2 AS DOUBLE) / 2)), 6) AS tau_b
 FROM cd, n1, n2
 """
+
+ORACLES["docs_source_vocab_overlap"] = r"""
+WITH tokv AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT source, tok FROM tokv WHERE len(tok) > 0),
+sizes AS (SELECT source, count(*) AS vsize FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM vocab a JOIN vocab b USING (tok)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(sa.vsize AS BIGINT) AS vocab_a,
+       CAST(sb.vsize AS BIGINT) AS vocab_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       round(i.inter / (sa.vsize + sb.vsize - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""

@@ -2338,3 +2338,52 @@ def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary-overlap matrix (X183, round 13):
+    exact Jaccard between every two sources' distinct token
+    vocabularies — the source-similarity audit behind mixing/dedup
+    decisions (two near-identical crawls should be down-weighted before
+    [[docs_source_js_divergence]]-style reweighting; that op measures
+    drift from the global mix, this one measures source-PAIR affinity).
+
+    Shape: ONE corpus scan collapses to the distinct (source, token)
+    table (map-combined, checkpointed — the tokenize is the only
+    corpus-sized stage); the pair intersection is a self-join ON TOKEN,
+    so cost is Σ_tok |sources containing tok|² ≤ vocab·S² — linear in
+    vocabulary for a bounded source count, never |docs|². Output is the
+    S·(S−1)/2 pair matrix; integer set sizes divide once in double.
+    """
+    vocab = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(text.tokens("text")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("vsize"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("source", "src_a").withColumnRenamed(
+        "vsize", "vocab_a"
+    )
+    sb = sizes.withColumnRenamed("source", "src_b").withColumnRenamed(
+        "vsize", "vocab_b"
+    )
+    j = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("inter")
+    return j.select(
+        "src_a",
+        "src_b",
+        "vocab_a",
+        "vocab_b",
+        "inter",
+        F.round(F.col("inter") / union, 6).alias("jaccard"),
+    )

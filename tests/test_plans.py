@@ -1360,3 +1360,14 @@ def test_kendall_tau_cube_collapse_then_constant_pairs(spark):
     assert "Scan parquet" not in plan, "a branch re-scans raw lineitem"
     assert "Window" not in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_vocab_overlap_one_scan_token_join(spark):
+    """docs_source_vocab_overlap: one checkpointed distinct
+    (source, token) collapse serves sizes AND the pair intersection;
+    the pair join keys on TOKEN (bounded per-token fan-out), and the
+    size sides broadcast back — no cartesian over sources×vocab."""
+    plan = plan_of(workload_text.docs_source_vocab_overlap(spark, SF_DIR))
+    assert "Scan parquet" not in plan, "a branch re-tokenizes the corpus"
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2

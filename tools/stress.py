@@ -204,6 +204,7 @@ QUERIES = [
     "dedup_minhash_accuracy",
     "corpus_dedup_threshold_curve",
     "lineitem_kendall_tau",
+    "docs_source_vocab_overlap",
 ]
 
 
