@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark import failpoints, telemetry
+from etl_spark import errors, failpoints, telemetry
 from etl_spark.envelope import ROW_OPS, with_sequence
 from etl_spark.schema_registry import ColumnDef, SchemaRegistry, diff_schemas
 from etl_spark.sources.cdc import stream_changes
@@ -350,9 +350,11 @@ class Pipeline:
             except Exception as exc:  # quarantine, don't kill the pipeline
                 self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
                                  labels={"table": cfg.name})
+                policy, solution = errors.error_handling_policy(exc)
                 self.control.transition(
                     cfg.name, TableState.ERRORED,
-                    error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
+                    error=f"{str(exc)[:400]} | solution: {solution}"[:500],
+                    retry_policy=policy,
                 )
 
     # ------------------------------------------------------------------
@@ -508,9 +510,11 @@ class Pipeline:
                 except Exception as exc:
                     self.metrics.inc(telemetry.ETL_WORKER_ERRORS_TOTAL,
                                      labels={"table": name})
+                    policy, solution = errors.error_handling_policy(exc)
                     self.control.transition(
                         name, TableState.ERRORED,
-                        error=str(exc)[:500], retry_policy=RetryPolicy.MANUAL_RETRY,
+                        error=f"{str(exc)[:400]} | solution: {solution}"[:500],
+                        retry_policy=policy,
                     )
             max_lsn = max_lsn_row["m"]
             # STORE_REPLICATION_PROGRESS: persisting durable progress fails
