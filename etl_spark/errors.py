@@ -186,6 +186,14 @@ def classify_exception(exc: BaseException) -> ErrorKind:
     the generic guidance, like the reference's default arm)."""
     if isinstance(exc, EtlError):
         return exc.kind
+    # the live source's typed slot failure (import deferred — sources
+    # import state/telemetry; errors must stay leaf-level)
+    try:
+        from etl_spark.sources.live import SlotInvalidated
+        if isinstance(exc, SlotInvalidated):
+            return ErrorKind.REPLICATION_SLOT_INVALIDATED
+    except ImportError:  # pragma: no cover - live module always present
+        pass
     if isinstance(exc, (ConnectionError, BrokenPipeError)):
         return ErrorKind.SOURCE_CONNECTION_FAILED
     if isinstance(exc, TimeoutError):
