@@ -40,7 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ordered contingency-cell pairs (corpus-size-invariant pair
     enumeration); docs_source_vocab_overlap — pairwise source
     vocabulary Jaccard matrix from one distinct-(source,token)
-    collapse; events_chisq_independence — Pearson chi-square
+    collapse; cdc_socket_parallel_sync — the multi-connection ctid COPY
+    pool under the gate (config-driven Replicator, 3 snapshot-anchored
+    connections, oracle identical to the serial gate — the pool must be
+    invisible); events_chisq_independence — Pearson chi-square
     independence over the event_type × day-of-week contingency,
     decimal-exact term sums; orders_mann_whitney — tie-corrected
     Mann-Whitney U via the two-pass range-bucket exact ranking (never a
@@ -70,16 +73,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte/connect counters; re-record]
     + [ALL 23 remaining r8-latest rows (docs_repetition ...
     stream_windowed_watermark) — the r8 tail empties this round]
-    + [12 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
-    dedup_simhash_clusters): the eight late ops above pushed
-    docs_bigram_logprob / docs_clean / docs_langid_confusion /
-    docs_length_histogram / docs_quality_calibration / docs_top_terms /
-    embed_near_dup / events_anomaly_mad past the 50-cut; those eight
-    plus the remaining 25 (events_gapfill_locf ... vocab_topk_coverage)
-    lead the r14 queue]. Tail = those 33 r9 rows, then r10/r11/r12
-    green rows. After this round nothing recorded is older than r9. All
-    50 window entries verified locally via tools/check_oracle.py at
-    sf0.01 before rotation (COVERAGE.md).
+    + [11 of the 45 r9-latest rows, alphabetical (ann_cosine_topk ...
+    dedup_simhash): the nine late ops above pushed
+    dedup_simhash_clusters / docs_bigram_logprob / docs_clean /
+    docs_langid_confusion / docs_length_histogram /
+    docs_quality_calibration / docs_top_terms / embed_near_dup /
+    events_anomaly_mad past the 50-cut; those nine plus the remaining
+    25 (events_gapfill_locf ... vocab_topk_coverage) lead the r14
+    queue]. Tail = those 34 r9 rows, then r10/r11/r12 green rows. After
+    this round nothing recorded is older than r9. All 50 window entries
+    verified locally via tools/check_oracle.py at sf0.01 before
+    rotation (COVERAGE.md).
     """
     return {
         # --- round-13 NEW ops ---
@@ -87,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_threshold_curve": workload_text.corpus_dedup_threshold_curve,
         "lineitem_kendall_tau": workload_relational.lineitem_kendall_tau,
         "docs_source_vocab_overlap": workload_text.docs_source_vocab_overlap,
+        "cdc_socket_parallel_sync": workload.cdc_socket_parallel_sync,
         "events_chisq_independence": workload_relational.events_chisq_independence,
         "orders_mann_whitney": workload_relational.orders_mann_whitney,
         "lineitem_spearman_correlations": workload_relational.lineitem_spearman_correlations,

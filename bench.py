@@ -227,6 +227,7 @@ HEADLINE = [
     "corpus_dedup_threshold_curve",
     "lineitem_kendall_tau",
     "docs_source_vocab_overlap",
+    "cdc_socket_parallel_sync",
 ]
 
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
@@ -438,7 +439,8 @@ def main() -> None:
                "events_chisq_independence", "orders_mann_whitney",
                "lineitem_spearman_correlations", "events_heavy_hitters_mg",
                "dedup_minhash_accuracy", "corpus_dedup_threshold_curve",
-               "lineitem_kendall_tau", "docs_source_vocab_overlap"}
+               "lineitem_kendall_tau", "docs_source_vocab_overlap",
+               "cdc_socket_parallel_sync"}
     r2_comparable = round(
         sum(v for k, v in timings.items()
             if k not in r4_new | r5_new | r6_new | r7_new | r8_new | r9_new

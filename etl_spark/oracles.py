@@ -5212,3 +5212,6 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.src_a
 JOIN sizes sb ON sb.source = i.src_b
 """
+
+# the pool must be invisible: identical result contract to the serial gate
+ORACLES["cdc_socket_parallel_sync"] = ORACLES["cdc_socket_copy_sync"]

@@ -2230,48 +2230,15 @@ def cdc_duckdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r"""Initial table sync OVER THE WIRE + streaming handoff (round 13,
-    closing VERDICT r12 "What's missing" #3 — the last live-path parity
-    rung): one replication connection runs the reference's full
-    table-sync choreography (table_sync/copy.rs over
-    transaction.rs:328-385 + child.rs:35-45):
-
-    1. ``CREATE_REPLICATION_SLOT ... EXPORT_SNAPSHOT`` → consistent
-       point + snapshot name, over the socket;
-    2. ``BEGIN`` / ``SET TRANSACTION SNAPSHOT`` / ``COPY (select ...)
-       TO STDOUT`` / ``COMMIT`` — line batches relayed (opaque bytes)
-       into parquet, decoded DISTRIBUTED through the gate-proven F10
-       codec (``codec.copy_text_split``): escapes (tab, backslash),
-       ``\N`` NULLs, typed casts;
-    3. the SAME connection then switches to CopyBoth at the consistent
-       point (``START_REPLICATION``), streaming the post-snapshot WAL
-       through ``FrameFilePump`` + the distributed pgoutput decode;
-    4. snapshot ∪ stream merge by ``event_seq`` LWW — overlap-free by
-       construction because the copy ran inside the exported snapshot
-       (the T6 handoff correctness argument).
-
-    Sim layout: customers with ``c_custkey % 5 != 0`` exist at snapshot
-    time (bal NULL when ``% 7 == 0``, name carrying a real TAB and a
-    backslash to force the COPY escapes); the WAL then INSERTs the
-    ``% 5 == 0`` rows and UPDATEs the ``% 3 == 0`` ones (bal + 100,
-    name + '!').
-
-    Scale note: the capture encode + single-connection relay are
-    driver-side by protocol design (exactly the reference's table-sync
-    worker); the COPY decode and everything downstream is distributed.
-    Parallel initial sync across ctid ranges = one connection per range
-    (reference: max_copy_connections), same code path.
-    """
-    import tempfile
-
+def _copy_sync_capture(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the wire table-sync gates: the COPY text lines
+    of the snapshot-time customers (escapes + NULLs crafted in) and the
+    serialized post-snapshot WAL byte stream (encode term is driver-side
+    by protocol design — ONE server renders one byte stream; the decode
+    side stays distributed). See cdc_socket_copy_sync's docstring for
+    the row layout contract both gates and their shared oracle pin."""
     from etl_spark.sources import live
     from etl_spark.sources import pgoutput as pgo
-    from etl_spark.sources.snapshot import snapshot_via_copy
-    from etl_spark.sources.socket_transport import (
-        LoopbackReplicationServer,
-        SocketReplicationSource,
-    )
 
     cust = (
         _t(spark, sf_dir, "customer")
@@ -2322,7 +2289,53 @@ def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         wal = 160 * tx + 155
         msgs.append(live.encode_xlog_data(
             wal, wal + 1, tx, pgo.encode_commit(tx, tx + 1)))
-    stream = live.encode_copy_stream(msgs)
+    return lines, live.encode_copy_stream(msgs)
+
+
+def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Initial table sync OVER THE WIRE + streaming handoff (round 13,
+    closing VERDICT r12 "What's missing" #3 — the last live-path parity
+    rung): one replication connection runs the reference's full
+    table-sync choreography (table_sync/copy.rs over
+    transaction.rs:328-385 + child.rs:35-45):
+
+    1. ``CREATE_REPLICATION_SLOT ... EXPORT_SNAPSHOT`` → consistent
+       point + snapshot name, over the socket;
+    2. ``BEGIN`` / ``SET TRANSACTION SNAPSHOT`` / ``COPY (select ...)
+       TO STDOUT`` / ``COMMIT`` — line batches relayed (opaque bytes)
+       into parquet, decoded DISTRIBUTED through the gate-proven F10
+       codec (``codec.copy_text_split``): escapes (tab, backslash),
+       ``\N`` NULLs, typed casts;
+    3. the SAME connection then switches to CopyBoth at the consistent
+       point (``START_REPLICATION``), streaming the post-snapshot WAL
+       through ``FrameFilePump`` + the distributed pgoutput decode;
+    4. snapshot ∪ stream merge by ``event_seq`` LWW — overlap-free by
+       construction because the copy ran inside the exported snapshot
+       (the T6 handoff correctness argument).
+
+    Sim layout: customers with ``c_custkey % 5 != 0`` exist at snapshot
+    time (bal NULL when ``% 7 == 0``, name carrying a real TAB and a
+    backslash to force the COPY escapes); the WAL then INSERTs the
+    ``% 5 == 0`` rows and UPDATEs the ``% 3 == 0`` ones (bal + 100,
+    name + '!').
+
+    Scale note: the capture encode + single-connection relay are
+    driver-side by protocol design (exactly the reference's table-sync
+    worker); the COPY decode and everything downstream is distributed.
+    Parallel initial sync across ctid ranges = one connection per range
+    (reference: max_copy_connections), same code path.
+    """
+    import tempfile
+
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+    from etl_spark.sources.snapshot import snapshot_via_copy
+    from etl_spark.sources.socket_transport import (
+        LoopbackReplicationServer,
+        SocketReplicationSource,
+    )
+
+    lines, stream = _copy_sync_capture(spark, sf_dir)
 
     copy_dir = tempfile.mkdtemp(prefix="copy_lines_")
     frames_dir = tempfile.mkdtemp(prefix="copy_frames_")
@@ -2341,6 +2354,94 @@ def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         while pump.drain_once() > 0:
             pump.report_progress()
         src.close()
+
+    frames = spark.read.schema(
+        "wal_start long, xid long, frame binary").parquet(frames_dir)
+    env = pgo.decode_frames(frames)
+    wal_rows = env.filter(F.col("op").isin("INSERT", "UPDATE")).select(
+        F.get_json_object("after", "$.pk").cast("long").alias("pk"),
+        F.get_json_object("after", "$.bal").cast("double").alias("bal"),
+        F.get_json_object("after", "$.name").alias("name"),
+        "op", "commit_lsn", "tx_ordinal",
+    )
+    snap = snap_df.select(
+        "pk", "bal", "name", F.lit("INSERT").alias("op"),
+        F.lit(0).cast("long").alias("commit_lsn"),
+        F.lit(0).cast("long").alias("tx_ordinal"),
+    )
+    merged = snap.unionByName(wal_rows).withColumn(
+        "event_seq", event_seq("commit_lsn", "tx_ordinal"))
+    cur = materialize.current_state(merged, keys=["pk"])
+    return cur.select("pk", "bal", "name")
+
+
+def cdc_socket_parallel_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLEL multi-connection initial sync over the wire + streaming
+    handoff (round 13, X—the S2-over-wire pool under the driver gate):
+    identical semantics and ORACLE to ``cdc_socket_copy_sync``, but the
+    snapshot half runs through the config-driven :class:`Replicator` —
+    ``max_copy_connections_per_table = 3`` opens one replication
+    connection per ctid partition (the reference's
+    ``max_copy_connections`` pool, pipeline.rs:285-291), every worker
+    transaction anchored to the SAME exported snapshot, three disjoint
+    COPY slices relayed concurrently into ONE distributed decode. The
+    pool, like the socket and TLS before it, must be invisible in the
+    result.
+
+    This gate also exercises the config layer end-to-end: the
+    connection/pool/batch knobs arrive via a validated
+    ``PipelineConfig`` (etl-replicator entry semantics, core.rs).
+    """
+    import tempfile
+
+    from etl_spark.config import PgConnectionConfig, PipelineConfig
+    from etl_spark.replicator import Replicator, TableSpec
+    from etl_spark.sources import live
+    from etl_spark.sources import pgoutput as pgo
+    from etl_spark.sources.socket_transport import (
+        LoopbackReplicationServer,
+        SocketReplicationSource,
+    )
+
+    lines, stream = _copy_sync_capture(spark, sf_dir)
+    # three contiguous ctid partitions; the loopback serves each slice
+    # keyed by the copy SQL's range start (None = OpenStart)
+    third = (len(lines) + 2) // 3
+    ranges = [(None, "(8,1)"), ("(8,1)", "(16,1)"), ("(16,1)", None)]
+    slices = {
+        None: lines[:third],
+        "(8,1)": lines[third:2 * third],
+        "(16,1)": lines[2 * third:],
+    }
+
+    work_dir = tempfile.mkdtemp(prefix="psync_")
+    frames_dir = tempfile.mkdtemp(prefix="psync_frames_")
+    with LoopbackReplicationServer(
+            stream, consistent_point=0, snapshot_name="00000003-psync",
+            tables={"public.users": slices}) as srv:
+        cfg = PipelineConfig(
+            id=13, publication_name="pub",
+            pg_connection=PgConnectionConfig(host="127.0.0.1", port=srv.port),
+            max_copy_connections_per_table=3,
+        )
+        rep = Replicator(
+            spark, cfg, work_dir,
+            make_source=lambda: SocketReplicationSource("127.0.0.1", srv.port))
+        probe = SocketReplicationSource("127.0.0.1", srv.port)
+        slot = probe.create_slot("psync_gate", export_snapshot=True)
+        synced = rep.initial_sync(
+            [TableSpec(oid=1, name="public.users",
+                       payload_schema="pk long, bal double, name string",
+                       column_list=["pk", "bal", "name"],
+                       ctid_ranges=ranges)],
+            snapshot_name=slot.snapshot_name)
+        snap_df = synced["public.users"]
+        probe.start(slot.slot_name, slot.consistent_point)
+        pump = live.FrameFilePump(probe, spark, frames_dir,
+                                  batch_bytes=4 << 20)
+        while pump.drain_once() > 0:
+            pump.report_progress()
+        probe.close()
 
     frames = spark.read.schema(
         "wal_start long, xid long, frame binary").parquet(frames_dir)

@@ -205,6 +205,7 @@ QUERIES = [
     "corpus_dedup_threshold_curve",
     "lineitem_kendall_tau",
     "docs_source_vocab_overlap",
+    "cdc_socket_parallel_sync",
 ]
 
 
