@@ -178,6 +178,11 @@ import struct
 #: replication protocol count from here, not from the unix epoch.
 POSTGRES_EPOCH_US = 946_684_800_000_000
 
+#: precompiled XLogData header unpack (wal_start, wal_end, clock) — the
+#: per-message hot loops parse ~10^5 headers per poll; re-parsing the
+#: format string each call measurably shows up there
+_XLOG_HDR = struct.Struct(">qqq").unpack_from
+
 
 def encode_xlog_data(wal_start: int, wal_end: int, clock_us: int, frame: bytes) -> bytes:
     """One XLogData message ('w'): the wrapper a live server puts around
@@ -284,23 +289,32 @@ def fence_recorded_stream(recorded: bytes, start_lsn: int) -> list[bytes]:
     per connection, so a recorded capture's metadata must survive the
     skip). Shared by :class:`RecordedReplicationSource` (client-side
     replay) and the loopback replay server (server-side re-send)."""
-    msgs = list(iter_copy_messages(recorded))
     kept: list[bytes] = []
     tx_buf: list[bytes] = []  # current transaction, held until verdict
     in_tx = False
-    for m in msgs:
-        p = parse_copy_payload(m)
-        if p["kind"] == "KeepAlive":
+    # light inline parse (same validation as parse_copy_payload for the
+    # two tags a server stream may carry): this runs over the ENTIRE
+    # capture on every (re)connect, so per-message dict construction is
+    # measurable at ~10^5 messages
+    u_q = struct.Struct(">q").unpack_from
+    for m in iter_copy_messages(recorded):
+        t = m[:1]
+        if t == b"k":
+            if len(m) != 18:
+                raise ValueError(f"malformed keepalive: {len(m)} bytes")
             if in_tx:
                 # heartbeats interleaved inside a transaction ride its
                 # buffer: delivered iff the transaction is
                 tx_buf.append(m)
-            elif p["wal_end"] >= start_lsn:
+            elif u_q(m, 1)[0] >= start_lsn:  # wal_end
                 kept.append(m)
             continue
-        if p["kind"] != "XLogData":
-            raise ValueError(f"server stream carried a {p['kind']} message")
-        tag = p["frame"][:1]
+        if t != b"w":
+            kind = {b"r": "StatusUpdate"}.get(t, repr(t))
+            raise ValueError(f"server stream carried a {kind} message")
+        if len(m) < 25:
+            raise ValueError(f"truncated XLogData: {len(m)} bytes")
+        tag = m[25:26]  # first byte of the wrapped pgoutput frame
         if tag == b"B":
             in_tx = True
             tx_buf = [m]
@@ -309,7 +323,7 @@ def fence_recorded_stream(recorded: bytes, start_lsn: int) -> list[bytes]:
             if tag == b"C":
                 # fence on the COMMIT's position: < start_lsn means
                 # the whole transaction is confirmed server-side
-                if p["wal_start"] >= start_lsn:
+                if u_q(m, 1)[0] >= start_lsn:  # wal_start
                     kept.extend(tx_buf)
                 tx_buf = []
                 in_tx = False
@@ -345,6 +359,32 @@ class CopyBothConsumer:
         self.sent_updates: list[bytes] = []
         #: deterministic clock for reproducible tests; PG-epoch based.
         self._clock_us = 0
+
+    def _consume_payload(self, body: bytes,
+                         out: list[tuple[int, int, bytes]]) -> int:
+        """Per-message hot path shared by the transports: inline-parse
+        XLogData ('w' — the overwhelming majority of a replication
+        stream) without materializing the dict
+        :func:`parse_copy_payload` builds; keepalives and status
+        updates take the general :meth:`_consume` path. Exactly
+        ``_consume(parse_copy_payload(body), out)`` semantics — the
+        byte-identity pump tests pin both transports to the same rows."""
+        if body[:1] == b"w":
+            if len(body) < 25:
+                raise ValueError(f"truncated XLogData: {len(body)} bytes")
+            self._clock_us += 1
+            ws, we, _clk = _XLOG_HDR(body, 1)
+            frame = body[25:]
+            if we > self._last_wal_end:
+                self._last_wal_end = we
+            tag = frame[:1]
+            if tag == b"B":
+                self._current_xid = ws
+            out.append((ws, self._current_xid, frame))
+            if tag == b"C":
+                self._current_xid = -1
+            return len(frame)
+        return self._consume(parse_copy_payload(body), out)
 
     def _consume(self, p: dict, out: list[tuple[int, int, bytes]]) -> int:
         """Handle one parsed copy-both payload; appends XLogData rows to
@@ -457,9 +497,9 @@ class RecordedReplicationSource(CopyBothConsumer, ReplicationFrameSource):
         out: list[tuple[int, int, bytes]] = []
         budget = 0
         while self._pos < len(self._messages) and budget < max_bytes:
-            p = parse_copy_payload(self._messages[self._pos])
+            m = self._messages[self._pos]
             self._pos += 1
-            budget += self._consume(p, out)
+            budget += self._consume_payload(m, out)
         if out:
             from etl_spark import telemetry
 

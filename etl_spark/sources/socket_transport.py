@@ -92,20 +92,33 @@ class _MessageReader:
     def __init__(self, sock: socket.socket, on_bytes=None):
         self._sock = sock
         self._buf = bytearray()
+        # consumed-prefix pointer: read_message advances it instead of
+        # del-slicing the buffer head (the del memmoves the whole residual
+        # buffer PER MESSAGE — measured ~GBs of copying per 120k-message
+        # stream); _fill compacts lazily when the dead prefix dominates
+        self._pos = 0
         self._on_bytes = on_bytes
 
     def _fill(self, need: int) -> bool:
-        """Ensure ``need`` buffered bytes; False on orderly EOF at a
-        message boundary (mid-message EOF raises — a torn message means
-        the peer died, and resynchronizing would silently drop WAL)."""
-        while len(self._buf) < need:
+        """Ensure ``need`` buffered bytes past the read position; False on
+        orderly EOF at a message boundary (mid-message EOF raises — a torn
+        message means the peer died, and resynchronizing would silently
+        drop WAL)."""
+        while len(self._buf) - self._pos < need:
+            if self._pos and self._pos >= len(self._buf):
+                # everything consumed: reset instead of growing forever
+                self._buf.clear()
+                self._pos = 0
+            elif self._pos > (256 << 10) and self._pos > len(self._buf) // 2:
+                del self._buf[: self._pos]
+                self._pos = 0
             chunk = self._sock.recv(64 << 10)
             if not chunk:
-                if len(self._buf) == 0:
+                if len(self._buf) - self._pos == 0:
                     return False
                 raise ConnectionError(
-                    f"peer closed mid-message ({len(self._buf)} buffered, "
-                    f"{need} needed)"
+                    f"peer closed mid-message "
+                    f"({len(self._buf) - self._pos} buffered, {need} needed)"
                 )
             if self._on_bytes is not None:
                 self._on_bytes(len(chunk))
@@ -116,14 +129,16 @@ class _MessageReader:
         """One (tag, body) message; None on orderly EOF."""
         if not self._fill(5):
             return None
-        tag = bytes(self._buf[:1])
-        (ln,) = struct.unpack_from(">i", self._buf, 1)
+        p = self._pos
+        tag = bytes(self._buf[p : p + 1])
+        (ln,) = struct.unpack_from(">i", self._buf, p + 1)
         if ln < 4:
             raise ValueError(f"malformed message length {ln} (tag {tag!r})")
         if not self._fill(1 + ln):
             return None  # unreachable: _fill raises on partial
-        body = bytes(self._buf[5 : 1 + ln])
-        del self._buf[: 1 + ln]
+        p = self._pos  # _fill may have compacted
+        body = bytes(self._buf[p + 5 : p + 1 + ln])
+        self._pos = p + 1 + ln
         return tag, body
 
     def push_back(self, tag: bytes, body: bytes) -> None:
@@ -131,7 +146,17 @@ class _MessageReader:
         message so the next read returns it again (used by the loopback
         server's post-stream drain to hand a follow-up command back to
         the command loop instead of tearing the connection down)."""
-        self._buf[:0] = tag + struct.pack(">i", len(body) + 4) + body
+        framed = tag + struct.pack(">i", len(body) + 4) + body
+        if self._pos >= len(framed):
+            # rewind over the consumed prefix (the common case: the very
+            # bytes being pushed back were just consumed from there)
+            start = self._pos - len(framed)
+            self._buf[start : self._pos] = framed
+            self._pos = start
+        else:
+            del self._buf[: self._pos]
+            self._pos = 0
+            self._buf[:0] = framed
 
 
 def _cstring(b: bytes, pos: int = 0) -> tuple[str, int]:
@@ -595,7 +620,7 @@ class SocketReplicationSource(CopyBothConsumer, ReplicationFrameSource):
                 raise ConnectionError("server closed mid-stream")
             tag, body = msg
             if tag == b"d":
-                budget += self._consume(parse_copy_payload(body), out)
+                budget += self._consume_payload(body, out)
                 continue
             if tag == b"c":  # CopyDone: stream complete (loopback replay)
                 self._exhausted = True
@@ -886,6 +911,17 @@ class LoopbackReplicationServer:
     # -- lifecycle ---------------------------------------------------------
     def stop(self) -> None:
         self._stop.set()
+        # Wake a blocked accept(): on Linux, close() from another thread
+        # does NOT interrupt accept(), so the serve thread would sit until
+        # the join timeout (measured: a flat 5 s added to EVERY gate run).
+        # A throwaway self-connection pops accept immediately; the loop
+        # sees _stop set and discards it without counting it.
+        try:
+            with socket.create_connection(("127.0.0.1", self.port),
+                                          timeout=1):
+                pass
+        except OSError:
+            pass
         try:
             self._listener.close()
         except OSError:
@@ -907,6 +943,14 @@ class LoopbackReplicationServer:
                 conn, _ = self._listener.accept()
             except OSError:
                 return  # listener closed by stop()
+            if self._stop.is_set():
+                # stop()'s wake-up connection (or a raced late client):
+                # not a served connection — don't count, don't handle
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
             self.connections += 1
             # one thread per connection (round 13): parallel initial-sync
             # connections — the reference's max_copy_connections — must
@@ -1195,12 +1239,17 @@ class LoopbackReplicationServer:
                 conn.sendall(pq_message(b"Z", b"I"))
                 return
             lines = lines[key]
-        conn.sendall(pq_message(b"H", struct.pack(">bh", 0, 0)))
+        # coalesced like _stream: identical bytes, ~256 KiB per syscall
+        buf = bytearray(pq_message(b"H", struct.pack(">bh", 0, 0)))
         for line in lines:
-            conn.sendall(pq_message(b"d", line + b"\n"))
-        conn.sendall(pq_message(b"c", b""))
-        conn.sendall(pq_message(b"C", f"COPY {len(lines)}\0".encode()))
-        conn.sendall(pq_message(b"Z", b"I"))
+            buf += pq_message(b"d", line + b"\n")
+            if len(buf) >= (256 << 10):
+                conn.sendall(buf)
+                buf.clear()
+        buf += pq_message(b"c", b"")
+        buf += pq_message(b"C", f"COPY {len(lines)}\0".encode())
+        buf += pq_message(b"Z", b"I")
+        conn.sendall(buf)
 
     def _drain_client(self, conn: socket.socket, reader: _MessageReader,
                       block: bool) -> None:
@@ -1257,17 +1306,33 @@ class LoopbackReplicationServer:
                 break
         conn.sendall(pq_message(b"W", struct.pack(">bh", 0, 0)))
         budget = self.drop_after.pop(0) if self.drop_after else None
+        # Coalesced writes (guide §2.3 applied to the transport): TCP is a
+        # byte stream — the client decodes the identical bytes whether each
+        # CopyData is its own send() or many share one. Per-message sendall
+        # (~120k at sf0.1) made the CLIENT see ~100-byte recv() returns
+        # (67k syscalls measured) and paid a nonblocking drain (2×
+        # settimeout + recv + exception) per message here. One sendall per
+        # ~256 KiB with a drain per flush keeps mid-stream ack pickup
+        # (client acks are tiny and rare — the kernel buffers them until
+        # the next drain) and cuts the per-message syscall tax ~4000×.
+        buf = bytearray()
         for i, payload in enumerate(fence_recorded_stream(self.recorded,
                                                           start_lsn)):
             if budget is not None and i >= budget:
+                if buf:
+                    conn.sendall(buf)  # messages before the cut still land
                 raise ConnectionError("fault injection: mid-stream drop")
-            conn.sendall(pq_message(b"d", payload))
-            # interleave: pick up any status updates the client pushed
-            # (keepalive replies arrive mid-stream)
-            self._drain_client(conn, reader, block=False)
-        conn.sendall(pq_message(b"c", b""))  # CopyDone
-        conn.sendall(pq_message(b"C", b"COPY 0\0"))
-        conn.sendall(pq_message(b"Z", b"I"))
+            buf += pq_message(b"d", payload)
+            if len(buf) >= (256 << 10):
+                conn.sendall(buf)
+                buf.clear()
+                # interleave: pick up any status updates the client pushed
+                # (keepalive replies arrive mid-stream)
+                self._drain_client(conn, reader, block=False)
+        buf += pq_message(b"c", b"")  # CopyDone
+        buf += pq_message(b"C", b"COPY 0\0")
+        buf += pq_message(b"Z", b"I")
+        conn.sendall(buf)
         # post-stream: the client may still flush final acks before
         # closing or issuing the next command — wait briefly for them
         self._drain_client(conn, reader, block=True)
