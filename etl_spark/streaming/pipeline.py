@@ -482,7 +482,14 @@ class Pipeline:
             # its lifetime. commit_lsn IS NOT NULL excludes out-of-tx
             # metadata (xid = -1) whose window also starts at ordinal 0.
             is_row = F.col("op").isin(list(ROW_OPS))
-            max_lsn_row = batch.agg(
+            # ONE grouped agg serves three consumers that were separate
+            # Spark jobs (guide §1.2/§2.4 — small-batch wall time here is
+            # job-count-bound): the global telemetry/max-LSN read (sums/
+            # maxes over the groups, exact — a row belongs to exactly one
+            # `table` group, null included), each table's truncate fence,
+            # and each table's empty-batch skip (formerly 2 more jobs PER
+            # TABLE in _apply_table_batch).
+            tstats = batch.groupBy("table").agg(
                 F.max("commit_lsn").alias("m"),
                 F.count(F.when(is_row, 1)).alias("n"),
                 F.count(
@@ -492,7 +499,17 @@ class Pipeline:
                         1,
                     )
                 ).alias("ntx"),
-            ).collect()[0]
+                F.max(
+                    F.when(F.col("op") == "TRUNCATE", F.col("event_seq"))
+                ).alias("trunc_seq"),
+            ).collect()
+            stats_by_table = {r["table"]: r for r in tstats}
+            max_lsn_row = {
+                "m": max((r["m"] for r in tstats if r["m"] is not None),
+                         default=None),
+                "n": sum(r["n"] for r in tstats),
+                "ntx": sum(r["ntx"] for r in tstats),
+            }
             if cross_mode:
                 # settle batch N-1 (one in flight — apply.rs
                 # pending_flush_result), then open batch N in the ledger
@@ -503,8 +520,12 @@ class Pipeline:
                 if entry.state == TableState.ERRORED:
                     continue  # P3: quarantined tables drop their events
                 t_rows = batch.filter(F.col("table") == name)
+                # absent from the grouped agg = zero rows this batch: the
+                # empty-stats row keeps the early return (and the caller's
+                # SYNC_DONE→READY transition) without another Spark job
+                st = stats_by_table.get(name) or {"trunc_seq": None, "n": 0}
                 try:
-                    self._apply_table_batch(name, t_rows, batch_id)
+                    self._apply_table_batch(name, t_rows, batch_id, stats=st)
                     if entry.state == TableState.SYNC_DONE:
                         self.control.transition(name, TableState.READY)
                 except Exception as exc:
@@ -973,21 +994,38 @@ class Pipeline:
             out = out.filter(key_present)
         return out
 
-    def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int) -> None:
+    def _apply_table_batch(self, name: str, t_rows: DataFrame, batch_id: int,
+                           stats=None) -> None:
         cfg = self.tables[name]
         # truncate splitting (T8): events ≤ the last TRUNCATE are dead;
-        # the sink resets before the survivors apply
-        truncs = t_rows.filter(F.col("op") == "TRUNCATE").agg(
-            F.max("event_seq").alias("m")
-        ).collect()[0]
-        if truncs["m"] is not None:
+        # the sink resets before the survivors apply. ``stats`` is this
+        # table's row of the batch-wide grouped agg (_apply_batch) — the
+        # pre-computed truncate fence and ROW_OPS count; when absent
+        # (direct calls, e.g. tests) the same numbers come from one agg
+        # here. Either way the old truncate-agg + isEmpty job pair is one
+        # job at most.
+        if stats is None:
+            stats = t_rows.agg(
+                F.max(
+                    F.when(F.col("op") == "TRUNCATE", F.col("event_seq"))
+                ).alias("trunc_seq"),
+                F.count(
+                    F.when(F.col("op").isin(*ROW_OPS), 1)
+                ).alias("n"),
+            ).collect()[0]
+        if stats["trunc_seq"] is not None:
             self.sink.truncate(name)
             t_rows = t_rows.filter(
-                (F.col("event_seq") > truncs["m"]) | ~F.col("op").isin(*ROW_OPS)
+                (F.col("event_seq") > stats["trunc_seq"])
+                | ~F.col("op").isin(*ROW_OPS)
             )
-        rows = t_rows.filter(F.col("op").isin(*ROW_OPS))
-        if rows.isEmpty():
-            return
+            rows = t_rows.filter(F.col("op").isin(*ROW_OPS))
+            if rows.isEmpty():  # survivors past the fence may be none
+                return
+        else:
+            if stats["n"] == 0:
+                return
+            rows = t_rows.filter(F.col("op").isin(*ROW_OPS))
         decoded = self._decode(cfg, rows)
         if self.compact_batches:
             decoded = self._compact(cfg, decoded)

@@ -2027,40 +2027,37 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     q3 = lo + (hi - lo) * 3 // 4
     C = {1: q1 * 10 + 5, 2: q2 * 10 + 5, 3: q3 * 10 + 5, 4: hi * 10 + 5}
 
-    def enc(rng: int):
-        def inner(batches: Iterator) -> Iterator:
-            import pandas as pd
+    def enc(batches: Iterator) -> Iterator:
+        # ONE encode pass for all four transaction ranges: the range (and
+        # with it the frame shape + xid) is derived per row from the
+        # quartile bounds, so batch 2 is a single scan + Python stage
+        # instead of three (same frames row-for-row as the former
+        # per-range encoders)
+        import pandas as pd
 
-            for pdf in batches:
-                out = {"wal_start": [], "xid": [], "frame": []}
-                for eid, uid, et, val in zip(
-                    pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
-                ):
-                    eid, uid = int(eid), int(uid)
-                    pk, v = str(uid), str(float(val))
-                    if et == "error":
-                        frame = pgo.encode_delete(1, key=[pk])
-                    elif rng == 1:
-                        frame = pgo.encode_insert(1, [pk, "g", v])  # v1: 3 cells
-                    elif rng == 2:
-                        frame = pgo.encode_update(1, [pk, "g", v])  # v1: 3 cells
-                    else:
-                        frame = pgo.encode_update(1, [pk, v])  # v2a/v2b: 2 cells
-                    out["wal_start"].append(eid * 10)
-                    out["xid"].append(rng)
-                    out["frame"].append(frame)
-                yield pd.DataFrame(out)
+        for pdf in batches:
+            out = {"wal_start": [], "xid": [], "frame": []}
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid, uid = int(eid), int(uid)
+                rng = 1 if eid <= q1 else 2 if eid <= q2 else 3 if eid <= q3 else 4
+                pk, v = str(uid), str(float(val))
+                if et == "error":
+                    frame = pgo.encode_delete(1, key=[pk])
+                elif rng == 1:
+                    frame = pgo.encode_insert(1, [pk, "g", v])  # v1: 3 cells
+                elif rng == 2:
+                    frame = pgo.encode_update(1, [pk, "g", v])  # v1: 3 cells
+                else:
+                    frame = pgo.encode_update(1, [pk, v])  # v2a/v2b: 2 cells
+                out["wal_start"].append(eid * 10)
+                out["xid"].append(rng)
+                out["frame"].append(frame)
+            yield pd.DataFrame(out)
 
-        return inner
-
-    r1 = ev.filter(F.col("event_id") <= q1).mapInPandas(enc(1), pgo.FRAME_SCHEMA)
-    r2 = ev.filter((F.col("event_id") > q1) & (F.col("event_id") <= q2)).mapInPandas(
-        enc(2), pgo.FRAME_SCHEMA
-    )
-    r3 = ev.filter((F.col("event_id") > q2) & (F.col("event_id") <= q3)).mapInPandas(
-        enc(3), pgo.FRAME_SCHEMA
-    )
-    r4 = ev.filter(F.col("event_id") > q3).mapInPandas(enc(4), pgo.FRAME_SCHEMA)
+    r1 = ev.filter(F.col("event_id") <= q1).mapInPandas(enc, pgo.FRAME_SCHEMA)
+    r234 = ev.filter(F.col("event_id") > q1).mapInPandas(enc, pgo.FRAME_SCHEMA)
 
     rel_v1 = pgo.encode_relation(1, "public", "users", "d",
                                  [(1, "pk", 20, -1), (0, "gone", 25, -1),
@@ -2091,7 +2088,13 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def emit(df, name):
         stage = os.path.join(work, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        # repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        # encode pipeline (scan + Python stage) into one task; the
+        # one-file contract (1 file = 1 micro-batch, load-bearing for
+        # the crash-replay window) only needs a single WRITER, which the
+        # exchange provides while the encode stays parallel (guide §2.4:
+        # the extra exchange moves a few MB; measured net win ~3x here)
+        df.repartition(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         os.rename(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
         shutil.rmtree(stage)
@@ -2106,7 +2109,7 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline(spark, src, [cfg], sink, pwork,
              source_fmt="pgoutput").run_until_drained()
 
-    emit(r2.unionByName(r3).unionByName(r4).unionByName(ctrl2), "b2")
+    emit(r234.unionByName(ctrl2), "b2")
     fp.arm(fp.STORE_REPLICATION_PROGRESS)
     try:
         Pipeline(spark, src, [cfg], sink, pwork,
