@@ -291,11 +291,22 @@ def jaccard_prefix_join(
     # cut point 1: one tokenize/md5 scan, reused by members (3×) and dsets
     docs = docs.localCheckpoint(eager=True)
     members = docs.select("__id", "set_fp")
+    par = df.sparkSession.sparkContext.defaultParallelism
     dsets = (
         docs.select("set_fp", "toks")
         .dropDuplicates(["set_fp"])
         .withColumn("n", F.size("toks"))
         .withColumn("hset", F.transform("toks", lambda x: F.xxhash64(x)))
+        # repartition BEFORE the cut: AQE coalesces the tiny dedup shuffle
+        # to ~1 partition, and an eager localCheckpoint FREEZES that — the
+        # xxhash transform, the token exploder and every later scan of the
+        # materialization would then run single-task (measured: the
+        # single-task candidate enumeration alone was ~8 s at sf0.1). One
+        # round-robin exchange of the skinny distinct-set table restores
+        # full parallelism for all consumers at once; at cluster scale the
+        # pre-AQE partitioning is already healthy and this is a cheap
+        # rebalance of the collapsed (distinct-set-bounded) table.
+        .repartition(par)
         # cut point 2: one set-dedup + xxhash pass, reused by the token
         # exploder, both verify sides, and the same-set clique join
         .localCheckpoint(eager=True)
@@ -317,6 +328,10 @@ def jaccard_prefix_join(
             F.col("n").alias("pn"),
             F.col("rn").alias("prn"),
         )
+        # same repartition-before-cut as dsets: the prefix self-join's
+        # PROBE side scans this materialization, so a frozen 1-partition
+        # layout would serialize the whole candidate enumeration
+        .repartition(par)
         # cut point 3: the df agg + join + prefix window run once; the
         # prefix SELF-join below reads this materialization on both sides
         .localCheckpoint(eager=True)
@@ -563,11 +578,16 @@ def containment_prefix_join(
     )
     docs = docs.localCheckpoint(eager=True)  # one tokenize/md5 scan
     members = docs.select("__id", "set_fp")
+    par = df.sparkSession.sparkContext.defaultParallelism
     dsets = (
         docs.select("set_fp", "toks")
         .dropDuplicates(["set_fp"])
         .withColumn("n", F.size("toks"))
         .withColumn("hset", F.transform("toks", lambda x: F.xxhash64(x)))
+        # repartition before the cut (see jaccard_prefix_join): an eager
+        # checkpoint freezes AQE's ~1-partition coalesce of the tiny
+        # dedup shuffle, serializing every later scan of dsets
+        .repartition(par)
         .localCheckpoint(eager=True)  # one set-dedup + xxhash pass
     )
     tokd = dsets.select("set_fp", "n", F.explode("toks").alias("tok"))
@@ -577,8 +597,13 @@ def containment_prefix_join(
     # containment prefix: n_a − ⌈t·n_a⌉ + 1 (vs Jaccard's identical form —
     # the bound is on |A| alone here)
     prefix_len = F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
-    ranked = ranked.withColumn("rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
+    ranked = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        # repartition before the cut: the one-sided join PROBES this
+        # materialization with B's FULL token lists — frozen at 1
+        # partition the whole enumeration would run on one task
+        .repartition(par)
+        .localCheckpoint(eager=True)
     )  # df agg + window once; reused by the prefix AND the b-side
     a = (
         ranked.filter(F.col("rn") <= prefix_len)

@@ -162,6 +162,29 @@ def test_connected_components_chain_and_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_driver_path_matches_loop(spark):
+    """The bounded driver union-find fast path and the distributed
+    min-label loop are the SAME function: identical labels on a graph
+    with chains, a clique, and isolated vertices (driver_max_edges=0
+    forces the loop)."""
+    import random
+
+    from etl_spark.operators.graph import connected_components
+
+    rng = random.Random(13)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r.id: r.component
+            for r in connected_components(verts, edf).collect()}
+    loop = {r.id: r.component
+            for r in connected_components(
+                verts, edf, driver_max_edges=0).collect()}
+    assert fast == loop and len(fast) == n
+
+
 def test_jaccard_prefix_join_exact_semantics(spark, docs):
     """The prefix-filtered join returns EXACTLY the pairs with token-set
     Jaccard >= t: identical sets (1,2) at 1.0, the near-dup (1,3)/(2,3)
