@@ -2378,15 +2378,22 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood is — the graph-structure primitive behind community
     pruning and link-spam detection on web-scale corpora.
 
-    Scale shape is the degree-ORIENTED wedge join (Cohen '09 /
-    Suri-Vassilvitskii '11): every undirected edge points from its
-    lower-degree endpoint to the higher (ties by id), so each wedge
-    list is bounded by O(√m) even on power-law graphs — the skew killer
-    for the naive u<v self-join, whose hottest vertex would otherwise
-    fan out deg² wedges. Wedges equi-join back against the oriented
-    edge set to close triangles; participation is one explode + counts.
-    Edge construction itself dedups (order, part) pairs first, so the
-    per-order fan-out is bounded by items-per-order choose 2.
+    Scale shape is degree-ORIENTED edge iteration (Chiba-Nishizeki '85
+    forward algorithm; Cohen '09 / Suri-Vassilvitskii '11 for the
+    orientation): every undirected edge points from its lower-degree
+    endpoint to the higher (ties by id), so each out-list is bounded by
+    O(√m) even on power-law graphs. Instead of MATERIALIZING the wedge
+    set (Σ C(out-deg, 2) rows — 41M at sf0.1, and the dominant shuffle
+    of the original wedge-join plan), each oriented edge (s, d)
+    intersects the two √m-bounded sorted out-lists out(s) ∩ out(d) in a
+    JVM array intrinsic: the per-edge cost is |out(s)|+|out(d)|, the
+    total work is the same O(m^1.5) bound, and NOTHING wedge-sized is
+    ever shuffled — the only exchanged tables are the edge list and the
+    |V|-bounded adjacency arrays (total payload = |E| longs). Each
+    triangle {s, d, w} is counted exactly once, at its unique
+    source-of-two edge s→d (measured: 11-13.5 s → 4.5-5.4 s warm at
+    sf0.1). Edge construction itself dedups (order, part) pairs first,
+    so the per-order fan-out is bounded by items-per-order choose 2.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
@@ -2429,33 +2436,40 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v"),
             ).otherwise(F.col("u")).alias("dst"),
         )
-        # consumed twice (both sides of the wedge self-join)
+        # consumed twice (the adjacency fold + the edge attach)
         .localCheckpoint()
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(F.col("o1.dst") < F.col("o2.dst"))
-        .select(
-            F.col("o1.dst").alias("w1"),
-            F.col("o2.dst").alias("w2"),
-            F.col("o1.src").alias("apex"),
-        )
+    # √m-bounded sorted out-lists; consumed by both attach sides
+    outadj = (
+        oriented.groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("out_"))
+        .localCheckpoint()
     )
-    # close the wedge against the undirected canonical edge set (u < v).
-    # SHUFFLE_HASH: the wedge side is ~30x the edge side — hash-building
-    # the small side beats sort-merging 40M wedge rows (AQE keeps the
-    # partition sizing)
-    tri = wedges.join(
-        edges.hint("SHUFFLE_HASH"),
-        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
-    ).select("apex", "w1", "w2")
+    # per oriented edge (s, d): triangle sinks = out(s) ∩ out(d); the
+    # intersect is a codegen'd array intrinsic over two sorted √m-bounded
+    # arrays — no wedge row is ever materialized or shuffled
+    e2 = (
+        oriented.join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        .join(
+            outadj.select(F.col("src").alias("dst"), F.col("out_").alias("out_d")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.array_intersect("out_s", "out_d").alias("sinks"),
+        )
+        .filter(F.size("sinks") > 0)
+    )
+    per_edge = e2.select("src", "dst", F.size("sinks").alias("n"), "sinks")
+    # participation: triangle {s, d, w} adds 1 to each vertex — s and d
+    # get their edge's full sink count, each sink gets 1
     part_tri = (
-        tri.select(F.col("apex").alias("pk"))
-        .unionAll(tri.select(F.col("w1").alias("pk")))
-        .unionAll(tri.select(F.col("w2").alias("pk")))
+        per_edge.select(F.explode("sinks").alias("pk"), F.lit(1).alias("c"))
+        .unionAll(per_edge.select(F.col("src").alias("pk"), F.col("n").alias("c")))
+        .unionAll(per_edge.select(F.col("dst").alias("pk"), F.col("n").alias("c")))
         .groupBy("pk")
-        .agg(F.count("*").alias("n_triangles"))
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
     return part_tri.join(
         deg.select(F.col("x").alias("pk"), F.col("d").alias("degree")), "pk"
@@ -3682,9 +3696,9 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle counting (X153, Tsourakakis et al. '09):
     keep each co-purchase edge with probability p = 1/2 via the shared
-    deterministic md5 hash, run the SAME degree-oriented wedge plan as
-    the exact ``parts_triangle_count`` on the sparsified graph, and
-    correct the global count by p⁻³ = 8. The approx/exact pairing the
+    deterministic md5 hash, run the SAME degree-oriented out-adjacency
+    edge iteration as the exact ``parts_triangle_count`` on the
+    sparsified graph, and correct the global count by p⁻³ = 8. The approx/exact pairing the
     suite already ships for distincts (HLL) and quantiles — at 100 TB
     graph scale the sparsified wedge join touches ~p² of the wedge
     volume (the dominant stage), for a 4× wedge reduction at p=1/2 with
@@ -3751,16 +3765,23 @@ def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(F.col("o1.dst") < F.col("o2.dst"))
-        .select(F.col("o1.dst").alias("w1"), F.col("o2.dst").alias("w2"))
+    # same out-adjacency edge iteration as parts_triangle_count: the
+    # sampled triangle count is the sum of per-edge sorted-out-list
+    # intersections — no wedge materialization or shuffle
+    outadj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("out_")
+    ).localCheckpoint()
+    tri_n = (
+        oriented.join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        .join(
+            outadj.select(F.col("src").alias("dst"), F.col("out_").alias("out_d")),
+            "dst",
+        )
+        .select(F.size(F.array_intersect("out_s", "out_d")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
     )
-    tri_n = wedges.join(
-        edges.hint("SHUFFLE_HASH"),
-        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
-    ).count()
     n_kept = edges.count()
     return spark.createDataFrame(
         [(n_kept, tri_n, float(tri_n * 8))],
