@@ -136,22 +136,77 @@ def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document shingle sets: ``(id, sh_set, hset)`` — the distinct
+    shingle strings and their xxhash64 longs as parallel arrays.
+
+    One tokenize scan + one map-combined ``collect_set`` shuffle produce
+    the table every MinHash stage needs: signatures are array-mins over
+    ``sh_set`` (zero further shuffles), verify intersects ``hset`` (long
+    compares, ~2× faster than strings — the same digest policy as the
+    prefix-join family; |A∩B| over an injective hash equals |A∩B| over
+    shingles).
+    """
+    return (
+        shingles(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh_set"))
+        .withColumn("hset", F.transform("sh_set", lambda x: F.xxhash64(x)))
+    )
+
+
+def minhash_signatures_from_sets(
+    sets_: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature computed per ROW from the shingle-set array:
+    ``min(md5(seed || ':' || shingle))`` over ``sh_set`` — identical to
+    :func:`minhash_signatures` (min over a set equals min over its
+    exploded rows) but with NO shuffle: the seeded mins are array
+    transforms in the scan stage of the set table.
+    """
+    return sets_.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    "sh_set",
+                    lambda x: F.md5(F.concat_ws(":", F.lit(str(s)), x)),
+                )
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+
+
 def ngram_jaccard(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    sh: DataFrame | None,
+    id_col: str = "doc_id",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: ``(id_a, id_b, inter, union_, jaccard)``.
 
-    Joins each side's distinct shingle set (collected once) onto the pairs
-    and computes |A∩B| / |A∪B| with JVM array intrinsics. Neither join is
-    hinted: the pairs side is usually tiny (LSH output) but grows with
-    real duplication, and the set table carries corpus-sized array
-    payloads — AQE's runtime sizes pick the build side safely at every
-    scale.
+    Joins each side's distinct shingle-hash set onto the pairs and
+    computes |A∩B| / |A∪B| with JVM array intrinsics over xxhash64 longs
+    (injective within a pair w.h.p. — counts equal the string-set counts;
+    the long intersect is ~2× faster than strings, same digest policy as
+    the prefix-join family). Pass ``sets`` (a :func:`shingle_sets` table,
+    possibly materialized) to reuse an existing collapse; otherwise it is
+    built from the exploded ``sh``. Neither join is hinted: the pairs
+    side is usually tiny (LSH output) but grows with real duplication,
+    and the set table carries corpus-sized array payloads — AQE's runtime
+    sizes pick the build side safely at every scale.
     """
-    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    if sets is None:
+        sets = sh.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("shingle")).alias("hset")
+        )
+    sets_ = sets.select(F.col(id_col), F.col("hset"))
     j = (
-        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
-        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("hset", "set_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("hset", "set_b"), "id_b")
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
@@ -176,20 +231,32 @@ def minhash_lsh(
     """End-to-end near-dup detection: shingle → MinHash → LSH → verify.
 
     Returns verified pairs ``(id_a, id_b, jaccard)`` with
-    ``jaccard >= threshold``. Shuffle census: signatures (1), bands (1),
-    bucket join (1), verify joins (2 small) — constant number of shuffles
-    regardless of corpus size; nothing is ever O(n²).
+    ``jaccard >= threshold``. Shuffle census: set collapse (1,
+    map-combined), bucket join (1), pair distinct (1), verify joins
+    (2 small) — constant number of shuffles regardless of corpus size;
+    nothing is ever O(n²). Signatures and bands are per-row array math
+    over the materialized set table (zero shuffles).
     """
     rows_per_band = num_hashes // bands
-    # no .cache(): the two consumers (signatures, verify) each see the full
-    # declarative plan, so Catalyst prunes/pushes independently and nothing
-    # pins executor memory across calls; shingling is scan-stage-cheap
-    # relative to the seeded-hash explosion it feeds.
-    sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # ONE tokenize scan + ONE collect_set shuffle, materialized: the old
+    # declarative form recomputed the shingle explode + a 16-min groupBy
+    # for the signature path AND a second explode + collect_set for the
+    # verify path (the two consumers can't share a subplan). Signatures
+    # are now per-row array mins over the materialized set table (zero
+    # shuffles past the collapse); verify reuses the same checkpoint.
+    # repartition before the cut: AQE coalesces the per-doc collapse and
+    # an eager localCheckpoint would freeze that (~1-partition) layout
+    # for every consumer (same fix as the prefix-join family).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets_ = (
+        shingle_sets(df, id_col, text_col, k)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signatures_from_sets(sets_, id_col, num_hashes)
     buckets = lsh_buckets(sig, id_col, bands, rows_per_band)
     pairs = candidate_pairs(buckets, id_col)
-    verified = ngram_jaccard(pairs, sh, id_col)
+    verified = ngram_jaccard(pairs, None, id_col, sets=sets_)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
