@@ -284,6 +284,10 @@ class _BucketedVersionedTable:
         self.keys = keys
         self.spark = spark
         self.n_buckets = n_buckets or self.DEFAULT_BUCKETS
+        # (table, version) -> limit(0) schema anchor; safe to memoize
+        # because a manifest is immutable once written and every caller
+        # re-reads the CURRENT version before keying in
+        self._anchor_cache: dict[tuple[str, int], DataFrame | None] = {}
 
     # -- version pointer (the atomic commit) --------------------------------
     def _vpath(self, table: str) -> str:
@@ -504,6 +508,18 @@ class _BucketedVersionedTable:
         )
         return df.drop("__bucket")
 
+    def _schema_frame_cached(self, table: str) -> DataFrame | None:
+        """Memoized :meth:`_schema_frame`. Every ``write_changes`` needs
+        the anchor (key canonicalization + new-bucket type coercion); the
+        underlying footer read costs ~100 ms per call, so a 3-batch gate
+        pays it 6+ times for an identical answer. Keyed by the CURRENT
+        version — manifests are immutable once written, so a hit can
+        never be stale, and a commit (new version) naturally misses."""
+        key = (table, self._current_meta(table)["version"])
+        if key not in self._anchor_cache:
+            self._anchor_cache[key] = self._schema_frame(table)
+        return self._anchor_cache[key]
+
     def _schema_frame(self, table: str) -> DataFrame | None:
         """limit(0) frame with the table's STORED schema (a parquet footer
         read, no data scan). Used as the type anchor when a batch touches
@@ -540,7 +556,7 @@ class _BucketedVersionedTable:
         — a text-decoded key would bucket away from its stored row and the
         merge would never see it. The stored schema is the canonical type
         (one parquet footer read, no data scan)."""
-        anchor = self._schema_frame(table)
+        anchor = self._schema_frame_cached(table)
         if anchor is None:
             return df
         stored_types = dict(anchor.dtypes)
@@ -580,9 +596,19 @@ class _BucketedVersionedTable:
         vname = f"v{nv}"
         vdir = self._data_dir(table, nv)
         # mode=overwrite: a crash-then-replay that re-attempts the same
-        # version number replaces the torn dir wholesale
+        # version number replaces the torn dir wholesale.
+        # repartition(k, __bucket) pins one task (→ one file) per bucket:
+        # without it the window's AQE-coalesced partitioning scatters every
+        # bucket over every task, so each version dir holds tasks×buckets
+        # tiny files and read-back/commit pay per-file overhead (guide §6).
+        # The design target is a few GB per bucket, so file-per-bucket is
+        # the right output size at any scale; the explicit count (not a
+        # bare repartition("__bucket")) keeps AQE from re-coalescing the
+        # exchange below the bucket count.
+        k = len(touched) if touched else n
         (
             out.withColumn("__bucket", self._bucket_expr(n))
+            .repartition(max(k, 1), "__bucket")
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(vdir)
@@ -809,7 +835,7 @@ class ParquetCurrentStateSink(_BucketedVersionedTable, Sink):
         if stored is None:
             # brand-new buckets: still merge against the stored SCHEMA so
             # the union coerces batch columns to the table's types
-            stored = self._schema_frame(table)
+            stored = self._schema_frame_cached(table)
         if stored is None:
             merged = materialize.current_state(df, self.keys)
         else:
@@ -920,11 +946,29 @@ class ParquetScd2Sink(_BucketedVersionedTable, Sink):
     :class:`ParquetCurrentStateSink`.
     """
 
-    def _derive(self, events: DataFrame) -> DataFrame:
-        """Validity bounds from raw events (the cdc_scd2_history window)."""
+    def _derive(self, events: DataFrame, dedup: bool = False) -> DataFrame:
+        """Validity bounds from raw events (the cdc_scd2_history window).
+
+        ``dedup=True`` additionally drops duplicate (key, event_seq) rows —
+        the replay/idempotence guard of the merge — INSIDE the same window
+        pass: a lag over the identical (keys, event_seq) window spec marks
+        repeats, so the filter rides the one existing Exchange+Sort instead
+        of the separate ``dropDuplicates`` exchange on (keys, event_seq)
+        the merge used to pay first (guide §2.4: two ops keyed the same way
+        share one exchange). Duplicate rows are the same event delivered
+        twice, so which physical copy survives is immaterial."""
         from pyspark.sql import Window
 
         w = Window.partitionBy(*self.keys).orderBy("event_seq")
+        if dedup:
+            events = (
+                events.withColumn("__prev_seq", F.lag("event_seq").over(w))
+                .filter(
+                    F.col("__prev_seq").isNull()
+                    | (F.col("__prev_seq") != F.col("event_seq"))
+                )
+                .drop("__prev_seq")
+            )
         return (
             events.withColumn("valid_to", F.lead("commit_lsn").over(w))
             .withColumn(
@@ -955,9 +999,9 @@ class ParquetScd2Sink(_BucketedVersionedTable, Sink):
             return
         stored = self._read_buckets(table, touched)
         if stored is None:
-            stored = self._schema_frame(table)  # type anchor (see above)
+            stored = self._schema_frame_cached(table)  # type anchor (see above)
         if stored is None:
-            merged_events = df.dropDuplicates([*self.keys, "event_seq"])
+            merged_events = df
         else:
             event_cols = [
                 c for c in stored.columns if c not in ("valid_to", "is_current")
@@ -966,10 +1010,10 @@ class ParquetScd2Sink(_BucketedVersionedTable, Sink):
             batch_events = df.select(
                 *[c if c in df.columns else F.lit(None).alias(c) for c in event_cols]
             )
-            merged_events = touched_hist.unionByName(batch_events).dropDuplicates(
-                [*self.keys, "event_seq"]
-            )
-        self._commit(table, self._derive(merged_events), touched, batch_id)
+            merged_events = touched_hist.unionByName(batch_events)
+        self._commit(
+            table, self._derive(merged_events, dedup=True), touched, batch_id
+        )
 
     def truncate(self, table: str) -> None:
         self._truncate(table)

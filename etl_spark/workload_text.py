@@ -1437,46 +1437,52 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent integer checksum of the distinct fingerprint set
     (what a plagiarism/dedup index stores per document).
 
-    Scale shape: the k-gram explode is the standard shingle fan-out
-    (bounded: one row per character), the min-window streams within the
-    per-doc sort, and the aggregate map-combines; hashes are 32-bit slices
-    of the shared md5 domain so the oracle reproduces them bit-for-bit.
+    Scale shape (r13 optimization, guide §2.4): the whole selection is
+    per-document, so it runs SCAN-LOCAL as array algebra — k-gram hashes
+    via ``transform`` over a position ``sequence``, the w=4 rightmost-min
+    via a 4-element ``slice``+``array_min`` per window, and the distinct
+    sets / checksum via ``array_distinct``/``aggregate`` — emitting ONE
+    row per document with zero shuffles. The previous shape exploded one
+    row per character and paid an explode-spread Exchange, a per-doc
+    window Exchange+Sort, and the distinct/agg exchanges on that
+    char-sized stream (4 Exchanges → 0; plans/r13). Hashes are the same
+    32-bit slices of the shared md5 domain, bit-for-bit.
     """
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir).filter(F.length("text") >= 11)
-    grams = docs.select(
-        "doc_id",
-        "text",
-        F.length("text").alias("n"),
-        F.explode(F.sequence(F.lit(0), F.length("text") - 8)).alias("pos"),
-    ).select(
-        "doc_id",
-        "n",
-        "pos",
-        (
-            F.conv(
-                F.substring(F.md5(F.expr("substring(text, pos + 1, 8)")), 1, 13),
-                16, 10,
-            ).cast("long") % F.lit(1 << 32)
-        ).alias("h"),
+    # val[i] = h(i)·2^20 − i packs (hash asc, pos desc) into one orderable
+    # long, exactly as before; window w covers positions p−3..p (1-based
+    # slice start p−2), defined for p ≥ 3.
+    vals = F.expr(
+        "transform(sequence(0, length(text) - 8), i -> "
+        " cast(conv(substring(md5(substring(text, i + 1, 8)), 1, 13), 16, 10)"
+        "      as bigint) % 4294967296 * 1048576 - i)"
     )
-    val = (F.col("h") * F.lit(1 << 20) - F.col("pos")).alias("val")
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    sel = (
-        grams.select("doc_id", "n", "pos", val)
-        .withColumn("win_min", F.min("val").over(w))
-        .filter(F.col("pos") >= 3)
-        .select("doc_id", "n", F.col("win_min").alias("val"))
-        .distinct()
-        .withColumn("h", (F.col("val") + F.lit((1 << 20) - 1)) / F.lit(1 << 20))
-        .withColumn("h", F.floor("h").cast("long"))
+    sel = F.expr(
+        "array_distinct(transform(sequence(3, n - 8), p -> "
+        " array_min(slice(__vals, p - 2, 4))))"
     )
-    return sel.groupBy("doc_id").agg(
-        (F.first("n") - 7).cast("long").alias("n_kgrams"),
-        F.count("*").alias("n_selected"),
-        F.count_distinct("h").alias("n_distinct_fp"),
-        F.sum_distinct("h").alias("fp_checksum"),
+    fps = F.expr(
+        "array_distinct(transform(__sel, v -> "
+        " cast(floor((v + 1048575) / 1048576) as bigint)))"
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("n"), vals.alias("__vals"))
+        .select("doc_id", "n", sel.alias("__sel"))
+        .select(
+            "doc_id",
+            "n",
+            F.size("__sel").alias("n_sel"),
+            fps.alias("__fps"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n") - 7).cast("long").alias("n_kgrams"),
+            F.col("n_sel").cast("long").alias("n_selected"),
+            F.size("__fps").cast("long").alias("n_distinct_fp"),
+            F.expr(
+                "aggregate(__fps, cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("fp_checksum"),
+        )
     )
 
 
