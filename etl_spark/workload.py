@@ -314,7 +314,13 @@ def pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )))],
         "wal_start long, xid long, frame binary",
     )
-    frames = dml.unionByName(begins).unionByName(rel)
+    # cut point (same as the wire gate): decode_frames' relation-registry
+    # pre-pass collects over `frames`, which would re-run the Python
+    # encoder end-to-end; checkpointing makes that pre-pass a JVM scan of
+    # the materialized frames and the encoder runs exactly once
+    frames = (
+        dml.unionByName(begins).unionByName(rel).localCheckpoint(eager=True)
+    )
     env = pgo.decode_frames(frames)
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
@@ -414,9 +420,14 @@ def pgoutput_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk binary",
     )
     chunks = dml_chunks.unionByName(begin_chunks).unionByName(rel_chunk)
-    # cut point: unwrap once; reused by the BEGIN collect AND the decode
+    # cut point: unwrap once; reused by the BEGIN collect AND the decode.
+    # The assign_xids output is cut too: decode_frames' relation-registry
+    # pre-pass collects over its input, which would otherwise re-run the
+    # xid-assignment pandas pass over every frame a second time.
     frames = live.unwrap_xlog_chunks(chunks).localCheckpoint(eager=True)
-    env = pgo.decode_frames(live.assign_xids(frames))
+    env = pgo.decode_frames(
+        live.assign_xids(frames).localCheckpoint(eager=True)
+    )
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
         "op", "commit_lsn", "tx_ordinal",

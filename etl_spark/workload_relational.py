@@ -1836,13 +1836,23 @@ def customer_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pv"),
     ).select("k", "name", F.col("pv.pos").alias("pos"), F.col("pv.v").alias("v"))
+    # r13 optimization (guide §3.1/§2.3): join on xxhash64(v), not the
+    # variant string — 8 fixed bytes instead of a name-length string per
+    # exploded row — and force a SHUFFLED HASH join: the variant table is
+    # |name|+1 × the input, so the auto-chosen broadcast built a
+    # multi-million-row hash relation on the driver (measured 3.3 s at
+    # sf0.1 vs 0.95 s shuffled; at 100 TB the broadcast is impossible
+    # outright). A hash collision can only ADD candidates, and every
+    # candidate passes the exact levenshtein verify below, so the result
+    # set is unchanged; true pairs always share a real variant (equal
+    # hashes), so none is lost.
     a = variants.select(
         F.col("k").alias("k_a"), F.col("name").alias("name_a"),
-        F.col("pos").alias("pos_a"), "v",
+        F.col("pos").alias("pos_a"), F.xxhash64("v").alias("hv"),
     )
     b = variants.select(
         F.col("k").alias("k_b"), F.col("name").alias("name_b"),
-        F.col("pos").alias("pos_b"), "v",
+        F.col("pos").alias("pos_b"), F.xxhash64("v").alias("hv"),
     )
     compatible = (
         (F.col("pos_a") == F.col("pos_b"))
@@ -1850,7 +1860,7 @@ def customer_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("pos_b") == 0)
     )
     return (
-        a.join(b, "v")
+        a.join(b.hint("shuffle_hash"), "hv")
         .filter((F.col("k_a") < F.col("k_b")) & compatible)
         # verify BEFORE the dedup shuffle: levenshtein is join-local JVM
         # work, so the distinct exchange only carries true matches

@@ -1019,6 +1019,13 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
         ).alias("s"),
     ).select("doc_id", "s.dig", "s.p")
+    # r13 optimization (guide §5): both the spread branch and the coverage
+    # join consume `pos`; without the cut the tokenize+md5 explode runs
+    # twice (once per branch). Materializing the 24-byte (doc, dig, p)
+    # rows once is cheaper than a second full hash pass (measured ~1.6×
+    # at sf0.1); the checkpointed frame is digest+position only — shingle
+    # text never materializes.
+    pos = pos.localCheckpoint(eager=True)
     spread = (
         pos.select("doc_id", "dig").distinct()
         .groupBy("dig").agg(F.count("*").alias("n_docs"))
