@@ -394,11 +394,16 @@ class Pipeline:
                 self.budget.observe(est, n_files)
 
         raw_frames = None
+        wire = None
         if self.source_fmt == "pgoutput":
             # binary WAL frames → envelope: learn relations first (persisted
             # across batches/restarts), then decode this batch with carried
             # in-flight transaction state (BEGINs from earlier batches)
-            from etl_spark.sources.pgoutput import decode_frames
+            from etl_spark.sources.live import MAX_TX_PER_WINDOW
+            from etl_spark.sources.pgoutput import (
+                collect_wire_stats,
+                decode_frames,
+            )
 
             raw_frames = batch
             # snapshot BEFORE learning this batch's relations: the decoder
@@ -414,11 +419,20 @@ class Pipeline:
             # overlay) would fall back to the already-advanced post-DDL
             # base, mis-keying renames and misaligning cells after a drop.
             carried_relations = self.relations.snapshot()
+            # ONE Spark job gathers everything the driver needs from the
+            # raw batch — wal bounds, RELATION/TYPE metadata frames,
+            # BEGIN/COMMIT frames, per-xid envelope counts — where five
+            # separate collect jobs ran before (guide §1.2: small-batch
+            # pipeline wall time is job-count-bound). Only the COLLECT is
+            # hoisted; each registry still ADVANCES at its original point
+            # (types now, relations/txs deferred to batch success below),
+            # so the crash/replay windows are unchanged.
+            wire = collect_wire_stats(batch, max_tx=MAX_TX_PER_WINDOW)
             # TYPE names are exempt from the deferral: they are idempotent
             # oid→name metadata (never positional), and _apply_relations
             # needs same-batch TYPE frames visible when naming custom-typed
             # columns mid-batch.
-            self.types.update_from(batch)
+            self.types.ingest(wire.types)
             # LSN-exact tx carry (mirrors the versioned relation base): a
             # crash after txs.advance_from but before Spark's commit log
             # replays this batch against the ADVANCED tx state — shifted
@@ -426,18 +440,12 @@ class Pipeline:
             # numbers) and popped committed xids (strict-decode crash
             # loop). snapshot_for(first frame's wal) returns the state the
             # FIRST attempt decoded with, whether or not the advance ran.
-            # one agg for the batch's wal bounds, shared with the
-            # registry advance below (ADVICE r10: raw_frames is never
-            # persisted, so a second bounds agg re-scanned the source)
-            wb = batch.agg(
-                F.min("wal_start").alias("mn"), F.max("wal_start").alias("mx")
-            ).collect()[0]
-            raw_wal_bounds = (wb["mn"], wb["mx"])
+            raw_wal_bounds = wire.bounds
             batch = decode_frames(
                 batch,
                 relations=carried_relations,
                 carry_tx=self.txs.snapshot_for(
-                    int(wb["mn"]) if wb["mn"] is not None else None
+                    int(wire.bounds[0]) if wire.bounds[0] is not None else None
                 ),
             )
         batch = with_sequence(batch) if "event_seq" not in batch.columns else batch
@@ -453,19 +461,6 @@ class Pipeline:
                 # normal path; it only matters for stray dispatches made
                 # directly against the sink (tests, manual truncates)
                 self.sink.await_pending()
-            self._apply_relations(batch)
-            # FORCE_SCHEMA_CLEANUP: aggressively prune schema versions up to
-            # the durable flush LSN mid-stream (reference forces cleanup to
-            # prove as-of decode never needs a pruned version,
-            # pipeline_with_failpoints.rs:1581)
-            if failpoints.should_skip(failpoints.FORCE_SCHEMA_CLEANUP):
-                self.metrics.inc(telemetry.ETL_SCHEMA_CLEANUPS_TOTAL)
-                for name in self.tables:
-                    pruned = self.schemas.prune(name, self.control.flush_lsn)
-                    if pruned:
-                        self.metrics.inc(
-                            telemetry.ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL,
-                            pruned)
             # one agg also feeds telemetry (events + transactions per
             # batch ride the same job as the max-LSN read). Only ROW ops
             # count as events (RELATION/TYPE/MESSAGE metadata frames would
@@ -482,13 +477,16 @@ class Pipeline:
             # its lifetime. commit_lsn IS NOT NULL excludes out-of-tx
             # metadata (xid = -1) whose window also starts at ordinal 0.
             is_row = F.col("op").isin(list(ROW_OPS))
-            # ONE grouped agg serves three consumers that were separate
+            # ONE grouped agg serves four consumers that were separate
             # Spark jobs (guide §1.2/§2.4 — small-batch wall time here is
             # job-count-bound): the global telemetry/max-LSN read (sums/
             # maxes over the groups, exact — a row belongs to exactly one
             # `table` group, null included), each table's truncate fence,
-            # and each table's empty-batch skip (formerly 2 more jobs PER
-            # TABLE in _apply_table_batch).
+            # each table's empty-batch skip (formerly 2 more jobs PER
+            # TABLE in _apply_table_batch), and the schema-change stream —
+            # RELATION/MESSAGE rows are catalog-sized, so each group
+            # collect_lists its own and _apply_relations consumes the
+            # merged list instead of running its own filter+collect job.
             tstats = batch.groupBy("table").agg(
                 F.max("commit_lsn").alias("m"),
                 F.count(F.when(is_row, 1)).alias("n"),
@@ -502,7 +500,32 @@ class Pipeline:
                 F.max(
                     F.when(F.col("op") == "TRUNCATE", F.col("event_seq"))
                 ).alias("trunc_seq"),
+                F.collect_list(
+                    F.when(
+                        F.col("op").isin("RELATION", "MESSAGE"),
+                        F.struct(
+                            "op", "table", "commit_lsn",
+                            "schema_snapshot_lsn", "after", "start_lsn",
+                        ),
+                    )
+                ).alias("relmeta"),
             ).collect()
+            self._apply_relations(
+                batch,
+                rows=[m for r in tstats for m in (r["relmeta"] or ())],
+            )
+            # FORCE_SCHEMA_CLEANUP: aggressively prune schema versions up to
+            # the durable flush LSN mid-stream (reference forces cleanup to
+            # prove as-of decode never needs a pruned version,
+            # pipeline_with_failpoints.rs:1581)
+            if failpoints.should_skip(failpoints.FORCE_SCHEMA_CLEANUP):
+                self.metrics.inc(telemetry.ETL_SCHEMA_CLEANUPS_TOTAL)
+                for name in self.tables:
+                    pruned = self.schemas.prune(name, self.control.flush_lsn)
+                    if pruned:
+                        self.metrics.inc(
+                            telemetry.ETL_SCHEMA_CLEANUP_PRUNED_VERSIONS_TOTAL,
+                            pruned)
             stats_by_table = {r["table"]: r for r in tstats}
             max_lsn_row = {
                 "m": max((r["m"] for r in tstats if r["m"] is not None),
@@ -588,12 +611,13 @@ class Pipeline:
                 # wal_start (ADVICE r9): the replay's pre-DDL frames
                 # bisect to the spec in force at their own position, so
                 # the advance order is crash-insensitive either way.
-                self.relations.update_from(raw_frames)
+                self.relations.ingest(wire.relations)
                 # ADVANCE_RELATION_REGISTRY: crash in exactly that
                 # residual window (registry advanced, commit log not yet
                 # written) — the restart must replay with correct decode
                 failpoints.hit(failpoints.ADVANCE_RELATION_REGISTRY)
-                self.txs.advance_from(raw_frames, bounds=raw_wal_bounds)
+                self.txs.advance_parsed(wire.bc, wire.env_counts,
+                                        wire.bounds)
                 # ADVANCE_TX_REGISTRY: crash after BOTH registries
                 # advanced, commit log still unwritten — the widest
                 # replay window; the generational tx carry above makes
@@ -602,11 +626,15 @@ class Pipeline:
         finally:
             batch.unpersist()
 
-    def _apply_relations(self, batch: DataFrame) -> None:
+    def _apply_relations(self, batch: DataFrame, rows=None) -> None:
         """Schema-change stream (T9, apply.rs:2138-2276 + Relation
         republish apply.rs:2363-2440): RELATION events carry the new column
         list as JSON; record each version keyed by its DDL start-LSN and
         switch the table's decode schema to the newest version.
+
+        ``rows``: the RELATION/MESSAGE rows if the caller already
+        collected them (the per-batch grouped agg collect_lists them —
+        catalog-sized — so no second filter+collect job runs here).
 
         Fidelity note vs the reference: pgoutput tuples are POSITIONAL, so
         the reference must decode each event against its exact schema
@@ -617,7 +645,7 @@ class Pipeline:
         """
         import json as _json
 
-        rel = (
+        rel = rows if rows is not None else (
             batch.filter(F.col("op").isin("RELATION", "MESSAGE"))
             .select(
                 "op", "table", "commit_lsn", "schema_snapshot_lsn", "after",
