@@ -83,8 +83,9 @@ def minhash_signatures(
     ``num_hashes ×`` the shingle count; this shuffles ``1/shingle_count``
     of it.)
     """
+    # one parsed SQL string per agg (vs ~6 py4j calls each — guide §7.3)
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"h{s}")
+        F.expr(f"min(md5(concat_ws(':', '{s}', shingle))) AS h{s}")
         for s in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -166,15 +167,13 @@ def minhash_signatures_from_sets(
     exploded rows) but with NO shuffle: the seeded mins are array
     transforms in the scan stage of the set table.
     """
-    return sets_.select(
-        F.col(id_col),
+    # SQL-string form (one selectExpr) — the Column-API lambda chain cost
+    # ~0.4 s of py4j round trips per call in plan construction alone
+    return sets_.selectExpr(
+        id_col,
         *[
-            F.array_min(
-                F.transform(
-                    "sh_set",
-                    lambda x: F.md5(F.concat_ws(":", F.lit(str(s)), x)),
-                )
-            ).alias(f"h{s}")
+            f"array_min(transform(sh_set, "
+            f"x -> md5(concat_ws(':', '{s}', x)))) AS h{s}"
             for s in range(num_hashes)
         ],
     )
@@ -832,26 +831,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
+    # Expressions are built as SQL STRINGS, one selectExpr per stage: the
+    # Column-API form of these ~110 expressions cost ~1.4 s of py4j
+    # round trips PER CALL — pure driver plan-construction time charged
+    # to every bench rep (guide §7.3: very large expression trees make
+    # planning itself the bottleneck). Semantics identical term-for-term.
     # 8 hex digits once per token row, then 32 constant-folded ±1 votes
-    digits = tok.select(
-        F.col(id_col),
+    digits = tok.selectExpr(
+        id_col,
         *[
-            (F.instr(F.lit("0123456789abcdef"), F.substring("h", d + 1, 1)) - 1).alias(f"d{d}")
+            f"instr('0123456789abcdef', substring(h, {d + 1}, 1)) - 1 AS d{d}"
             for d in range(SIMHASH_BITS // 4)
         ],
     )
     votes = [
-        (F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        f"((shiftright(d{j // 4}, {j % 4}) & 1) * 2 - 1) AS v{j}"
         for j in range(SIMHASH_BITS)
     ]
-    sums = digits.select(F.col(id_col), *votes).groupBy(id_col).agg(
-        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    sums = digits.selectExpr(id_col, *votes).groupBy(id_col).agg(
+        *[F.expr(f"sum(v{j}) AS s{j}") for j in range(SIMHASH_BITS)]
     )
-    fingerprint = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    fingerprint = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
         for j in range(SIMHASH_BITS)
     )
-    return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return sums.selectExpr(id_col, f"CAST({fingerprint} AS BIGINT) AS simhash")
 
 
 def simhash_candidates(
