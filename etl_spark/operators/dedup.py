@@ -1093,10 +1093,32 @@ def minhash_lsh_incremental(
     NEW side and ``jaccard >= threshold``.
     """
     rows_per_band = num_hashes // bands
-    sh_old = shingles(old_df, id_col, text_col, k)
-    sh_new = shingles(new_df, id_col, text_col, k)
-    b_old = lsh_buckets(minhash_signatures(sh_old, id_col, num_hashes), id_col, bands, rows_per_band)
-    b_new = lsh_buckets(minhash_signatures(sh_new, id_col, num_hashes), id_col, bands, rows_per_band)
+    # ONE materialized shingle-set collapse PER SIDE (the minhash_lsh
+    # move): the old form re-ran each side's shingle explode twice (the
+    # signature groupBy and the verify collect_set can't share a subplan)
+    # and paid the wide 16-min groupBy over exploded shingle rows.
+    # Signatures are per-row array mins over the set table (identical
+    # values — min over a set equals min over its exploded rows) and the
+    # verify reuses the same materialization. repartition before the cut:
+    # AQE coalesces the per-doc collapse and an eager localCheckpoint
+    # would freeze that ~1-partition layout for every consumer.
+    par = old_df.sparkSession.sparkContext.defaultParallelism
+    sets_old = (
+        shingle_sets(old_df, id_col, text_col, k)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    sets_new = (
+        shingle_sets(new_df, id_col, text_col, k)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    b_old = lsh_buckets(
+        minhash_signatures_from_sets(sets_old, id_col, num_hashes), id_col, bands, rows_per_band
+    )
+    b_new = lsh_buckets(
+        minhash_signatures_from_sets(sets_new, id_col, num_hashes), id_col, bands, rows_per_band
+    )
     probe = b_new.select("band", "band_hash", F.col(id_col).alias("id_x"))
     index = (
         b_old.unionByName(b_new)
@@ -1111,6 +1133,8 @@ def minhash_lsh_incremental(
         )
         .distinct()
     )
-    sh_all = sh_old.unionByName(sh_new)
-    verified = ngram_jaccard(cand, sh_all, id_col)
+    # ids are disjoint across sides (a NEW batch vs the standing corpus),
+    # so the union of per-side set tables is the per-id set table
+    sets_all = sets_old.unionByName(sets_new)
+    verified = ngram_jaccard(cand, None, id_col, sets=sets_all)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

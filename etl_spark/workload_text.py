@@ -2251,8 +2251,17 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums so the per-decile means hash-match at any partitioning.
     """
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs, k=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    # ONE materialized shingle-set collapse (the minhash_lsh move): the
+    # old exploded-shingle path paid the wide 16-min groupBy AND a second
+    # explode + collect_set for the verify. Signatures from the set table
+    # are value-identical (min over a set = min over its exploded rows).
+    par = spark.sparkContext.defaultParallelism
+    sets_ = (
+        dedup.shingle_sets(docs, k=3)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    sig = dedup.minhash_signatures_from_sets(sets_, num_hashes=16)
     buckets = dedup.lsh_buckets(sig, bands=4, rows_per_band=4)
     pairs = dedup.candidate_pairs(buckets)
     siga = sig.select(
@@ -2275,7 +2284,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches"),
         )
     )
-    exact = dedup.ngram_jaccard(pairs, sh)
+    exact = dedup.ngram_jaccard(pairs, None, sets=sets_)
     j = exact.join(est, ["id_a", "id_b"])
     jac = F.col("jaccard")
     estv = F.col("matches") / F.lit(16.0)
@@ -2311,11 +2320,17 @@ def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n=0, null mean) via the static threshold frame.
     """
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs, k=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    # same materialized shingle-set backbone as dedup_minhash_accuracy
+    par = spark.sparkContext.defaultParallelism
+    sets_ = (
+        dedup.shingle_sets(docs, k=3)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    sig = dedup.minhash_signatures_from_sets(sets_, num_hashes=16)
     pairs = dedup.candidate_pairs(dedup.lsh_buckets(sig, bands=4, rows_per_band=4))
     verified = (
-        dedup.ngram_jaccard(pairs, sh)
+        dedup.ngram_jaccard(pairs, None, sets=sets_)
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=False)
     )
