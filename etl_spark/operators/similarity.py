@@ -35,6 +35,22 @@ def _dot(a, b):
     )
 
 
+def _vec_expr(vec_col: str, dim: int | None) -> str:
+    """SQL fragment casting ``vec_col`` to array<double>, with an optional
+    IN-PLAN dim guard: when ``dim`` is given, a drifted array length raises
+    loudly inside the scan (USER_RAISED_EXCEPTION) instead of silently
+    null-padding ``zip_with``. Replaces the old ``len(head())`` driver
+    probe, which cost one Spark job per operator call (guide §1.2/§7.3)."""
+    base = f"cast({vec_col} as array<double>)"
+    if dim is None:
+        return base
+    return (
+        f"CASE WHEN size({vec_col}) = {dim} THEN {base} "
+        f"ELSE raise_error(concat('embedding dim ', size({vec_col}), "
+        f"' != {dim}: regenerate the codebooks/planes for this table')) END"
+    )
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -390,23 +406,26 @@ def lsh_sign_matrix(n_bits: int, dim: int) -> list[list[int]]:
     ]
 
 
-def lsh_bucket(vec_col, n_bits: int = 6, dim: int = 64):
+def lsh_bucket(vec_col: str, n_bits: int = 6, dim: int = 64,
+               check_dim: bool = False):
     """Bucket id = n-bit sign signature of the vector under the fixed
-    hyperplanes — pure Column algebra (one fused projection per bit, no
-    UDF), so bucketing happens in the scan stage."""
+    hyperplanes — built as ONE SQL string (a single parse) instead of the
+    Column-API form whose ~400 py4j literal/lambda round trips cost real
+    driver time per plan construction (guide §7.3; same move as the
+    simhash SQL strings). Semantics identical term-for-term; bucketing
+    still happens in the scan stage. ``check_dim`` adds the in-plan loud
+    dim guard (see :func:`_vec_expr`)."""
     signs = lsh_sign_matrix(n_bits, dim)
-    v = vec_col.cast("array<double>")
-    bits = []
+    v = _vec_expr(vec_col, dim if check_dim else None)
+    terms = []
     for j, row in enumerate(signs):
-        plane = F.array(*[F.lit(float(s)) for s in row])
-        proj = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        plane = "array(" + ",".join(f"{float(s)}D" for s in row) + ")"
+        proj = (
+            f"aggregate(zip_with({v}, {plane}, (x, y) -> x * y), "
+            f"0.0D, (a, b) -> a + b)"
         )
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_topk(
@@ -430,11 +449,11 @@ def lsh_topk(
     """
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), n_bits, dim).alias("__bkt"),
+        lsh_bucket(vec_col, n_bits, dim, check_dim=True).alias("__bkt"),
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), n_bits, dim).alias("__bkt"),
+        lsh_bucket(vec_col, n_bits, dim, check_dim=True).alias("__bkt"),
     )
     scored = c.join(F.broadcast(q), "__bkt").select(
         F.col(query_id_col), F.col(id_col), cosine(F.col("__cv"), F.col("__qv")).alias("sim")
@@ -445,13 +464,15 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _pq_centroids(emb: DataFrame, vec_col: str, cell_col: str, s: int) -> DataFrame:
-    """Per-(cell, subspace) centroid arrays, components ordered by position.
+def _component_means(emb: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """Per-(cell, component) corpus means ``(__cell, pos, c)`` — the ONE
+    corpus-sized aggregation every centroid consumer (sub-codebooks,
+    coarse IVF centroids, k-means) derives from.
 
-    Centroid means accumulate through DECIMAL(38,15): decimal addition is
-    EXACT, so the sum — and therefore the argmin assignment downstream —
-    is independent of Spark's partition/accumulation order (a plain
-    double ``avg`` is not: float addition is order-dependent, and near-tie
+    Means accumulate through DECIMAL(38,15): decimal addition is EXACT,
+    so the sum — and therefore the argmin assignment downstream — is
+    independent of Spark's partition/accumulation order (a plain double
+    ``avg`` is not: float addition is order-dependent, and near-tie
     assignments could flip between runs or diverge from the oracle).
     The one deterministic rounding is the per-value double→decimal cast;
     for values with ≤15 fractional decimal digits (all integer-valued and
@@ -459,14 +480,27 @@ def _pq_centroids(emb: DataFrame, vec_col: str, cell_col: str, s: int) -> DataFr
     """
     ev = F.col(vec_col).cast("array<double>")
     comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
+    return comp.groupBy("__cell", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
+        ).alias("c")
+    )
+
+
+def _pq_centroids(
+    emb: DataFrame | None, vec_col: str, cell_col: str, s: int,
+    means: DataFrame | None = None,
+) -> DataFrame:
+    """Per-(cell, subspace) centroid arrays, components ordered by
+    position — derived from :func:`_component_means`. Pass ``means`` (a
+    possibly-materialized component-mean table) to reuse one corpus
+    aggregation across the assign/LUT/coarse consumers that previously
+    each re-ran it (self-referenced subplans are not shared — guide §2.4).
+    """
+    if means is None:
+        means = _component_means(emb, vec_col, cell_col)
     return (
-        comp.groupBy("__cell", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
-            ).alias("c")
-        )
-        .withColumn("sub", (F.col("pos") / s).cast("int"))
+        means.withColumn("sub", (F.col("pos") / s).cast("int"))
         .groupBy("__cell", "sub")
         .agg(
             F.transform(
@@ -476,10 +510,14 @@ def _pq_centroids(emb: DataFrame, vec_col: str, cell_col: str, s: int) -> DataFr
     )
 
 
-def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, s: int) -> DataFrame:
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, s: int,
+    dim: int | None = None,
+) -> DataFrame:
     """Explode each vector into ``m`` (id, sub, svec) subvector rows —
-    scan-stage slice, no shuffle."""
-    ev = F.col(vec_col).cast("array<double>")
+    scan-stage slice, no shuffle. ``dim`` adds the in-plan loud length
+    guard (see :func:`_vec_expr`)."""
+    ev = F.expr(_vec_expr(vec_col, dim))
     return df.select(F.col(id_col), ev.alias("__ev")).select(
         id_col,
         F.explode(
@@ -497,9 +535,12 @@ def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, s: int) -> 
 
 def _sq_l2(a: str, b: str):
     """Ordered-fold squared L2 between two array columns — bit-matches the
-    oracle's ``list_reduce`` left fold."""
-    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    oracle's ``list_reduce`` left fold. One SQL string (single parse)
+    instead of two Column-API lambda constructions per call site."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def pq_assign(
@@ -508,14 +549,23 @@ def pq_assign(
     vec_col: str = "embedding",
     cell_col: str = "label",
     m: int = 4,
+    dim: int | None = None,
+    cents: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Long-form PQ assignment: ``(id, sub, code, dist)`` — one row per
     vector × subspace with the argmin codebook entry (ties by code asc).
-    Returns ``(DataFrame, m)``."""
-    dim = len(emb.select(vec_col).head()[0])
+    Returns ``(DataFrame, m)``. Pass ``dim`` to skip the ``len(head())``
+    driver job (the guard moves in-plan) and ``cents`` to reuse a shared
+    codebook table."""
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+        guard = None  # dim measured from the data — nothing to drift from
+    else:
+        guard = dim
     s = dim // m
-    cents = _pq_centroids(emb, vec_col, cell_col, s)
-    subs = _pq_subvectors(emb, id_col, vec_col, m, s)
+    if cents is None:
+        cents = _pq_centroids(emb, vec_col, cell_col, s)
+    subs = _pq_subvectors(emb, id_col, vec_col, m, s, dim=guard)
     scored = subs.join(F.broadcast(cents), "sub").select(
         id_col, "sub", F.col("__cell").alias("code"), _sq_l2("svec", "cvec").alias("dist")
     )
@@ -533,6 +583,7 @@ def pq_codes(
     vec_col: str = "embedding",
     cell_col: str = "label",
     m: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding — the vector-compression step of
     IVF-PQ (Jégou et al. '11): split each D-dim vector into ``m``
@@ -559,7 +610,7 @@ def pq_codes(
 
     Returns ``(id, code_0..code_{m-1}, recon_err)``.
     """
-    best, m = pq_assign(emb, id_col, vec_col, cell_col, m)
+    best, m = pq_assign(emb, id_col, vec_col, cell_col, m, dim=dim)
     code_cols = [
         F.max(F.when(F.col("sub") == i, F.col("code"))).alias(f"code_{i}")
         for i in range(m)
@@ -586,6 +637,7 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     m: int = 4,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
     IVF-PQ: the corpus is scanned as ``m`` one-byte codes per vector, and
@@ -603,11 +655,20 @@ def pq_adc_topk(
     distances; the computation itself is bit-deterministic (ordered
     folds, fixed-order adds, id tiebreaks) — hence an exact SQL oracle.
     """
-    dim = len(emb.select(vec_col).head()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+        guard = None
+    else:
+        guard = dim
     s = dim // m
-    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m)
-    cents = _pq_centroids(emb, vec_col, cell_col, s)
-    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s)
+    # ONE corpus component-mean aggregation, materialized (codebook-sized:
+    # |cells| × dim rows): the assign path and the query LUT previously
+    # each re-ran the corpus posexplode agg (self-referenced subplans are
+    # not shared — guide §2.4). Both now derive from this table.
+    means = _component_means(emb, vec_col, cell_col).localCheckpoint(eager=True)
+    cents = _pq_centroids(None, vec_col, cell_col, s, means=means)
+    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m, dim=dim, cents=cents)
+    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s, dim=guard)
     lut = qsubs.join(F.broadcast(cents), "sub").select(
         query_id_col,
         "sub",
@@ -648,6 +709,7 @@ def ivfpq_topk(
     m: int = 4,
     k: int = 5,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Full IVF-PQ search: coarse-quantize queries to their ``nprobe``
     nearest cells (full-vector centroids, squared L2), then run the ADC
@@ -659,28 +721,29 @@ def ivfpq_topk(
     Both stages bit-deterministic (ordered folds, fixed-order adds, id
     tiebreaks) → exact SQL oracle, like :func:`pq_adc_topk`.
     """
-    dim = len(emb.select(vec_col).head()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+        guard = None
+    else:
+        guard = dim
     s = dim // m
+    # ONE corpus component-mean aggregation, materialized and shared by
+    # all three centroid consumers (coarse IVF centroids, the assign
+    # codebooks, the query LUT) — previously each re-ran the corpus
+    # posexplode agg (self-referenced subplans are not shared, guide §2.4).
+    means = _component_means(emb, vec_col, cell_col).localCheckpoint(eager=True)
     # coarse centroids: full-vector per-cell means (ordered assembly).
     # Same DECIMAL(38,15) accumulation as _pq_centroids: probe selection
     # is discrete (cell ids), so the mean must be order-independent
-    ev = F.col(vec_col).cast("array<double>")
-    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
     coarse = (
-        comp.groupBy("__cell", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
-            ).alias("c")
-        )
-        .groupBy("__cell")
+        means.groupBy("__cell")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
             ).alias("cvec")
         )
     )
-    q = queries.select(F.col(query_id_col), ev.alias("qv"))
+    q = queries.select(F.col(query_id_col), F.expr(_vec_expr(vec_col, guard)).alias("qv"))
     from pyspark.sql import Window
 
     pw = Window.partitionBy(query_id_col).orderBy(
@@ -693,10 +756,10 @@ def ivfpq_topk(
         .filter(F.col("__pr") <= nprobe)
         .select(query_id_col, F.col("__cell").alias("cell"))
     )
-    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m)
+    cents = _pq_centroids(None, vec_col, cell_col, s, means=means)
+    codes, _ = pq_assign(emb, id_col, vec_col, cell_col, m, dim=dim, cents=cents)
     cellmap = emb.select(F.col(id_col), F.col(cell_col).alias("cell"))
-    cents = _pq_centroids(emb, vec_col, cell_col, s)
-    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s)
+    qsubs = _pq_subvectors(queries, query_id_col, vec_col, m, s, dim=guard)
     lut = qsubs.join(F.broadcast(cents), "sub").select(
         query_id_col,
         "sub",
@@ -754,14 +817,8 @@ def kmeans_step(
     from pyspark.sql import Window
 
     ev = F.col(vec_col).cast("array<double>")
-    comp = emb.select(F.col(cell_col).alias("__cell"), F.posexplode(ev).alias("pos", "v"))
     cents = (
-        comp.groupBy("__cell", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(38,15)")).cast("double") / F.count("v")
-            ).alias("c")
-        )
+        _component_means(emb, vec_col, cell_col)
         .groupBy("__cell")
         .agg(
             F.transform(
@@ -803,6 +860,7 @@ def ivfpq_rerank(
     k: int = 5,
     k_cand: int = 20,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search with EXACT re-ranking (the FAISS ``IndexRefineFlat``
     pattern): the compressed index proposes ``k_cand`` candidates per
@@ -821,7 +879,7 @@ def ivfpq_rerank(
 
     cand = ivfpq_topk(
         emb, queries, id_col, vec_col, cell_col, query_id_col,
-        m=m, k=k_cand, nprobe=nprobe,
+        m=m, k=k_cand, nprobe=nprobe, dim=dim,
     ).select(query_id_col, id_col)
     ev = F.col(vec_col).cast("array<double>")
     qv = queries.select(F.col(query_id_col), ev.alias("__qv"))

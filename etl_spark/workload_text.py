@@ -398,15 +398,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # the sign-plane matrix AND its pre-expanded SQL oracle are built for
     # 64 components; a regenerated embeddings table with another dim would
-    # silently produce null buckets (zip_with pads) — fail loudly instead
-    # (the io.py schema-drift principle applied to array lengths, which
-    # the schema alone can't carry)
-    dim = len(emb.select("embedding").head()[0])
-    if dim != 64:
-        raise TypeError(
-            f"embeddings dim {dim} != 64: regenerate the LSH sign planes "
-            "(similarity.lsh_sign_matrix) and the ann_lsh_topk oracle"
-        )
+    # silently produce null buckets (zip_with pads) — the loud guard is
+    # IN-PLAN (lsh_bucket check_dim raise_error): same failure contract,
+    # no per-call len(head()) driver job (guide §1.2/§7.3)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -920,7 +914,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (4 subspaces × label-derived codebooks)
     for every embedding — the IVF-PQ compression step
     (:func:`etl_spark.operators.similarity.pq_codes`)."""
-    out = similarity.pq_codes(_emb(spark, sf_dir), m=4)
+    out = similarity.pq_codes(_emb(spark, sf_dir), m=4, dim=64)
     return out.select(
         "vec_id", "code_0", "code_1", "code_2", "code_3", "recon_err"
     )
@@ -934,7 +928,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.pq_adc_topk(emb, queries, m=4, k=5)
+    return similarity.pq_adc_topk(emb, queries, m=4, k=5, dim=64)
 
 
 def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1108,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivfpq_topk(emb, queries, m=4, k=5, nprobe=2)
+    return similarity.ivfpq_topk(emb, queries, m=4, k=5, nprobe=2, dim=64)
 
 
 def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,7 +1218,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivfpq_rerank(emb, queries, m=4, k=5, k_cand=20, nprobe=2)
+    return similarity.ivfpq_rerank(emb, queries, m=4, k=5, k_cand=20, nprobe=2, dim=64)
 
 
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

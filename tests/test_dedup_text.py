@@ -551,3 +551,26 @@ def test_containment_audit_matches_pair_form(spark, seed):
            for r in dedup.containment_prefix_join(
                df, threshold=t, emit="audit").collect()}
     assert got == expected
+
+
+def test_ann_dim_guard_raises_in_plan(spark):
+    """The declared-dim guard (which replaced the per-call len(head())
+    driver probe) still fails LOUDLY when the embedding length drifts from
+    the dim the planes/codebooks were built for — now at execution time,
+    inside the scan, via raise_error."""
+    from py4j.protocol import Py4JJavaError
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], 0) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(Exception) as ei:
+        similarity.lsh_topk(emb, q, k=2, n_bits=3, dim=64).collect()
+    assert "embedding dim" in str(ei.value)
+    with pytest.raises(Exception) as ei2:
+        similarity.pq_codes(emb, m=4, dim=64).collect()
+    assert "embedding dim" in str(ei2.value)
+    # matching dim passes (guard is free on healthy data)
+    ok = similarity.pq_codes(emb, m=2, dim=2)
+    assert ok.count() == 4
