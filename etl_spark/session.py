@@ -60,7 +60,24 @@ def get_spark(
     # (spark-submit on a cluster sets one).
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONF_DIR" not in os.environ:
         builder = builder.master(f"local[{n}]")
-        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # spark.local.dir stays on the default disk path: a tmpfs scratch
+        # dir was tried (the sandbox root disk writes at ~10 MB/s) and
+        # measured consistently SLOWER for the shuffle-heavy tail
+        # (containment family 4.2/7.3 s on disk vs 8.1/9.6 s on tmpfs,
+        # order-controlled A/B) — shuffle files are short-lived and die in
+        # page cache before writeback, so the slow device never bites.
+        # Env SPARK_GRAFT_LOCAL_DIR overrides for machines where it helps.
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_dir)
+        # 48g (was 16g): the long query-per-minute suite accumulates
+        # localCheckpoint blocks + shuffle state between ContextCleaner
+        # GCs; at 16g the heavy tail ran under constant G1 pressure
+        # (measured: a 14-query heavy slice 76-81 s at 16g vs 62-73 s at
+        # 48g, two reps each, same code). Env-overridable; on a real
+        # cluster spark-submit sizes the driver and this default is moot.
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # whole-stage codegen emits one class set per distinct plan; a long
         # query-per-minute driver fills the default ~240 MB code cache,
         # after which the JIT stops compiling and hot queries run 2-3×
