@@ -2405,7 +2405,15 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). Edge construction itself dedups (order, part) pairs first,
     so the per-order fan-out is bounded by items-per-order choose 2.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        # ONE scan + ONE dedup for BOTH self-join sides (self-joined
+        # subplans are not shared — the old form scanned lineitem and ran
+        # the distinct agg twice); repartition before the cut so the
+        # frozen layout keeps the join's map side parallel
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -2457,9 +2465,19 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per oriented edge (s, d): triangle sinks = out(s) ∩ out(d); the
     # intersect is a codegen'd array intrinsic over two sorted √m-bounded
-    # arrays — no wedge row is ever materialized or shuffled
+    # arrays — no wedge row is ever materialized or shuffled. The attach
+    # joins are pinned to keyed repartitions of the probe side: they
+    # REPLACE the planner's own required exchanges (same keys, same
+    # bytes) but carry a user-specified partition count, so AQE cannot
+    # coalesce the intersect-bearing stages down to a handful of tasks —
+    # the stage is compute-bound (~1 s/partition of array intersects at
+    # sf0.1), not bytes-bound, which is exactly the case AQE's
+    # size-based coalescing mis-sizes
+    par = spark.sparkContext.defaultParallelism
     e2 = (
-        oriented.join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        oriented.repartition(par, "src")
+        .join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        .repartition(par, "dst")
         .join(
             outadj.select(F.col("src").alias("dst"), F.col("out_").alias("out_d")),
             "dst",
@@ -2471,15 +2489,32 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("sinks") > 0)
     )
-    per_edge = e2.select("src", "dst", F.size("sinks").alias("n"), "sinks")
     # participation: triangle {s, d, w} adds 1 to each vertex — s and d
-    # get their edge's full sink count, each sink gets 1
-    part_tri = (
-        per_edge.select(F.explode("sinks").alias("pk"), F.lit(1).alias("c"))
-        .unionAll(per_edge.select(F.col("src").alias("pk"), F.col("n").alias("c")))
-        .unionAll(per_edge.select(F.col("dst").alias("pk"), F.col("n").alias("c")))
-        .groupBy("pk")
-        .agg(F.sum("c").cast("long").alias("n_triangles"))
+    # get their edge's full sink count, each sink gets 1. ONE exploded
+    # contribution pass per triangle-edge row: the former 3-branch
+    # unionAll re-evaluated the whole oriented⋈outadj⋈outadj intersect
+    # subtree once per branch (self-referenced subplans are not shared —
+    # the plan showed three identical SortMergeJoin subtrees and the
+    # intersect stage ran 3×)
+    n = F.size("sinks").cast("long")
+    contrib = e2.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "sinks",
+                    lambda w: F.struct(
+                        w.alias("pk"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+                F.array(
+                    F.struct(F.col("src").alias("pk"), n.alias("c")),
+                    F.struct(F.col("dst").alias("pk"), n.alias("c")),
+                ),
+            )
+        ).alias("x")
+    )
+    part_tri = contrib.groupBy(F.col("x.pk").alias("pk")).agg(
+        F.sum("x.c").cast("long").alias("n_triangles")
     )
     return part_tri.join(
         deg.select(F.col("x").alias("pk"), F.col("d").alias("degree")), "pk"
@@ -3731,7 +3766,12 @@ def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_spark.operators.sketch import _hash52
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        # same one-scan/one-dedup materialization as parts_triangle_count
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     a, b = li.alias("a"), li.alias("b")
     # p = 1/2: keep pairs whose 52-bit edge hash is even, BEFORE dedup
     edges = (
@@ -3755,6 +3795,8 @@ def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("d"))
+        # |V|-bounded, consumed by BOTH broadcast builds — aggregate once
+        .localCheckpoint()
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
