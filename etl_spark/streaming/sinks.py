@@ -326,6 +326,24 @@ class _BucketedVersionedTable:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(n_buckets)
         ).cast("int")
 
+    @staticmethod
+    def _schema_json(df: DataFrame) -> str:
+        """The frame's schema as JSON with every field nullable — exactly
+        what parquet inference reports back for these files (the writer
+        stores all columns as optional), so a recorded-schema read is
+        indistinguishable from an inferred one."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        ).json()
+
+    @staticmethod
+    def _schema_from_json(s: str):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(s))
+
     def sync_keys(self, table: str) -> list[str]:
         """Bring ``self.keys`` up to date with the table's recorded DDL
         rename chain. A sink built from a STORED config (control-plane
@@ -480,12 +498,18 @@ class _BucketedVersionedTable:
         if bucket_ids is not None:
             want = {str(b) for b in bucket_ids}
             buckets = {b: vd for b, vd in buckets.items() if b in want}
+        vschemas = manifest.get("vdir_schema", {})
         if not buckets:
             if bucket_ids is None and manifest.get("empty"):
                 empty_rel = manifest["empty"]
-                df = self.spark.read.parquet(
-                    os.path.join(self.root, table, empty_rel)
-                )
+                reader = self.spark.read
+                if manifest.get("empty_schema"):
+                    # recorded-at-commit schema: skips listing + footer
+                    # inference (~0.1 s of driver time per read-back)
+                    reader = reader.schema(
+                        self._schema_from_json(manifest["empty_schema"])
+                    )
+                df = reader.parquet(os.path.join(self.root, table, empty_rel))
                 return self._apply_ddl_ops(
                     df, ddl_log, epochs.get(empty_rel.split("/", 1)[0], 0)
                 )
@@ -497,7 +521,16 @@ class _BucketedVersionedTable:
         for vd, bs in sorted(by_vdir.items()):
             base = os.path.join(self.root, table, vd)
             paths = [os.path.join(base, f"__bucket={b}") for b in sorted(bs, key=int)]
-            part = self.spark.read.option("basePath", base).parquet(*paths)
+            reader = self.spark.read.option("basePath", base)
+            if vd in vschemas:
+                # the manifest records each vdir's file schema at commit
+                # time (crash-replay safe: a replayed commit rewrites BOTH
+                # the vdir and its manifest); passing it skips per-read
+                # schema inference. __bucket is the partition column.
+                reader = reader.schema(
+                    self._schema_from_json(vschemas[vd]).add("__bucket", "integer")
+                )
+            part = reader.parquet(*paths)
             # remap each dir's physical columns to the CURRENT logical
             # schema (renames/drops it predates) before the by-name union
             parts.append(self._apply_ddl_ops(part, ddl_log, epochs.get(vd, 0)))
@@ -530,8 +563,16 @@ class _BucketedVersionedTable:
         manifest = self._manifest(table, meta["version"])
         ddl_log = manifest.get("ddl_log", [])
         epochs = manifest.get("vdir_epoch", {})
+        vschemas = manifest.get("vdir_schema", {})
         if manifest["buckets"]:
             b, vd = min(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+            if vd in vschemas:
+                # recorded-at-commit schema: the anchor needs no file read
+                # at all (was a listing + footer job per cache miss)
+                anchor = self.spark.createDataFrame(
+                    [], self._schema_from_json(vschemas[vd])
+                )
+                return self._apply_ddl_ops(anchor, ddl_log, epochs.get(vd, 0))
             base = os.path.join(self.root, table, vd)
             anchor = (
                 self.spark.read.option("basePath", base)
@@ -542,6 +583,13 @@ class _BucketedVersionedTable:
             return self._apply_ddl_ops(anchor, ddl_log, epochs.get(vd, 0))
         if manifest.get("empty"):
             empty_rel = manifest["empty"]
+            if manifest.get("empty_schema"):
+                anchor = self.spark.createDataFrame(
+                    [], self._schema_from_json(manifest["empty_schema"])
+                )
+                return self._apply_ddl_ops(
+                    anchor, ddl_log, epochs.get(empty_rel.split("/", 1)[0], 0)
+                )
             anchor = self.spark.read.parquet(
                 os.path.join(self.root, table, empty_rel)
             ).limit(0)
@@ -624,18 +672,21 @@ class _BucketedVersionedTable:
                 buckets.pop(str(b), None)  # touched-and-now-empty: drop
         for b in present:
             buckets[str(b)] = vname
-        manifest = {"n_buckets": n, "buckets": buckets, "empty": old.get("empty")}
+        manifest = {"n_buckets": n, "buckets": buckets, "empty": old.get("empty"),
+                    "empty_schema": old.get("empty_schema")}
         if n_buckets is not None:
             # a rebucket invalidates the carried-forward empty anchor (it
             # lives in a superseded vdir; the fresh _empty below replaces
             # it when needed)
             manifest["empty"] = None
+            manifest["empty_schema"] = None
         if not buckets:
             # keep a schema-bearing empty frame readable (truncate / all
             # rows deleted); plain parquet write of limit(0) stores schema
             empty_dir = os.path.join(vdir, "_empty")
             out.limit(0).write.mode("overwrite").parquet(empty_dir)
             manifest["empty"] = f"{vname}/_empty"
+            manifest["empty_schema"] = self._schema_json(out)
         # carry the DDL log forward; the fresh dir is written at the
         # CURRENT epoch (its rows already carry post-DDL column names —
         # _read_buckets/_schema_frame remapped the stored side before the
@@ -649,8 +700,18 @@ class _BucketedVersionedTable:
             for vd, e in old.get("vdir_epoch", {}).items()
             if vd in referenced
         }
+        # per-vdir file schema, recorded at write time so read-backs and
+        # schema anchors never pay parquet inference (carried forward and
+        # pruned exactly like vdir_epoch; a vdir's files and its manifest
+        # entry are always rewritten together, so they cannot drift)
+        manifest["vdir_schema"] = {
+            vd: s
+            for vd, s in old.get("vdir_schema", {}).items()
+            if vd in referenced
+        }
         if vname in referenced:
             manifest["vdir_epoch"][vname] = len(ddl_log)
+            manifest["vdir_schema"][vname] = self._schema_json(out)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._vpath(table)))
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
