@@ -1129,6 +1129,7 @@ def decode_frames(
     lsn_col: str = "wal_start",
     xid_col: str = "xid",
     carry_tx: dict[int, dict] | None = None,
+    assemble_partitions: int | None = None,
 ) -> DataFrame:
     """pgoutput frames → GENERIC_ENVELOPE rows (distributed F11 decode).
 
@@ -1384,6 +1385,16 @@ def decode_frames(
             )
 
     decoded = frames.select(lsn_col, xid_col, frame_col).mapInPandas(run, schema=_DECODED)
+    if assemble_partitions:
+        # Pin the tx-assembly exchange width: this keyed repartition
+        # REPLACES the window's own required exchange (same key), but a
+        # user-specified count keeps AQE's size-based coalescing from
+        # shrinking the JSON-assembly + window stage to 1-2 tasks — the
+        # stage is compute-bound, not bytes-bound (measured 0.67 -> ~0.1 s
+        # wall at sf0.1). Batch gates pass the cluster width; the live
+        # pipeline's KB-sized micro-batches leave this unset and keep the
+        # coalesced layout.
+        decoded = decoded.repartition(assemble_partitions, "xid")
 
     # tx assembly in ONE pass: BEGIN rows ride the main decode, so the
     # commit LSN is the xid-partition max of begin_final_lsn (only BEGIN

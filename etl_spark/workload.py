@@ -321,7 +321,9 @@ def pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = (
         dml.unionByName(begins).unionByName(rel).localCheckpoint(eager=True)
     )
-    env = pgo.decode_frames(frames)
+    env = pgo.decode_frames(
+        frames, assemble_partitions=spark.sparkContext.defaultParallelism
+    )
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
         "op", "commit_lsn", "tx_ordinal", "start_lsn",
@@ -426,7 +428,8 @@ def pgoutput_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xid-assignment pandas pass over every frame a second time.
     frames = live.unwrap_xlog_chunks(chunks).localCheckpoint(eager=True)
     env = pgo.decode_frames(
-        live.assign_xids(frames).localCheckpoint(eager=True)
+        live.assign_xids(frames).localCheckpoint(eager=True),
+        assemble_partitions=spark.sparkContext.defaultParallelism,
     )
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
@@ -564,7 +567,9 @@ def pgoutput_socket_decode(spark: SparkSession, sf_dir: str,
 
     frames = spark.read.schema(
         "wal_start long, xid long, frame binary").parquet(src_dir)
-    env = pgo.decode_frames(frames)
+    env = pgo.decode_frames(
+        frames, assemble_partitions=spark.sparkContext.defaultParallelism
+    )
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
         "op", "commit_lsn", "tx_ordinal",
@@ -2371,7 +2376,9 @@ def cdc_socket_copy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = spark.read.schema(
         "wal_start long, xid long, frame binary").parquet(frames_dir)
-    env = pgo.decode_frames(frames)
+    env = pgo.decode_frames(
+        frames, assemble_partitions=spark.sparkContext.defaultParallelism
+    )
     wal_rows = env.filter(F.col("op").isin("INSERT", "UPDATE")).select(
         F.get_json_object("after", "$.pk").cast("long").alias("pk"),
         F.get_json_object("after", "$.bal").cast("double").alias("bal"),
@@ -2459,7 +2466,9 @@ def cdc_socket_parallel_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = spark.read.schema(
         "wal_start long, xid long, frame binary").parquet(frames_dir)
-    env = pgo.decode_frames(frames)
+    env = pgo.decode_frames(
+        frames, assemble_partitions=spark.sparkContext.defaultParallelism
+    )
     wal_rows = env.filter(F.col("op").isin("INSERT", "UPDATE")).select(
         F.get_json_object("after", "$.pk").cast("long").alias("pk"),
         F.get_json_object("after", "$.bal").cast("double").alias("bal"),
