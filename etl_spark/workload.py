@@ -2117,7 +2117,19 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emit(r1.unionByName(ctrl1), "b1")
     snap = os.path.join(work, "snap")
-    spark.createDataFrame([], "pk long, gone string, value double").write.parquet(snap)
+    # 0-row literal: write it driver-side with pyarrow (the
+    # stream_stateful_sessions sentinel trick) — a createDataFrame().write
+    # job costs ~0.3-0.5 s of fixed overhead for an empty file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(snap)
+    pq.write_table(
+        pa.table({"pk": pa.array([], pa.int64()),
+                  "gone": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64())}),
+        os.path.join(snap, "part-00000.parquet"),
+    )
     sink = ParquetCurrentStateSink(os.path.join(work, "sink"), keys=["pk"], spark=spark)
     cfg = TableConfig(name="public.users", snapshot_path=snap, keys=["pk"],
                       payload_schema="pk long, gone string, value double")

@@ -2255,7 +2255,13 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .localCheckpoint(eager=True)
     )
-    sig = dedup.minhash_signatures_from_sets(sets_, num_hashes=16)
+    # sig is consumed THREE times (band buckets + both estimate join
+    # sides) and each consumer re-ran the 16 array-min signature scan
+    # (measured 11.3/8.1/5.6 s of task time for the three copies at
+    # sf0.1); the doc-bounded 17-column table is materialized once
+    sig = dedup.minhash_signatures_from_sets(sets_, num_hashes=16).localCheckpoint(
+        eager=True
+    )
     buckets = dedup.lsh_buckets(sig, bands=4, rows_per_band=4)
     pairs = dedup.candidate_pairs(buckets)
     siga = sig.select(
