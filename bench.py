@@ -230,6 +230,44 @@ HEADLINE = [
     "cdc_socket_parallel_sync",
 ]
 
+#: Per-query contract subset for the FINAL summary line (round 14,
+#: VERDICT r13 "Next round" #1): the driver parses the LAST stdout line
+#: out of a ~2000-char tail window (BENCH_r04 recorded ``parsed: null``
+#: when the full per-query line exceeded it), so the final line cannot
+#: carry all 172 timings (~5 KB — the names alone are 3.3 KB). It now
+#: carries a byte-budgeted ``queries`` map: this FIXED priority list
+#: first (identical at every core count, so the driver's 8-vs-32-core
+#: scaling block can itemize a stable set), then whatever else fits by
+#: descending measured time. The COMPLETE map stays in the full-record
+#: line above it and in BENCH_LOCAL.json. Ordering = the r13 record's
+#: cost ranking (slowest first — where optimization evidence lives),
+#: covering every operator family, plus the two throughput analogs.
+PERQ_CONTRACT = [
+    "cdc_crash_replay_ddl", "docs_exact_jaccard_join",
+    "parts_triangle_count", "docs_containment_audit",
+    "corpus_dedup_best_quality", "dedup_minhash_incremental",
+    "pgoutput_socket_tls_decode", "parts_triangle_sample",
+    "docs_containment_dedup", "cdc_scd2_schema_evolution",
+    "cdc_schema_evolution", "docs_exact_jaccard_clusters",
+    "pgoutput_socket_decode", "pgoutput_wire_decode",
+    "cdc_ddl_rebucket_compact", "pgoutput_decode",
+    "cdc_duckdb_current_state", "dedup_minhash_lsh",
+    "corpus_dedup_threshold_curve", "ann_pq_adc_topk",
+    "cdc_rebucket_migration", "lineitem_rollup_metrics",
+    "dedup_minhash_accuracy", "ann_ivfpq_rerank", "events_zorder_stats",
+    "docs_bigram_logprob", "ann_pq_codes", "cdc_duckdb_scd2",
+    "cdc_socket_copy_sync", "order_graph_pagerank", "docs_ngram_novelty",
+    "lineitem_basket_lift", "cdc_duckdb_changelog", "orders_rfm_segments",
+    "docs_unigram_logprob", "docs_boilerplate_coverage",
+    "lineitem_skyline", "dedup_simhash_clusters", "ann_ivfpq_topk",
+    "cdc_changelog_compact", "customer_fuzzy_name_join",
+    "dedup_simhash_pairs", "cdc_socket_parallel_sync",
+    "cdc_current_state", "cdc_snapshot_handoff", "q1_pricing_summary",
+    "q5_local_supplier_volume", "q18_large_volume_customers",
+    "sessionize_events", "events_hourly_rollup", "mm_resize",
+    "ann_cosine_topk",
+]
+
 #: Streaming/stateful machinery — timed SEPARATELY with an events/s rate
 #: per query (the reference benches its streaming path explicitly:
 #: crates/etl-benchmarks/src/table_streaming.rs:97-118 reports producer /
@@ -530,10 +568,15 @@ def main() -> None:
         json.dump(result, f)
         f.write("\n")
     print(json.dumps(result))
-    print(json.dumps({
+    # Final driver-contract line, ≤ LINE_BUDGET bytes so it parses whole
+    # out of the driver's ~2000-char tail window (see PERQ_CONTRACT).
+    # "queries" carries the contract subset + streaming gate seconds;
+    # isolated_rep_secs moved to the full record only (byte budget).
+    summary = {
         "metric": "total_wall_sec",
         "value": result["value"],
         "unit": "sec",
+        "queries": {},
         "r2_comparable_sec": r2_comparable,
         "sf": sf,
         "n_queries": len(timings),
@@ -541,9 +584,26 @@ def main() -> None:
         "copy_rows_per_second": copy_rows_per_sec,
         "events_per_second_isolated": events_per_sec_isolated,
         "copy_rows_per_second_isolated": copy_rows_per_sec_isolated,
-        "isolated_rep_secs": isolated_reps,
         "full_record": "BENCH_LOCAL.json",
-    }))
+    }
+    LINE_BUDGET = 1900
+    all_secs = dict(timings)
+    for sname, srec in streaming.items():
+        all_secs.setdefault(sname, srec["sec"])
+    ordered = [n for n in PERQ_CONTRACT if n in all_secs]
+    ordered += sorted(
+        (n for n in all_secs if n not in set(PERQ_CONTRACT)),
+        key=lambda n: -all_secs[n],
+    )
+    base_len = len(json.dumps(summary))
+    used = base_len
+    for n in ordered:
+        entry_len = len(n) + len(json.dumps(all_secs[n])) + 7
+        if used + entry_len > LINE_BUDGET:
+            break
+        summary["queries"][n] = all_secs[n]
+        used += entry_len
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
