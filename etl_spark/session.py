@@ -45,11 +45,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Shuffled-hash over sort-merge when the per-partition build side
         # fits (join-heavy subset A/B at sf0.1: 14.4 -> 13.5 s min-of-4;
-        # q9 0.94 -> 0.72, lineitem_basket_lift 2.15 -> 1.80). The AQE
-        # threshold re-checks REAL post-shuffle sizes at runtime (64 MB
-        # per local map, the same bound as autoBroadcastJoinThreshold),
-        # so a mis-estimated static pick still degrades to sort-merge on
-        # a cluster rather than building an oversized hash map.
+        # q9 0.94 -> 0.72, lineitem_basket_lift 2.15 -> 1.80). Risk
+        # note (ADVICE r13): the AQE threshold below governs AQE's
+        # SMJ->SHJ *conversion* from real post-shuffle sizes, not a
+        # demotion of a statically-planned SHJ; protection against an
+        # oversized build side chosen at static planning relies on AQE's
+        # logical re-planning with runtime stats, which does not cover
+        # joins planned directly over scans with bad estimates — on a
+        # real cluster, prefer leaving preferSortMergeJoin at default
+        # and keeping only the AQE threshold if executor memory is
+        # tight. Locally the build sides are bounded by the suite's
+        # data, so the flip is safe and measured faster.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "67108864")
         .config("spark.sql.session.timeZone", "UTC")

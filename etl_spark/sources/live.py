@@ -610,6 +610,62 @@ def _check_tx_budget(n_tx: int, max_tx: int, where: str) -> None:
         )
 
 
+def compute_tx_spans(frames, frame_col: str = "frame",
+                     lsn_col: str = "wal_start",
+                     coord_col: str | None = None,
+                     max_tx_per_window: int = MAX_TX_PER_WINDOW):
+    """BEGIN..COMMIT spans as three sorted parallel numpy int64 arrays
+    ``(begin_coord, begin_wal, close_coord)`` — the driver-side lookup
+    table :func:`assign_xids` bisects per frame. Factored out so the
+    frame DECODER can compute xids inside its own Python stage
+    (``decode_frames(..., xid_spans=...)``) instead of paying a separate
+    ArrowEvalPython pass + a full materialization of the xid'd frames
+    (guide §4: one fewer JVM↔Python boundary over the whole stream).
+
+    ``coord_col`` defaults to ``lsn_col`` (position mode); delivery mode
+    passes its packed delivery ordinal. The collect is limit-fenced by
+    transaction count exactly as before."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
+    coord = coord_col or lsn_col
+    fence = 2 * max_tx_per_window + 1
+    bc = (
+        frames.filter(first.isin([b"B", b"C"]))
+        .select(F.col(coord).alias("coord"), first.alias("tag"),
+                F.col(lsn_col).alias("wal"))
+        .limit(fence)
+        .collect()
+    )
+    if len(bc) >= fence:
+        _check_tx_budget(max_tx_per_window + 1, max_tx_per_window,
+                         "compute_tx_spans")
+    # spans in coordinate order: begin coords (sorted), the begin's WAL
+    # position (= the xid we assign), and each span's closing coord (its
+    # COMMIT coordinate; +inf while open — an open tx extends until the
+    # next BEGIN supersedes it, exactly the sequential walk)
+    events = sorted(((int(r["coord"]), bytes(r["tag"]), int(r["wal"])) for r in bc),
+                    key=lambda t: t[0])
+    b_coord: list[int] = []
+    b_wal: list[int] = []
+    b_close: list[int] = []
+    for coord_v, tag, wal in events:
+        if tag == b"B":
+            b_coord.append(coord_v)
+            b_wal.append(wal)
+            b_close.append(np.iinfo(np.int64).max)
+        elif b_close and b_close[-1] == np.iinfo(np.int64).max:
+            b_close[-1] = coord_v  # COMMIT closes the latest open span
+        # a COMMIT with no open span (replayed tail) is simply inert:
+        # frames before the first BEGIN resolve to -1 anyway
+    return (
+        np.asarray(b_coord, dtype=np.int64),
+        np.asarray(b_wal, dtype=np.int64),
+        np.asarray(b_close, dtype=np.int64),
+    )
+
+
 def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start",
                 order_cols: tuple[str, str] | None = None,
                 max_tx_per_window: int = MAX_TX_PER_WINDOW):
@@ -658,7 +714,6 @@ def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start",
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    first = F.substring(F.col(frame_col).cast("binary"), 1, 1)
     if order_cols is not None:
         c_seq, m_seq = order_cols
         # delivery ordinal: chunk_seq gets the high bits. msg_seq is the
@@ -680,43 +735,14 @@ def assign_xids(frames, frame_col: str = "frame", lsn_col: str = "wal_start",
     else:
         coord_col = lsn_col
 
-    # limit-fenced collect: the ceiling caps what the driver MATERIALIZES
-    # (every tx contributes <= 1 B + 1 C, so more than 2*budget rows
-    # proves the window exceeds the tx budget) — raising after an
-    # unbounded collect would be too late
-    fence = 2 * max_tx_per_window + 1
-    bc = (
-        frames.filter(first.isin([b"B", b"C"]))
-        .select(F.col(coord_col).alias("coord"), first.alias("tag"),
-                F.col(lsn_col).alias("wal"))
-        .limit(fence)
-        .collect()
+    # limit-fenced collect (inside compute_tx_spans): the ceiling caps
+    # what the driver MATERIALIZES (every tx contributes <= 1 B + 1 C, so
+    # more than 2*budget rows proves the window exceeds the tx budget) —
+    # raising after an unbounded collect would be too late
+    a_coord, a_wal, a_close = compute_tx_spans(
+        frames, frame_col, lsn_col, coord_col=coord_col,
+        max_tx_per_window=max_tx_per_window,
     )
-    if len(bc) >= fence:
-        _check_tx_budget(max_tx_per_window + 1, max_tx_per_window,
-                         "assign_xids")
-
-    # spans in coordinate order: begin coords (sorted), the begin's WAL
-    # position (= the xid we assign), and each span's closing coord (its
-    # COMMIT coordinate; +inf while open — an open tx extends until the
-    # next BEGIN supersedes it, exactly the sequential walk)
-    events = sorted(((int(r["coord"]), bytes(r["tag"]), int(r["wal"])) for r in bc),
-                    key=lambda t: t[0])
-    b_coord: list[int] = []
-    b_wal: list[int] = []
-    b_close: list[int] = []
-    for coord, tag, wal in events:
-        if tag == b"B":
-            b_coord.append(coord)
-            b_wal.append(wal)
-            b_close.append(np.iinfo(np.int64).max)
-        elif b_close and b_close[-1] == np.iinfo(np.int64).max:
-            b_close[-1] = coord  # COMMIT closes the latest open span
-        # a COMMIT with no open span (replayed tail) is simply inert:
-        # frames before the first BEGIN resolve to -1 below anyway
-    a_coord = np.asarray(b_coord, dtype=np.int64)
-    a_wal = np.asarray(b_wal, dtype=np.int64)
-    a_close = np.asarray(b_close, dtype=np.int64)
 
     def _xid_of(cs):
         v = cs.to_numpy(dtype=np.int64)

@@ -1130,8 +1130,19 @@ def decode_frames(
     xid_col: str = "xid",
     carry_tx: dict[int, dict] | None = None,
     assemble_partitions: int | None = None,
+    xid_spans=None,
 ) -> DataFrame:
     """pgoutput frames → GENERIC_ENVELOPE rows (distributed F11 decode).
+
+    ``xid_spans``: optional ``(begin_coord, begin_wal, close_coord)``
+    sorted int64 arrays from :func:`etl_spark.sources.live.
+    compute_tx_spans` (position mode). When given, ``frames`` needs no
+    ``xid`` column: each frame's xid is derived INSIDE this decoder's
+    Python stage by the same vectorized searchsorted ``assign_xids``
+    applies — which removes assign_xids' separate ArrowEvalPython pass
+    (and the checkpoint materialization of the xid'd frames) from wire
+    decode paths (guide §4: one fewer JVM↔Python boundary over the full
+    stream, same O(log n_tx) per frame).
 
     Input: one row per frame with ``(wal_start, xid, frame)`` — the
     XLogData context every frame arrives wrapped in. Relation metadata is
@@ -1182,9 +1193,20 @@ def decode_frames(
         for rid, specs in versioned.items()
     }
 
+    spans = None
+    if xid_spans is not None:
+        import numpy as _np
+
+        spans = (
+            _np.asarray(xid_spans[0], dtype=_np.int64),
+            _np.asarray(xid_spans[1], dtype=_np.int64),
+            _np.asarray(xid_spans[2], dtype=_np.int64),
+        )
+
     def run(batches: Iterator) -> Iterator:
         import struct as _struct
 
+        import numpy as np
         import pandas as pd
 
         # hot-loop locals: precompiled structs + bound methods (the parse
@@ -1260,7 +1282,20 @@ def decode_frames(
         benign_dropped: dict[str, int] = {}
         for pdf in batches:
             wals = pdf[lsn_col].tolist()
-            xids = pdf[xid_col].tolist()
+            if spans is None:
+                xids = pdf[xid_col].tolist()
+            else:
+                # in-decoder xid recovery: identical vectorized bisect to
+                # assign_xids._xid_of, run where the frames already are
+                a_coord, a_wal, a_close = spans
+                v = pdf[lsn_col].to_numpy(dtype=np.int64)
+                if len(a_coord) == 0:
+                    xids = np.full(len(v), -1, dtype=np.int64).tolist()
+                else:
+                    idx = np.searchsorted(a_coord, v, side="right") - 1
+                    safe = np.maximum(idx, 0)
+                    in_span = (idx >= 0) & (v <= a_close[safe])
+                    xids = np.where(in_span, a_wal[safe], -1).tolist()
             raws = pdf[frame_col].tolist()
             rows = []
             ap = rows.append
@@ -1384,7 +1419,11 @@ def decode_frames(
                          "before_kind", "missing_cols", "begin_final_lsn"],
             )
 
-    decoded = frames.select(lsn_col, xid_col, frame_col).mapInPandas(run, schema=_DECODED)
+    in_cols = (
+        [lsn_col, frame_col] if spans is not None
+        else [lsn_col, xid_col, frame_col]
+    )
+    decoded = frames.select(*in_cols).mapInPandas(run, schema=_DECODED)
     if assemble_partitions:
         # Pin the tx-assembly exchange width: this keyed repartition
         # REPLACES the window's own required exchange (same key), but a

@@ -331,11 +331,41 @@ class _BucketedVersionedTable:
         """The frame's schema as JSON with every field nullable — exactly
         what parquet inference reports back for these files (the writer
         stores all columns as optional), so a recorded-schema read is
-        indistinguishable from an inferred one."""
-        from pyspark.sql.types import StructField, StructType
+        indistinguishable from an inferred one. Nullability is relaxed
+        RECURSIVELY (struct fields, array elements, map values): parquet
+        inference reports nested fields nullable too, so a top-level-only
+        relax would record a STRICTER schema than the inferred path for
+        non-nullable nested fields and the two paths could diverge in
+        unionByName/anchor coercion (ADVICE r13)."""
+        from pyspark.sql.types import (
+            ArrayType,
+            MapType,
+            StructField,
+            StructType,
+        )
+
+        def as_nullable(dt):
+            if isinstance(dt, StructType):
+                return StructType(
+                    [
+                        StructField(f.name, as_nullable(f.dataType), True,
+                                    f.metadata)
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(as_nullable(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(
+                    as_nullable(dt.keyType), as_nullable(dt.valueType), True
+                )
+            return dt
 
         return StructType(
-            [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+            [
+                StructField(f.name, as_nullable(f.dataType), True, f.metadata)
+                for f in df.schema.fields
+            ]
         ).json()
 
     @staticmethod

@@ -422,14 +422,18 @@ def pgoutput_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk binary",
     )
     chunks = dml_chunks.unionByName(begin_chunks).unionByName(rel_chunk)
-    # cut point: unwrap once; reused by the BEGIN collect AND the decode.
-    # The assign_xids output is cut too: decode_frames' relation-registry
-    # pre-pass collects over its input, which would otherwise re-run the
-    # xid-assignment pandas pass over every frame a second time.
+    # cut point: unwrap once; reused by the BEGIN-span collect, the
+    # relation pre-pass, and the decode. xid recovery is FUSED into the
+    # decoder's own Python stage (decode_frames(xid_spans=...)): the
+    # former assign_xids ArrowEvalPython pass + the full checkpoint
+    # materialization of the xid'd frames are gone — one Python stage
+    # decodes AND attributes transactions in a single traversal
+    # (identical searchsorted over the same driver-collected spans).
     frames = live.unwrap_xlog_chunks(chunks).localCheckpoint(eager=True)
     env = pgo.decode_frames(
-        live.assign_xids(frames).localCheckpoint(eager=True),
+        frames,
         assemble_partitions=spark.sparkContext.defaultParallelism,
+        xid_spans=live.compute_tx_spans(frames),
     )
     rows = env.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
     return rows.select(
@@ -2123,7 +2127,7 @@ def cdc_crash_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(snap)
+    os.makedirs(snap, exist_ok=True)
     pq.write_table(
         pa.table({"pk": pa.array([], pa.int64()),
                   "gone": pa.array([], pa.string()),

@@ -42,7 +42,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
 
     jobs = [j for j in json.load(urllib.request.urlopen(f"{base}/jobs"))
-            if j["jobId"] not in jobs0]
+            if j["jobId"] not in jobs0 and j.get("completionTime")]
     jobs.sort(key=lambda j: j["jobId"])
     stages = {s["stageId"]: s for s in
               json.load(urllib.request.urlopen(f"{base}/stages?status=complete"))}
@@ -66,6 +66,9 @@ def main() -> None:
                 f"{(s.get('executorRunTime') or 0)/1e3:.1f}s)")
         print(f"{j['jobId']:>4} {gap:6.2f} {comp-sub:7.2f} "
               f"{j.get('numCompletedTasks',0):>6}  {' '.join(parts)[:110]}")
+        desc = (j.get("description") or j.get("name") or "").replace("\n", " ")
+        if desc:
+            print(f"      {desc[:120]}")
 
 
 if __name__ == "__main__":
