@@ -2454,8 +2454,7 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v"),
             ).otherwise(F.col("u")).alias("dst"),
         )
-        # consumed twice (the adjacency fold + the edge attach)
-        .localCheckpoint()
+        # consumed once (the adjacency fold below) — no cut needed
     )
     # √m-bounded sorted out-lists; consumed by both attach sides
     outadj = (
@@ -2465,18 +2464,22 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per oriented edge (s, d): triangle sinks = out(s) ∩ out(d); the
     # intersect is a codegen'd array intrinsic over two sorted √m-bounded
-    # arrays — no wedge row is ever materialized or shuffled. The attach
-    # joins are pinned to keyed repartitions of the probe side: they
-    # REPLACE the planner's own required exchanges (same keys, same
-    # bytes) but carry a user-specified partition count, so AQE cannot
-    # coalesce the intersect-bearing stages down to a handful of tasks —
-    # the stage is compute-bound (~1 s/partition of array intersects at
-    # sf0.1), not bytes-bound, which is exactly the case AQE's
-    # size-based coalescing mis-sizes
+    # arrays — no wedge row is ever materialized or shuffled. The edge
+    # stream with out(s) ALREADY ATTACHED is recovered by EXPLODING the
+    # adjacency table (outadj was folded FROM the oriented edges by
+    # groupBy(src), so explode(out_) reproduces every oriented edge with
+    # its source's full out-list for free) — the former src-side attach
+    # join and its two exchanges (edge repartition + outadj join side)
+    # are gone; only the dst attach shuffles. Its probe side is pinned
+    # to a keyed repartition: it REPLACES the join's required exchange
+    # (same key, same bytes) but carries a user-specified count, so
+    # AQE's size-based coalescing cannot shrink the compute-bound
+    # intersect stage to a handful of tasks.
     par = spark.sparkContext.defaultParallelism
     e2 = (
-        oriented.repartition(par, "src")
-        .join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        outadj.select(
+            "src", F.col("out_").alias("out_s"), F.explode("out_").alias("dst")
+        )
         .repartition(par, "dst")
         .join(
             outadj.select(F.col("src").alias("dst"), F.col("out_").alias("out_d")),
@@ -3815,16 +3818,19 @@ def parts_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v"),
             ).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint()
+        # consumed once (the adjacency fold below) — no cut needed
     )
     # same out-adjacency edge iteration as parts_triangle_count: the
     # sampled triangle count is the sum of per-edge sorted-out-list
-    # intersections — no wedge materialization or shuffle
+    # intersections — no wedge materialization or shuffle. The edge
+    # stream with out(s) attached comes from EXPLODING the adjacency
+    # table (see parts_triangle_count): the src-side attach join and its
+    # exchanges are gone; only the dst attach shuffles.
     outadj = oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("out_")
     ).localCheckpoint()
     tri_n = (
-        oriented.join(outadj.select("src", F.col("out_").alias("out_s")), "src")
+        outadj.select(F.col("out_").alias("out_s"), F.explode("out_").alias("dst"))
         .join(
             outadj.select(F.col("src").alias("dst"), F.col("out_").alias("out_d")),
             "dst",
