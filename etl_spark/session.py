@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan CACHED plans too (default false): the pipeline
+        # persists each micro-batch (pipeline.py _apply_batch), and with
+        # the default every shuffle under or over the cached plan is
+        # pinned at the static partition count — a KB-sized CDC batch
+        # ran 32-64 task stages per decode/window/merge (measured via
+        # the job profiler: ~480 tasks per cdc_crash_replay_ddl rep,
+        # 263 after). Coalescing is size-based, so big batches keep
+        # their width at cluster scale; only the output partitioning of
+        # the cache can change, which no consumer here relies on.
+        # A/B min-of-4 at sf0.1: cdc_schema_evolution 3.47 -> 2.82,
+        # cdc_scd2_schema_evolution 3.47 -> 3.16, crash_replay ~3% off.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # Shuffled-hash over sort-merge when the per-partition build side
         # fits (join-heavy subset A/B at sf0.1: 14.4 -> 13.5 s min-of-4;
         # q9 0.94 -> 0.72, lineitem_basket_lift 2.15 -> 1.80). Risk

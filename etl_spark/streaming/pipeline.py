@@ -427,7 +427,9 @@ class Pipeline:
             # hoisted; each registry still ADVANCES at its original point
             # (types now, relations/txs deferred to batch success below),
             # so the crash/replay windows are unchanged.
+            self.spark.sparkContext.setJobDescription("pipeline: wire-stats")
             wire = collect_wire_stats(batch, max_tx=MAX_TX_PER_WINDOW)
+            self.spark.sparkContext.setJobDescription(None)
             # TYPE names are exempt from the deferral: they are idempotent
             # oid→name metadata (never positional), and _apply_relations
             # needs same-batch TYPE frames visible when naming custom-typed
@@ -487,7 +489,8 @@ class Pipeline:
             # RELATION/MESSAGE rows are catalog-sized, so each group
             # collect_lists its own and _apply_relations consumes the
             # merged list instead of running its own filter+collect job.
-            tstats = batch.groupBy("table").agg(
+            self.spark.sparkContext.setJobDescription("pipeline: batch-stats")
+            tstats_agg = batch.groupBy("table").agg(
                 F.max("commit_lsn").alias("m"),
                 F.count(F.when(is_row, 1)).alias("n"),
                 F.count(
@@ -509,7 +512,9 @@ class Pipeline:
                         ),
                     )
                 ).alias("relmeta"),
-            ).collect()
+            )
+            tstats = tstats_agg.collect()
+            self.spark.sparkContext.setJobDescription(None)
             self._apply_relations(
                 batch,
                 rows=[m for r in tstats for m in (r["relmeta"] or ())],

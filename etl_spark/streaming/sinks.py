@@ -493,12 +493,17 @@ class _BucketedVersionedTable:
     def _touched_buckets(self, df: DataFrame, n_buckets: int) -> list[int]:
         """Distinct bucket ids in a batch — bounded by n_buckets, so the
         collect is a small driver-side list (the rollup.py pattern)."""
-        return sorted(
-            r[0]
-            for r in df.select(self._bucket_expr(n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
+        sc = self.spark.sparkContext
+        sc.setJobDescription("sink: touched-buckets")
+        try:
+            return sorted(
+                r[0]
+                for r in df.select(self._bucket_expr(n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+        finally:
+            sc.setJobDescription(None)
 
     # -- read ----------------------------------------------------------------
     def read_version(self, table: str, version: int) -> DataFrame:
@@ -684,13 +689,17 @@ class _BucketedVersionedTable:
         # bare repartition("__bucket")) keeps AQE from re-coalescing the
         # exchange below the bucket count.
         k = len(touched) if touched else n
-        (
-            out.withColumn("__bucket", self._bucket_expr(n))
-            .repartition(max(k, 1), "__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(vdir)
-        )
+        self.spark.sparkContext.setJobDescription(f"sink: commit {table} v{nv}")
+        try:
+            (
+                out.withColumn("__bucket", self._bucket_expr(n))
+                .repartition(max(k, 1), "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(vdir)
+            )
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
         present = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(vdir)
